@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators of the reference pipeline, Spark-first.
+  *
+  * Semantics sources (reference, cited file:line — see SURVEY.md §2):
+  *  - latest-by-key XREF dedup: resources/architecture/sttm-requirements.md:115-134
+  *    (`ROW_NUMBER() OVER (PARTITION BY pk ORDER BY event_ts DESC, seq DESC) = 1`)
+  *  - delete-flag exclusion before ranking: sttm-requirements.md:77-84
+  *  - masking CASE: STTM_v22.xlsx Instructions_for_BA; resources/STTM-script.txt:25-28
+  *  - quarantine anti-join both directions: resources/output/final-output.sql:131-144
+  */
+object SttmOps {
+
+  /** A1: latest record per key. Shuffles once on `keys`; at 100 TB this is a
+    * single hash-partitioned exchange followed by a partial sort per key —
+    * the canonical scalable dedup (no driver-side state).
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** F6: drop rows whose delete-flag column matches a truthy value list
+    * (NULL flag means "keep", matching the reference's CSV truthy-list check).
+    */
+  def excludeDeleted(df: DataFrame, flagCol: String, deleteValues: Seq[String]): DataFrame =
+    df.filter(col(flagCol).isNull || !col(flagCol).isin(deleteValues: _*))
+
+  /** P8: FGAC masking — `CASE WHEN entitled THEN c ELSE '***' END`. */
+  def maskUnless(entitled: Column, c: Column, mask: String = "***"): Column =
+    when(entitled, c).otherwise(lit(mask))
+
+  /** J4: bidirectional orphan detection. Returns (key, reason) rows for keys
+    * present on one side only. Uses left_anti joins (shuffle- or broadcast-
+    * hash anti join; never materializes the match side in the result).
+    */
+  def quarantineBidirectional(
+      left: DataFrame, leftKey: String, leftReason: String,
+      right: DataFrame, rightKey: String, rightReason: String): DataFrame = {
+    val l = left.select(col(leftKey).cast("long").as("key"))
+      .join(right.select(col(rightKey).cast("long").as("key")), Seq("key"), "left_anti")
+      .withColumn("reason", lit(leftReason))
+    val r = right.select(col(rightKey).cast("long").as("key"))
+      .join(left.select(col(leftKey).cast("long").as("key")), Seq("key"), "left_anti")
+      .withColumn("reason", lit(rightReason))
+    l.unionByName(r)
+  }
+}
