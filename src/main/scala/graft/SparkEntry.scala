@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.SttmOps
+import graft.operators.{Similarity, SttmOps, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,9 +22,9 @@ object SparkEntry {
   // ---- shared fragments -------------------------------------------------
 
   /** A1 ranking order used by every XREF query: event time desc, seq desc
-    * (sttm-requirements.md:115-134). */
+    * (sttm-requirements.md:115-134) — max_by(struct) aggregation form. */
   private def xrefLatest(ev: DataFrame): DataFrame =
-    SttmOps.latestByKey(ev, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+    SttmOps.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -190,6 +190,94 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), md5(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (k=8, char 4-grams) — the signature stage of
+    // MinHash-LSH near-dup detection.
+    "q_minhash_sig" -> ((s, dir) => {
+      TextDedup.minHashSignature(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // LSH banding: candidate near-dup pairs from 4 bands x 2 rows.
+    "q_lsh_pairs" -> ((s, dir) => {
+      val sig = TextDedup.minHashSignature(Tables.documents(s, dir), "doc_id", "text")
+      TextDedup.lshCandidatePairs(sig, "doc_id").orderBy("id1", "id2")
+    }),
+
+    // SimHash (60-bit majority-vote signature over token hashes).
+    "q_simhash" -> ((s, dir) => {
+      TextDedup.simHashSignature(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Character trigram Jaccard similarity between consecutive documents.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val d1 = d.select(col("doc_id").as("id1"), col("text").as("t1"))
+      val d2 = d.select(col("doc_id").as("id2"), col("text").as("t2"))
+      d1.join(d2, col("id2") === col("id1") + 1)
+        .select(col("id1"), col("id2"),
+          TextDedup.ngramJaccard(col("t1"), col("t2"), 3).as("jac"))
+        .orderBy("id1")
+    }),
+
+    // Winnowing fingerprints (k-gram window minima, SIGMOD'03).
+    "q_winnow_fp" -> ((s, dir) => {
+      TextDedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id", "fp")
+    }),
+
+    // Embedding cosine near-dup pairs (exact all-pairs above threshold).
+    "q_embed_cosine_pairs" -> ((s, dir) => {
+      Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("id1", "id2")
+    }),
+
+    // Brute-force ANN: top-3 cosine neighbors for the first 10 vectors.
+    "q_ann_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKLsh(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // Language identification (marker-lexicon argmax heuristic).
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Full quality-feature set (tokens, stopword/punct ratios, word length).
+    "q_quality_full" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish subword counting.
+    "q_subword_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal plumbing: opaque binary payload + typed metadata (byte
+    // length, content digest) — the schema/projection layer under the
+    // stubbed decoders in graft.multimodal.
+    "q_binary_meta" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text").cast("binary")).as("n_bytes"),
+          sha2(col("text").cast("binary"), 256).as("digest"))
+        .orderBy("doc_id")
     })
   )
 
@@ -291,6 +379,172 @@ object SparkEntry {
            floor(CAST(length(text) - (n_tok - 1) AS DOUBLE) / n_tok * 10000) / 10000 AS avg_wlen
          FROM t ORDER BY doc_id""",
     "q_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"""
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+    "q_minhash_sig" -> s"""WITH $minhashCte SELECT * FROM sig ORDER BY doc_id""",
+    "q_lsh_pairs" ->
+      s"""WITH $minhashCte, bands AS (
+           SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+           UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig)
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ORDER BY id1, id2""",
+    "q_simhash" ->
+      """WITH tok AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         bits AS (
+           SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+           FROM tok, (SELECT unnest(generate_series(0, 59)) AS b)
+           GROUP BY doc_id, b)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      s"""WITH s AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) / 10000 AS jac
+         FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+         ORDER BY id1""",
+    "q_winnow_fp" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+             unnest(range(greatest(length(text) - 8, 0) + 1)) AS p
+           FROM documents),
+         g AS (
+           SELECT doc_id, p,
+             ('0x' || substr(md5(substring(text, p + 1, 8)), 1, 15))::BIGINT
+               % 2147483647 AS h
+           FROM pos),
+         w AS (
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_after
+           FROM g)
+         SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE n_after = 4
+         ORDER BY doc_id, fp""",
+    "q_embed_cosine_pairs" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           floor(${cosSql("a.e", "b.e")} * 1000000) / 1000000 AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.e", "b.e")} > 0.4
+         ORDER BY id1, id2""",
+    "q_ann_topk" ->
+      s"""WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, CAST(rank AS INT) AS rank, nid,
+           floor(sim * 1000000) / 1000000 AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_ann_lsh" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, CAST(rank AS INT) AS rank, nid,
+           floor(sim * 1000000) / 1000000 AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, lang,
+           list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         s AS (SELECT doc_id, lang,
+           len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+           len(list_intersect(toks, ['the','a','and','of','is'])) AS s_en,
+           len(list_intersect(toks, ['el','la','los','y','es'])) AS s_es,
+           len(list_intersect(toks, ['le','la','les','et','est'])) AS s_fr,
+           len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         FROM t),
+         m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM s)
+         SELECT doc_id, lang,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM m ORDER BY doc_id""",
+    "q_quality_full" ->
+      """WITH t AS (SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','and','of','to','in'))) AS INT) AS n_stop,
+           CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
+                AS INT) AS n_punct
+         FROM documents)
+         SELECT doc_id, n_tok, n_stop, n_punct,
+           floor(CAST(n_stop AS DOUBLE) / n_tok * 10000) / 10000 AS stop_ratio,
+           floor(CAST(length(text) - (n_tok - 1) AS DOUBLE) / n_tok * 10000) / 10000
+             AS avg_wlen,
+           floor(CAST(n_punct AS DOUBLE) / length(text) * 10000) / 10000 AS punct_ratio
+         FROM t ORDER BY doc_id""",
+    "q_subword_count" ->
+      """SELECT doc_id,
+           CAST(list_reduce(list_transform(string_split_regex(trim(text), '\s+'),
+                w -> CAST(ceil(length(w) / 4.0) AS INT)), (a, b) -> a + b) AS INT)
+             AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q_binary_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS digest
+         FROM documents ORDER BY doc_id"""
   )
+
+  // ---- oracle SQL fragments (DuckDB mirrors of the operator hashing) ----
+
+  /** Distinct char n-gram list of `c` (mirrors TextDedup.charShingles). */
+  private def shinglesSql(c: String, n: Int): String =
+    s"list_distinct(list_transform(range(greatest(length($c) - $n, 0) + 1), " +
+      s"i -> substring($c, i + 1, $n)))"
+
+  /** Minhash signature CTE `sig` (mirrors TextDedup.minHashSignature:
+    * 60-bit md5-prefix hash mod 2^31-1, 8 odd-coefficient perturbations). */
+  private val minhashCte: String = {
+    val mins = (0 until 8).map { i =>
+      val a = 2 * i + 1; val b = i * i + 1
+      s"min((h * $a + $b) % 2147483647) AS mh$i"
+    }.mkString(", ")
+    s"""sh AS (SELECT doc_id, unnest(${shinglesSql("text", 4)}) AS sh FROM documents),
+        hs AS (SELECT doc_id,
+          ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
+        sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)"""
+  }
+
+  /** Ordered double-precision cosine (mirrors Similarity.cosine: float
+    * widens exactly, left-to-right list_reduce == Spark aggregate). */
+  private def cosSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(len($x)), " +
+        s"i -> CAST($x[i + 1] AS DOUBLE) * CAST($y[i + 1] AS DOUBLE)), (p, q) -> p + q)"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Sign-bit hyperplane bucket (mirrors Similarity.lshSignBits). */
+  private def lshBucketSql(v: String): String =
+    (0 until 4).map { j =>
+      s"""(CASE WHEN list_reduce(list_transform(range(len($v)),
+            d -> CAST($v[d + 1] AS DOUBLE) *
+                 CAST(((1103515245::BIGINT * $j + 12345 * d + 42) % 1001) - 500 AS DOUBLE)),
+            (p, q) -> p + q) > 0 THEN ${1L << j} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
 }

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native (whole-stage-codegen) dot product over two `array<double>` columns.
+  *
+  * The built-in way to express this — `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * — evaluates interpreted lambda functions per element and dominated the
+  * all-pairs similarity benchmark (74 s for 4M pairs x 64 dims at sf0.1).
+  * This expression compiles to a tight Java loop inside whole-stage codegen.
+  * Summation order is left-to-right, identical to the HOF formulation and to
+  * DuckDB's `list_reduce`, so oracle results are bit-identical.
+  *
+  * Null handling: a null array yields null (BinaryExpression default); null
+  * *elements* are treated as 0 contribution (training embeddings are
+  * non-null; documented divergence from the HOF version which would NPE).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double sum = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
+         |    sum += $a.getDouble(i) * $b.getDouble(i);
+         |  }
+         |}
+         |${ev.value} = sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level API for the vector expressions. */
+object VectorFunctions {
+
+  /** Idempotent per-session registration (temp function registry). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+
+  /** Dot product Column (requires [[register]] on the session first). */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Vector similarity search over an embedding column (`array<float>`).
+  *
+  * All math is done in double with a fixed left-to-right summation order via
+  * the codegen'd [[graft.functions.DotProduct]] expression, bit-identical to
+  * the DuckDB oracle's `list_reduce` mirror — float32 inputs widen exactly.
+  * Cosine is computed as dot(a,b) / (norm(a)*norm(b)) with norms materialized
+  * ONCE per vector (O(n) instead of O(pairs) norm work).
+  *
+  * Scale notes (100 TB): brute-force top-k is a broadcast of the (small)
+  * query set against a full scan of the corpus — embarrassingly parallel,
+  * no shuffle until the final per-query top-k (window partitioned by query
+  * id). The LSH variant buckets both sides by random-hyperplane sign bits,
+  * turning the cross product into an equi-join on the bucket key.
+  */
+object Similarity {
+
+  /** id, v (array<double>), nrm columns — norm computed once per vector. */
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    VectorFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.vecDot(col("v"), col("v"))))
+  }
+
+  private def sim(v1: Column, n1: Column, v2: Column, n2: Column): Column =
+    VectorFunctions.vecDot(v1, v2) / (n1 * n2)
+
+  /** All near-duplicate pairs (id1 < id2) with cosine > threshold.
+    * O(n^2) candidate space — intended where an exact answer is required;
+    * use [[annTopKLsh]]-style bucketing as the scale path. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    val a = v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("sim", sim(col("v1"), col("n1"), col("v2"), col("n2")))
+      .filter(col("sim") > threshold)
+      .select(col("id1"), col("id2"), (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
+  }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` (excluding identical ids). Rank ties broken by neighbor id. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
+    topK(scored, k)
+  }
+
+  /** Random-hyperplane LSH sign bits (deterministic integer pseudo-planes:
+    * plane(j,d) = ((1103515245*j + 12345*d + 42) mod 1001) - 500, exactly
+    * reproducible in SQL). Returns the bucket id from `nBits` sign bits. */
+  def lshSignBits(vec: Column, nBits: Int): Column = {
+    val bits = (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * (((lit(1103515245L) * j + lit(12345L) * d + 42) % 1001) - 500)
+            .cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: exact top-k *within* the query's hyperplane bucket.
+    * The crossJoin above becomes an equi-join on bucket — at 100 TB this is
+    * the difference between O(n*q) and O(n*q / 2^bits) comparisons. */
+  def annTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nBits: Int = 4): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
+        lshSignBits(col("v"), nBits).as("bucket"))
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        lshSignBits(col("v"), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"),
+        (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
+  }
+}

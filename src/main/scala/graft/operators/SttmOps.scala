@@ -15,11 +15,25 @@ import org.apache.spark.sql.functions._
   */
 object SttmOps {
 
-  /** A1: latest record per key. Shuffles once on `keys`; at 100 TB this is a
-    * single hash-partitioned exchange followed by a partial sort per key —
-    * the canonical scalable dedup (no driver-side state).
+  /** A1: latest record per key (ROW_NUMBER ... rn=1 semantics). Implemented
+    * as `max_by(struct(*), struct(orderCols))` — a hash aggregation with
+    * map-side partial combine, so the shuffle carries at most one row per
+    * (key, map partition) instead of every row like the window-sort
+    * formulation would. At 100 TB with high key cardinality this is the
+    * difference between shuffling the full table and shuffling ~|keys| rows.
+    * `order` columns must make the ranking unique (ts + seq tie-break).
     */
-  def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+  def latestByKey(df: DataFrame, keys: Seq[String], order: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val rank = struct(order.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, rank).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** Window-sort formulation of A1 (kept for cases where the full sorted
+    * history per key is also needed downstream). */
+  def latestByKeyWindow(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

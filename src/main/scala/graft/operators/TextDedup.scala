@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for large-scale training-data curation.
+  *
+  * All hashes are built from `md5` (bit-identical across engines, so the
+  * DuckDB oracle can mirror every step): `base(s) = bigint(hex(md5(s)[0,15))`
+  * is a 60-bit stable string hash; MinHash perturbs it with `(a*h + b) mod p`
+  * (p = 2^31-1) keeping every intermediate inside signed-64 range.
+  *
+  * Scale notes (100 TB): every op here is a narrow projection followed by one
+  * hash-partitioned aggregation — no cross-record shuffle grows beyond
+  * O(#docs * k). LSH banding turns the quadratic candidate join into a
+  * bucket-equi-join, which Spark executes as a shuffled hash join on the
+  * band key; skew (a hot bucket) is bounded by band width.
+  */
+object TextDedup {
+
+  val P: Long = 2147483647L // 2^31 - 1
+
+  /** 60-bit stable hash of a string (same value computable in DuckDB as
+    * ('0x' || substr(md5(s),1,15))::BIGINT). */
+  def stableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct character n-grams of a string as an array column. */
+  def charShingles(c: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(c) - n, lit(0))),
+      i => c.substr(i + 1, lit(n))))
+
+  /** MinHash signature: k minimums of (a_i*h + b_i) mod p over the shingle
+    * hashes. Returns one row per input row with `sig` array<bigint>.
+    * Deterministic coefficients a_i = 2i+1 (odd), b_i = i*i+1.
+    */
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 4, k: Int = 8,
+                       oracleParity: Boolean = true): DataFrame = {
+    // oracleParity=true uses the md5-derived hash (reproducible in any SQL
+    // engine, but md5 costs ~4 s/5k docs); production path uses Spark's
+    // codegen'd xxhash64 (~an order of magnitude cheaper, same distribution).
+    val base: Column => Column =
+      if (oracleParity) c => stableHash(c) % P
+      else c => pmod(xxhash64(c), lit(P))
+    val hashed = df
+      .select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol), base(col("sh")).as("h"))
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: split the k-wide signature into bands of `r` rows;
+    * docs sharing any band bucket become a candidate pair (id1 < id2).
+    * One shuffle on the band-bucket key; output is distinct pairs.
+    */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame = {
+    // posexplode instead of a k/r-way union: one pass over the signature
+    // (the union form recomputed the whole signature per band).
+    val bandCols = (0 until k / r).map { band =>
+      concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
+    }
+    // localCheckpoint: the signature (an md5 pass over every shingle) is
+    // materialized once and both join sides read the checkpoint, instead of
+    // recomputing the full hash pass per side.
+    val bands = sig
+      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint()
+    // Plain bucket equi-join: even with the synthetic corpus's pathological
+    // bucket (58% of docs in one bucket at sf0.1) the join itself measured
+    // 1.15 s for 7.6M candidate pairs — the quadratic *output* is spread by
+    // the shuffle, and genuinely hot keys at cluster scale are handled by
+    // AQE skew-join splitting once partitions carry real byte weight. The
+    // dominant costs are the (oracle-parity) md5 signature pass and the
+    // final distinct, not the join.
+    val a = bands.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val b = bands.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** SimHash (60-bit): majority vote per bit position over whitespace-token
+    * hashes. Bit b of the result is set iff more token hashes have bit b set
+    * than unset. Single explode + one hash-partitioned groupBy with 60 sum
+    * aggregates (one pass, map-side partial aggregation — no per-bit shuffle).
+    */
+  def simHashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .select(col(idCol), stableHash(col("t")).as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    }
+    tok.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map { b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+        }.reduce(_ + _).as("simhash"))
+  }
+
+  /** Character n-gram Jaccard similarity of two string columns, truncated to
+    * 4 decimals with floor (bit-identical to the DuckDB mirror). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val sa = charShingles(a, n); val sb = charShingles(b, n)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_distinct(concat(sa, sb))).cast("double")
+    floor(inter / uni * 10000) / 10000.0
+  }
+
+  /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in
+    * every sliding window of `w` consecutive k-grams, emit the distinct set.
+    * (Schleimer et al., "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003.) Returns (id, fp) rows.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            kgram: Int = 8, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), greatest(length(col(textCol)) - kgram, lit(0))),
+          i => col(textCol).substr(i + 1, lit(kgram)))).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"), (stableHash(col("g")) % P).as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("n_after", count(lit(1)).over(win))
+      .withColumn("wmin", min(col("h")).over(win))
+      // only full windows pick fingerprints (last w-1 positions excluded)
+      .filter(col("n_after") === w)
+      .select(col(idCol), col("wmin").as("fp"))
+      .distinct()
+  }
+}
