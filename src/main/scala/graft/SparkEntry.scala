@@ -269,6 +269,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STTM compiler end-to-end ------------------------------------------
+    // These run the actual metadata-driven compiler (spec CSV -> validation
+    // -> expression compile -> Flink-name SQL -> Catalyst) on testdata.
+
+    // Full 3-stage pipeline, XREF snapshot output (ts exported as micros).
+    "q_sttm_xref" -> ((s, dir) => {
+      val out = sttmRun(s, dir)
+      out("XREF_USER")
+        .select(col("USER_ID"), col("EVENT_ID"),
+          unix_micros(col("TS")).as("TS_US"), col("K"), col("VALUE"))
+        .orderBy("USER_ID")
+    }),
+
+    // Full 3-stage pipeline, FGAC masked-enrichment output.
+    "q_sttm_fgac" -> ((s, dir) => {
+      sttmRun(s, dir)("FGAC_USER_REF").orderBy("USER_ID")
+    }),
+
+    // Full 3-stage pipeline, quarantine arm output.
+    "q_sttm_quarantine" -> ((s, dir) => {
+      sttmRun(s, dir)("QUAR_USER").orderBy("USER_ID")
+    }),
+
+    // CSV view through the compiler (SPLIT_INDEX + auto index assignment).
+    "q_sttm_csv_view" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(concat_ws("|",
+          col("event_id").cast("string"),
+          col("event_type"),
+          col("value").cast("decimal(10,2)").cast("string")).as("val"))
+        .createOrReplaceTempView("events_csv")
+      val p = compile.PipelineCompiler.compile(
+        compile.DemoSpecs.csvPipeline, compile.DemoSpecs.csvOptions)
+      p.run(s)("CSV_VW").orderBy("F_ID")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -507,8 +543,67 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS digest
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_sttm_xref" ->
+      s"""WITH $sttmOracleCte
+         SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
+         FROM xref ORDER BY USER_ID""",
+    "q_sttm_fgac" ->
+      s"""WITH $sttmOracleCte
+         SELECT x.USER_ID, x.EVENT_ID,
+           CASE WHEN c.C_ACCTBAL >= 0 THEN c.C_NAME ELSE '***' END AS C_NAME_MASKED,
+           c.C_MKTSEGMENT, x.VALUE
+         FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
+         ORDER BY x.USER_ID""",
+    "q_sttm_quarantine" ->
+      s"""WITH $sttmOracleCte
+         SELECT x.USER_ID, 'customer: none' AS REASON
+         FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
+         WHERE c.C_CUSTKEY IS NULL
+         ORDER BY x.USER_ID""",
+    "q_sttm_csv_view" ->
+      """WITH p AS (SELECT concat_ws('|', CAST(event_id AS VARCHAR), event_type,
+                     CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)) AS val
+                   FROM events)
+         SELECT
+           CAST(nullif(trim(split_part(val, '|', 1)), '') AS BIGINT) AS F_ID,
+           CAST(trim(split_part(val, '|', 2)) AS VARCHAR) AS F_TYPE,
+           CAST(trim(split_part(val, '|', 3)) AS VARCHAR) AS F_VAL,
+           CAST(val AS VARCHAR) AS RAW
+         FROM p ORDER BY F_ID"""
   )
+
+  /** Register raw tables and execute the bundled JSON STTM pipeline
+    * (view -> xref upsert -> fgac/quarantine) on `dir`. */
+  private def sttmRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
+    Tables.events(s, dir).createOrReplaceTempView("events")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    val p = compile.PipelineCompiler.compile(
+      compile.DemoSpecs.jsonPipeline, compile.DemoSpecs.jsonOptions)
+    require(p.errors.isEmpty, s"spec validation errors: ${p.errors}")
+    p.run(s)
+  }
+
+  /** DuckDB CTEs mirroring the demo STTM pipeline's view + xref stages. */
+  private val sttmOracleCte: String =
+    """ev AS (
+         SELECT CAST(user_id AS BIGINT) AS USER_ID,
+                CAST(event_id AS BIGINT) AS EVENT_ID,
+                ts AS TS,
+                CAST(nullif(trim(json_extract_string(props, '$.k')), '') AS INT) AS K,
+                CAST(value AS DOUBLE) AS VALUE
+         FROM events WHERE event_type = 'purchase'),
+       cu AS (
+         SELECT CAST(c_custkey AS BIGINT) AS C_CUSTKEY,
+                CAST(trim(c_name) AS VARCHAR) AS C_NAME,
+                CAST(c_acctbal AS DOUBLE) AS C_ACCTBAL,
+                CAST(trim(c_mktsegment) AS VARCHAR) AS C_MKTSEGMENT
+         FROM customer),
+       xref AS (
+         SELECT USER_ID, EVENT_ID, TS, K, VALUE
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY USER_ID ORDER BY TS DESC, EVENT_ID DESC) AS rn
+               FROM ev) WHERE rn = 1)"""
 
   // ---- oracle SQL fragments (DuckDB mirrors of the operator hashing) ----
 

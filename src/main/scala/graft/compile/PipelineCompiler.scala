@@ -1,0 +1,185 @@
+package graft.compile
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.exprs.ExprCompiler
+import graft.functions.FlinkCompat
+import graft.operators.SttmOps
+import graft.spec.{SttmRow, SttmSpec}
+import graft.validate.SttmValidation
+import graft.validate.SttmValidation.Issue
+
+/** Compiler options (defaults match the reference's constants:
+  * raw_payload_col='val', csv delim ',' — sttm_to_flink_v22.py:306-307). */
+final case class CompilerOptions(
+    payloadCol: String = "val",
+    csvDelimiter: String = ",")
+
+/** One compiled target: its emitted name, stage, column list, PK, matrix
+  * props, and the SELECT statement (Flink-flavored scalar functions; runs
+  * verbatim on Spark once [[FlinkCompat]] is registered). */
+final case class CompiledTable(
+    name: String,
+    stage: String,
+    columns: Seq[(String, String)],
+    pk: Seq[String],
+    props: Map[String, String],
+    selectSql: String) {
+
+  private def q(s: String): String =
+    if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
+
+  /** CREATE VIEW artifact (build_view_sql shape, v22:218-228). */
+  def viewSql: String =
+    s"CREATE VIEW ${q(name)} AS\n$selectSql;"
+
+  /** CREATE TABLE artifact (build_table_ddl shape, v22:230-258). */
+  def tableDdl: String = {
+    val colLines = columns.map { case (c, t) => s"  $c $t" } ++
+      (if (pk.nonEmpty) Seq(s"  PRIMARY KEY (${pk.mkString(", ")}) NOT ENFORCED") else Nil)
+    val base = s"CREATE TABLE IF NOT EXISTS ${q(name)} (\n" + colLines.mkString(",\n") + "\n)"
+    val withProps =
+      if (props.isEmpty) base
+      else base + "\nWITH (\n  " +
+        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + "\n)"
+    withProps + ";"
+  }
+
+  /** INSERT artifact (build_insert_sql shape, v22:260-281). */
+  def insertSql: String =
+    s"INSERT INTO ${q(name)} (${columns.map(_._1).mkString(", ")})\n$selectSql;"
+}
+
+final case class CompiledPipeline(
+    tables: Seq[CompiledTable],
+    issues: Seq[Issue],
+    options: CompilerOptions) {
+
+  def views: Seq[CompiledTable] = tables.filter(_.stage == "VIEW")
+  def xrefs: Seq[CompiledTable] = tables.filter(_.stage == "XREF")
+  def fgacs: Seq[CompiledTable] = tables.filter(t => t.stage != "VIEW" && t.stage != "XREF")
+  def errors: Seq[Issue] = issues.filter(_.level == SttmValidation.Error)
+
+  /** Consolidated 00_all.sql artifact: Views -> Tables -> EXECUTE STATEMENT
+    * SET, matching the reference bundle ordering (v22:386-400, B1/B2). */
+  def allSql: String = {
+    val sections = Seq.newBuilder[String]
+    if (views.nonEmpty)
+      sections += "-- ===== VIEWS =====\n" +
+        views.map(v => s"-- >>> ${v.name}\n${v.viewSql}").mkString("\n\n")
+    val sinks = xrefs ++ fgacs
+    if (sinks.nonEmpty)
+      sections += "-- ===== TABLES (Kafka + Avro) =====\n" +
+        sinks.map(t => s"-- >>> ${t.name}\n${t.tableDdl}").mkString("\n\n")
+    if (sinks.nonEmpty)
+      sections += "-- ===== INSERT STATEMENT SET =====\n" +
+        "EXECUTE STATEMENT SET\nBEGIN\n\n" +
+        (xrefs ++ fgacs).map(t => s"-- >>> ${t.name}\n${t.insertSql}").mkString("\n\n") +
+        "\n\nEND;"
+    sections.result().mkString("\n\n") + "\n"
+  }
+
+  /** Execute the pipeline on `spark` in stage order. Inputs (raw tables) must
+    * already be resolvable (temp views / catalog tables). Each compiled
+    * target is materialized lazily as a DataFrame and registered as a temp
+    * view under its emitted name so later stages can reference it; XREF
+    * targets with `changelog.mode=upsert` + a PK get latest-by-key snapshot
+    * semantics, ordered by the matrix prop `graft.upsert.order` (comma-
+    * separated column list, e.g. "TS,EVENT_ID").
+    *
+    * Scale note: this is pure plan construction — nothing materializes until
+    * an action; Catalyst sees the whole view->xref->fgac tree and pushes
+    * filters/prunes columns across stage boundaries (the reference's Flink
+    * jobs are opaque to each other; ours fuse).
+    */
+  def run(spark: SparkSession): Map[String, DataFrame] = {
+    FlinkCompat.register(spark)
+    val out = Seq.newBuilder[(String, DataFrame)]
+    tables.foreach { t =>
+      val base = spark.sql(t.selectSql)
+      val df = t.stage match {
+        case "XREF" if t.props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
+            && t.pk.nonEmpty =>
+          val order = t.props.get("graft.upsert.order")
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)
+          if (order.nonEmpty) SttmOps.latestByKey(base, t.pk, order) else base
+        case _ => base
+      }
+      df.createOrReplaceTempView(t.name)
+      out += t.name -> df
+    }
+    out.result().toMap
+  }
+}
+
+/** STTM spec -> compiled pipeline. The SELECT text per target mirrors the
+  * reference builders exactly (expression precedence, PK-row view filter with
+  * bare-token JSON rewrite, AND-combined non-view predicates, single join,
+  * first-wins column dedup) — see SURVEY.md §2 for the operator citations.
+  */
+object PipelineCompiler {
+
+  def compile(spec: SttmSpec, opts: CompilerOptions = CompilerOptions()): CompiledPipeline = {
+    val issues = SttmValidation.validate(spec)
+    val tables = spec.grouped.map { case (logical, rows) =>
+      compileTable(logical, rows, spec, opts)
+    }
+    CompiledPipeline(tables, issues, opts)
+  }
+
+  private def q(s: String): String =
+    if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
+
+  private def compileTable(logical: String, rows: Seq[SttmRow], spec: SttmSpec,
+                           opts: CompilerOptions): CompiledTable = {
+    val stage = rows.headOption.map(_.stage).getOrElse("FGAC")
+    val isView = stage == "VIEW"
+    val autoIdx = if (isView) ExprCompiler.autoCsvIndex(rows) else Map.empty[String, Int]
+    val exprs = rows.map(r =>
+      r -> ExprCompiler.chooseExpr(r, isView, opts.payloadCol, opts.csvDelimiter, autoIdx))
+
+    // first-wins column dedup (v22:241-248)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val cols = exprs.filter { case (r, _) =>
+      r.targetColumn.nonEmpty && seen.add(r.targetColumn)
+    }
+    val selects = cols.map { case (r, e) => s"  $e AS ${r.targetColumn}" }
+    val colDefs = cols.map { case (r, _) => r.targetColumn -> r.dataTypeOrDefault }
+    val pk = rows.filter(r => r.isPk && r.targetColumn.nonEmpty)
+      .map(_.targetColumn).distinct
+
+    val src = rows.find(_.sourcePrimaryTable.nonEmpty)
+      .map(r => s"${q(r.sourcePrimaryTable)} ${if (r.sourcePrimaryAlias.nonEmpty) r.sourcePrimaryAlias else "t"}")
+      .getOrElse("(VALUES(1)) t(dummy)")
+
+    val where =
+      if (isView) {
+        val pkFilter = rows.find(r => r.isPk && r.filterPredicate.trim.nonEmpty)
+          .map(_.filterPredicate.trim).getOrElse("")
+        if (pkFilter.isEmpty) ""
+        else ExprCompiler.rewritePredicateAsJson(
+          ExprCompiler.sanitizePredicate(pkFilter), opts.payloadCol)
+      } else {
+        val preds = rows.map(r => ExprCompiler.sanitizePredicate(r.filterPredicate))
+          .filter(_.nonEmpty).distinct
+        preds.mkString(" AND ")
+      }
+
+    // one join max, from the first row carrying both JoinTable & JoinCondition
+    val join =
+      if (isView) ""
+      else rows.find(r => r.joinTable.trim.nonEmpty && r.joinCondition.trim.nonEmpty)
+        .map { r =>
+          val jty0 = r.joinType.trim.toUpperCase
+          val jty = if (Set("INNER", "LEFT", "RIGHT", "FULL").contains(jty0)) jty0 else "LEFT"
+          val ja = if (r.joinAlias.trim.nonEmpty) r.joinAlias.trim else "j"
+          s"\n  $jty JOIN ${q(r.joinTable.trim)} $ja ON ${r.joinCondition.trim}"
+        }.getOrElse("")
+
+    val whereSql = if (where.nonEmpty) s"\nWHERE $where" else ""
+    val selectSql = "SELECT\n" + selects.mkString(",\n") + s"\nFROM $src$join$whereSql"
+
+    val props = spec.matrix.propsFor(logical, logical)
+    CompiledTable(logical, stage, colDefs, pk, props, selectSql)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.spec
+
+/** STTM (Source-To-Target Mapping) spec model — the metadata that drives the
+  * whole engine. One [[SttmRow]] per target-column mapping, mirroring the
+  * v22 19-column sheet layout (reference: resources/STTM_v22.xlsx sheet
+  * STTM_Mapping; header list verified against the workbook).
+  *
+  * Stage semantics (scripts/sttm_to_flink_v22.py:297): VIEW -> typed
+  * projection of a raw payload stream; XREF -> keyed upsert snapshot;
+  * FGAC -> refined/enriched table (joins + masking + quarantine arms).
+  */
+final case class SttmRow(
+    pipelineStage: String = "",
+    targetTable: String = "",
+    targetColumn: String = "",
+    targetDataType: String = "",
+    isTargetPK: String = "",
+    targetPK: String = "",
+    messageFormat: String = "",
+    fieldSelector: String = "",
+    sourcePrimaryTable: String = "",
+    sourcePrimaryAlias: String = "",
+    sourceField: String = "",
+    exprOverride: String = "",
+    sourceTransformExpr: String = "",
+    filterPredicate: String = "",
+    joinTable: String = "",
+    joinAlias: String = "",
+    joinType: String = "",
+    joinCondition: String = "",
+    notes: String = "") {
+  def stage: String = pipelineStage.trim.toUpperCase
+  def isView: Boolean = stage == "VIEW"
+  def isPk: Boolean = isTargetPK.trim.equalsIgnoreCase("Y")
+  def dataTypeOrDefault: String = {
+    val t = targetDataType.trim
+    if (t.isEmpty) "STRING" else t
+  }
+}
+
+object SttmRow {
+  /** v22 sheet header order (STTM_v22.xlsx!STTM_Mapping A..S). */
+  val headers: Seq[String] = Seq(
+    "PipelineStage", "TargetTable", "TargetColumn", "TargetDataType",
+    "IsTargetPK", "TargetPK", "MessageFormat", "FieldSelector",
+    "SourcePrimaryTable", "SourcePrimaryAlias", "SourceField",
+    "ExprOverride", "SourceTransformExpr", "FilterPredicate",
+    "JoinTable", "JoinAlias", "JoinType", "JoinCondition", "Notes")
+
+  def fromMap(m: Map[String, String]): SttmRow = {
+    def g(k: String) = m.getOrElse(k, "").trim
+    SttmRow(
+      pipelineStage = g("PipelineStage"), targetTable = g("TargetTable"),
+      targetColumn = g("TargetColumn"), targetDataType = g("TargetDataType"),
+      isTargetPK = g("IsTargetPK"), targetPK = g("TargetPK"),
+      messageFormat = g("MessageFormat"), fieldSelector = g("FieldSelector"),
+      sourcePrimaryTable = g("SourcePrimaryTable"),
+      sourcePrimaryAlias = g("SourcePrimaryAlias"), sourceField = g("SourceField"),
+      exprOverride = g("ExprOverride"),
+      sourceTransformExpr = g("SourceTransformExpr"),
+      filterPredicate = g("FilterPredicate"), joinTable = g("JoinTable"),
+      joinAlias = g("JoinAlias"), joinType = g("JoinType"),
+      joinCondition = g("JoinCondition"), notes = g("Notes"))
+  }
+}
+
+/** Config_TableMatrix: per-table key/value properties (WITH(...) options,
+  * engine extensions). Blank / na / n/a / none values are skipped; values
+  * may use the `${table_name}` macro (expanded at resolve time); duplicate
+  * keys: last write wins (reference warns, keeps last —
+  * sttm_validations_v22.py:205-219).
+  */
+final case class TableMatrix(rows: Seq[(String, Map[String, String])]) {
+  /** Table-name columns present in the matrix. */
+  val tables: Seq[String] =
+    rows.flatMap(_._2.keys).distinct
+
+  private val skip = Set("", "na", "n/a", "none")
+
+  /** Resolved props for a table: logical name preferred, emitted name as
+    * fallback; `${table_name}` expanded with the emitted name
+    * (sttm_to_flink_v22.py:160-214). */
+  def propsFor(logical: String, emitted: String): Map[String, String] = {
+    val colName =
+      if (tables.contains(logical)) Some(logical)
+      else if (tables.contains(emitted)) Some(emitted)
+      else None
+    colName match {
+      case None => Map.empty
+      case Some(c) =>
+        rows.foldLeft(Map.empty[String, String]) { case (acc, (key, vals)) =>
+          val v = vals.getOrElse(c, "").trim
+          if (key.trim.isEmpty || skip.contains(v.toLowerCase)) acc
+          else acc + (key.trim -> v.replace("${table_name}", emitted))
+        }
+    }
+  }
+
+  /** All (key -> value) per table, used by the validator. */
+  def perTable: Map[String, Map[String, String]] =
+    tables.map(t => t -> propsFor(t, t)).toMap
+}
+
+object TableMatrix {
+  val empty: TableMatrix = TableMatrix(Nil)
+}
+
+final case class SttmSpec(rows: Seq[SttmRow], matrix: TableMatrix) {
+  /** Stable compile order: stage rank, table, PK-first, column
+    * (sttm_to_flink_v22.py:297-303). */
+  def sorted: Seq[SttmRow] = {
+    val stageRank = Map("VIEW" -> 0, "XREF" -> 1, "FGAC" -> 2)
+    rows.sortBy(r => (
+      stageRank.getOrElse(r.stage, 99), r.targetTable,
+      if (r.isPk) 0 else 1, r.targetColumn))
+  }
+
+  /** Rows grouped by target table, preserving the stable sort order. */
+  def grouped: Seq[(String, Seq[SttmRow])] = {
+    val s = sorted.filter(_.targetTable.nonEmpty)
+    s.map(_.targetTable).distinct.map(t => t -> s.filter(_.targetTable == t))
+  }
+}

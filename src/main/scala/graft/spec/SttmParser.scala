@@ -1,0 +1,169 @@
+package graft.spec
+
+import java.util.zip.ZipFile
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+import scala.xml.XML
+
+/** Parsers for the STTM spec: CSV (RFC-4180-ish) and xlsx (zip+XML, no
+  * external dependency — sharedStrings + per-sheet cell scan, exactly what
+  * the survey validated as feasible offline).
+  */
+object SttmParser {
+
+  // ---- CSV --------------------------------------------------------------
+
+  /** Minimal quoted-CSV splitter (handles "" escapes and embedded commas /
+    * newlines inside quotes). */
+  def splitCsv(text: String): Seq[Seq[String]] = {
+    val rows = mutable.ArrayBuffer.empty[Seq[String]]
+    val field = new StringBuilder
+    val row = mutable.ArrayBuffer.empty[String]
+    var inQ = false
+    var i = 0
+    def endField(): Unit = { row += field.result(); field.clear() }
+    def endRow(): Unit = { endField(); rows += row.toSeq; row.clear() }
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (inQ) {
+        if (ch == '"') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '"') { field += '"'; i += 1 }
+          else inQ = false
+        } else field += ch
+      } else ch match {
+        case '"' => inQ = true
+        case ',' => endField()
+        case '\r' => // swallow (CRLF)
+        case '\n' => endRow()
+        case c => field += c
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) endRow()
+    rows.toSeq.filter(_.exists(_.trim.nonEmpty))
+  }
+
+  /** Parse mapping rows from CSV text with a header row. Header names are
+    * trimmed; literal "nan" cells (Excel export artifacts) become empty —
+    * mirrors norm_cols (sttm_to_flink_v22.py:28-33). */
+  def mappingFromCsv(text: String): Seq[SttmRow] = {
+    val rows = splitCsv(text)
+    if (rows.isEmpty) return Nil
+    val header = rows.head.map(_.trim)
+    rows.tail.map { cells =>
+      val m = header.zipAll(cells, "", "").map { case (h, v) =>
+        val t = v.trim
+        h -> (if (t.equalsIgnoreCase("nan")) "" else t)
+      }.toMap
+      SttmRow.fromMap(m)
+    }
+  }
+
+  /** Parse a Config_TableMatrix CSV: first column Key (any case), remaining
+    * columns are table names. */
+  def matrixFromCsv(text: String): TableMatrix = {
+    val rows = splitCsv(text)
+    if (rows.isEmpty) return TableMatrix.empty
+    val header = rows.head.map(_.trim)
+    val keyIdx = header.indexWhere(_.equalsIgnoreCase("key"))
+    if (keyIdx < 0) return TableMatrix.empty
+    val tableCols = header.zipWithIndex.filter { case (h, i) => i != keyIdx && h.nonEmpty }
+    TableMatrix(rows.tail.flatMap { cells =>
+      val key = cells.lift(keyIdx).getOrElse("").trim
+      if (key.isEmpty) None
+      else Some(key -> tableCols.map { case (h, i) =>
+        h -> cells.lift(i).getOrElse("").trim
+      }.toMap)
+    })
+  }
+
+  // ---- xlsx -------------------------------------------------------------
+
+  /** Read one sheet of an xlsx as rows of (columnLetter -> cellString). */
+  private def readXlsxSheet(zip: ZipFile, sheetPath: String,
+                            shared: IndexedSeq[String]): Seq[Map[String, String]] = {
+    val entry = Option(zip.getEntry(sheetPath)).getOrElse(return Nil)
+    val xml = XML.load(zip.getInputStream(entry))
+    (xml \\ "row").map { row =>
+      (row \ "c").flatMap { c =>
+        val ref = (c \ "@r").text
+        val colLetter = ref.takeWhile(_.isLetter)
+        val t = (c \ "@t").text
+        val raw = (c \ "v").text
+        val value = t match {
+          case "s" => shared.lift(raw.toIntOption.getOrElse(-1)).getOrElse("")
+          case "inlineStr" => (c \ "is" \ "t").text
+          case _ => raw
+        }
+        if (colLetter.isEmpty) None else Some(colLetter -> value)
+      }.toMap
+    }
+  }
+
+  private def colOrder(c: String): Int =
+    c.foldLeft(0)((acc, ch) => acc * 26 + (ch - 'A' + 1))
+
+  /** Sheet rows -> header-keyed maps using the first row as header. */
+  private def toRecords(rows: Seq[Map[String, String]]): Seq[Map[String, String]] =
+    rows match {
+      case head +: tail =>
+        val header = head.toSeq.sortBy(p => colOrder(p._1))
+        tail.map { r =>
+          header.map { case (letter, name) =>
+            name.trim -> r.getOrElse(letter, "").trim
+          }.toMap
+        }
+      case _ => Nil
+    }
+
+  /** Load an STTM workbook (.xlsx): STTM_Mapping (or STTM, or first sheet)
+    * plus Config_TableMatrix if present. */
+  def fromXlsx(path: String): SttmSpec = {
+    val zip = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
+        case Some(e) =>
+          val xml = XML.load(zip.getInputStream(e))
+          (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+      val wb = XML.load(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
+      val sheetNames = (wb \\ "sheet").map(s => (s \ "@name").text)
+      def sheetPath(name: String): Option[String] = {
+        val idx = sheetNames.indexOf(name)
+        if (idx < 0) None else Some(s"xl/worksheets/sheet${idx + 1}.xml")
+      }
+      val mappingSheet = Seq("STTM_Mapping", "STTM").find(sheetNames.contains)
+        .orElse(sheetNames.headOption)
+      val mappingRows = mappingSheet.flatMap(sheetPath).map { p =>
+        toRecords(readXlsxSheet(zip, p, shared)).map { m =>
+          SttmRow.fromMap(m.map { case (k, v) =>
+            k -> (if (v.equalsIgnoreCase("nan")) "" else v)
+          })
+        }
+      }.getOrElse(Nil)
+      val matrix = sheetPath("Config_TableMatrix").map { p =>
+        val recs = readXlsxSheet(zip, p, shared)
+        recs match {
+          case head +: tail =>
+            val header = head.toSeq.sortBy(x => colOrder(x._1))
+            val keyLetter = header.find(_._2.trim.equalsIgnoreCase("key")).map(_._1)
+            keyLetter match {
+              case None => TableMatrix.empty
+              case Some(kl) =>
+                val tableCols = header.filter { case (l, n) => l != kl && n.trim.nonEmpty }
+                TableMatrix(tail.flatMap { r =>
+                  val key = r.getOrElse(kl, "").trim
+                  if (key.isEmpty) None
+                  else Some(key -> tableCols.map { case (l, n) =>
+                    n.trim -> r.getOrElse(l, "").trim
+                  }.toMap)
+                })
+            }
+          case _ => TableMatrix.empty
+        }
+      }.getOrElse(TableMatrix.empty)
+      SttmSpec(mappingRows.filter(r => r.targetTable.nonEmpty || r.targetColumn.nonEmpty), matrix)
+    } finally zip.close()
+  }
+}
