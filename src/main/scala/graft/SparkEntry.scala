@@ -305,6 +305,25 @@ object SparkEntry {
       p.run(s)("CSV_VW").orderBy("F_ID")
     }),
 
+    // U2 — nested-JSON flattener: documents synthesized from orders+lineitem
+    // round-trip through to_json -> flatten, so the oracle is the plain
+    // relational join (inherited parent scalars + exploded child rows).
+    "q_flatten" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val nested = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("lines"))
+      val docs = o.join(nested, o("o_orderkey") === nested("l_orderkey"))
+        .select(to_json(struct(
+          col("o_orderkey").as("o"), col("o_custkey").as("cust"), col("lines"))).as("doc"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o BIGINT, cust BIGINT, lines ARRAY<STRUCT<ln: INT, qty: DOUBLE>>")
+      graft.flatten.JsonFlattener.flatten(docs, "doc", schema)("lines")
+        .select(col("o"), col("cust"), col("lines_ln"), col("lines_qty"), col("_elem_index"))
+        .orderBy("o", "_elem_index")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -561,6 +580,13 @@ object SparkEntry {
          FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
          WHERE c.C_CUSTKEY IS NULL
          ORDER BY x.USER_ID""",
+    "q_flatten" ->
+      """SELECT o_orderkey AS o, o_custkey AS cust,
+           l_linenumber AS lines_ln, l_quantity AS lines_qty,
+           CAST(row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS _elem_index
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         ORDER BY o, _elem_index""",
     "q_sttm_csv_view" ->
       """WITH p AS (SELECT concat_ws('|', CAST(event_id AS VARCHAR), event_type,
                      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)) AS val

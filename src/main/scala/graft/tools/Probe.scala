@@ -1,26 +1,30 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.compile.{DemoSpecs, PipelineCompiler}
-import graft.spec.{SttmParser, SttmSpec, TableMatrix}
+import org.apache.spark.sql.types.StructType
+import graft.flatten.JsonFlattener
 
 /** Dev scratch probe — not part of the engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    // 1. exported artifact shape (00_all.sql)
-    val p = PipelineCompiler.compile(DemoSpecs.jsonPipeline, DemoSpecs.jsonOptions)
-    println("=== 00_all.sql (first 25 lines) ===")
-    println(p.allSql.linesIterator.take(25).mkString("\n"))
-
-    // 2. broken spec: XREF without matrix upsert + duplicate column
-    val broken = SttmSpec(
-      SttmParser.mappingFromCsv(
-        "PipelineStage,TargetTable,TargetColumn,TargetDataType,IsTargetPK,TargetPK,MessageFormat,FieldSelector,SourcePrimaryTable,SourcePrimaryAlias,SourceField,ExprOverride,SourceTransformExpr,FilterPredicate,JoinTable,JoinAlias,JoinType,JoinCondition,Notes\n" +
-        "XREF,XREF_B,C1,STRING,Y,,,,src,t,f,,,,,,,,\n" +
-        "XREF,XREF_B,C1,STRING,N,,,,src,t,f,,,,,,,,\n"),
-      TableMatrix.empty)
-    val bp = PipelineCompiler.compile(broken)
-    println("=== broken spec issues ===")
-    bp.issues.foreach(i => println(s"${i.level.name}: ${i.message}"))
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val schema = StructType.fromDDL(
+      "org STRING, items ARRAY<STRUCT<sku: STRING, qty: INT>>")
+    // malformed / mismatched / empty docs
+    val docs = Seq(
+      """{"org": "ok", "items": [{"sku": "a", "qty": 1}]}""",
+      """not json at all""",
+      """{"totally": "different"}""",
+      """{"org": "noitems"}""",
+      "").toDF("doc")
+    val t = JsonFlattener.flatten(docs, "doc", schema)("items")
+    println("ROWS=" + t.count())
+    t.show(false)
   }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ConnectorConfig
+import graft.sources.ConnectorConfig._
+import graft.multimodal.Multimodal
+
+class ConnectorAndMultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val common = Common(
+    name = "demo", kafkaEndpoint = "SASL_SSL://pkc-1234.us-west1.gcp.confluent.cloud:9092",
+    kafkaRegion = "us-west1", topicsDir = "topics")
+
+  test("key normalization ports the dirty-key table and dot-space collapse") {
+    // reference quirk preserved: map lookup happens AFTER dot-collapse, so
+    // "gcs. bucket name" (a pre-collapse map key) is NOT remapped
+    assert(normalizeKey(" gcs. bucket name ") == "gcs.bucket name")
+    assert(normalizeKey("gcs credentials.json") == "gcs.credentials.json")
+    assert(normalizeKey("tasks-max") == "tasks.max")
+    assert(normalizeKey("input data format") == "input.data.format")
+    assert(normalizeKey("cloud . provider") == "cloud.provider")
+    assert(normalizeKey("already.clean") == "already.clean")
+  }
+
+  test("boolish coercion matches reference truthy/falsey sets") {
+    assert(coerceBoolish("Y") == "true" && coerceBoolish("1") == "true")
+    assert(coerceBoolish("no") == "false" && coerceBoolish("F") == "false")
+    assert(coerceBoolish("whatever") == "whatever")
+    val n = ConnectorConfig.normalize(Map("errors.log.enable" -> "yes", "x" -> " v "))
+    assert(n("errors.log.enable") == "true" && n("x") == "v")
+  }
+
+  test("common validation: endpoint format enforced") {
+    val bad = common.copy(kafkaEndpoint = "pkc:9093")
+    assert(bad.validate.exists(_.msg.contains("kafka.endpoint")))
+    assert(common.validate.isEmpty)
+  }
+
+  test("source requires topics or topic-regex.list") {
+    val src = FileSource(common, bucket = "b", inputFormat = "JSON", outputFormat = "AVRO")
+    assert(src.validate.exists(_.msg.contains("Provide either")))
+    assert(src.copy(topics = Some("t1")).validate.isEmpty)
+    assert(src.copy(topicRegexList = Some(".*")).validate.isEmpty)
+  }
+
+  test("sink validation: mask consistency, positive ints, intervals, tz") {
+    val sink = FileSink(common, bucket = "b", topics = "t", inputFormat = "AVRO",
+      outputFormat = "PARQUET")
+    assert(sink.validate.isEmpty)
+    assert(sink.copy(maskFields = Some("SSN")).validate
+      .exists(_.msg.contains("MaskField type")))
+    assert(sink.copy(maskFields = Some("SSN"),
+      maskFieldType = Some("org.apache.kafka.connect.transforms.MaskField$Value"))
+      .validate.isEmpty)
+    assert(sink.copy(flushSize = Some(0)).validate.exists(_.msg.contains("flush.size")))
+    assert(sink.copy(timeInterval = Some("WEEKLY")).validate
+      .exists(_.msg.contains("time.interval")))
+    assert(sink.copy(timezone = Some("Not/AZone")).validate
+      .exists(_.msg.contains("Invalid timezone")))
+    assert(sink.copy(timezone = Some("America/New_York")).validate.isEmpty)
+  }
+
+  test("renders connect-style config and engine writer plan") {
+    val sink = FileSink(common, bucket = "gs://b", topics = "t1,t2",
+      inputFormat = "AVRO", outputFormat = "PARQUET",
+      timeInterval = Some("HOURLY"), compression = Some("gz"),
+      flushSize = Some(100000L))
+    val cfg = sink.renderConfig
+    assert(cfg("connector.class") == "GcsSink")
+    assert(cfg("flush.size") == "100000")
+    val json = ConnectorConfig.toJson(cfg)
+    assert(json.contains("\"gcs.bucket.name\": \"gs://b\""))
+    val (fmt, opts, parts) = sink.sparkWriterPlan
+    assert(fmt == "parquet")
+    assert(opts("compression") == "gzip")
+    assert(parts == Seq("year", "month", "day", "hour"))
+    val (sfmt, sopts) = FileSource(common, "gs://b", "STRING", "JSON",
+      topics = Some("t")).sparkReaderOptions
+    assert(sfmt == "text" && sopts("path") == "gs://b")
+  }
+
+  test("sensitive keys split out of the main config") {
+    val (plain, secret) = splitSensitive(Map(
+      "name" -> "x", "kafka.api.key" -> "K", "gcs.credentials.json" -> "{}"))
+    assert(plain.keySet == Set("name"))
+    assert(secret.keySet == Set("kafka.api.key", "gcs.credentials.json"))
+  }
+
+  test("multimodal: sniffing real formats, stub features deterministic") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 64, 0, 0, 0, 32) // width=64 height=32
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte)
+    assert(Multimodal.sniffFormat(png) == "png")
+    assert(Multimodal.pngDims(png).contains((64, 32)))
+    assert(Multimodal.sniffFormat(jpeg) == "jpeg")
+    assert(Multimodal.sniffFormat("hello".getBytes) == "unknown")
+
+    val df = Seq((1L, png), (2L, jpeg)).toDF("id", "payload")
+    val meta = Multimodal.withMetadata(df, "payload").orderBy("id").collect()
+    assert(meta(0).getAs[String]("mm_format") == "png")
+    assert(meta(0).getAs[Int]("mm_bytes") == png.length)
+
+    val feats = Multimodal.extractFeatures(df, "payload", "id", dim = 8)
+    assert(feats.schema.fieldNames.toSeq == Seq("id", "embedding"))
+    val twice = Multimodal.extractFeatures(df, "payload", "id", dim = 8)
+    val a = feats.orderBy("id").collect().map(_.getSeq[Float](1))
+    val b = twice.orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(a.zip(b).forall { case (x, y) => x == y }) // deterministic stub
+    assert(a(0).length == 8)
+
+    val frames = Multimodal.sampleFrames(df, "payload", "id", everyN = 5, maxFrames = 3)
+    assert(frames.count() == 6) // 2 rows x 3 frames
+    assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_index", "frame"))
+  }
+}
