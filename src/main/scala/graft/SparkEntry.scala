@@ -305,6 +305,19 @@ object SparkEntry {
       p.run(s)("CSV_VW").orderBy("F_ID")
     }),
 
+    // v4.5 column-spec compiler: multi-entity topic demux -> per-source views
+    // -> multi-view ordered join chain (J2).
+    "q_colspec_enriched" -> ((s, dir) => {
+      registerTopic(s, dir)
+      colspecRun(s)("FACT_ENRICHED").orderBy(col("EVENT_ID").cast("long"))
+    }),
+
+    // v4.5 UNION-ALL arms per (filter, join) pair with shared column list (O1).
+    "q_colspec_arms" -> ((s, dir) => {
+      registerTopic(s, dir)
+      colspecRun(s)("FACT_ARMS").orderBy(col("ID").cast("long"), col("KIND"))
+    }),
+
     // U2 — nested-JSON flattener: documents synthesized from orders+lineitem
     // round-trip through to_json -> flatten, so the oracle is the plain
     // relational join (inherited parent scalars + exploded child rows).
@@ -580,6 +593,28 @@ object SparkEntry {
          FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
          WHERE c.C_CUSTKEY IS NULL
          ORDER BY x.USER_ID""",
+    "q_colspec_enriched" ->
+      """WITH evt AS (
+           SELECT CAST(event_id AS VARCHAR) AS event_id,
+                  CAST(user_id AS VARCHAR) AS user_id, event_type,
+                  CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS amt
+           FROM events),
+         cust AS (
+           SELECT CAST(c_custkey AS VARCHAR) AS c_custkey, c_name FROM customer)
+         SELECT e.event_id AS EVENT_ID, e.user_id AS USER_ID, e.amt AS AMT,
+                c.c_custkey AS CKEY, c.c_name AS CNAME
+         FROM evt e LEFT JOIN cust c ON c.c_custkey = e.user_id
+         ORDER BY CAST(e.event_id AS BIGINT)""",
+    "q_colspec_arms" ->
+      """WITH evt AS (
+           SELECT CAST(event_id AS VARCHAR) AS event_id, event_type FROM events)
+         SELECT * FROM (
+           SELECT event_id AS ID, 'pur' AS KIND FROM evt
+           WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT event_id AS ID, 'sig' AS KIND FROM evt
+           WHERE event_type = 'signup')
+         ORDER BY CAST(ID AS BIGINT), KIND""",
     "q_flatten" ->
       """SELECT o_orderkey AS o, o_custkey AS cust,
            l_linenumber AS lines_ln, l_quantity AS lines_qty,
@@ -608,6 +643,28 @@ object SparkEntry {
       compile.DemoSpecs.jsonPipeline, compile.DemoSpecs.jsonOptions)
     require(p.errors.isEmpty, s"spec validation errors: ${p.errors}")
     p.run(s)
+  }
+
+  /** Synthesize the single multi-entity topic the v4.5 UI generator assumes:
+    * events and customers multiplexed into one JSON payload column `val`
+    * with a `$.tbl` discriminator (final-output.sql:9-11 shape). */
+  private def registerTopic(s: SparkSession, dir: String): Unit = {
+    val evt = Tables.events(s, dir).select(to_json(struct(
+      lit("evt").as("tbl"), col("event_id"), col("user_id"), col("event_type"),
+      // stringified decimal: to_json would drop a trailing zero ("31.4")
+      col("value").cast("decimal(10,2)").cast("string").as("amt"))).as("val"))
+    val cust = Tables.customer(s, dir).select(to_json(struct(
+      lit("cust").as("tbl"), col("c_custkey"), col("c_name"))).as("val"))
+    evt.unionByName(cust).createOrReplaceTempView("events_topic")
+  }
+
+  private def colspecRun(s: SparkSession): Map[String, DataFrame] = {
+    val rows = compile.ColumnSpecCompiler.fromCsv {
+      val in = getClass.getResourceAsStream("/graft/demo_colspec.csv")
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    compile.ColumnSpecCompiler.run(s, rows,
+      compile.ColumnSpecCompiler.Config(sourceViewFrom = "events_topic", jsonColumn = "val"))
   }
 
   /** DuckDB CTEs mirroring the demo STTM pipeline's view + xref stages. */
