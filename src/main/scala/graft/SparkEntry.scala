@@ -14,10 +14,11 @@ import graft.operators.{Similarity, SttmOps, TextAnalysis, TextDedup}
   */
 object SparkEntry {
 
-  /** Flagship: the 3-stage reference pipeline (view parse -> XREF latest-by-key
-    * -> FGAC masked enrichment join) on sf0.001. Driver smoke-checks rows>0. */
+  /** Flagship: the full metadata-driven pipeline — STTM spec CSV compiled,
+    * validated, and executed through all 3 stages (view parse -> XREF upsert
+    * -> FGAC masked enrichment) on sf0.001. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_fgac_enrich")(spark, "/root/testdata/sf0.001")
+    queries("q_sttm_fgac")(spark, "/root/testdata/sf0.001")
 
   // ---- shared fragments -------------------------------------------------
 
@@ -63,8 +64,11 @@ object SparkEntry {
     }),
 
     // A1+A2 — XREF latest-by-key snapshot (row_number over pk, rn=1).
+    // Pre-projection before the aggregate: max_by(struct(*)) would otherwise
+    // carry the unused props payload through the shuffle.
     "q_xref_latest" -> ((s, dir) => {
-      xrefLatest(Tables.events(s, dir))
+      xrefLatest(Tables.events(s, dir)
+          .select("user_id", "event_id", "event_type", "value", "ts"))
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), unix_micros(col("ts")).as("ts_us"))
         .orderBy("user_id")
@@ -73,7 +77,9 @@ object SparkEntry {
     // F6+A1 — delete-flag exclusion before ranking ('error' plays the
     // delete_flag role; sttm-requirements.md:77-84).
     "q_xref_delete_flag" -> ((s, dir) => {
-      xrefLatest(SttmOps.excludeDeleted(Tables.events(s, dir), "event_type", Seq("error")))
+      xrefLatest(SttmOps.excludeDeleted(
+          Tables.events(s, dir).select("user_id", "event_id", "event_type", "ts"),
+          "event_type", Seq("error")))
         .select(col("user_id"), col("event_id"), col("event_type"))
         .orderBy("user_id")
     }),
@@ -81,7 +87,8 @@ object SparkEntry {
     // J5+P8 — FGAC enrichment: XREF LEFT JOIN dimension + PII masking CASE.
     // Customer side is dimension-sized -> broadcast-able at any scale.
     "q_fgac_enrich" -> ((s, dir) => {
-      val x = xrefLatest(Tables.events(s, dir))
+      val x = xrefLatest(Tables.events(s, dir)
+        .select("user_id", "event_id", "value", "ts"))
       val c = broadcast(Tables.customer(s, dir))
       x.join(c, x("user_id") === c("c_custkey"), "left")
         .select(
@@ -337,6 +344,61 @@ object SparkEntry {
         .orderBy("o", "_elem_index")
     }),
 
+    // U1/P7 — the Flink-name scalar function surface executed as SQL text
+    // through FlinkCompat (JSON_VALUE, SPLIT_INDEX, IS_DECIMAL, REGEXP,
+    // TO_TIMESTAMP_LTZ in epoch-seconds, epoch-millis, and format flavors).
+    "q_flink_fns" -> ((s, dir) => {
+      graft.functions.FlinkCompat.register(s)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(lit("{\"a\": \""), col("o_orderpriority"), lit("\"}")).as("j"),
+        concat_ws("-", lit("A"), col("o_orderstatus"), col("o_orderkey")).as("sv"),
+        col("o_totalprice").cast("decimal(12,2)").cast("string").as("num"),
+        col("o_orderpriority").as("bad"),
+        unix_seconds(col("o_orderdate").cast("timestamp")).cast("string").as("es"),
+        (unix_seconds(col("o_orderdate").cast("timestamp")) * 1000).as("ems"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("fs"))
+        .createOrReplaceTempView("flink_fn_src")
+      s.sql("""
+        SELECT o_orderkey,
+          JSON_VALUE(j, '$.a') AS ja,
+          SPLIT_INDEX(sv, '-', 1) AS s1,
+          SPLIT_INDEX(sv, '-', 9) AS s_oob,
+          IS_DECIMAL(num) AS is_num,
+          IS_DECIMAL(bad) AS is_bad,
+          REGEXP(sv, '^A-') AS rx,
+          unix_micros(TO_TIMESTAMP_LTZ(CAST(es AS BIGINT), 0)) AS ts0,
+          unix_micros(TO_TIMESTAMP_LTZ(ems, 3)) AS ts3,
+          unix_micros(TO_TIMESTAMP_LTZ(fs, 'yyyy-MM-dd HH:mm:ss')) AS tsf
+        FROM flink_fn_src ORDER BY o_orderkey""")
+    }),
+
+    // Composed near-dup pipeline: MinHash-LSH candidate generation -> exact
+    // trigram-Jaccard verification above a threshold (the canonical
+    // shingle->minhash->band->bucket-join->verify chain). Bounded to
+    // doc_id < 1000 because the synthetic corpus is LSH-adversarial
+    // (58% of docs share one bucket -> quadratic candidates at sf0.1).
+    "q_near_dup_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
+      val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
+      // shingle arrays computed ONCE per doc (not per candidate pair), and
+      // hashed to longs — pair-wise intersection over long arrays is far
+      // cheaper than over 3-char strings (this query scores ~235k candidate
+      // pairs on the collision-heavy synthetic corpus)
+      val sh = docs.select(col("doc_id"),
+        array_distinct(transform(TextDedup.charShingles(col("text"), 3),
+          s => TextDedup.stableHash(s) % TextDedup.P)).as("sh"))
+        .localCheckpoint()
+      val t1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+      val t2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+      cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+        .withColumn("jac", TextDedup.jaccardFromShingles(col("sh1"), col("sh2")))
+        .filter(col("jac") >= 0.6)
+        .select(col("id1"), col("id2"), col("jac"))
+        .orderBy("id1", "id2")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -576,6 +638,47 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_flink_fns" ->
+      """WITH src AS (SELECT o_orderkey,
+           '{"a": "' || o_orderpriority || '"}' AS j,
+           concat_ws('-', 'A', o_orderstatus, CAST(o_orderkey AS VARCHAR)) AS sv,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS num,
+           o_orderpriority AS bad,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ess,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fs
+         FROM orders)
+         SELECT o_orderkey,
+           json_extract_string(j, '$.a') AS ja,
+           split_part(sv, '-', 2) AS s1,
+           CAST(NULL AS VARCHAR) AS s_oob,
+           TRY_CAST(num AS DECIMAL(38,18)) IS NOT NULL AS is_num,
+           TRY_CAST(bad AS DECIMAL(38,18)) IS NOT NULL AS is_bad,
+           regexp_matches(sv, '^A-') AS rx,
+           ess * 1000000 AS ts0,
+           ess * 1000 * 1000 AS ts3,
+           epoch_us(strptime(fs, '%Y-%m-%d %H:%M:%S')) AS tsf
+         FROM src ORDER BY o_orderkey""",
+    "q_near_dup_pipeline" ->
+      s"""WITH ${minhashCteFor("WHERE doc_id < 1000")}, bands AS (
+           SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
+           UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+           UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+           UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         sh3 AS (SELECT doc_id,
+                   list_distinct(list_transform(${shinglesSql("text", 3)},
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+                 FROM documents WHERE doc_id < 1000)
+         SELECT id1, id2,
+           floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
+         FROM cand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
+         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6
+         ORDER BY id1, id2""",
     "q_sttm_xref" ->
       s"""WITH $sttmOracleCte
          SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
@@ -697,16 +800,18 @@ object SparkEntry {
 
   /** Minhash signature CTE `sig` (mirrors TextDedup.minHashSignature:
     * 60-bit md5-prefix hash mod 2^31-1, 8 odd-coefficient perturbations). */
-  private val minhashCte: String = {
+  private def minhashCteFor(where: String): String = {
     val mins = (0 until 8).map { i =>
       val a = 2 * i + 1; val b = i * i + 1
       s"min((h * $a + $b) % 2147483647) AS mh$i"
     }.mkString(", ")
-    s"""sh AS (SELECT doc_id, unnest(${shinglesSql("text", 4)}) AS sh FROM documents),
+    s"""sh AS (SELECT doc_id, unnest(${shinglesSql("text", 4)}) AS sh FROM documents $where),
         hs AS (SELECT doc_id,
           ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
         sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)"""
   }
+
+  private val minhashCte: String = minhashCteFor("")
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */

@@ -160,6 +160,39 @@ object ColumnSpecCompiler {
     if (lines.isEmpty) "" else "\n" + lines.mkString("\n")
   }
 
+  /** Format auto-detection (generator.py:_detect_format): a sheet with
+    * target_table + target_column headers is column-spec; otherwise
+    * row-per-table. */
+  def detectFormat(header: Seq[String]): String = {
+    val h = header.map(_.trim.toLowerCase.replaceAll("\\s+", "_"))
+    if (h.contains("target_table") && h.contains("target_column")) "column-spec"
+    else "row-per-table"
+  }
+
+  /** Row-per-table mode (generator.py:119-129): every sheet row describes one
+    * table; emitted DDL has one STRING column per non-meta sheet column
+    * (schema/table excluded), defaulting to a single `id` column. */
+  def rowPerTableDdl(header: Seq[String], rows: Seq[Seq[String]],
+                     namePrefix: String = ""): Seq[(String, String)] = {
+    val h = header.map(_.trim)
+    val tableIdx = h.indexWhere(_.equalsIgnoreCase("table"))
+    val schemaIdx = h.indexWhere(_.equalsIgnoreCase("schema"))
+    rows.zipWithIndex.map { case (cells, i) =>
+      val schema = if (schemaIdx >= 0) cells.lift(schemaIdx).filter(_.nonEmpty)
+        .getOrElse("public") else "public"
+      val table = namePrefix + (if (tableIdx >= 0)
+        cells.lift(tableIdx).filter(_.trim.nonEmpty).getOrElse(s"table_$i")
+        else s"table_$i")
+      val cols = h.zipWithIndex.collect {
+        case (c, idx) if idx != tableIdx && idx != schemaIdx && c.nonEmpty => c
+      }
+      val colSql =
+        if (cols.isEmpty) "`id` STRING"
+        else cols.map(c => s"`$c` STRING").mkString(",\n  ")
+      table -> s"CREATE TABLE `$schema`.`$table` (\n  $colSql\n);"
+    }
+  }
+
   /** Compile + execute on Spark: registers the per-source views as temp
     * views, then returns one DataFrame per target (lazy plans). */
   def run(spark: SparkSession, rows: Seq[Row], cfg: Config): Map[String, DataFrame] = {

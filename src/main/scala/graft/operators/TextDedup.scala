@@ -106,14 +106,20 @@ object TextDedup {
         }.reduce(_ + _).as("simhash"))
   }
 
-  /** Character n-gram Jaccard similarity of two string columns, truncated to
-    * 4 decimals with floor (bit-identical to the DuckDB mirror). */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = charShingles(a, n); val sb = charShingles(b, n)
+  /** Jaccard over two precomputed distinct-shingle arrays, truncated to 4
+    * decimals with floor (bit-identical to the DuckDB mirror). When scoring
+    * many pairs, compute shingle arrays once per document BEFORE the join —
+    * recomputing them per pair multiplies the shingling cost by the average
+    * pair fan-out. */
+  def jaccardFromShingles(sa: Column, sb: Column): Column = {
     val inter = size(array_intersect(sa, sb)).cast("double")
     val uni = size(array_distinct(concat(sa, sb))).cast("double")
     floor(inter / uni * 10000) / 10000.0
   }
+
+  /** Character n-gram Jaccard similarity of two string columns. */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    jaccardFromShingles(charShingles(a, n), charShingles(b, n))
 
   /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in
     * every sliding window of `w` consecutive k-grams, emit the distinct set.

@@ -1,8 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.types.StructType
-import graft.flatten.JsonFlattener
+import graft.compile.ColumnSpecCompiler
 
 /** Dev scratch probe — not part of the engine API. */
 object Probe {
@@ -10,21 +9,20 @@ object Probe {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val schema = StructType.fromDDL(
-      "org STRING, items ARRAY<STRUCT<sku: STRING, qty: INT>>")
-    // malformed / mismatched / empty docs
-    val docs = Seq(
-      """{"org": "ok", "items": [{"sku": "a", "qty": 1}]}""",
-      """not json at all""",
-      """{"totally": "different"}""",
-      """{"org": "noitems"}""",
-      "").toDF("doc")
-    val t = JsonFlattener.flatten(docs, "doc", schema)("items")
-    println("ROWS=" + t.count())
-    t.show(false)
+    val df = graft.SparkEntry.entry(spark)
+    println("ENTRY ROWS=" + df.count())
+    df.show(3, false)
+
+    // row-per-table mode drive
+    val header = Seq("schema", "table", "owner", "desc")
+    val rows = Seq(Seq("public", "t1", "bob", "first"), Seq("", "t2", "", ""))
+    println("detect=" + ColumnSpecCompiler.detectFormat(header))
+    ColumnSpecCompiler.rowPerTableDdl(header, rows, "pre_")
+      .foreach { case (n, ddl) => println(s"-- $n\n$ddl") }
+    spark.stop()
   }
 }
