@@ -255,6 +255,35 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-style ANN: seed-medoid coarse cells, search within the query's cell.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKIvf(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // S5 — dead-letter split: malformed payloads routed to a quarantine
+    // side output instead of aborting (errors.tolerance=all semantics).
+    "q_dlq_parse" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("payload",
+          when(col("event_id") % 10 === 0, lit("{not-json"))
+            .otherwise(col("props")))
+      val split = graft.operators.DeadLetter.split(
+        ev, "payload", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+      split.dead
+        .select(col("event_id"), col("payload").as("raw"), col("error_reason"))
+        .orderBy("event_id")
+    }),
+
+    // S4 — MaskField SMT as a pre-sink projection rewrite.
+    "q_mask_fields" -> ((s, dir) => {
+      graft.operators.DeadLetter.maskFields(
+          Tables.customer(s, dir), Seq("c_name", "c_phone_does_not_exist"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     // Language identification (marker-lexicon argmax heuristic).
     "q_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -594,6 +623,35 @@ object SparkEntry {
          SELECT qid, CAST(rank AS INT) AS rank, nid,
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_ann_ivf" ->
+      s"""WITH seeds AS (
+           SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT a.vec_id, a.embedding, s.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "s.cv")} DESC, s.cid ASC) AS r
+             FROM embeddings a CROSS JOIN seeds s)
+           WHERE r = 1),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM assigned q JOIN assigned c
+             ON q.cid = c.cid AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, CAST(rank AS INT) AS rank, nid,
+           floor(sim * 1000000) / 1000000 AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_dlq_parse" ->
+      """SELECT event_id, '{not-json' AS raw, 'MALFORMED_PAYLOAD' AS error_reason
+         FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
+    "q_mask_fields" ->
+      """SELECT c_custkey, '***' AS c_name, c_mktsegment
+         FROM customer ORDER BY c_custkey""",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, lang,
            list_distinct(string_split(text, ' ')) AS toks FROM documents),

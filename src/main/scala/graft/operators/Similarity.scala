@@ -91,6 +91,37 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** IVF-style ANN with seed-medoid coarse quantization: the first `nCells`
+    * vectors (by id) act as cell centroids ("seed medoids" — no iterative
+    * averaging, so assignment is exactly reproducible in any engine, unlike
+    * k-means whose floating-point sums are reduction-order-dependent).
+    * Every corpus vector is assigned to its nearest seed; a query searches
+    * only its own cell. At 100 TB: assignment is a broadcast of nCells
+    * seeds + one scan; search is an equi-join on cell id — the classic
+    * IVF-flat trade of recall for a 1/nCells candidate fraction.
+    */
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nCells: Int = 8): DataFrame = {
+    val prep = prepared(corpus, idCol, vecCol)
+    val seeds = prep.filter(col("id") < nCells)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    def assign(df: DataFrame): DataFrame = {
+      val scored = df.crossJoin(broadcast(seeds))
+        .withColumn("csim", sim(col("v"), col("nrm"), col("cv"), col("cn")))
+      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("id"), col("v"), col("nrm"), col("cid"))
+    }
+    val c = assign(prep)
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("cid"))
+    val q = assign(prepared(queries, idCol, vecCol))
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
+    val scored = c.join(broadcast(q), Seq("cid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
+    topK(scored, k)
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ConnectorConfig
+import graft.sources.ConnectorConfig.{Common, FileSink}
+
+/** S2/S3/T5 execution: file-stream source -> time-partitioned file sink with
+  * the partition columns derived from the connector config, plus T4-adjacent
+  * watermark-bounded streaming dedup (dropDuplicatesWithinWatermark keeps
+  * state bounded — the Spark mapping of the reference's state-TTL hints). */
+class StreamingSinkSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("connector-config sink plan drives a time-partitioned streaming write") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_sink").toString
+    Tables.events(spark, dir).write.parquet(s"$work/in")
+
+    val sink = FileSink(
+      Common("demo", "SASL_SSL://x:9092", "r", "topics"),
+      bucket = s"$work/out", topics = "t", inputFormat = "PARQUET",
+      outputFormat = "PARQUET", timeInterval = Some("DAILY"),
+      compression = Some("snappy"))
+    assert(sink.validate.isEmpty)
+    val (fmt, opts, parts) = sink.sparkWriterPlan
+    assert(parts == Seq("year", "month", "day"))
+
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .parquet(s"$work/in")
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("day", dayofmonth(col("ts")))
+    val q = src.writeStream
+      .format(fmt)
+      .options(opts - "path")
+      .option("path", opts("path"))
+      .option("checkpointLocation", s"$work/_cp")
+      .partitionBy(parts: _*)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == Tables.events(spark, dir).count())
+    // directory layout is the connector's time partitioning
+    val days = new java.io.File(s"$work/out/year=2024/month=1").listFiles()
+    assert(days != null && days.exists(_.getName.startsWith("day=")))
+  }
+
+  test("watermark-bounded streaming dedup drops within-watermark duplicates") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_wm").toString
+    // duplicate every event id; watermark bounds the dedup state (T3 mapping)
+    val ev = Tables.events(spark, dir).select("event_id", "ts", "user_id")
+    ev.unionByName(ev).write.parquet(s"$work/in")
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .parquet(s"$work/in")
+    val deduped = src
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/_cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.read.parquet(s"$work/out").count()
+    assert(n == ev.count()) // every duplicate pair collapsed to one
+  }
+
+  test("xlsx workbook end-to-end: reference STTM_v22 compiles to artifacts") {
+    val spec = graft.spec.SttmParser.fromXlsx("/root/reference/resources/STTM_v22.xlsx")
+    val p = graft.compile.PipelineCompiler.compile(spec)
+    assert(p.tables.nonEmpty)
+    val all = p.allSql
+    assert(all.contains("CREATE VIEW `CBA_CI_ADR_view`"))
+    // the workbook's view filter is the LIKE-based discriminator
+    assert(all.contains("INFA_TABLE_NAME LIKE '%_CBA_CI_ADR'") ||
+      all.contains("JSON_VALUE(CAST(val AS STRING), '$.INFA_TABLE_NAME') LIKE"))
+    assert(all.contains("EXECUTE STATEMENT SET"))
+    // its XREF tables carry upsert from Config_TableMatrix
+    assert(p.tables.filter(_.name.toUpperCase.startsWith("XREF_"))
+      .forall(_.props.get("changelog.mode").contains("upsert")))
+  }
+}
