@@ -94,6 +94,27 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(secret.keySet == Set("kafka.api.key", "gcs.credentials.json"))
   }
 
+  test("kafka wiring builds source options and keyed sink projection") {
+    import graft.sources.KafkaWiring
+    val opts = KafkaWiring.sourceOptions(
+      "SASL_SSL://pkc-1234.us-west1.gcp.confluent.cloud:9092", Some("t1,t2"), None)
+    assert(opts("kafka.bootstrap.servers") == "pkc-1234.us-west1.gcp.confluent.cloud:9092")
+    assert(opts("subscribe") == "t1,t2")
+    assert(!opts.contains("subscribePattern"))
+    val patternOpts = KafkaWiring.sourceOptions("PLAINTEXT://b:9092", None, Some("topic-.*"))
+    assert(patternOpts("subscribePattern") == "topic-.*")
+
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val (projected, sinkOpts) = KafkaWiring.writePlan(df, "SASL_SSL://b:9092", "out", Some("id"))
+    assert(sinkOpts("topic") == "out")
+    assert(projected.columns.toSeq == Seq("key", "value"))
+    val row = projected.orderBy("key").collect()(0)
+    assert(row.getString(0) == "1")
+    assert(row.getString(1).contains("\"name\":\"a\""))
+  }
+
   test("multimodal: sniffing real formats, stub features deterministic") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
