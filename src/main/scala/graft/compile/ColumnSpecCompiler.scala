@@ -113,7 +113,11 @@ object ColumnSpecCompiler {
       val multi = srcs.length > 1
       val driving = {
         val sorted = grp.zipWithIndex.sortBy { case (r, i) => (toOrder(r.joinOrder), i) }
-        viewName(cfg, sorted.head._1.sourceTable)
+        val srcTable = sorted.head._1.sourceTable
+        require(srcTable.nonEmpty,
+          s"[$target] arm (filter='$filt') has no row with a source_table — " +
+            "expression-only arms still need a driving table on at least one row")
+        viewName(cfg, srcTable)
       }
       val joinBlock = buildJoinBlock(grp, driving)
       val exprByTgt = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -120,11 +120,21 @@ final case class CompiledPipeline(
 object PipelineCompiler {
 
   def compile(spec: SttmSpec, opts: CompilerOptions = CompilerOptions()): CompiledPipeline = {
-    val issues = SttmValidation.validate(spec)
     val tables = spec.grouped.map { case (logical, rows) =>
       compileTable(logical, rows, spec, opts)
     }
-    CompiledPipeline(tables, issues, opts)
+    // Engine-level rule: an upsert XREF with a PK but no ranking columns
+    // would silently skip latest-by-key in run() — surface it loudly.
+    val upsertIssues = tables.collect {
+      case t if t.stage == "XREF" && t.pk.nonEmpty &&
+          t.props.get("changelog.mode").map(_.toLowerCase).contains("upsert") &&
+          !t.props.get("graft.upsert.order").exists(_.trim.nonEmpty) =>
+        SttmValidation.Issue(SttmValidation.Warn,
+          s"[${t.name}] changelog.mode=upsert but no 'graft.upsert.order' matrix key: " +
+            "snapshot will contain ALL rows per key, not the latest (set it to the " +
+            "event-time/seq columns, e.g. \"TS,EVENT_ID\")")
+    }
+    CompiledPipeline(tables, SttmValidation.validate(spec) ++ upsertIssues, opts)
   }
 
   private def q(s: String): String =

@@ -26,7 +26,6 @@ object ExprCompiler {
     "AS", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "OUTER", "GROUP", "BY",
     "ORDER", "HAVING", "DISTINCT", "ASC", "DESC", "LIMIT", "OFFSET")
 
-  private val jsonFieldToken: Regex = """\b([A-Z][A-Z0-9_]*[A-Z0-9])\b""".r
   private val simpleField: Regex = """^[A-Za-z_][A-Za-z0-9_]*$""".r
   private val intRe: Regex = """^\d+$""".r
   private val castPrefix: Regex = """(?is)^\s*CAST\s*\(.*""".r
@@ -55,9 +54,20 @@ object ExprCompiler {
         (!token.contains('_') && token.length <= 3)) token
     else s"JSON_VALUE(CAST($payloadCol AS STRING), '$$.$token')"
 
+  private def isWordChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
   /** VIEW filters only: rewrite bare UPPERCASE field-like tokens to
     * JSON_VALUE lookups, leaving quoted strings intact; idempotent when
-    * JSON_VALUE already appears. */
+    * JSON_VALUE already appears.
+    *
+    * Token recognition replicates the reference's `\b[A-Z][A-Z0-9_]*[A-Z0-9]\b`
+    * evaluated at position i of the FULL string (Python `re.match(fp, i)`):
+    * the left boundary requires the preceding char to be a non-word char
+    * (naive substring matching would wrongly fire inside identifiers like
+    * `evtTYPE`), and the trailing boundary means a token candidate followed
+    * by a word char — or ending in '_' — matches nothing at all (regex
+    * backtracking can never satisfy the trailing \b inside the run). */
   def rewritePredicateAsJson(fp: String, payloadCol: String): String = {
     if (fp == null || fp.isEmpty || fp.toUpperCase.contains("JSON_VALUE")) return fp
     val out = new StringBuilder
@@ -69,11 +79,21 @@ object ExprCompiler {
       if (ch == '\'' && !inD) { out += ch; i += 1; inS = !inS }
       else if (ch == '"' && !inS) { out += ch; i += 1; inD = !inD }
       else if (inS || inD) { out += ch; i += 1 }
-      else jsonFieldToken.findPrefixMatchOf(fp.subSequence(i, fp.length)) match {
-        case Some(m) if m.start == 0 =>
-          out ++= rewriteToken(m.group(1), payloadCol)
-          i += m.end
-        case _ => out += ch; i += 1
+      else {
+        val leftBoundary = i == 0 || !isWordChar(fp.charAt(i - 1))
+        if (leftBoundary && ch >= 'A' && ch <= 'Z') {
+          var j = i
+          while (j < fp.length && (fp.charAt(j).isUpper && fp.charAt(j) <= 'Z' ||
+            fp.charAt(j).isDigit || fp.charAt(j) == '_')) j += 1
+          val run = fp.substring(i, j)
+          val rightBoundary = j == fp.length || !isWordChar(fp.charAt(j))
+          val validToken = run.length >= 2 && rightBoundary &&
+            run.last != '_' && (run.last.isDigit || run.last.isUpper)
+          if (validToken) {
+            out ++= rewriteToken(run, payloadCol)
+            i = j
+          } else { out += ch; i += 1 }
+        } else { out += ch; i += 1 }
       }
     }
     out.result()

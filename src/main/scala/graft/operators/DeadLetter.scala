@@ -16,17 +16,23 @@ object DeadLetter {
 
   final case class Split(good: DataFrame, dead: DataFrame)
 
-  /** Parse `payloadCol` as JSON with `schema`; rows where the payload is
-    * non-null but unparseable (all-null struct) go to `dead` with the raw
-    * payload and a reason column. */
+  /** Parse `payloadCol` as JSON with `schema`; rows whose payload fails
+    * DESERIALIZATION go to `dead` with the raw payload and a reason column.
+    * Detection uses PERMISSIVE-mode's corrupt-record column, so well-formed
+    * JSON that merely lacks the schema's fields (or carries explicit nulls)
+    * stays in `good` with null fields — matching Kafka Connect's
+    * errors.tolerance semantics (only deserialization failures dead-letter).
+    */
   def split(df: DataFrame, payloadCol: String, schema: StructType): Split = {
-    val parsed = df.withColumn("__p", from_json(col(payloadCol), schema))
-    // from_json yields a struct of nulls for malformed input; a record is
-    // dead iff the payload is non-null but every parsed field is null
-    val allNull = schema.fields.map(f => col(s"__p.${f.name}").isNull)
-      .reduce(_ && _)
-    val isDead = col(payloadCol).isNotNull && allNull
-    val good = parsed.filter(!isDead).select(col("*"), col("__p.*")).drop("__p")
+    val corruptCol = "_graft_corrupt"
+    val parseSchema = schema.add(corruptCol, "string")
+    val parsed = df.withColumn("__p",
+      from_json(col(payloadCol), parseSchema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)))
+    val isDead = col(s"__p.$corruptCol").isNotNull
+    val good = parsed.filter(!isDead)
+      .select(col("*"), col("__p.*"))
+      .drop("__p", corruptCol)
     val dead = parsed.filter(isDead).drop("__p")
       .withColumn("error_reason", lit("MALFORMED_PAYLOAD"))
     Split(good, dead)

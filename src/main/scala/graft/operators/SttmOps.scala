@@ -53,15 +53,19 @@ object SttmOps {
   /** J4: bidirectional orphan detection. Returns (key, reason) rows for keys
     * present on one side only. Uses left_anti joins (shuffle- or broadcast-
     * hash anti join; never materializes the match side in the result).
+    * Keys keep their native types — both key columns must be join- and
+    * union-compatible (e.g. don't pass a string business key against a
+    * numeric one; the old behavior of casting everything to long turned
+    * string keys into NULLs and quarantined entire datasets).
     */
   def quarantineBidirectional(
       left: DataFrame, leftKey: String, leftReason: String,
       right: DataFrame, rightKey: String, rightReason: String): DataFrame = {
-    val l = left.select(col(leftKey).cast("long").as("key"))
-      .join(right.select(col(rightKey).cast("long").as("key")), Seq("key"), "left_anti")
+    val l = left.select(col(leftKey).as("key"))
+      .join(right.select(col(rightKey).as("key")), Seq("key"), "left_anti")
       .withColumn("reason", lit(leftReason))
-    val r = right.select(col(rightKey).cast("long").as("key"))
-      .join(left.select(col(leftKey).cast("long").as("key")), Seq("key"), "left_anti")
+    val r = right.select(col(rightKey).as("key"))
+      .join(left.select(col(leftKey).as("key")), Seq("key"), "left_anti")
       .withColumn("reason", lit(rightReason))
     l.unionByName(r)
   }

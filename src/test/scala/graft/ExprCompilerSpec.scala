@@ -40,6 +40,19 @@ class ExprCompilerSpec extends AnyFunSuite {
     assert(out.contains("IS NULL"))
   }
 
+  test("rewrite predicate respects word boundaries of the full string") {
+    // uppercase run preceded by a word char must NOT be rewritten
+    // (Python re.match(fp, i) evaluates \b in full-string context)
+    assert(ExprCompiler.rewritePredicateAsJson("evtTYPE = 1", "p") == "evtTYPE = 1")
+    assert(ExprCompiler.rewritePredicateAsJson("x9ABCD = 1", "p") == "x9ABCD = 1")
+    // trailing word char or trailing underscore kills the whole candidate
+    assert(ExprCompiler.rewritePredicateAsJson("TYPEx = 1", "p") == "TYPEx = 1")
+    assert(ExprCompiler.rewritePredicateAsJson("ABC_ = 1", "p") == "ABC_ = 1")
+    // but a clean token right after a non-word char still rewrites
+    assert(ExprCompiler.rewritePredicateAsJson("(STATUS_X)", "p")
+      == "(JSON_VALUE(CAST(p AS STRING), '$.STATUS_X'))")
+  }
+
   test("rewrite predicate is idempotent when JSON_VALUE already present") {
     val once = ExprCompiler.rewritePredicateAsJson("TBL_NAME = 'x'", "val")
     assert(ExprCompiler.rewritePredicateAsJson(once, "val") == once)
