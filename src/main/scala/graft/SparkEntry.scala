@@ -328,6 +328,17 @@ object SparkEntry {
       sttmRun(s, dir)("QUAR_USER").orderBy("USER_ID")
     }),
 
+    // F6 through the compiler: delete-flag exclusion before the upsert
+    // ranking, driven entirely by matrix metadata (graft.delete.flag).
+    "q_sttm_delete_flag" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      val p = compile.PipelineCompiler.compile(
+        compile.DemoSpecs.deleteFlagPipeline, compile.DemoSpecs.jsonOptions)
+      p.run(s)("XREF_USER_DF")
+        .select(col("USER_ID"), col("EVENT_ID"), col("EVENT_TYPE"))
+        .orderBy("USER_ID")
+    }),
+
     // CSV view through the compiler (SPLIT_INDEX + auto index assignment).
     "q_sttm_csv_view" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -783,6 +794,15 @@ object SparkEntry {
              ORDER BY l_linenumber, l_quantity) - 1 AS INT) AS _elem_index
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          ORDER BY o, _elem_index""",
+    "q_sttm_delete_flag" ->
+      """SELECT USER_ID, EVENT_ID, EVENT_TYPE
+         FROM (SELECT CAST(user_id AS BIGINT) AS USER_ID,
+                      CAST(event_id AS BIGINT) AS EVENT_ID,
+                      trim(event_type) AS EVENT_TYPE, ts,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events WHERE event_type IS NULL OR event_type NOT IN ('error'))
+         WHERE rn = 1 ORDER BY USER_ID""",
     "q_sttm_csv_view" ->
       """WITH p AS (SELECT concat_ws('|', CAST(event_id AS VARCHAR), event_type,
                      CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR)) AS val

@@ -25,6 +25,19 @@ object DemoSpecs {
 
   lazy val jsonOptions: CompilerOptions = CompilerOptions(payloadCol = "props")
 
+  /** Delete-flag XREF variant: events kept un-filtered in the view, rows
+    * with EVENT_TYPE='error' excluded before the upsert ranking via the
+    * graft.delete.flag / graft.delete.values matrix keys (F6). */
+  lazy val deleteFlagPipeline: SttmSpec = SttmSpec(
+    SttmParser.mappingFromCsv(resource("/graft/demo_sttm_df.csv")),
+    SttmParser.matrixFromCsv(
+      "Key,EVENTS_ALL_VW,XREF_USER_DF\n" +
+        "changelog.mode,,upsert\n" +
+        "\"graft.upsert.order\",,\"TS,EVENT_ID\"\n" +
+        "graft.delete.flag,,EVENT_TYPE\n" +
+        "graft.delete.values,,error\n" +
+        "value.format,json,avro-registry\n"))
+
   /** CSV view with one explicit positional index and two auto-assigned. */
   lazy val csvPipeline: SttmSpec = SttmSpec(
     SttmParser.mappingFromCsv(resource("/graft/demo_csv_sttm.csv")),

@@ -99,10 +99,20 @@ final case class CompiledPipeline(
       val df = t.stage match {
         case "XREF" if t.props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
             && t.pk.nonEmpty =>
+          // F6: delete-flag exclusion BEFORE ranking (sttm-requirements.md:
+          // 77-84,129-133) — matrix keys graft.delete.flag (column) and
+          // graft.delete.values (CSV truthy list, default "Y,1,true")
+          val cleaned = t.props.get("graft.delete.flag").map(_.trim).filter(_.nonEmpty)
+            .map { flagCol =>
+              val values = t.props.get("graft.delete.values")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Seq("Y", "1", "true"))
+              SttmOps.excludeDeleted(base, flagCol, values)
+            }.getOrElse(base)
           val order = t.props.get("graft.upsert.order")
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)
-          if (order.nonEmpty) SttmOps.latestByKey(base, t.pk, order) else base
+          if (order.nonEmpty) SttmOps.latestByKey(cleaned, t.pk, order) else cleaned
         case _ => base
       }
       df.createOrReplaceTempView(t.name)

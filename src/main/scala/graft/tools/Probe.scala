@@ -1,26 +1,34 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import graft.compile.{DemoSpecs, PipelineCompiler}
+import graft.spec.{SttmParser, SttmSpec}
 
 /** Dev scratch probe — not part of the engine API. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[2]")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
-    val (proj, opts) = graft.sources.KafkaWiring.writePlan(
-      df, "SASL_SSL://broker:9092", "out-topic", Some("id"))
-    println("SINK OPTS=" + opts)
-    proj.show(false)
+    graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .createOrReplaceTempView("events")
+    // matrix names a delete-flag column the view doesn't have
+    val spec = SttmSpec(
+      DemoSpecs.deleteFlagPipeline.rows,
+      SttmParser.matrixFromCsv(
+        "Key,EVENTS_ALL_VW,XREF_USER_DF\n" +
+          "changelog.mode,,upsert\n" +
+          "\"graft.upsert.order\",,\"TS,EVENT_ID\"\n" +
+          "graft.delete.flag,,NO_SUCH_COLUMN\n"))
     try {
-      graft.sources.KafkaWiring.readPayloadStream(spark,
-        graft.sources.KafkaWiring.sourceOptions("SASL_SSL://broker:9092", Some("t"), None))
+      val out = PipelineCompiler.compile(spec, DemoSpecs.jsonOptions).run(spark)
+      out("XREF_USER_DF").count()
+      println("UNEXPECTED SUCCESS")
     } catch {
-      case e: Exception => println("KAFKA READ FAILURE MODE: " + e.getMessage.take(200))
+      case e: Exception => println("FAILURE MODE: " + e.getMessage.take(200))
     }
     spark.stop()
   }
