@@ -40,8 +40,10 @@ object TextDedup {
                        n: Int = 4, k: Int = 8,
                        oracleParity: Boolean = true): DataFrame = {
     // oracleParity=true uses the md5-derived hash (reproducible in any SQL
-    // engine, but md5 costs ~4 s/5k docs); production path uses Spark's
-    // codegen'd xxhash64 (~an order of magnitude cheaper, same distribution).
+    // engine); production path uses Spark's codegen'd xxhash64. Measured at
+    // sf0.1: 3.1 s -> 2.1 s for the signature pass (the explode/shuffle
+    // around the hash dominates, so the win is ~1.5x, not the raw per-hash
+    // ratio; same distribution either way).
     val base: Column => Column =
       if (oracleParity) c => stableHash(c) % P
       else c => pmod(xxhash64(c), lit(P))
@@ -98,10 +100,13 @@ object TextDedup {
     * than unset. Single explode + one hash-partitioned groupBy with 60 sum
     * aggregates (one pass, map-side partial aggregation — no per-bit shuffle).
     */
-  def simHashSignature(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHashSignature(df: DataFrame, idCol: String, textCol: String,
+                       oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) stableHash else c => xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
     val tok = df
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .select(col(idCol), stableHash(col("t")).as("h"))
+      .select(col(idCol), base(col("t")).as("h"))
     val bitSums = (0 until 60).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
     }
@@ -134,12 +139,16 @@ object TextDedup {
     * Fingerprinting", SIGMOD 2003.) Returns (id, fp) rows.
     */
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
-                            kgram: Int = 8, w: Int = 4): DataFrame = {
+                            kgram: Int = 8, w: Int = 4,
+                            oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) c => stableHash(c) % P
+      else c => pmod(xxhash64(c), lit(P))
     val grams = df.select(col(idCol),
         posexplode(transform(
           sequence(lit(0), greatest(length(col(textCol)) - kgram, lit(0))),
           i => col(textCol).substr(i + 1, lit(kgram)))).as(Seq("pos", "g")))
-      .select(col(idCol), col("pos"), (stableHash(col("g")) % P).as("h"))
+      .select(col(idCol), col("pos"), base(col("g")).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams
