@@ -114,8 +114,14 @@ object SqlValidation {
       .map { st =>
         val prepared = stripComments(stripWithBlock(st)).trim
         // Flink-only DDL attributes Spark's parser rejects; neutralize for
-        // the syntax check exactly like the reference's dialect fallbacks
-        val neutral = prepared.replaceAll("(?i),?\\s*PRIMARY KEY \\([^)]*\\) NOT ENFORCED", "")
+        // the syntax check exactly like the reference's dialect fallbacks:
+        // PRIMARY KEY NOT ENFORCED, and type precision on TIMESTAMP[_LTZ](p)
+        // (Flink tracks sub-second precision in the type; Spark does not —
+        // the lookbehind keeps to_timestamp_ltz(x, 3) CALLS untouched)
+        val neutral = prepared
+          .replaceAll("(?i),?\\s*PRIMARY KEY \\([^)]*\\) NOT ENFORCED", "")
+          .replaceAll("(?i)(?<![a-z0-9_])timestamp_ltz\\s*\\(\\s*\\d+\\s*\\)", "TIMESTAMP_LTZ")
+          .replaceAll("(?i)(?<![a-z0-9_])timestamp\\s*\\(\\s*\\d+\\s*\\)", "TIMESTAMP")
         try {
           val plan = spark.sessionState.sqlParser.parsePlan(neutral)
           if (analyze && neutral.toUpperCase.startsWith("SELECT")) {

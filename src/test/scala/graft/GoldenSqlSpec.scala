@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.validate.SqlValidation
+
+/** The engine's compat layer must accept the reference's own emitted and
+  * hand-written Flink SQL verbatim — EXCEPT where the reference artifacts
+  * contain genuine SQL bugs, which our Catalyst-backed validation catches
+  * and the reference's sqlglot gate did not:
+  *
+  *  - final-output.sql:98 is missing `then` in a CASE arm
+  *    (`... and is_decimal(x) to_timestamp_ltz(...)`), yet the committed
+  *    final-output.sql_validation.csv marks all 18 statements OK — sqlglot's
+  *    lenient hive dialect swallowed the malformed arm.
+  *  - xref-queries.sql uses the unquoted dash identifier
+  *    `FROM ClientRepo-Kafka-Topic` (invalid without backticks in Flink too).
+  *
+  * Everything else parses statement-for-statement after the documented
+  * dialect neutralizations (WITH strip, NOT ENFORCED PK, type precision).
+  */
+class GoldenSqlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def validateFile(path: String): Seq[SqlValidation.Result] = {
+    spark.sparkContext.setLogLevel("ERROR")
+    SqlValidation.validate(spark, Files.readString(Paths.get(path)))
+  }
+
+  test("final-output.sql: 17/18 statements parse; the 18th is the missing-then bug") {
+    val results = validateFile("/root/reference/resources/output/final-output.sql")
+    assert(results.length == 18)
+    val bad = results.filter(!_.ok)
+    assert(bad.length == 1, s"unexpected failures: ${bad.map(_.statement.take(80))}")
+    // the one failure is exactly the reference's malformed CASE arm
+    assert(bad.head.statement.contains("is_decimal(cba_ci_modifiedon)"))
+    assert(bad.head.statement.contains("INSERT INTO hm_cba_ci "))
+  }
+
+  test("xref-queries.sql: only the dash-identifier views fail") {
+    val results = validateFile("/root/reference/resources/sql/xref-queries.sql")
+    val bad = results.filter(!_.ok)
+    assert(bad.nonEmpty && bad.forall(_.statement.contains("FROM ClientRepo-Kafka-Topic")),
+      s"unexpected failures: ${bad.map(_.statement.take(80))}")
+    // every statement NOT using the invalid identifier parses
+    assert(results.count(_.ok) == results.length - bad.length)
+    assert(results.count(_.ok) >= 6)
+  }
+
+  test("hand-written history/SPLIT_INDEX queries parse completely") {
+    val results = validateFile("/root/reference/resources/sql/history-queries.sql")
+    assert(results.nonEmpty)
+    val bad = results.filter(!_.ok)
+    assert(bad.isEmpty,
+      s"${bad.length}/${results.length} failed:\n" +
+        bad.map(b => s"  ${b.error.getOrElse("")}: ${b.statement.take(100)}").mkString("\n"))
+  }
+}
