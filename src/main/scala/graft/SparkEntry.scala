@@ -206,7 +206,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // LSH banding: candidate near-dup pairs from 4 bands x 2 rows.
+    // LSH banding: candidate near-dup pairs from 4 bands x 2 rows, with the
+    // production bucket-size cap (over-full buckets carry no signal and make
+    // the pair output quadratic; see TextDedup.lshCandidatePairs).
     "q_lsh_pairs" -> ((s, dir) => {
       val sig = TextDedup.minHashSignature(Tables.documents(s, dir), "doc_id", "text")
       TextDedup.lshCandidatePairs(sig, "doc_id").orderBy("id1", "id2")
@@ -235,9 +237,19 @@ object SparkEntry {
         .orderBy("doc_id", "fp")
     }),
 
-    // Embedding cosine near-dup pairs (exact all-pairs above threshold).
+    // Embedding cosine near-dup pairs (exact all-pairs above threshold —
+    // small-input utility; the scale path is q_embed_cosine_lsh below).
     "q_embed_cosine_pairs" -> ((s, dir) => {
       Similarity.cosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+        .orderBy("id1", "id2")
+    }),
+
+    // Embedding near-dup, 100-TB shape: hyperplane-LSH bucket prefilter
+    // (2 independent tables x 4 sign bits) + exact cosine re-score. The
+    // plan is all equi-joins — no BroadcastNestedLoopJoin (asserted in
+    // TextDedupSpec).
+    "q_embed_cosine_lsh" -> ((s, dir) => {
+      Similarity.cosinePairsLsh(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id1", "id2")
     }),
 
@@ -415,11 +427,12 @@ object SparkEntry {
 
     // Composed near-dup pipeline: MinHash-LSH candidate generation -> exact
     // trigram-Jaccard verification above a threshold (the canonical
-    // shingle->minhash->band->bucket-join->verify chain). Bounded to
-    // doc_id < 1000 because the synthetic corpus is LSH-adversarial
-    // (58% of docs share one bucket -> quadratic candidates at sf0.1).
+    // shingle->minhash->band->bucket-join->verify chain). Runs over the FULL
+    // corpus: the LSH-adversarial hot bucket (58% of docs share one band
+    // bucket) is neutralized by lshCandidatePairs' deterministic bucket-size
+    // cap, so candidate volume stays near-linear even on this corpus.
     "q_near_dup_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val docs = Tables.documents(s, dir)
       val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
       val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
       // shingle arrays computed ONCE per doc (not per candidate pair), and
@@ -552,13 +565,9 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
     "q_minhash_sig" -> s"""WITH $minhashCte SELECT * FROM sig ORDER BY doc_id""",
     "q_lsh_pairs" ->
-      s"""WITH $minhashCte, bands AS (
-           SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
-           UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-           UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig)
+      s"""WITH $minhashCte, $cappedBandsCte
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM bands a JOIN bands b
+         FROM fb a JOIN fb b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          ORDER BY id1, id2""",
     "q_simhash" ->
@@ -604,6 +613,22 @@ object SparkEntry {
            floor(${cosSql("a.e", "b.e")} * 1000000) / 1000000 AS sim
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE ${cosSql("a.e", "b.e")} > 0.4
+         ORDER BY id1, id2""",
+    "q_embed_cosine_lsh" ->
+      s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         b AS (
+           SELECT vec_id, 0 AS tab, ${lshBucketSql("embedding", 4, 0)} AS bucket
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id, 1, ${lshBucketSql("embedding", 4, 4)} FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+           FROM b a JOIN b c
+             ON a.tab = c.tab AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         SELECT id1, id2,
+           floor(${cosSql("x.e", "y.e")} * 1000000) / 1000000 AS sim
+         FROM cand JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2
+         WHERE ${cosSql("x.e", "y.e")} > 0.4
          ORDER BY id1, id2""",
     "q_ann_topk" ->
       s"""WITH scored AS (
@@ -728,19 +753,15 @@ object SparkEntry {
            epoch_us(strptime(fs, '%Y-%m-%d %H:%M:%S')) AS tsf
          FROM src ORDER BY o_orderkey""",
     "q_near_dup_pipeline" ->
-      s"""WITH ${minhashCteFor("WHERE doc_id < 1000")}, bands AS (
-           SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
-           UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-           UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-           UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+      s"""WITH $minhashCte, $cappedBandsCte,
          cand AS (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM bands a JOIN bands b
+           FROM fb a JOIN fb b
              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          sh3 AS (SELECT doc_id,
                    list_distinct(list_transform(${shinglesSql("text", 3)},
                      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
-                 FROM documents WHERE doc_id < 1000)
+                 FROM documents)
          SELECT id1, id2,
            floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
@@ -900,12 +921,27 @@ object SparkEntry {
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
   }
 
-  /** Sign-bit hyperplane bucket (mirrors Similarity.lshSignBits). */
-  private def lshBucketSql(v: String): String =
-    (0 until 4).map { j =>
+  /** Sign-bit hyperplane bucket (mirrors Similarity.lshSignBits; `offset`
+    * selects the plane range for independent hash tables). */
+  private def lshBucketSql(v: String, nBits: Int = 4, offset: Int = 0): String =
+    (0 until nBits).map { j =>
       s"""(CASE WHEN list_reduce(list_transform(range(len($v)),
             d -> CAST($v[d + 1] AS DOUBLE) *
-                 CAST(((1103515245::BIGINT * $j + 12345 * d + 42) % 1001) - 500 AS DOUBLE)),
+                 CAST(((1103515245::BIGINT * ${offset + j} + 12345 * d + 42) % 1001) - 500 AS DOUBLE)),
             (p, q) -> p + q) > 0 THEN ${1L << j} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
+
+  /** Band CTE (4 bands x 2 signature rows) over `sig`, then the
+    * deterministic bucket-size cap mirror of TextDedup.lshCandidatePairs
+    * (maxBucket = 64): `fb` holds only rows of buckets small enough to
+    * carry signal. */
+  private val cappedBandsCte: String =
+    """bands AS (
+         SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
+         UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
+         UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
+         UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+       ok AS (SELECT band, bucket FROM bands
+              GROUP BY band, bucket HAVING count(*) <= 64),
+       fb AS (SELECT bands.* FROM bands JOIN ok USING (band, bucket))"""
 }

@@ -61,17 +61,53 @@ object Similarity {
 
   /** Random-hyperplane LSH sign bits (deterministic integer pseudo-planes:
     * plane(j,d) = ((1103515245*j + 12345*d + 42) mod 1001) - 500, exactly
-    * reproducible in SQL). Returns the bucket id from `nBits` sign bits. */
-  def lshSignBits(vec: Column, nBits: Int): Column = {
+    * reproducible in SQL). Returns the bucket id from `nBits` sign bits.
+    * `offset` shifts the plane index so independent hash tables (multi-probe
+    * LSH) draw disjoint hyperplanes: table t uses planes [t*nBits, (t+1)*nBits).
+    */
+  def lshSignBits(vec: Column, nBits: Int, offset: Int = 0): Column = {
     val bits = (0 until nBits).map { j =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * (((lit(1103515245L) * j + lit(12345L) * d + 42) % 1001) - 500)
+          (x, d) => x * (((lit(1103515245L) * (offset + j) + lit(12345L) * d + 42) % 1001) - 500)
             .cast("double")),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
+  }
+
+  /** Near-duplicate pairs via LSH-bucket prefilter + exact re-score — the
+    * 100-TB path for embedding near-dup (use [[cosinePairs]] only on tiny
+    * inputs). `nTables` independent hyperplane tables (disjoint planes via
+    * the offset) recover recall lost to any single bucketing; a pair is a
+    * candidate iff the two vectors share a bucket in at least one table.
+    * Plan shape: explode(nTables buckets) -> shuffled hash self-join on
+    * (table, bucket) -> distinct pair ids -> two hash joins back to the
+    * vectors -> exact cosine filter. No cartesian / nested-loop anywhere;
+    * candidate volume is O(sum of bucket^2) per table instead of O(n^2).
+    */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nBits: Int = 4,
+                     nTables: Int = 2): DataFrame = {
+    val v = prepared(df, idCol, vecCol)
+    val buckets = array((0 until nTables).map(t =>
+      lshSignBits(col("v"), nBits, t * nBits)): _*)
+    val banded = v.select(col("id"), posexplode(buckets).as(Seq("tab", "bucket")))
+    val a = banded.select(col("id").as("id1"), col("tab"), col("bucket"))
+    val b = banded.select(col("id").as("id2"), col("tab"), col("bucket"))
+    // distinct on bare (id1, id2) BEFORE rejoining vectors: the dedup shuffle
+    // carries two longs per row, not two embedding arrays.
+    val cand = a.join(b, Seq("tab", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val x = v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val y = v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    cand.join(x, Seq("id1")).join(y, Seq("id2"))
+      .withColumn("sim", sim(col("v1"), col("n1"), col("v2"), col("n2")))
+      .filter(col("sim") > threshold)
+      .select(col("id1"), col("id2"), (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
   }
 
   /** LSH-bucketed ANN: exact top-k *within* the query's hyperplane bucket.
@@ -105,12 +141,20 @@ object Similarity {
     val prep = prepared(corpus, idCol, vecCol)
     val seeds = prep.filter(col("id") < nCells)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // nearest seed via max_by aggregation, not a row_number window: the
+    // groupBy gets map-side partial aggregation (each task reduces its own
+    // rows to one candidate per id before the shuffle) where the window
+    // form sort-shuffles the full corpus x seeds cross product. Tie-break
+    // (equal csim) goes to the lowest cid via the negated second struct
+    // field, matching the window's (csim DESC, cid ASC) ordering.
     def assign(df: DataFrame): DataFrame = {
       val scored = df.crossJoin(broadcast(seeds))
         .withColumn("csim", sim(col("v"), col("nrm"), col("cv"), col("cn")))
-      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
-        .select(col("id"), col("v"), col("nrm"), col("cid"))
+      scored.groupBy(col("id"))
+        .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+          struct(col("csim"), (-col("cid")).as("nc"))).as("best"))
+        .select(col("id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
+          col("best.cid").as("cid"))
     }
     val c = assign(prep)
       .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("cid"))

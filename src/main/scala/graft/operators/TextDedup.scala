@@ -60,14 +60,27 @@ object TextDedup {
   /** LSH candidate pairs: split the k-wide signature into bands of `r` rows;
     * docs sharing any band bucket become a candidate pair (id1 < id2).
     * One shuffle on the band-bucket key; output is distinct pairs.
-    */
-  /** @param materialize eagerly localCheckpoint the banded signature so the
+    *
+    * Over-full buckets are DROPPED, not joined: a (band, bucket) holding b
+    * docs emits b*(b-1)/2 pairs, so one hot bucket (58% of the synthetic
+    * corpus shares a band bucket) makes the output quadratic no matter how
+    * the join is partitioned — AQE splits partitions, not the pair count.
+    * A bucket that a large fraction of the corpus falls into carries ~zero
+    * discriminating signal (the band agreement is uninformative), so the
+    * standard production move is a size cap: count per (band, bucket) and
+    * exclude buckets above `maxBucket`. The filter is deterministic (pure
+    * count, no sampling) so the DuckDB oracle mirrors it exactly.
+    *
+    * @param maxBucket drop (band, bucket) groups holding more docs than
+    *   this; <= 0 disables the cap (small-input / parity use only).
+    * @param materialize eagerly localCheckpoint the banded signature so the
     *   self-join computes it once. Measured: without it the md5 signature
     *   pass runs twice (2x ~3 s at sf0.1). Trade-off documented for cluster
     *   use: checkpoint blocks are not recomputable after executor loss, so
     *   long-lived cluster pipelines may prefer `materialize = false` plus
     *   caller-managed persist()/table materialization. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2,
+                        maxBucket: Int = 64,
                         materialize: Boolean = true): DataFrame = {
     // posexplode instead of a k/r-way union: one pass over the signature
     // (the union form recomputed the whole signature per band).
@@ -79,14 +92,18 @@ object TextDedup {
     // recomputing the full hash pass per side.
     val banded = sig
       .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val bands = if (materialize) banded.localCheckpoint() else banded
-    // Plain bucket equi-join: even with the synthetic corpus's pathological
-    // bucket (58% of docs in one bucket at sf0.1) the join itself measured
-    // 1.15 s for 7.6M candidate pairs — the quadratic *output* is spread by
-    // the shuffle, and genuinely hot keys at cluster scale are handled by
-    // AQE skew-join splitting once partitions carry real byte weight. The
-    // dominant costs are the (oracle-parity) md5 signature pass and the
-    // final distinct, not the join.
+    val all = if (materialize) banded.localCheckpoint() else banded
+    // Size cap: groupBy-count (map-side partial agg) + equi-join back on the
+    // same (band, bucket) key the self-join shuffles on — no extra sort, and
+    // the surviving-bucket list is tiny so Catalyst/AQE can broadcast it.
+    val bands =
+      if (maxBucket <= 0) all
+      else {
+        val ok = all.groupBy(col("band"), col("bucket")).count()
+          .filter(col("count") <= maxBucket)
+          .select(col("band"), col("bucket"))
+        all.join(ok, Seq("band", "bucket"))
+      }
     val a = bands.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("id2"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
