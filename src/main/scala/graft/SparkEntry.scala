@@ -340,6 +340,19 @@ object SparkEntry {
       sttmRun(s, dir)("QUAR_USER").orderBy("USER_ID")
     }),
 
+    // v21 prefix/suffix config: same 3-stage pipeline compiled with
+    // view_prefix=V_ / table_suffix=_T — emitted names decorated, matrix
+    // ${table_name} macros expand to the decorated names, results identical
+    // to the undecorated run (names are metadata, not semantics).
+    "q_sttm_prefixed" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      val p = compile.PipelineCompiler.compile(
+        compile.DemoSpecs.prefixedJsonPipeline, compile.DemoSpecs.jsonOptions)
+      require(p.errors.isEmpty, s"spec validation errors: ${p.errors}")
+      p.run(s)("FGAC_USER_REF_T").orderBy("USER_ID")
+    }),
+
     // F6 through the compiler: delete-flag exclusion before the upsert
     // ranking, driven entirely by matrix metadata (graft.delete.flag).
     "q_sttm_delete_flag" -> ((s, dir) => {
@@ -774,6 +787,14 @@ object SparkEntry {
          SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
          FROM xref ORDER BY USER_ID""",
     "q_sttm_fgac" ->
+      s"""WITH $sttmOracleCte
+         SELECT x.USER_ID, x.EVENT_ID,
+           CASE WHEN c.C_ACCTBAL >= 0 THEN c.C_NAME ELSE '***' END AS C_NAME_MASKED,
+           c.C_MKTSEGMENT, x.VALUE
+         FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
+         ORDER BY x.USER_ID""",
+    // identical to q_sttm_fgac: prefix/suffix decorates names, not data
+    "q_sttm_prefixed" ->
       s"""WITH $sttmOracleCte
          SELECT x.USER_ID, x.EVENT_ID,
            CASE WHEN c.C_ACCTBAL >= 0 THEN c.C_NAME ELSE '***' END AS C_NAME_MASKED,

@@ -38,6 +38,28 @@ object DemoSpecs {
         "graft.delete.values,,error\n" +
         "value.format,json,avro-registry\n"))
 
+  /** v21 prefix/suffix variant of the JSON pipeline: emitted names are
+    * decorated (view_prefix=V_, table_suffix=_T) and — because the reference
+    * decorates ONLY emitted names (sttm_to_flink_v21.py:336) — the sheet's
+    * source/join references are authored against the decorated names, the
+    * way a v21 BA would write them when a prefix config is in force. */
+  lazy val prefixedConfig: Map[String, String] =
+    Map("view_prefix" -> "V_", "table_suffix" -> "_T")
+
+  lazy val prefixedJsonPipeline: graft.spec.SttmSpec = {
+    val base = jsonPipeline
+    val viewTargets = base.rows.filter(_.isView).map(_.targetTable).toSet
+    val tableTargets = base.rows.filterNot(_.isView).map(_.targetTable).toSet
+    def emit(n: String): String =
+      if (viewTargets(n)) "V_" + n
+      else if (tableTargets(n)) n + "_T"
+      else n // raw source tables stay undecorated
+    val rows = base.rows.map(r => r.copy(
+      sourcePrimaryTable = emit(r.sourcePrimaryTable),
+      joinTable = emit(r.joinTable)))
+    graft.spec.SttmSpec(rows, base.matrix, prefixedConfig)
+  }
+
   /** CSV view with one explicit positional index and two auto-assigned. */
   lazy val csvPipeline: SttmSpec = SttmSpec(
     SttmParser.mappingFromCsv(resource("/graft/demo_csv_sttm.csv")),

@@ -150,6 +150,18 @@ object PipelineCompiler {
   private def q(s: String): String =
     if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
 
+  /** v21 name decoration (apply_prefix_suffix, sttm_to_flink_v21.py:48-56):
+    * `view_prefix`/`view_suffix` for VIEW targets, `table_prefix`/
+    * `table_suffix` otherwise. Applied to the EMITTED name only — source
+    * and join references stay exactly as authored in the sheet, matching
+    * the reference (v21:336 decorates `t_emitted`, never the FROM side). */
+  private def applyPrefixSuffix(name: String, config: Map[String, String],
+                                isView: Boolean): String =
+    if (isView)
+      config.getOrElse("view_prefix", "") + name + config.getOrElse("view_suffix", "")
+    else
+      config.getOrElse("table_prefix", "") + name + config.getOrElse("table_suffix", "")
+
   private def compileTable(logical: String, rows: Seq[SttmRow], spec: SttmSpec,
                            opts: CompilerOptions): CompiledTable = {
     val stage = rows.headOption.map(_.stage).getOrElse("FGAC")
@@ -199,7 +211,10 @@ object PipelineCompiler {
     val whereSql = if (where.nonEmpty) s"\nWHERE $where" else ""
     val selectSql = "SELECT\n" + selects.mkString(",\n") + s"\nFROM $src$join$whereSql"
 
-    val props = spec.matrix.propsFor(logical, logical)
-    CompiledTable(logical, stage, colDefs, pk, props, selectSql)
+    // matrix lookup: logical column name preferred, emitted as fallback;
+    // ${table_name} macros expand to the EMITTED (decorated) name
+    val emitted = applyPrefixSuffix(logical, spec.config, isView)
+    val props = spec.matrix.propsFor(logical, emitted)
+    CompiledTable(emitted, stage, colDefs, pk, props, selectSql)
   }
 }

@@ -181,7 +181,13 @@ object JsonFlattener {
         col("__ptr").as("_path"),
         col("__idx").cast("int").as("_elem_index"),
         lit(tp.depth).as("_depth"))): _*)
-    guards.maxRows.map(out.limit).getOrElse(out)
+    // maxRows truncation is made deterministic by sorting on the JSON
+    // pointer path before limit (path-lexicographic, not the reference
+    // row-walker's document order — "/a/10" sorts before "/a/2"; declared
+    // divergence, same spirit as _row_id). Cost is bounded: Spark plans
+    // sort+limit as TakeOrderedAndProject over at most maxRows per
+    // partition, never a full sort of the table.
+    guards.maxRows.map(n => out.orderBy(col("_path")).limit(n)).getOrElse(out)
   }
 
   /** Schema manifest: per table, sorted column names and Spark type names

@@ -1,9 +1,8 @@
 package graft.functions
 
-import java.util.regex.Pattern
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-import org.apache.spark.sql.catalyst.expressions.{Add, Cast, EvalMode, Expression, IsNotNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, Cast, EvalMode, Expression, IsNotNull, Literal, StringSplitSQL}
 import org.apache.spark.sql.types.{DecimalType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,17 +36,16 @@ object FlinkCompat {
       args => fn("get_json_object", args: _*), "built-in")
 
     // SPLIT_INDEX(str, sep, idx) — sep is a literal *string* delimiter
-    // (regex-quoted for Spark's split), idx is 0-based; out-of-bounds yields
-    // NULL (try_element_at; plain element_at would throw under ANSI).
+    // (Flink semantics), idx is 0-based; out-of-bounds yields NULL
+    // (try_element_at; plain element_at would throw under ANSI). Uses
+    // StringSplitSQL — the literal-delimiter splitter behind split_part —
+    // so a NON-literal separator expression (e.g. a column holding '.' or
+    // '|') is also treated as a plain string, never as a regex; the old
+    // regex-based form silently diverged for those.
     reg.createOrReplaceTempFunction("split_index",
-      { args =>
-        val sep = strLit(args(1))
-          .map(s => Literal(UTF8String.fromString(Pattern.quote(s)), StringType))
-          .getOrElse(args(1))
-        fn("try_element_at",
-          fn("split", args(0), sep),
-          Add(args(2), Literal(1)))
-      }, "built-in")
+      args => fn("try_element_at",
+        StringSplitSQL(args(0), args(1)),
+        Add(args(2), Literal(1))), "built-in")
 
     // IS_DECIMAL(str) — true iff the string parses as a decimal number.
     reg.createOrReplaceTempFunction("is_decimal",

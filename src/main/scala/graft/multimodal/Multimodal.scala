@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
   * partitioning, and batch shape).
   *
   * REAL here: container sniffing (magic bytes), PNG dimension parsing
-  * (IHDR is at a fixed offset — pure byte inspection), the DataFrame
-  * schema/encoder plumbing, and the partition-wise batching.
+  * (IHDR is at a fixed offset — pure byte inspection), IMAGE PIXEL DECODE
+  * (PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` — no external
+  * dependency), grayscale grid features, bilinear resize + PNG re-encode,
+  * the DataFrame schema/encoder plumbing, and the partition-wise batching.
+  * Decode is per-row CPU work with no cross-row state — embarrassingly
+  * parallel at any scale; partitioning is whatever the upstream scan chose.
   *
-  * STUBBED (clearly marked): pixel/sample decoding — the actual image/audio
-  * codecs aren't available in this container, so [[StubDecoder]] produces a
-  * deterministic hash-seeded fake with the right shape. Swap `decoder` for
-  * a real codec-backed implementation in production.
+  * STUBBED (clearly marked): audio sample / video frame decoding — those
+  * codecs aren't in the JDK, so [[StubDecoder]] produces a deterministic
+  * hash-seeded fake with the right shape for non-image payloads.
   */
 object Multimodal {
 
@@ -45,11 +48,92 @@ object Multimodal {
       Some((be32(16), be32(20)))
     } else None
 
-  // ---- stub: decode ----------------------------------------------------
+  // ---- real: image decode (JDK ImageIO, no external dependency) --------
 
-  /** Deterministic fake decoder: seeds pseudo-pixels from a content hash.
-    * STUB — replace with a codec-backed decoder in production (???-grade
-    * placeholder semantics; shape and determinism are the contract). */
+  /** PNG/JPEG/GIF/BMP pixel decode via `javax.imageio`. Returns None for
+    * null/corrupt/unsupported payloads (error tolerance mirrors the DLQ
+    * philosophy: bad rows degrade, they don't abort the job). */
+  object ImageDecoder {
+    import java.awt.image.BufferedImage
+    import java.awt.RenderingHints
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // Executors must not write ImageIO's disk scratch cache.
+    ImageIO.setUseCache(false)
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.isEmpty) None
+      else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** Rec.601 luminance in [0,1] of pixel (x,y). */
+    private def lum(img: BufferedImage, x: Int, y: Int): Double = {
+      val rgb = img.getRGB(x, y)
+      ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000.0) / 255.0
+    }
+
+    /** (width, height, mean luminance) — real pixel statistics. */
+    def stats(img: BufferedImage): (Int, Int, Double) = {
+      val w = img.getWidth; val h = img.getHeight
+      var s = 0.0; var y = 0
+      while (y < h) { var x = 0; while (x < w) { s += lum(img, x, y); x += 1 }; y += 1 }
+      (w, h, s / (w.toLong * h))
+    }
+
+    /** Mean-pooled g x g grayscale grid (g = floor(sqrt(dim))), padded with
+      * zeros to `dim` — a real, deterministic pixel-derived feature vector. */
+    def gridFeatures(img: BufferedImage, dim: Int): Array[Float] = {
+      val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        val cy = math.min(g - 1, y * g / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(g - 1, x * g / w)
+          val c = cy * g + cx
+          sums(c) += lum(img, x, y); counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < out.length) {
+        if (i < g * g && counts(i) > 0) out(i) = (sums(i) / counts(i)).toFloat
+        i += 1
+      }
+      out
+    }
+
+    /** Bilinear resize to (w, h). */
+    def resize(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      try {
+        gfx.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        gfx.drawImage(img, 0, 0, w, h, null)
+      } finally gfx.dispose()
+      out
+    }
+
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  // ---- stub: audio/video decode ----------------------------------------
+
+  /** Deterministic fake decoder: seeds pseudo-samples from a content hash.
+    * STUB — used only for audio/video payloads the JDK cannot decode;
+    * image payloads take the real [[ImageDecoder]] path. */
   object StubDecoder {
     def decodeToFloats(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L // FNV-ish rolling seed over content
@@ -86,7 +170,9 @@ object Multimodal {
 
   /** Feature extraction: binary -> float embedding of `dim` values, one
     * output row per input row, batched per partition (mapInPandas shape).
-    * Decode itself is stubbed; partitioning/schema/batching are real. */
+    * Image payloads (png/jpeg/gif) get REAL pixel features (grayscale
+    * mean-pooled grid via ImageIO); non-image payloads fall back to the
+    * clearly-marked stub. */
   def extractFeatures(df: DataFrame, binCol: String, idCol: String,
                       dim: Int = 16): DataFrame = {
     val inSchema = df.schema
@@ -97,9 +183,58 @@ object Multimodal {
       StructField("embedding", ArrayType(FloatType), nullable = false)))
     withMappedPartitions(df, outSchema) { rows =>
       rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
+        val feats = sniffFormat(bytes) match {
+          case "png" | "jpeg" | "gif" =>
+            ImageDecoder.decode(bytes)
+              .map(ImageDecoder.gridFeatures(_, dim))
+              .getOrElse(StubDecoder.decodeToFloats(bytes, dim)) // corrupt image
+          case _ => StubDecoder.decodeToFloats(bytes, dim) // audio/video: STUB
+        }
+        Row(r.get(idIdx), feats.toSeq)
+      }
+    }
+  }
+
+  /** Real image statistics: width/height/mean-luminance from decoded pixels
+    * (null for non-image or corrupt payloads). One row per input row. */
+  def imageStats(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("mean_lum", DoubleType, nullable = true)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        Row(r.get(idIdx), StubDecoder.decodeToFloats(
-          if (bytes == null) Array.emptyByteArray else bytes, dim).toSeq)
+        ImageDecoder.decode(bytes).map(ImageDecoder.stats) match {
+          case Some((w, h, m)) => Row(r.get(idIdx), w, h, m)
+          case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }
+  }
+
+  /** Real resize: decode -> bilinear scale to (w, h) -> PNG re-encode.
+    * Non-decodable payloads pass through as null (DLQ-style tolerance). */
+  def resizeImages(df: DataFrame, binCol: String, idCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("resized", BinaryType, nullable = true)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val out = ImageDecoder.decode(bytes)
+          .map(img => ImageDecoder.encodePng(ImageDecoder.resize(img, w, h)))
+          .orNull
+        Row(r.get(idIdx), out)
       }
     }
   }

@@ -79,20 +79,31 @@ final case class TableMatrix(rows: Seq[(String, Map[String, String])]) {
 
   /** Resolved props for a table: logical name preferred, emitted name as
     * fallback; `${table_name}` expanded with the emitted name
-    * (sttm_to_flink_v22.py:160-214). */
+    * (sttm_to_flink_v22.py:160-214). Returned as a ListMap in SHEET ROW
+    * ORDER (duplicate keys: last value wins, first position kept — exactly
+    * a Python dict update), so DDL WITH(...) rendering is byte-stable and
+    * matches the reference's insertion-order iteration for any key count —
+    * a plain Map switches to HashMap above 4 entries and scrambles order. */
   def propsFor(logical: String, emitted: String): Map[String, String] = {
     val colName =
       if (tables.contains(logical)) Some(logical)
       else if (tables.contains(emitted)) Some(emitted)
       else None
     colName match {
-      case None => Map.empty
+      case None => scala.collection.immutable.ListMap.empty
       case Some(c) =>
-        rows.foldLeft(Map.empty[String, String]) { case (acc, (key, vals)) =>
-          val v = vals.getOrElse(c, "").trim
-          if (key.trim.isEmpty || skip.contains(v.toLowerCase)) acc
-          else acc + (key.trim -> v.replace("${table_name}", emitted))
+        val ordered = rows.foldLeft(Vector.empty[(String, String)]) {
+          case (acc, (key, vals)) =>
+            val k = key.trim
+            val v = vals.getOrElse(c, "").trim
+            if (k.isEmpty || skip.contains(v.toLowerCase)) acc
+            else {
+              val entry = k -> v.replace("${table_name}", emitted)
+              val i = acc.indexWhere(_._1 == k)
+              if (i >= 0) acc.updated(i, entry) else acc :+ entry
+            }
         }
+        scala.collection.immutable.ListMap(ordered: _*)
     }
   }
 
@@ -105,7 +116,13 @@ object TableMatrix {
   val empty: TableMatrix = TableMatrix(Nil)
 }
 
-final case class SttmSpec(rows: Seq[SttmRow], matrix: TableMatrix) {
+/** `config`: flat key/value Config-sheet settings (v21 generator:
+  * sttm_to_flink_v21.py:35-56 `cfg_get`) — the v21 surface the engine
+  * honors is `view_prefix`/`view_suffix`/`table_prefix`/`table_suffix`
+  * (applied to EMITTED names only, `apply_prefix_suffix` at v21:48-56,336;
+  * source references stay as authored, exactly like the reference). */
+final case class SttmSpec(rows: Seq[SttmRow], matrix: TableMatrix,
+                          config: Map[String, String] = Map.empty) {
   /** Stable compile order: stage rank, table, PK-first, column
     * (sttm_to_flink_v22.py:297-303). */
   def sorted: Seq[SttmRow] = {

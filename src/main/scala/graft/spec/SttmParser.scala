@@ -43,11 +43,42 @@ object SttmParser {
     rows.toSeq.filter(_.exists(_.trim.nonEmpty))
   }
 
+  /** Decode raw CSV bytes with encoding detection — the reference runs
+    * uploaded CSVs through chardet (sttm2flink-ui-5_4/sttm2flink/
+    * generator.py:19-31); we cover the encodings an Excel/Sheets export
+    * actually produces: UTF-8 (with or without BOM), UTF-16LE/BE with BOM,
+    * and BOM-less UTF-16 detected by the NUL-byte stripe ASCII-range CSV
+    * text exhibits on every other byte. */
+  def decodeCsvBytes(bytes: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets._
+    def b(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 3 && b(0) == 0xEF && b(1) == 0xBB && b(2) == 0xBF)
+      new String(bytes, 3, bytes.length - 3, UTF_8)
+    else if (bytes.length >= 2 && b(0) == 0xFF && b(1) == 0xFE)
+      new String(bytes, 2, bytes.length - 2, UTF_16LE)
+    else if (bytes.length >= 2 && b(0) == 0xFE && b(1) == 0xFF)
+      new String(bytes, 2, bytes.length - 2, UTF_16BE)
+    else {
+      val n = math.min(bytes.length, 512)
+      val nulOdd = (1 until n by 2).count(bytes(_) == 0)
+      val nulEven = (0 until n by 2).count(bytes(_) == 0)
+      if (n >= 4 && nulOdd > n / 4) new String(bytes, UTF_16LE)
+      else if (n >= 4 && nulEven > n / 4) new String(bytes, UTF_16BE)
+      else new String(bytes, UTF_8)
+    }
+  }
+
+  /** [[mappingFromCsv]] over raw bytes (encoding-sniffed). */
+  def mappingFromCsvBytes(bytes: Array[Byte]): Seq[SttmRow] =
+    mappingFromCsv(decodeCsvBytes(bytes))
+
   /** Parse mapping rows from CSV text with a header row. Header names are
     * trimmed; literal "nan" cells (Excel export artifacts) become empty —
-    * mirrors norm_cols (sttm_to_flink_v22.py:28-33). */
+    * mirrors norm_cols (sttm_to_flink_v22.py:28-33). A leading BOM char
+    * (callers that decoded UTF-8-BOM bytes themselves) is stripped so the
+    * first header cell still matches. */
   def mappingFromCsv(text: String): Seq[SttmRow] = {
-    val rows = splitCsv(text)
+    val rows = splitCsv(text.stripPrefix("\uFEFF"))
     if (rows.isEmpty) return Nil
     val header = rows.head.map(_.trim)
     rows.tail.map { cells =>
@@ -75,6 +106,23 @@ object SttmParser {
         h -> cells.lift(i).getOrElse("").trim
       }.toMap)
     })
+  }
+
+  /** Parse a v21-style Config sheet CSV: `key,value` columns (any case,
+    * extra columns ignored). Literal "nan" values become empty, mirroring
+    * cfg_get (sttm_to_flink_v21.py:35-43). */
+  def configFromCsv(text: String): Map[String, String] = {
+    val rows = splitCsv(text)
+    if (rows.isEmpty) return Map.empty
+    val header = rows.head.map(_.trim)
+    val keyIdx = header.indexWhere(_.equalsIgnoreCase("key"))
+    val valIdx = header.indexWhere(_.equalsIgnoreCase("value"))
+    if (keyIdx < 0 || valIdx < 0) return Map.empty
+    rows.tail.flatMap { cells =>
+      val k = cells.lift(keyIdx).getOrElse("").trim
+      val v = cells.lift(valIdx).getOrElse("").trim
+      if (k.isEmpty || v.equalsIgnoreCase("nan")) None else Some(k -> v)
+    }.toMap
   }
 
   // ---- xlsx -------------------------------------------------------------
@@ -181,7 +229,16 @@ object SttmParser {
           case _ => TableMatrix.empty
         }
       }.getOrElse(TableMatrix.empty)
-      SttmSpec(mappingRows.filter(r => r.targetTable.nonEmpty || r.targetColumn.nonEmpty), matrix)
+      // v21 Config sheet (key/value): prefix/suffix + generator settings
+      val config = sheetPath("Config").map { p =>
+        toRecords(readXlsxSheet(zip, p, shared)).flatMap { m =>
+          val k = m.find(_._1.equalsIgnoreCase("key")).map(_._2.trim).getOrElse("")
+          val v = m.find(_._1.equalsIgnoreCase("value")).map(_._2.trim).getOrElse("")
+          if (k.isEmpty || v.equalsIgnoreCase("nan")) None else Some(k -> v)
+        }.toMap
+      }.getOrElse(Map.empty[String, String])
+      SttmSpec(mappingRows.filter(r => r.targetTable.nonEmpty || r.targetColumn.nonEmpty),
+        matrix, config)
     } finally zip.close()
   }
 }

@@ -1,45 +1,128 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SttmOps
 
-/** Versioned parquet "current snapshot" table — the engine's stand-in for
-  * Flink's PRIMARY KEY + changelog.mode=upsert XREF table
-  * (resources/sql/xref-queries.sql:13-23; SURVEY §2 A2/T2).
+/** Key-hash-bucketed parquet "current snapshot" table — the engine's
+  * stand-in for Flink's PRIMARY KEY + changelog.mode=upsert XREF table
+  * (resources/sql/xref-queries.sql:13-23; SURVEY §2 A2/T2), shaped like a
+  * Delta/Iceberg MERGE: each micro-batch rewrites ONLY the hash buckets
+  * containing the batch's keys, so per-batch write cost is
+  * O(|batch| + |touched buckets|), not O(|snapshot|).
   *
-  * Writes alternate between `v0`/`v1` subdirectories with a `_CURRENT`
-  * pointer file, so readers never observe a half-written snapshot and the
-  * previous version stays readable during the swap (no read-modify-overwrite
-  * race on a single directory).
+  * Layout: `root/g<gen>/_bucket=<b>/part-*.parquet` data directories plus a
+  * `_CURRENT` manifest (`bucket:relative/path` lines) naming each bucket's
+  * live directory. A merge writes generation g+1 for the touched buckets and
+  * atomically swings the manifest; untouched buckets keep pointing at their
+  * old generation — their files are never rewritten (asserted byte-identical
+  * in StreamingPipelineSpec). The previous manifest is retained as
+  * `_PREVIOUS` and its generations are kept on disk, so a reader holding the
+  * old manifest never observes missing files; anything older is pruned.
   *
-  * Scale note: the merge is latest-by-key over (old snapshot ∪ new batch) —
-  * one hash-partitioned aggregation whose shuffle carries ~|keys| rows
-  * thanks to max_by partial aggregation; the snapshot itself would be a
-  * partitioned/bucketed table (or Delta/Iceberg MERGE) on a real cluster,
-  * which this interface abstracts.
+  * Scale note: the per-bucket merge is latest-by-key over
+  * (old bucket rows ∪ batch rows) — max_by partial aggregation, shuffle
+  * carries ~|keys in touched buckets| rows. The touched-bucket list is a
+  * `collect()` of at most `nBuckets` small values (bounded by construction,
+  * not by data volume), which is the manifest bookkeeping, not a data path.
   */
-final class SnapshotStore(root: String) {
+final class SnapshotStore(root: String, nBuckets: Int = 16) {
 
+  private val BucketCol = "_bucket"
   private val rootPath = Paths.get(root)
   private val pointer = rootPath.resolve("_CURRENT")
+  private val prevPointer = rootPath.resolve("_PREVIOUS")
 
-  private def currentVersion: Option[String] =
-    if (Files.exists(pointer)) Some(Files.readString(pointer).trim).filter(_.nonEmpty)
-    else None
+  /** bucket -> live relative data dir, e.g. 3 -> "g2/_bucket=3". */
+  private def manifest: Map[Int, String] =
+    if (!Files.exists(pointer)) Map.empty
+    else Files.readString(pointer).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, p) = l.split(":", 2)
+      b.toInt -> p
+    }.toMap
 
   /** Current snapshot, or None before the first commit. */
-  def read(spark: SparkSession): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(rootPath.resolve(v).toString))
+  def read(spark: SparkSession): Option[DataFrame] = {
+    val m = manifest
+    if (m.isEmpty) None
+    else {
+      // leaf dirs are passed directly: partition discovery roots at each
+      // path, so the _bucket=N segment never surfaces as a column
+      val paths = m.toSeq.sortBy(_._1)
+        .map { case (_, rel) => rootPath.resolve(rel).toString }
+      Some(spark.read.parquet(paths: _*))
+    }
+  }
 
-  /** Replace the snapshot with `df` (writes the inactive version, then
-    * atomically swings the pointer). */
-  def write(df: DataFrame): Unit = {
+  private def bucketOf(keys: Seq[String]) =
+    pmod(hash(keys.map(col): _*), lit(nBuckets))
+
+  /** Upsert `batch` into the snapshot: latest-by-key over
+    * (old rows ∪ batch rows), computed and rewritten ONLY for the hash
+    * buckets the batch touches. `order` must rank each key uniquely
+    * (ts + seq tie-break), exactly as in [[SttmOps.latestByKey]].
+    */
+  def merge(batch: DataFrame, keys: Seq[String], order: Seq[String]): Unit = {
     Files.createDirectories(rootPath)
-    val next = if (currentVersion.contains("v0")) "v1" else "v0"
-    df.write.mode(SaveMode.Overwrite).parquet(rootPath.resolve(next).toString)
+    val spark = batch.sparkSession
+    val m = manifest
+    val b = batch.withColumn(BucketCol, bucketOf(keys))
+    val touched = b.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
+    val touchedSet = touched.toSet
+    val oldPaths = m.collect {
+      case (bk, rel) if touchedSet(bk) => rootPath.resolve(rel).toString
+    }.toSeq
+    val unioned =
+      if (oldPaths.isEmpty) b
+      else spark.read.parquet(oldPaths: _*)
+        .withColumn(BucketCol, bucketOf(keys))
+        .unionByName(b)
+    val merged = SttmOps.latestByKey(unioned, keys, order)
+    val gen = 1 + m.values
+      .flatMap(_.split("/").headOption)
+      .collect { case g if g.startsWith("g") => g.drop(1).toInt }
+      .maxOption.getOrElse(-1)
+    merged.write.partitionBy(BucketCol)
+      .parquet(rootPath.resolve(s"g$gen").toString)
+    val next = m ++ touched.map(bk => bk -> s"g$gen/$BucketCol=$bk")
+    swingPointer(next, m)
+    prune(next, m)
+  }
+
+  /** Write the new manifest atomically, retaining the replaced one. */
+  private def swingPointer(next: Map[Int, String], prev: Map[Int, String]): Unit = {
+    val render = (mm: Map[Int, String]) =>
+      mm.toSeq.sortBy(_._1).map { case (bk, p) => s"$bk:$p" }.mkString("\n")
+    if (prev.nonEmpty) {
+      val tmpPrev = rootPath.resolve("_PREVIOUS.tmp")
+      Files.writeString(tmpPrev, render(prev))
+      Files.move(tmpPrev, prevPointer, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     val tmp = rootPath.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, next)
+    Files.writeString(tmp, render(next))
     Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop generation dirs referenced by neither the current nor the
+    * previous manifest (two-manifest retention for in-flight readers). */
+  private def prune(cur: Map[Int, String], prev: Map[Int, String]): Unit = {
+    val live: Set[String] =
+      (cur.values ++ prev.values).flatMap(_.split("/").headOption).toSet
+    val gens = Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("g"))
+      .toList
+    gens.filterNot(p => live(p.getFileName.toString)).foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 }

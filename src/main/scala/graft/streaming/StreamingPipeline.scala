@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import graft.operators.SttmOps
 
 /** Streaming execution of the 3-stage pipeline: one source scan fanned out
   * to N sinks inside a single `foreachBatch` — the engine's equivalent of
@@ -53,14 +52,9 @@ object StreamingPipeline {
         val v = view(batch)
         // localCheckpoint: the view batch feeds three sinks; materialize once
         val vb = v.localCheckpoint()
-        // 2. upsert merge into the snapshot
-        val merged = store.read(spark) match {
-          case Some(old) =>
-            SttmOps.latestByKey(old.unionByName(vb), xref.keys, xref.orderCols)
-          case None =>
-            SttmOps.latestByKey(vb, xref.keys, xref.orderCols)
-        }
-        store.write(merged)
+        // 2. incremental upsert merge: only snapshot buckets containing
+        //    batch keys are read + rewritten (Delta-MERGE shape)
+        store.merge(vb, xref.keys, xref.orderCols)
         val snap = store.read(spark).get
         // 3+4. statement-set fan-out from the shared batch scan
         enrich(vb, snap).write.mode(SaveMode.Append)

@@ -145,4 +145,50 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(frames.count() == 6) // 2 rows x 3 frames
     assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_index", "frame"))
   }
+
+  test("multimodal: REAL pixel decode via ImageIO — stats, grid features, resize") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+
+    // 8x8 mid-gray PNG: every pixel (128,128,128) -> luminance 128/255
+    def flat(rgb: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      img
+    }
+    val grayPng = Multimodal.ImageDecoder.encodePng(flat(0x808080, 8, 8))
+    // left half black, right half white -> mean luminance 0.5 * (255/255)
+    val half = flat(0x000000, 8, 8)
+    for (y <- 0 until 8; x <- 4 until 8) half.setRGB(x, y, 0xffffff)
+    val halfPng = Multimodal.ImageDecoder.encodePng(half)
+    assert(Multimodal.sniffFormat(grayPng) == "png")
+
+    val df = Seq((1L, grayPng), (2L, halfPng), (3L, "not an image".getBytes))
+      .toDF("id", "payload")
+
+    // real pixel statistics
+    val stats = Multimodal.imageStats(df, "payload", "id").orderBy("id").collect()
+    assert(stats(0).getInt(1) == 8 && stats(0).getInt(2) == 8)
+    assert(math.abs(stats(0).getDouble(3) - 128.0 / 255.0) < 1e-9)
+    assert(math.abs(stats(1).getDouble(3) - 0.5 * 255.0 / 255.0) < 1e-2)
+    assert(stats(2).isNullAt(1) && stats(2).isNullAt(3)) // non-image -> null
+
+    // real grid features: gray image -> every cell = 128/255; half image ->
+    // left cells ~0, right cells ~1 (2x2 grid from dim=4)
+    val feats = Multimodal.extractFeatures(df, "payload", "id", dim = 4)
+      .orderBy("id").collect().map(_.getSeq[Float](1))
+    assert(feats(0).forall(f => math.abs(f - 128.0f / 255.0f) < 1e-6))
+    assert(feats(1)(0) < 0.01f && feats(1)(1) > 0.99f) // [b, w, b, w] cells
+    assert(feats(1)(2) < 0.01f && feats(1)(3) > 0.99f)
+
+    // real resize: 8x8 -> 4x4, re-encoded PNG carries the new dims
+    val resized = Multimodal.resizeImages(df, "payload", "id", 4, 4)
+      .orderBy("id").collect()
+    val rb = resized(0).getAs[Array[Byte]]("resized")
+    assert(Multimodal.pngDims(rb).contains((4, 4)))
+    val rimg = Multimodal.ImageDecoder.decode(rb).get
+    assert(math.abs(Multimodal.ImageDecoder.stats(rimg)._3 - 128.0 / 255.0) < 1e-2)
+    assert(resized(2).isNullAt(1)) // non-decodable passes through as null
+  }
 }

@@ -88,4 +88,21 @@ class PipelineExecutionSpec extends AnyFunSuite {
     assert(Set("click", "purchase", "error", "signup", "view").contains(row.getAs[String]("F_TYPE")))
     assert(row.getAs[String]("RAW").contains("|"))
   }
+
+  test("SPLIT_INDEX: separator is a literal string even when non-literal (regex metachars)") {
+    graft.functions.FlinkCompat.register(spark)
+    import spark.implicits._
+    Seq(("a.b.c", "."), ("x|y|z", "|")).toDF("s", "sep")
+      .createOrReplaceTempView("si_t")
+    val rows = spark.sql(
+      """SELECT SPLIT_INDEX(s, sep, 1) AS dyn,
+                SPLIT_INDEX(s, '.', 0) AS lit,
+                SPLIT_INDEX(s, sep, 9) AS oob
+         FROM si_t ORDER BY s""").collect()
+    assert(rows(0).getString(0) == "b") // column-valued '.' splits literally
+    assert(rows(0).getString(1) == "a")
+    assert(rows(1).getString(0) == "y") // column-valued '|' splits literally
+    assert(rows(1).getString(1) == "x|y|z") // no '.' present -> whole string
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2)) // OOB -> NULL
+  }
 }

@@ -29,6 +29,18 @@ class SqlValidationSpec extends AnyFunSuite {
     assert(stmts.head.contains("';'")) // semicolon inside quotes survives
   }
 
+  test("split is comment-aware: ';' inside comments does not split") {
+    val sql = "SELECT 1 -- note; not a boundary\nFROM t;\n" +
+      "/* multi;\n   line; block */ SELECT 2 FROM u;"
+    val stmts = SqlValidation.splitStatements(sql)
+    assert(stmts.length == 2, s"got ${stmts.length}: $stmts")
+    assert(stmts.head.contains("not a boundary"))
+    assert(stmts(1).contains("line; block"))
+    // '--' inside a string literal is NOT a comment opener
+    val tricky = SqlValidation.splitStatements("SELECT 'a--b;c' FROM t; SELECT 2;")
+    assert(tricky.length == 2 && tricky.head.contains("'a--b;c'"))
+  }
+
   test("comment strip and whitespace normalization") {
     val s = "/* block */ SELECT 1 -- tail\n  -- full line\n  FROM   t"
     assert(SqlValidation.stripComments(s).contains("SELECT 1"))

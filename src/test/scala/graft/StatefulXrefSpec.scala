@@ -76,4 +76,55 @@ class StatefulXrefSpec extends AnyFunSuite {
     // changelog compaction: strictly fewer emissions than input rows
     assert(emitted.get() < ev.count())
   }
+
+  test("state TTL evicts idle keys (older record accepted after expiry)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_ttl").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/in"))
+    val schema = implicitly[org.apache.spark.sql.Encoder[Ev]].schema
+
+    val seen = TrieMap.empty[(Long, Long, Long), Boolean]
+    // the file stream source lists only the top-level dir: stage each batch
+    // and move its part file directly into in/ under a unique name
+    def addBatch(name: String, rows: Seq[Ev]): Unit = {
+      val stage = Files.createTempDirectory("graft_ttl_stage")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(s"$work/in/$name.parquet"))
+    }
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(s"$work/in").as[Ev]
+      val updates = StatefulXref.latestByKeyStream[Long, Ev](
+        src, _.user_id, e => (e.ts_us, e.event_id), ttlMs = Some(500L))
+      val q = updates.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$work/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ev], _: Long) =>
+          batch.collect().foreach(e => seen((e.user_id, e.ts_us, e.event_id)) = true)
+          ()
+        }
+        .start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 1: key 1 @ ts 100 enters state
+    addBatch("b1", Seq(Ev(1L, 1L, 100L, 1.0)))
+    runOnce()
+    assert(seen.contains((1L, 100L, 1L)))
+
+    // idle past the 500 ms TTL, then a batch touching ONLY key 2 — the
+    // timeout for key 1 fires during this batch and evicts its state
+    Thread.sleep(2000L)
+    addBatch("b2", Seq(Ev(2L, 1L, 100L, 2.0)))
+    runOnce()
+
+    // key 1 again with an OLDER record: only accepted if state was evicted
+    // (with live state the (50,1) < (100,1) ordering would suppress it)
+    addBatch("b3", Seq(Ev(1L, 1L, 50L, 3.0)))
+    runOnce()
+    assert(seen.contains((1L, 50L, 1L)),
+      "older record suppressed — TTL did not evict the key's state")
+  }
 }

@@ -71,4 +71,50 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val snapshot2 = new SnapshotStore(s"$work/xref_snapshot").read(spark).get
     assert(snapshot2.count() == expected.count())
   }
+
+  test("incremental snapshot merge rewrites only touched buckets (byte-identical rest)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_snap").toString
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 8)
+
+    // batch 1: 64 keys spread over all 8 buckets
+    val b1 = (0 until 64).map(k => (k.toLong, 1L, s"v$k")).toDF("k", "ts", "v")
+    store.merge(b1, Seq("k"), Seq("ts"))
+    val afterB1 = store.read(spark).get.collect()
+    assert(afterB1.length == 64)
+
+    // files + contents per live data file before batch 2
+    def fileState(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$work/snap"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p.toString -> {
+          val bytes = Files.readAllBytes(p)
+          java.util.Arrays.hashCode(bytes).toLong
+        }).toMap
+    }
+    val before = fileState()
+
+    // batch 2: update ONE key -> exactly one bucket rewritten
+    val b2 = Seq((5L, 2L, "v5-new")).toDF("k", "ts", "v")
+    store.merge(b2, Seq("k"), Seq("ts"))
+
+    val after = fileState()
+    // every pre-existing file that still exists is byte-identical, and at
+    // least 7 of 8 bucket dirs kept all their original files
+    val survivors = before.keySet.intersect(after.keySet)
+    assert(survivors.nonEmpty)
+    survivors.foreach(p => assert(before(p) == after(p), s"file rewritten: $p"))
+    val rewrittenDirs = before.keySet.diff(after.keySet)
+      .map(p => p.split("/_bucket=").last.takeWhile(_ != '/'))
+    assert(rewrittenDirs.size <= 1, s"more than one bucket rewritten: $rewrittenDirs")
+
+    // merge semantics: updated key has new value, all others unchanged
+    val rows = store.read(spark).get.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.size == 64)
+    assert(rows(5L) == "v5-new")
+    assert(rows(6L) == "v6")
+  }
 }

@@ -88,6 +88,63 @@ class SttmCompilerSpec extends AnyFunSuite {
     assert(all.indexOf("INSERT INTO `XREF_USER`") < all.indexOf("INSERT INTO `FGAC_USER_REF`"))
   }
 
+  test("v21 prefix/suffix truth table: emitted names, matrix lookup, macros") {
+    val csv = SttmRowCsv.header +
+      "View,EV_VW,ID,BIGINT,Y,ID,,,events,e,,id,,,,,,,\n" +
+      "XREF,XREF_X,ID,BIGINT,Y,ID,,,EV_VW,v,ID,,,,,,,,\n"
+    val rows = SttmParser.mappingFromCsv(csv)
+
+    // no config -> names untouched
+    val plain = PipelineCompiler.compile(SttmSpec(rows, TableMatrix.empty))
+    assert(plain.tables.map(_.name) == Seq("EV_VW", "XREF_X"))
+
+    // view keys touch only views; table keys only non-views
+    def names(cfg: Map[String, String]) =
+      PipelineCompiler.compile(SttmSpec(rows, TableMatrix.empty, cfg)).tables.map(_.name)
+    assert(names(Map("view_prefix" -> "p_")) == Seq("p_EV_VW", "XREF_X"))
+    assert(names(Map("view_suffix" -> "_s")) == Seq("EV_VW_s", "XREF_X"))
+    assert(names(Map("table_prefix" -> "t_")) == Seq("EV_VW", "t_XREF_X"))
+    assert(names(Map("table_suffix" -> "_t")) == Seq("EV_VW", "XREF_X_t"))
+    assert(names(Map("view_prefix" -> "p_", "view_suffix" -> "_s",
+      "table_prefix" -> "t_", "table_suffix" -> "_t")) ==
+      Seq("p_EV_VW_s", "t_XREF_X_t"))
+
+    // source references stay as authored (reference decorates emitted only)
+    val decorated = PipelineCompiler.compile(
+      SttmSpec(rows, TableMatrix.empty, Map("view_prefix" -> "p_")))
+    assert(decorated.tables.last.selectSql.contains("FROM `EV_VW`"))
+
+    // matrix: logical-name lookup still resolves; ${table_name} macro and
+    // emitted-name fallback both see the DECORATED name
+    val m = SttmParser.matrixFromCsv(
+      "Key,XREF_X,t_OTHER\ntopic,x.${table_name},o.${table_name}\n")
+    val withM = PipelineCompiler.compile(
+      SttmSpec(rows, m, Map("table_prefix" -> "t_")))
+    assert(withM.tables.last.props("topic") == "x.t_XREF_X")
+    val fallbackRows = SttmParser.mappingFromCsv(SttmRowCsv.header +
+      "XREF,OTHER,ID,BIGINT,Y,ID,,,events,e,,id,,,,,,,\n")
+    val fb = PipelineCompiler.compile(
+      SttmSpec(fallbackRows, m, Map("table_prefix" -> "t_")))
+    assert(fb.tables.head.props("topic") == "o.t_OTHER") // matched via emitted
+
+    // config csv parser: nan dropped, header case-insensitive
+    val cfg = SttmParser.configFromCsv("KEY,Value\nview_prefix,p_\nx,nan\n")
+    assert(cfg == Map("view_prefix" -> "p_"))
+  }
+
+  test("csv encoding sniff: UTF-8 BOM, UTF-16LE/BE with and without BOM") {
+    import java.nio.charset.StandardCharsets._
+    val csv = SttmRowCsv.header + "View,EV_VW,ID,BIGINT,Y,ID,,,events,e,,id,,,,,,,\n"
+    val plain = SttmParser.mappingFromCsvBytes(csv.getBytes(UTF_8))
+    assert(plain.head.targetTable == "EV_VW" && plain.head.isPk)
+    assert(SttmParser.mappingFromCsvBytes(("\uFEFF" + csv).getBytes(UTF_8)) == plain)
+    assert(SttmParser.mappingFromCsvBytes(("\uFEFF" + csv).getBytes(UTF_16LE)) == plain)
+    assert(SttmParser.mappingFromCsvBytes(("\uFEFF" + csv).getBytes(UTF_16BE)) == plain)
+    // BOM-less UTF-16: detected by the alternating-NUL stripe
+    assert(SttmParser.mappingFromCsvBytes(csv.getBytes(UTF_16LE)) == plain)
+    assert(SttmParser.mappingFromCsvBytes(csv.getBytes(UTF_16BE)) == plain)
+  }
+
   test("xlsx parser reads the reference STTM_v22 workbook") {
     val spec = SttmParser.fromXlsx("/root/reference/resources/STTM_v22.xlsx")
     val tables = spec.rows.map(_.targetTable).distinct
