@@ -35,7 +35,8 @@ object ColumnSpecCompiler {
       viewSuffix: String = "_vw",
       sourceViewFrom: String = "public.events",
       jsonColumn: String = "value",
-      tblPath: String = "$.tbl")
+      tblPath: String = "$.tbl",
+      sinkValueFormat: String = "avro-registry")
 
   /** Parse the lowercase column-spec CSV layout. */
   def fromCsv(text: String): Seq[Row] = {
@@ -162,6 +163,40 @@ object ColumnSpecCompiler {
         }
     }
     if (lines.isEmpty) "" else "\n" + lines.mkString("\n")
+  }
+
+  /** Sink DDL in the v4.5 bundle shape (final-output.sql:36-76): drop +
+    * create with per-column target types (default string) and the
+    * configured sink value format. */
+  def emitTableDdl(rows: Seq[Row], target: String, cfg: Config): String = {
+    val trows = rows.filter(_.targetTable == target)
+    val cols = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    trows.foreach { r =>
+      if (r.targetColumn.nonEmpty && !cols.contains(r.targetColumn))
+        cols(r.targetColumn) =
+          if (r.dataType.nonEmpty) r.dataType else "string"
+    }
+    val colSql = cols.map { case (c, t) => s"  $c $t" }.mkString(",\n")
+    s"drop table if exists $target;\n" +
+      s"create table $target (\n$colSql\n)\n" +
+      s"with ('value.format'='${cfg.sinkValueFormat}');"
+  }
+
+  /** The consolidated v4.5 bundle (final-output.sql structure): VIEWS,
+    * SINK TABLES, then an `execute statement set` of the INSERTs — the
+    * artifact GoldenSqlSpec shape-diffs against the reference's committed
+    * golden output. */
+  def emitBundle(rows: Seq[Row], cfg: Config): String = {
+    val views = emitViews(rows, cfg).map(_._2).mkString("\n\n")
+    val targets = rows.map(_.targetTable).filter(_.nonEmpty).distinct
+    val ddls = targets.map(t => emitTableDdl(rows, t, cfg)).mkString("\n\n")
+    val inserts = targets.map { t =>
+      val (cols, select) = buildInsertSelect(rows, t, cfg)
+      s"INSERT INTO $t (${cols.mkString(", ")})\n$select;"
+    }.mkString("\n\n")
+    s"-- ===== VIEWS =====\n\n$views\n\n" +
+      s"-- ===== SINK TABLES =====\n\n$ddls\n\n" +
+      s"-- ===== INSERTS =====\nexecute statement set\nbegin\n$inserts\nend;\n"
   }
 
   /** Format auto-detection (generator.py:_detect_format): a sheet with
