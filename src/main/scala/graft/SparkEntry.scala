@@ -445,24 +445,17 @@ object SparkEntry {
     // bucket) is neutralized by lshCandidatePairs' deterministic bucket-size
     // cap, so candidate volume stays near-linear even on this corpus.
     "q_near_dup_pipeline" -> ((s, dir) => {
+      nearDupPairs(s, dir).orderBy("id1", "id2")
+    }),
+
+    // Dedup cluster assignment: connected components over the verified
+    // near-dup pairs — every doc labeled with the min reachable doc id
+    // (the canonical-document step: keep one representative per cluster).
+    "q_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
-      val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
-      // shingle arrays computed ONCE per doc (not per candidate pair), and
-      // hashed to longs — pair-wise intersection over long arrays is far
-      // cheaper than over 3-char strings (this query scores ~235k candidate
-      // pairs on the collision-heavy synthetic corpus)
-      val sh = docs.select(col("doc_id"),
-        array_distinct(transform(TextDedup.charShingles(col("text"), 3),
-          s => TextDedup.stableHash(s) % TextDedup.P)).as("sh"))
-        .localCheckpoint()
-      val t1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
-      val t2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-      cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
-        .withColumn("jac", TextDedup.jaccardFromShingles(col("sh1"), col("sh2")))
-        .filter(col("jac") >= 0.6)
-        .select(col("id1"), col("id2"), col("jac"))
-        .orderBy("id1", "id2")
+      TextDedup.dedupClusters(docs, "doc_id",
+          nearDupPairs(s, dir).select(col("id1"), col("id2")))
+        .orderBy("doc_id")
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
@@ -782,6 +775,35 @@ object SparkEntry {
          WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6
          ORDER BY id1, id2""",
+    // min-reachable-id connected components via recursive-CTE transitive
+    // closure (the Spark side's hash-min fixpoint is order-independent, so
+    // the two formulations agree exactly)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCte, $cappedBandsCte,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM fb a JOIN fb b
+             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         sh3 AS (SELECT doc_id,
+                   list_distinct(list_transform(${shinglesSql("text", 3)},
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+                 FROM documents),
+         p AS (
+           SELECT id1, id2
+           FROM cand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
+           WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6),
+         e AS (SELECT id1 AS a, id2 AS b FROM p
+               UNION ALL SELECT id2, id1 FROM p),
+         r AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+         m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
+         SELECT d.doc_id,
+           CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN m ON m.a = d.doc_id
+         ORDER BY d.doc_id""",
     "q_sttm_xref" ->
       s"""WITH $sttmOracleCte
          SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
@@ -856,6 +878,28 @@ object SparkEntry {
            CAST(val AS VARCHAR) AS RAW
          FROM p ORDER BY F_ID"""
   )
+
+  /** The composed MinHash-LSH near-dup pipeline over the full corpus:
+    * capped-bucket candidate generation -> exact trigram-Jaccard verify
+    * (>= 0.6). Shared by q_near_dup_pipeline and q_dedup_clusters.
+    * Shingle arrays computed ONCE per doc (not per candidate pair) and
+    * hashed to longs — pair-wise intersection over long arrays is far
+    * cheaper than over 3-char strings. */
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
+    val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
+    val sh = docs.select(col("doc_id"),
+      array_distinct(transform(TextDedup.charShingles(col("text"), 3),
+        sh => TextDedup.stableHash(sh) % TextDedup.P)).as("sh"))
+      .localCheckpoint()
+    val t1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+    val t2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+    cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .withColumn("jac", TextDedup.jaccardFromShingles(col("sh1"), col("sh2")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
 
   /** Register raw tables and execute the bundled JSON STTM pipeline
     * (view -> xref upsert -> fgac/quarantine) on `dir`. */

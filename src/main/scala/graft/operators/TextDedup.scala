@@ -150,6 +150,58 @@ object TextDedup {
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     jaccardFromShingles(charShingles(a, n), charShingles(b, n))
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * is labeled with the MINIMUM doc id reachable through the similarity
+    * edges — the canonical-document step of a dedup pipeline (keep each
+    * cluster's representative, drop the rest). Docs with no edges form
+    * singleton clusters labeled with their own id.
+    *
+    * Algorithm: iterative hash-min label propagation with pointer-edge
+    * contraction. Each round joins the edge set (similarity edges plus the
+    * current id->label pointers in both directions) against the label table
+    * and takes the per-node minimum; the pointer edges collapse chains, so
+    * convergence is O(log diameter) rounds, not O(diameter). Each round is
+    * one equi-join shuffle on doc id plus a map-side-combining min
+    * aggregation over exactly |V| + O(|E|) rows — at 100 TB this is the
+    * standard iterative-join CC (labels localCheckpoint'ed per round so
+    * lineage stays flat and each round reads materialized blocks).
+    *
+    * The fixpoint (min reachable id) is execution-order independent, so the
+    * DuckDB oracle mirrors it exactly with a recursive-CTE transitive
+    * closure. Returns (`idCol`, cluster_id) — one row per input doc.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    maxRounds: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct().localCheckpoint()
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val ptr = labels.filter(col("lbl") =!= col("id"))
+        .select(col("id").as("a"), col("lbl").as("b"))
+      val g = sym.unionByName(ptr)
+        .unionByName(ptr.select(col("b").as("a"), col("a").as("b")))
+      val nbrMin = g
+        .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
+        .withColumnRenamed("a", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") < col("old")).count()
+      converged = changed == 0
+      labels = next
+      round += 1
+    }
+    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+  }
+
   /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in
     * every sliding window of `w` consecutive k-grams, emit the distinct set.
     * (Schleimer et al., "Winnowing: Local Algorithms for Document

@@ -83,6 +83,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)), s"capped pairs: $capped")
   }
 
+  test("dedupClusters: min-reachable-id components, chains contract, singletons kept") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // a 6-long chain (worst case for plain propagation), a triangle, a
+    // singleton — pointer contraction must converge well under maxRounds
+    val docs = (1L to 12L).toDF("doc_id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // chain 1..6
+      (8L, 9L), (9L, 10L), (8L, 10L)                    // triangle 8,9,10
+    ).toDF("id1", "id2")
+    val got = TextDedup.dedupClusters(docs, "doc_id", pairs, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(i => assert(got(i) == 1L, s"doc $i -> ${got(i)}"))
+    Seq(8L, 9L, 10L).foreach(i => assert(got(i) == 8L))
+    Seq(7L, 11L, 12L).foreach(i => assert(got(i) == i)) // singletons
+    assert(got.size == 12)
+  }
+
   test("annTopKIvf: assignment aggregates (single Window node = final top-k only)") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = embeddings
