@@ -458,6 +458,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline: language-ID + quality thresholds +
+    // dedup-canonical selection — the composed query a training-data
+    // engine exists for. All stages are narrow projections or the shared
+    // near-dup machinery; the only shuffles are the dedup pipeline's own.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = TextDedup.dedupClusters(docs, "doc_id",
+        nearDupPairs(s, dir).select(col("id1"), col("id2")))
+      val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(qual, Seq("doc_id"))
+        .join(clusters, Seq("doc_id"))
+        .filter(col("lang_pred") =!= "und")
+        .filter(col("n_tok") >= 5 && col("stop_ratio") >= 0.01 &&
+          col("punct_ratio") <= 0.2)
+        .filter(col("cluster_id") === col("doc_id")) // canonical rep only
+        .select(col("doc_id"), col("lang_pred"), col("n_tok"),
+          col("stop_ratio"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -779,30 +800,47 @@ object SparkEntry {
     // closure (the Spark side's hash-min fixpoint is order-independent, so
     // the two formulations agree exactly)
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashCte, $cappedBandsCte,
-         cand AS (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM fb a JOIN fb b
-             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         sh3 AS (SELECT doc_id,
-                   list_distinct(list_transform(${shinglesSql("text", 3)},
-                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
-                 FROM documents),
-         p AS (
-           SELECT id1, id2
-           FROM cand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
-           WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6),
-         e AS (SELECT id1 AS a, id2 AS b FROM p
-               UNION ALL SELECT id2, id1 FROM p),
-         r AS (
-           SELECT a, b FROM e
-           UNION
-           SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
-         m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
-         SELECT d.doc_id,
-           CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
-         FROM documents d LEFT JOIN m ON m.a = d.doc_id
+      s"""WITH RECURSIVE $clusterCtes
+         SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+    // end-to-end curation: language-ID + quality thresholds + dedup-
+    // canonical selection composed over the full corpus
+    "q_curation_pipeline" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         lt AS (SELECT doc_id,
+                  list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         ls AS (SELECT doc_id,
+           len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+           len(list_intersect(toks, ['the','a','and','of','is'])) AS s_en,
+           len(list_intersect(toks, ['el','la','los','y','es'])) AS s_es,
+           len(list_intersect(toks, ['le','la','les','et','est'])) AS s_fr,
+           len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         FROM lt),
+         lm AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM ls),
+         lang AS (SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM lm),
+         qt AS (SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+           CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ('the','a','and','of','to','in'))) AS INT) AS n_stop,
+           CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+                AS INT) AS n_punct
+         FROM documents),
+         qual AS (SELECT doc_id, n_tok,
+           floor(CAST(n_stop AS DOUBLE) / n_tok * 10000) / 10000 AS stop_ratio,
+           floor(CAST(n_punct AS DOUBLE) / length(text) * 10000) / 10000 AS punct_ratio
+         FROM qt)
+         SELECT d.doc_id, lang.lang_pred, qual.n_tok, qual.stop_ratio, cl.cluster_id
+         FROM documents d
+           JOIN lang USING (doc_id) JOIN qual USING (doc_id) JOIN cl USING (doc_id)
+         WHERE lang.lang_pred <> 'und' AND qual.n_tok >= 5
+           AND qual.stop_ratio >= 0.01 AND qual.punct_ratio <= 0.2
+           AND cl.cluster_id = d.doc_id
          ORDER BY d.doc_id""",
     "q_sttm_xref" ->
       s"""WITH $sttmOracleCte
@@ -995,6 +1033,37 @@ object SparkEntry {
                  CAST(((1103515245::BIGINT * ${offset + j} + 12345 * d + 42) % 1001) - 500 AS DOUBLE)),
             (p, q) -> p + q) > 0 THEN ${1L << j} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
+
+  /** Shared CTE chain for the dedup-cluster oracles: minhash signature ->
+    * capped bands -> candidate pairs -> trigram-verified pairs `p` ->
+    * symmetric edges -> recursive transitive closure -> per-doc min
+    * reachable id in `cl` (mirrors TextDedup.dedupClusters' fixpoint).
+    * Must be opened with WITH RECURSIVE. */
+  private lazy val clusterCtes: String =
+    s"""$minhashCte, $cappedBandsCte,
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM fb a JOIN fb b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       sh3 AS (SELECT doc_id,
+                 list_distinct(list_transform(${shinglesSql("text", 3)},
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+               FROM documents),
+       p AS (
+         SELECT id1, id2
+         FROM cand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
+         WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.6),
+       e AS (SELECT id1 AS a, id2 AS b FROM p
+             UNION ALL SELECT id2, id1 FROM p),
+       r AS (
+         SELECT a, b FROM e
+         UNION
+         SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),
+       m AS (SELECT a, min(b) AS mb FROM r GROUP BY a),
+       cl AS (SELECT d.doc_id,
+                CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
+              FROM documents d LEFT JOIN m ON m.a = d.doc_id)"""
 
   /** Band CTE (4 bands x 2 signature rows) over `sig`, then the
     * deterministic bucket-size cap mirror of TextDedup.lshCandidatePairs
