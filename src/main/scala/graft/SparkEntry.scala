@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, SttmOps, TextAnalysis, TextDedup}
+import graft.operators.{Sampling, Similarity, SttmOps, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -479,6 +479,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Reproducible train/val/test split: deterministic hash-bucket
+    // thresholds (stable under reordering/incremental loads, unlike
+    // randomSplit) — pure projection, zero shuffle.
+    "q_hash_split" -> ((s, dir) => {
+      Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified subsample by language: per-stratum hash
+    // thresholds, nested samples for free — pure filter, zero shuffle.
+    "q_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.3), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -759,6 +778,22 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+         FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
+         ORDER BY doc_id""",
     "q_flink_fns" ->
       """WITH src AS (SELECT o_orderkey,
            '{"a": "' || o_orderpriority || '"}' AS j,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here is hash-based, NOT random: the md5-derived
+  * [[TextDedup.stableHash]] of the record id decides membership, so splits
+  * are (a) reproducible run-to-run and engine-to-engine (the DuckDB oracle
+  * computes the identical bucket), (b) stable under re-partitioning and
+  * re-ordering of the input, and (c) consistent across incremental loads —
+  * a document keeps its split forever, the property a train/val/test
+  * separation actually needs (Spark's `sample()`/`randomSplit()` guarantee
+  * none of these).
+  *
+  * Scale: pure projection + filter — no shuffle, no state; at 100 TB these
+  * run at scan speed inside whole-stage codegen.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, 10000) from the id column. */
+  def hashBucket(id: Column): Column =
+    pmod(TextDedup.stableHash(id.cast("string")), lit(10000L))
+
+  /** Reproducible named split (e.g. train/val/test): cumulative weight
+    * thresholds over the hash bucket. Weights must sum to <= 1; rows past
+    * the last threshold get the last split name (so 0.8/0.1/0.1 is exact).
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val bucket = hashBucket(col(idCol))
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 10000).toLong)
+    val expr = splits.init.zip(thresholds.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cum), acc) => when(bucket < cum, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Deterministic per-stratum subsample: keep a row iff its hash bucket
+    * falls below `fractions(stratum) * 10000` (strata absent from the map
+    * use `defaultFraction`). The kept subset for a stratum is a superset of
+    * the kept subset for any smaller fraction — nested samples for free. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit((defaultFraction * 10000).toLong): Column) {
+        case ((stratum, f), acc) =>
+          when(col(stratumCol) === stratum, lit((f * 10000).toLong)).otherwise(acc)
+      }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

@@ -101,6 +101,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("Sampling: splits are exhaustive, stable, and nested across fractions") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == docs.count())
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    // stability: same rows in the same split on recompute
+    assert(split.select("doc_id", "split").collect().toSet ==
+      Sampling.hashSplit(docs, "doc_id", Seq("train" -> 0.8, "val" -> 0.1,
+        "test" -> 0.1)).select("doc_id", "split").collect().toSet)
+    // nested property: a 10% stratified sample is a subset of the 30% one
+    val s10 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultFraction = 0.1).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map.empty, defaultFraction = 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10.nonEmpty && s10.subsetOf(s30) && s30.size > s10.size)
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("annTopKIvf: assignment aggregates (single Window node = final top-k only)") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = embeddings
