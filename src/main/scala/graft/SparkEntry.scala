@@ -498,6 +498,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL image decode, oracle-verified: synthesize a deterministic flat-
+    // gray PNG per doc through the real ImageIO encoder, decode it back
+    // with the real ImageIO reader, and emit pixel statistics. A flat gray
+    // g decodes to mean luminance exactly g/255, so DuckDB verifies the
+    // whole encode->decode->stats round trip in closed form.
+    "q_image_stats" -> ((s, dir) => {
+      val withPng = graft.multimodal.Multimodal.withSyntheticPng(
+        Tables.documents(s, dir), "doc_id")
+      graft.multimodal.Multimodal.imageStats(withPng, "png", "doc_id")
+        .select(col("doc_id"), col("img_width"), col("img_height"),
+          (floor(col("mean_lum") * 1000000) / 1000000.0).as("mean_lum"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -777,6 +791,11 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS digest
+         FROM documents ORDER BY doc_id""",
+    "q_image_stats" ->
+      """SELECT doc_id,
+           CAST(8 AS INT) AS img_width, CAST(8 AS INT) AS img_height,
+           floor((doc_id % 256) / 255.0 * 1000000) / 1000000 AS mean_lum
          FROM documents ORDER BY doc_id""",
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

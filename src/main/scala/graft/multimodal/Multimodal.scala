@@ -67,26 +67,30 @@ object Multimodal {
       else try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
 
-    /** Rec.601 luminance in [0,1] of pixel (x,y). */
-    private def lum(img: BufferedImage, x: Int, y: Int): Double = {
-      val rgb = img.getRGB(x, y)
-      ((((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-        (rgb & 0xff) * 114) / 1000.0) / 255.0
-    }
+    /** Rec.601 luminance of a pixel scaled to an exact integer in
+      * [0, 255000] — accumulation stays in exact long arithmetic and a
+      * SINGLE final division produces the [0,1] mean, so results are
+      * bit-identical to the closed form (no sequential double-rounding). */
+    private def lumInt(rgb: Int): Int =
+      ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114
 
     /** (width, height, mean luminance) — real pixel statistics. */
     def stats(img: BufferedImage): (Int, Int, Double) = {
       val w = img.getWidth; val h = img.getHeight
-      var s = 0.0; var y = 0
-      while (y < h) { var x = 0; while (x < w) { s += lum(img, x, y); x += 1 }; y += 1 }
-      (w, h, s / (w.toLong * h))
+      var s = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { s += lumInt(img.getRGB(x, y)); x += 1 }
+        y += 1
+      }
+      (w, h, s / (255000.0 * w * h))
     }
 
     /** Mean-pooled g x g grayscale grid (g = floor(sqrt(dim))), padded with
       * zeros to `dim` — a real, deterministic pixel-derived feature vector. */
     def gridFeatures(img: BufferedImage, dim: Int): Array[Float] = {
       val g = math.max(1, math.sqrt(dim.toDouble).toInt)
-      val sums = new Array[Double](g * g)
+      val sums = new Array[Long](g * g)
       val counts = new Array[Long](g * g)
       val w = img.getWidth; val h = img.getHeight
       var y = 0
@@ -96,7 +100,7 @@ object Multimodal {
         while (x < w) {
           val cx = math.min(g - 1, x * g / w)
           val c = cy * g + cx
-          sums(c) += lum(img, x, y); counts(c) += 1
+          sums(c) += lumInt(img.getRGB(x, y)); counts(c) += 1
           x += 1
         }
         y += 1
@@ -104,7 +108,8 @@ object Multimodal {
       val out = new Array[Float](dim)
       var i = 0
       while (i < out.length) {
-        if (i < g * g && counts(i) > 0) out(i) = (sums(i) / counts(i)).toFloat
+        if (i < g * g && counts(i) > 0)
+          out(i) = (sums(i) / (255000.0 * counts(i))).toFloat
         i += 1
       }
       out
@@ -192,6 +197,35 @@ object Multimodal {
           case _ => StubDecoder.decodeToFloats(bytes, dim) // audio/video: STUB
         }
         Row(r.get(idIdx), feats.toSeq)
+      }
+    }
+  }
+
+  /** Deterministic synthetic PNG column: a flat w x h gray image with level
+    * `id % 256`, ENCODED through the real ImageIO PNG writer — lets the
+    * real decode path be oracle-verified on corpora with no binary column
+    * (a flat gray g decodes to mean luminance exactly g/255, closed-form
+    * for any SQL engine). */
+  def withSyntheticPng(df: DataFrame, idCol: String,
+                       w: Int = 8, h: Int = 8): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("png", BinaryType, nullable = false)))
+    withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
+      rows.map { r =>
+        val gray = (math.abs(r.getLong(0)) % 256).toInt
+        val rgb = (gray << 16) | (gray << 8) | gray
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        Row(r.get(0), ImageDecoder.encodePng(img))
       }
     }
   }
