@@ -981,11 +981,25 @@ object SparkEntry {
     * Shingle arrays computed ONCE per doc (not per candidate pair) and
     * hashed to longs — pair-wise intersection over long arrays is far
     * cheaper than over 3-char strings. */
+  // Weak keys: a stopped/collected session releases its cache entry and the
+  // checkpoint blocks it pins; within one live session the memo returns the
+  // FIRST materialization for a dir (the usual cached-intermediate caveat —
+  // rewriting the files under `dir` mid-session is not re-read).
   private val nearDupCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    nearDupCache.getOrElseUpdate((s, dir), nearDupPairsUncached(s, dir).localCheckpoint())
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val perSession = nearDupCache.synchronized {
+      var m = nearDupCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        nearDupCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, nearDupPairsUncached(s, dir).localCheckpoint())
+  }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

@@ -181,12 +181,15 @@ object JsonFlattener {
         col("__ptr").as("_path"),
         col("__idx").cast("int").as("_elem_index"),
         lit(tp.depth).as("_depth"))): _*)
-    // maxRows truncation is made deterministic by sorting on the JSON
-    // pointer path before limit (path-lexicographic, not the reference
-    // row-walker's document order — "/a/10" sorts before "/a/2"; declared
-    // divergence, same spirit as _row_id). Cost is bounded: Spark plans
-    // sort+limit as TakeOrderedAndProject over at most maxRows per
-    // partition, never a full sort of the table.
+    // maxRows truncation sorts on the JSON pointer path before limit
+    // (path-lexicographic, not the reference row-walker's document order —
+    // "/a/10" sorts before "/a/2"; declared divergence, same spirit as
+    // _row_id). Deterministic when pointers are unique, i.e. whenever a
+    // docId column seeds them (multi-document inputs without docId produce
+    // identical paths across documents, leaving the choice among ties
+    // arbitrary — pass docId if maxRows must be reproducible). Cost is
+    // bounded: Spark plans sort+limit as TakeOrderedAndProject over at
+    // most maxRows per partition, never a full sort of the table.
     guards.maxRows.map(n => out.orderBy(col("_path")).limit(n)).getOrElse(out)
   }
 

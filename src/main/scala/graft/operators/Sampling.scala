@@ -24,15 +24,17 @@ object Sampling {
     pmod(TextDedup.stableHash(id.cast("string")), lit(10000L))
 
   /** Reproducible named split (e.g. train/val/test): cumulative weight
-    * thresholds over the hash bucket. Weights must sum to <= 1; rows past
-    * the last threshold get the last split name (so 0.8/0.1/0.1 is exact).
-    */
+    * thresholds over the hash bucket. Weights must sum to 1 (the whole
+    * corpus is assigned); rows past the second-to-last threshold get the
+    * last split name, so 0.8/0.1/0.1 is exact. Thresholds are rounded to
+    * the nearest bucket — truncation would misplace boundary buckets for
+    * fractions like 0.57 (0.57*10000 = 5699.999...). */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
     val bucket = hashBucket(col(idCol))
-    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => (w * 10000).toLong)
+    val thresholds = splits.scanLeft(0.0)(_ + _._2).tail.map(w => math.round(w * 10000))
     val expr = splits.init.zip(thresholds.init).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cum), acc) => when(bucket < cum, lit(name)).otherwise(acc)
     }
@@ -47,9 +49,9 @@ object Sampling {
                        fractions: Map[String, Double],
                        defaultFraction: Double = 0.0): DataFrame = {
     val threshold = fractions.toSeq.sortBy(_._1)
-      .foldRight(lit((defaultFraction * 10000).toLong): Column) {
+      .foldRight(lit(math.round(defaultFraction * 10000)): Column) {
         case ((stratum, f), acc) =>
-          when(col(stratumCol) === stratum, lit((f * 10000).toLong)).otherwise(acc)
+          when(col(stratumCol) === stratum, lit(math.round(f * 10000))).otherwise(acc)
       }
     df.filter(hashBucket(col(idCol)) < threshold)
   }

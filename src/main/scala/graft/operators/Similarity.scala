@@ -87,13 +87,19 @@ object Similarity {
     * vectors -> exact cosine filter. No cartesian / nested-loop anywhere;
     * candidate volume is O(sum of bucket^2) per table instead of O(n^2).
     */
+  /** @param materialize localCheckpoint the prepared vectors and banded
+    *   buckets so the norm pass runs once (v feeds both re-join sides) and
+    *   the hyperplane-projection pass once (banded feeds both self-join
+    *   sides) — same trade-off as TextDedup.lshCandidatePairs. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nBits: Int = 4,
-                     nTables: Int = 2): DataFrame = {
-    val v = prepared(df, idCol, vecCol)
+                     nTables: Int = 2, materialize: Boolean = true): DataFrame = {
+    val v0 = prepared(df, idCol, vecCol)
+    val v = if (materialize) v0.localCheckpoint() else v0
     val buckets = array((0 until nTables).map(t =>
       lshSignBits(col("v"), nBits, t * nBits)): _*)
-    val banded = v.select(col("id"), posexplode(buckets).as(Seq("tab", "bucket")))
+    val banded0 = v.select(col("id"), posexplode(buckets).as(Seq("tab", "bucket")))
+    val banded = if (materialize) banded0.localCheckpoint() else banded0
     val a = banded.select(col("id").as("id1"), col("tab"), col("bucket"))
     val b = banded.select(col("id").as("id2"), col("tab"), col("bucket"))
     // distinct on bare (id1, id2) BEFORE rejoining vectors: the dedup shuffle

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.SttmOps
 
@@ -34,6 +34,16 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
   private val rootPath = Paths.get(root)
   private val pointer = rootPath.resolve("_CURRENT")
   private val prevPointer = rootPath.resolve("_PREVIOUS")
+  private val metaPath = rootPath.resolve("_META")
+
+  /** Bucket count is part of the on-disk layout: it is persisted on first
+    * merge and the PERSISTED value wins on reopen — reopening an existing
+    * store with a different constructor value would otherwise re-hash keys
+    * into different buckets and silently split/lose rows. */
+  private def effectiveBuckets: Int =
+    if (Files.exists(metaPath))
+      Files.readString(metaPath).trim.stripPrefix("nBuckets=").toInt
+    else nBuckets
 
   /** bucket -> live relative data dir, e.g. 3 -> "g2/_bucket=3". */
   private def manifest: Map[Int, String] =
@@ -56,8 +66,8 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
     }
   }
 
-  private def bucketOf(keys: Seq[String]) =
-    pmod(hash(keys.map(col): _*), lit(nBuckets))
+  private def bucketOf(keys: Seq[String], buckets: Int) =
+    pmod(hash(keys.map(col): _*), lit(buckets))
 
   /** Upsert `batch` into the snapshot: latest-by-key over
     * (old rows ∪ batch rows), computed and rewritten ONLY for the hash
@@ -66,9 +76,12 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
     */
   def merge(batch: DataFrame, keys: Seq[String], order: Seq[String]): Unit = {
     Files.createDirectories(rootPath)
+    if (!Files.exists(metaPath))
+      Files.writeString(metaPath, s"nBuckets=$nBuckets")
+    val buckets = effectiveBuckets
     val spark = batch.sparkSession
     val m = manifest
-    val b = batch.withColumn(BucketCol, bucketOf(keys))
+    val b = batch.withColumn(BucketCol, bucketOf(keys, buckets))
     val touched = b.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return
@@ -79,14 +92,17 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
     val unioned =
       if (oldPaths.isEmpty) b
       else spark.read.parquet(oldPaths: _*)
-        .withColumn(BucketCol, bucketOf(keys))
+        .withColumn(BucketCol, bucketOf(keys, buckets))
         .unionByName(b)
     val merged = SttmOps.latestByKey(unioned, keys, order)
     val gen = 1 + m.values
       .flatMap(_.split("/").headOption)
       .collect { case g if g.startsWith("g") => g.drop(1).toInt }
       .maxOption.getOrElse(-1)
-    merged.write.partitionBy(BucketCol)
+    // Overwrite: a crash between a generation write and the pointer swing
+    // leaves an orphan g<gen> dir that the next merge must be able to
+    // replace, or the store would brick on "path already exists".
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(rootPath.resolve(s"g$gen").toString)
     val next = m ++ touched.map(bk => bk -> s"g$gen/$BucketCol=$bk")
     swingPointer(next, m)
@@ -111,18 +127,22 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
 
   /** Drop generation dirs referenced by neither the current nor the
     * previous manifest (two-manifest retention for in-flight readers). */
+  private def listDir(p: Path): List[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
   private def prune(cur: Map[Int, String], prev: Map[Int, String]): Unit = {
     val live: Set[String] =
       (cur.values ++ prev.values).flatMap(_.split("/").headOption).toSet
-    val gens = Files.list(rootPath).iterator().asScala
+    listDir(rootPath)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("g"))
-      .toList
-    gens.filterNot(p => live(p.getFileName.toString)).foreach(deleteRecursively)
+      .filterNot(p => live(p.getFileName.toString))
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toList.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -53,9 +53,13 @@ object StreamingPipeline {
         // localCheckpoint: the view batch feeds three sinks; materialize once
         val vb = v.localCheckpoint()
         // 2. incremental upsert merge: only snapshot buckets containing
-        //    batch keys are read + rewritten (Delta-MERGE shape)
+        //    batch keys are read + rewritten (Delta-MERGE shape). An
+        //    all-filtered first batch leaves no snapshot on disk yet —
+        //    downstream stages then join against an empty frame.
         store.merge(vb, xref.keys, xref.orderCols)
-        val snap = store.read(spark).get
+        val snap = store.read(spark)
+          .getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vb.schema))
         // 3+4. statement-set fan-out from the shared batch scan
         enrich(vb, snap).write.mode(SaveMode.Append)
           .parquet(s"$workDir/fgac_out")
