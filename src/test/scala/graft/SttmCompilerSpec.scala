@@ -154,6 +154,18 @@ class SttmCompilerSpec extends AnyFunSuite {
     // matrix sheet parsed
     assert(spec.matrix.tables.nonEmpty)
   }
+
+  test("xlsx Config sheet (v21/v3 generator settings) parses into spec.config") {
+    val spec = SttmParser.fromXlsx(
+      "/root/reference/resources/STTM_v5_merged_from_v3.xlsx")
+    assert(spec.config.get("raw_table_name").contains("hm_db"))
+    assert(spec.config.get("raw_value_column").contains("val"))
+    assert(spec.config.get("table_identifier_field").contains("$.tbl"))
+    assert(spec.config.get("sink_value_format").contains("avro-registry"))
+    // v22 workbook has no Config sheet -> empty config, not an error
+    assert(SttmParser.fromXlsx("/root/reference/resources/STTM_v22.xlsx")
+      .config.isEmpty)
+  }
 }
 
 object SttmRowCsv {
