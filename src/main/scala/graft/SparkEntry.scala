@@ -1002,17 +1002,20 @@ object SparkEntry {
   }
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayFunctions.register(s)
     val docs = Tables.documents(s, dir)
     val sig = TextDedup.minHashSignature(docs, "doc_id", "text")
     val cand = TextDedup.lshCandidatePairs(sig, "doc_id")
+    // sorted once per DOC so the per-PAIR Jaccard is a codegen'd merge walk
+    // (no hash set per candidate pair)
     val sh = docs.select(col("doc_id"),
-      array_distinct(transform(TextDedup.charShingles(col("text"), 3),
-        sh => TextDedup.stableHash(sh) % TextDedup.P)).as("sh"))
+      array_sort(array_distinct(transform(TextDedup.charShingles(col("text"), 3),
+        sh => TextDedup.stableHash(sh) % TextDedup.P))).as("sh"))
       .localCheckpoint()
     val t1 = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
     val t2 = sh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
     cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
-      .withColumn("jac", TextDedup.jaccardFromShingles(col("sh1"), col("sh2")))
+      .withColumn("jac", TextDedup.jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= 0.6)
       .select(col("id1"), col("id2"), col("jac"))
   }

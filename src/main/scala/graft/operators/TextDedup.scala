@@ -146,6 +146,18 @@ object TextDedup {
     floor(inter / uni * 10000) / 10000.0
   }
 
+  /** Jaccard over two SORTED distinct-shingle arrays via the codegen'd
+    * merge-walk [[graft.functions.SortedIntersectCount]] — no per-pair hash
+    * set. Same value as [[jaccardFromShingles]] (for distinct arrays,
+    * |union| = |a| + |b| - |intersection|, exactly). Caller must sort each
+    * array once per document (array_sort) and register
+    * [[graft.functions.ArrayFunctions]] on the session. */
+  def jaccardFromSortedShingles(sa: Column, sb: Column): Column = {
+    val inter = graft.functions.ArrayFunctions.sortedIntersect(sa, sb).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - inter
+    floor(inter / uni * 10000) / 10000.0
+  }
+
   /** Character n-gram Jaccard similarity of two string columns. */
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     jaccardFromShingles(charShingles(a, n), charShingles(b, n))

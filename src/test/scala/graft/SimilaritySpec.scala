@@ -101,6 +101,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == 12)
   }
 
+  test("sorted_intersect: merge walk equals array_intersect size, survives CODEGEN_ONLY") {
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.ArrayFunctions.register(spark)
+    import spark.implicits._
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 5L, 10L)), // partial overlap
+        (Array(1L, 2L), Array(3L, 4L)),                  // disjoint
+        (Array.empty[Long], Array(1L)),                  // empty side
+        (Array(7L, 8L), Array(7L, 8L)))                  // identical
+        .toDF("a", "b")
+      val rows = df.select(
+        graft.functions.ArrayFunctions.sortedIntersect(col("a"), col("b")).as("mi"),
+        size(array_intersect(col("a"), col("b"))).as("bi")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+      // jaccard parity between the hash-set and merge-walk formulations
+      val d2 = Seq((Array(1L, 2L, 3L, 4L), Array(3L, 4L, 5L))).toDF("a", "b")
+      val j = d2.select(
+        TextDedup.jaccardFromShingles(col("a"), col("b")).as("h"),
+        TextDedup.jaccardFromSortedShingles(col("a"), col("b")).as("m")).head()
+      assert(j.getDouble(0) == j.getDouble(1))
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("Sampling: splits are exhaustive, stable, and nested across fractions") {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Sampling
