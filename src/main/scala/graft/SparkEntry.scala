@@ -452,10 +452,7 @@ object SparkEntry {
     // near-dup pairs — every doc labeled with the min reachable doc id
     // (the canonical-document step: keep one representative per cluster).
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      TextDedup.dedupClusters(docs, "doc_id",
-          nearDupPairs(s, dir).select(col("id1"), col("id2")))
-        .orderBy("doc_id")
+      nearDupClusters(s, dir).orderBy("doc_id")
     }),
 
     // End-to-end curation pipeline: language-ID + quality thresholds +
@@ -464,8 +461,7 @@ object SparkEntry {
     // near-dup machinery; the only shuffles are the dedup pipeline's own.
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = TextDedup.dedupClusters(docs, "doc_id",
-        nearDupPairs(s, dir).select(col("id1"), col("id2")))
+      val clusters = nearDupClusters(s, dir)
       val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
       docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .join(qual, Seq("doc_id"))
@@ -989,7 +985,7 @@ object SparkEntry {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = nearDupCache.synchronized {
       var m = nearDupCache.get(s)
       if (m == null) {
@@ -998,8 +994,19 @@ object SparkEntry {
       }
       m
     }
-    perSession.getOrElseUpdate(dir, nearDupPairsUncached(s, dir).localCheckpoint())
+    perSession.getOrElseUpdate(key, build)
   }
+
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"pairs:$dir")(nearDupPairsUncached(s, dir).localCheckpoint())
+
+  /** Cluster labels shared by q_dedup_clusters and q_curation_pipeline —
+    * the iterative CC fixpoint is itself checkpointed per round, so the
+    * memo just avoids running the loop twice per session. */
+  private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"clusters:$dir")(TextDedup.dedupClusters(
+      Tables.documents(s, dir), "doc_id",
+      nearDupPairs(s, dir).select(col("id1"), col("id2"))))
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame = {
     graft.functions.ArrayFunctions.register(s)
