@@ -142,8 +142,15 @@ object Similarity {
     * seeds + one scan; search is an equi-join on cell id — the classic
     * IVF-flat trade of recall for a 1/nCells candidate fraction.
     */
+  /** @param nProbe cells the QUERY side searches (multi-probe IVF): the
+    *   corpus stays single-cell-assigned, but each query probes its nProbe
+    *   nearest cells — the standard recall/latency knob (nProbe = nCells
+    *   degenerates to exact brute force, asserted in SimilaritySpec). Each
+    *   (query, neighbor) pair is scored at most once because a neighbor
+    *   lives in exactly one cell. */
   def annTopKIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int, nCells: Int = 8): DataFrame = {
+                 vecCol: String, k: Int, nCells: Int = 8,
+                 nProbe: Int = 1): DataFrame = {
     val prep = prepared(corpus, idCol, vecCol)
     val seeds = prep.filter(col("id") < nCells)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -162,9 +169,21 @@ object Similarity {
         .select(col("id"), col("best.v").as("v"), col("best.nrm").as("nrm"),
           col("best.cid").as("cid"))
     }
+    // query-side multi-probe: top-nProbe cells per query. The window form
+    // is fine HERE because the query set is the small (broadcast) side —
+    // the corpus-side assignment above stays a max_by aggregation.
+    def assignProbes(df: DataFrame, n: Int): DataFrame =
+      if (n <= 1) assign(df)
+      else {
+        val scored = df.crossJoin(broadcast(seeds))
+          .withColumn("csim", sim(col("v"), col("nrm"), col("cv"), col("cn")))
+        val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+        scored.withColumn("r", row_number().over(w)).filter(col("r") <= n)
+          .select(col("id"), col("v"), col("nrm"), col("cid"))
+      }
     val c = assign(prep)
       .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"), col("cid"))
-    val q = assign(prepared(queries, idCol, vecCol))
+    val q = assignProbes(prepared(queries, idCol, vecCol), nProbe)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"), col("cid"))
     val scored = c.join(broadcast(q), Seq("cid"))
       .filter(col("qid") =!= col("nid"))

@@ -155,6 +155,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("annTopKIvf multi-probe: nProbe = nCells recovers exact brute-force top-k") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = embeddings
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Similarity.annTopK(e, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val probed = Similarity.annTopKIvf(e, q, "vec_id", "embedding", 3,
+        nCells = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(probed == exact)
+    // single-probe recall is a subset of multi-probe's candidate space
+    val single = Similarity.annTopKIvf(e, q, "vec_id", "embedding", 3,
+        nCells = 4, nProbe = 1)
+    assert(single.count() > 0)
+  }
+
   test("annTopKIvf: assignment aggregates (single Window node = final top-k only)") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = embeddings
