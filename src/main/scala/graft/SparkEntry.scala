@@ -475,6 +475,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition filters: top-bigram mass fraction + distinct
+    // token ratio (degenerate/machine-generated text detection).
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionScores(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Reproducible train/val/test split: deterministic hash-bucket
     // thresholds (stable under reordering/incremental loads, unlike
     // randomSplit) — pure projection, zero shuffle.
@@ -788,6 +795,23 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS digest
          FROM documents ORDER BY doc_id""",
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                    i -> w[i + 1] || ' ' || w[i + 2])) AS b
+                FROM t),
+         c AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+         agg AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM c GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(coalesce(agg.tot, 0) AS INT) AS n_bigrams,
+           CASE WHEN coalesce(agg.tot, 0) > 0
+                THEN floor(CAST(agg.mx AS DOUBLE) / agg.tot * 10000) / 10000
+                ELSE 0.0 END AS top_bigram_frac,
+           floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 10000) / 10000
+             AS distinct_ratio
+         FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
     "q_image_stats" ->
       """SELECT doc_id,
            CAST(8 AS INT) AS img_width, CAST(8 AS INT) AS img_height,

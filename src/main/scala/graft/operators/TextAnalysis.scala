@@ -46,6 +46,33 @@ object TextAnalysis {
       lit(0),
       (acc, w) => acc + ceil(length(w) / 4.0).cast("int"))
 
+  /** Repetition metrics (the Gopher-rule family used to drop degenerate /
+    * machine-generated text): fraction of the corpus' word-bigram mass held
+    * by the single most frequent bigram, and the distinct-token ratio.
+    * One explode + two hash aggregations with map-side partial combine —
+    * the shuffle carries one row per (doc, distinct bigram), not per token.
+    * All ratios floor-truncated to 4 decimals for cross-engine parity. */
+  def repetitionScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def trunc4(c: Column): Column = floor(c * 10000) / 10000.0
+    val toks = split(col(textCol), " ")
+    val base = df.select(col(idCol), toks.as("w"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array())
+    val counts = base.select(col(idCol), explode(bigrams).as("b"))
+      .groupBy(col(idCol), col("b")).count()
+    val agg = counts.groupBy(col(idCol))
+      .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
+    base.join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("tot"), lit(0L)).cast("int").as("n_bigrams"),
+        when(col("tot") > 0, trunc4(col("mx").cast("double") / col("tot")))
+          .otherwise(lit(0.0)).as("top_bigram_frac"),
+        trunc4(size(array_distinct(col("w"))).cast("double") / size(col("w")))
+          .as("distinct_ratio"))
+  }
+
   /** Quality features as a struct: token count, stopword ratio, mean word
     * length, punctuation ratio (all floor-truncated to 4 decimals so SQL
     * mirrors match bit-for-bit). */
