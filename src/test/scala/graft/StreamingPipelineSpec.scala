@@ -117,4 +117,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(rows(5L) == "v5-new")
     assert(rows(6L) == "v6")
   }
+
+  test("snapshot store recovers from a crashed merge and a changed bucket config") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_snap_crash").toString
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 8)
+    store.merge(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ts", "v"),
+      Seq("k"), Seq("ts"))
+
+    // simulate a crash: the next generation dir exists on disk but the
+    // manifest never swung to it — the following merge must overwrite it
+    // instead of failing on "path already exists"
+    val orphan = java.nio.file.Paths.get(s"$work/snap/g1/_bucket=0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-orphan.parquet"), "garbage")
+    store.merge(Seq((1L, 2L, "a2")).toDF("k", "ts", "v"), Seq("k"), Seq("ts"))
+    val rows = store.read(spark).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows == Map(1L -> "a2", 2L -> "b"))
+
+    // reopening with a DIFFERENT constructor bucket count must not re-hash:
+    // the persisted _META value wins, keys stay consistent
+    val reopened = new SnapshotStore(s"$work/snap", nBuckets = 3)
+    reopened.merge(Seq((3L, 1L, "c")).toDF("k", "ts", "v"), Seq("k"), Seq("ts"))
+    val all = reopened.read(spark).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(all == Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // every key exactly once (a re-hash would duplicate or lose keys)
+    assert(reopened.read(spark).get.count() == 3)
+  }
 }
