@@ -150,17 +150,22 @@ object PipelineCompiler {
   private def q(s: String): String =
     if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
 
-  /** v21 name decoration (apply_prefix_suffix, sttm_to_flink_v21.py:48-56):
-    * `view_prefix`/`view_suffix` for VIEW targets, `table_prefix`/
-    * `table_suffix` otherwise. Applied to the EMITTED name only — source
-    * and join references stay exactly as authored in the sheet, matching
-    * the reference (v21:336 decorates `t_emitted`, never the FROM side). */
+  /** Name decoration from the Config sheet, union of generator versions:
+    * v21's kind-specific `view_prefix`/`view_suffix` and `table_prefix`/
+    * `table_suffix` (apply_prefix_suffix, sttm_to_flink_v21.py:48-56), plus
+    * the v5/v20/v21 workbooks' `name_prefix` ("prefix for all tables/
+    * views", README sheet) applied outermost to every target kind — the
+    * reference workbooks use one scheme or the other, never both. Applied
+    * to the EMITTED name only — source and join references stay exactly as
+    * authored in the sheet (v21:336 decorates `t_emitted`, never FROM). */
   private def applyPrefixSuffix(name: String, config: Map[String, String],
-                                isView: Boolean): String =
+                                isView: Boolean): String = {
+    val all = config.getOrElse("name_prefix", "")
     if (isView)
-      config.getOrElse("view_prefix", "") + name + config.getOrElse("view_suffix", "")
+      all + config.getOrElse("view_prefix", "") + name + config.getOrElse("view_suffix", "")
     else
-      config.getOrElse("table_prefix", "") + name + config.getOrElse("table_suffix", "")
+      all + config.getOrElse("table_prefix", "") + name + config.getOrElse("table_suffix", "")
+  }
 
   private def compileTable(logical: String, rows: Seq[SttmRow], spec: SttmSpec,
                            opts: CompilerOptions): CompiledTable = {

@@ -130,6 +130,25 @@ class SttmCompilerSpec extends AnyFunSuite {
     // config csv parser: nan dropped, header case-insensitive
     val cfg = SttmParser.configFromCsv("KEY,Value\nview_prefix,p_\nx,nan\n")
     assert(cfg == Map("view_prefix" -> "p_"))
+
+    // v5/v20/v21 workbook scheme: name_prefix decorates ALL target kinds
+    // (outermost when combined with kind-specific keys)
+    assert(names(Map("name_prefix" -> "cust_")) == Seq("cust_EV_VW", "cust_XREF_X"))
+    assert(names(Map("name_prefix" -> "cust_", "view_prefix" -> "p_")) ==
+      Seq("cust_p_EV_VW", "cust_XREF_X"))
+  }
+
+  test("xlsx parser reads the v20/v21 workbooks (union of generator versions)") {
+    for (f <- Seq("STTM_v20", "STTM_v21")) {
+      val spec = SttmParser.fromXlsx(s"/root/reference/resources/$f.xlsx")
+      assert(spec.rows.nonEmpty, s"$f: no mapping rows")
+      assert(spec.rows.exists(_.isPk), s"$f: no PK rows")
+      assert(spec.config.contains("name_prefix"), s"$f: Config sheet not parsed")
+      assert(spec.config.contains("raw_table_name"), s"$f: raw_table_name missing")
+    }
+    // v21 added csv_delimiter to the Config sheet
+    assert(SttmParser.fromXlsx("/root/reference/resources/STTM_v21.xlsx")
+      .config.contains("csv_delimiter"))
   }
 
   test("csv encoding sniff: UTF-8 BOM, UTF-16LE/BE with and without BOM") {
