@@ -41,9 +41,10 @@ object Generate {
       case None => spec0
     }
 
-    val opts = CompilerOptions(
-      payloadCol = flagValue("--payload-col").getOrElse("val"),
-      csvDelimiter = flagValue("--csv-delim").getOrElse(","))
+    // precedence: CLI flag > workbook Config sheet > reference default
+    val opts = CompilerOptions.fromConfig(spec.config,
+      payloadOverride = flagValue("--payload-col"),
+      delimOverride = flagValue("--csv-delim"))
     val pipeline = PipelineCompiler.compile(spec, opts)
 
     val spark =

@@ -14,6 +14,20 @@ final case class CompilerOptions(
     payloadCol: String = "val",
     csvDelimiter: String = ",")
 
+object CompilerOptions {
+  /** Resolve options from the workbook's Config sheet (`raw_value_column`,
+    * `csv_delimiter` — the keys the v21/v5 generators read via cfg_get),
+    * with explicit overrides (CLI flags) taking precedence. */
+  def fromConfig(config: Map[String, String],
+                 payloadOverride: Option[String] = None,
+                 delimOverride: Option[String] = None): CompilerOptions =
+    CompilerOptions(
+      payloadCol = payloadOverride
+        .orElse(config.get("raw_value_column")).getOrElse("val"),
+      csvDelimiter = delimOverride
+        .orElse(config.get("csv_delimiter")).getOrElse(","))
+}
+
 /** One compiled target: its emitted name, stage, column list, PK, matrix
   * props, and the SELECT statement (Flink-flavored scalar functions; runs
   * verbatim on Spark once [[FlinkCompat]] is registered). */

@@ -138,6 +138,14 @@ class SttmCompilerSpec extends AnyFunSuite {
       Seq("cust_p_EV_VW", "cust_XREF_X"))
   }
 
+  test("compiler options resolve from Config sheet with CLI override precedence") {
+    val cfg = Map("raw_value_column" -> "payload", "csv_delimiter" -> "|")
+    assert(CompilerOptions.fromConfig(cfg) == CompilerOptions("payload", "|"))
+    assert(CompilerOptions.fromConfig(cfg, payloadOverride = Some("val2")) ==
+      CompilerOptions("val2", "|"))
+    assert(CompilerOptions.fromConfig(Map.empty) == CompilerOptions("val", ","))
+  }
+
   test("xlsx parser reads the v20/v21 workbooks (union of generator versions)") {
     for (f <- Seq("STTM_v20", "STTM_v21")) {
       val spec = SttmParser.fromXlsx(s"/root/reference/resources/$f.xlsx")
