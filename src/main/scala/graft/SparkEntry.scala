@@ -937,8 +937,9 @@ object SparkEntry {
          ORDER BY x.USER_ID""",
     "q_sttm_quarantine" ->
       s"""WITH $sttmOracleCte
-         SELECT x.USER_ID, 'customer: none' AS REASON
-         FROM xref x LEFT JOIN cu c ON x.USER_ID = c.C_CUSTKEY
+         SELECT x.USER_ID, 'customer: none or not entitled' AS REASON
+         FROM xref x LEFT JOIN cu c
+           ON x.USER_ID = c.C_CUSTKEY AND c.C_ACCTBAL >= 0
          WHERE c.C_CUSTKEY IS NULL
          ORDER BY x.USER_ID""",
     "q_colspec_enriched" ->
@@ -1001,24 +1002,44 @@ object SparkEntry {
     * Shingle arrays computed ONCE per doc (not per candidate pair) and
     * hashed to longs — pair-wise intersection over long arrays is far
     * cheaper than over 3-char strings. */
-  // Weak keys: a stopped/collected session releases its cache entry and the
-  // checkpoint blocks it pins; within one live session the memo returns the
-  // FIRST materialization for a dir (the usual cached-intermediate caveat —
-  // rewriting the files under `dir` mid-session is not re-read).
+  // Keyed by sessionUUID (NOT the SparkSession itself): a WeakHashMap keyed
+  // by session would never collect, because the cached DataFrames strongly
+  // reference their session (df.sparkSession) — value keeps key reachable.
+  // Entries are cleared by an application-end listener, and callers can drop
+  // a session's entries explicitly via resetMemos (Bench does, between runs).
+  // Within one live session the memo returns the FIRST materialization for a
+  // dir (the usual cached-intermediate caveat — rewriting the files under
+  // `dir` mid-session is not re-read).
   private val nearDupCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // Stable per-session identity: applicationId + the session object's
+  // identity hash (sessionUUID is not exposed in this Spark build).
+  private def sessionId(s: SparkSession): String =
+    s.sparkContext.applicationId + "/" + System.identityHashCode(s).toHexString
 
   private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val perSession = nearDupCache.synchronized {
-      var m = nearDupCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        nearDupCache.put(s, m)
-      }
-      m
+    val uuid = sessionId(s)
+    if (cleanupRegistered.add(uuid)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          nearDupCache.keys.filter(_._1 == uuid).foreach(nearDupCache.remove)
+          cleanupRegistered.remove(uuid)
+        }
+      })
     }
-    perSession.getOrElseUpdate(key, build)
+    nearDupCache.getOrElseUpdate((uuid, key), build)
+  }
+
+  /** Drop this session's memoized intermediates so the next query rebuilds
+    * them from source. Used by `graft.Bench` between timing runs so every
+    * run pays the full signature+verify cost (apples-to-apples medians). */
+  def resetMemos(s: SparkSession): Unit = {
+    val uuid = sessionId(s)
+    nearDupCache.keys.filter(_._1 == uuid).foreach(nearDupCache.remove)
   }
 
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =

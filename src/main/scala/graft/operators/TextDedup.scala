@@ -162,6 +162,104 @@ object TextDedup {
   def ngramJaccard(a: Column, b: Column, n: Int): Column =
     jaccardFromShingles(charShingles(a, n), charShingles(b, n))
 
+  /** Composed near-duplicate pair detection over a document table: MinHash
+    * signatures -> capped-LSH candidate pairs -> exact trigram-Jaccard
+    * verification. Returns (id1, id2, jac) with id1 < id2 and
+    * jac >= `minJaccard` (jac floored to 4 decimals).
+    *
+    * THE CAP CONTRACT: `maxBucket` is what keeps candidate volume
+    * near-linear — a (band, bucket) group holding more than `maxBucket`
+    * docs is dropped entirely (see [[lshCandidatePairs]]), so a true pair
+    * whose ONLY band collision is a hot bucket is silently lost. Measured
+    * recall vs exact all-pairs ground truth on the synthetic corpus at
+    * sf0.01 with the default cap 64: see q_lsh_recall / BASELINE.md (the
+    * engine ships the measurement as a first-class query so a production
+    * run can re-audit on its own corpus slice). Raise `maxBucket` to trade
+    * candidate volume for recall; `maxBucket <= 0` disables the cap
+    * (exact-candidate behavior, quadratic under hot buckets).
+    */
+  def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
+                         minJaccard: Double = 0.6, maxBucket: Int = 64,
+                         oracleParity: Boolean = true): DataFrame = {
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    val sig = minHashSignature(docs, idCol, textCol, oracleParity = oracleParity)
+    val cand = lshCandidatePairs(sig, idCol, maxBucket = maxBucket)
+    // shingle arrays hashed + sorted ONCE per doc so the per-pair Jaccard
+    // is a codegen merge walk (no per-candidate hash set)
+    val t1 = sortedShingleHashes(docs, idCol, textCol, oracleParity = oracleParity)
+      .toDF("id1", "sh1")
+    val t2 = t1.toDF("id2", "sh2")
+    cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
+  /** (id, sorted distinct n-gram-hash array) per doc, localCheckpoint'ed —
+    * the shared verify-side input for [[nearDuplicatePairs]] and for exact
+    * ground-truth audits (q_lsh_recall). */
+  def sortedShingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3,
+                          oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) c => stableHash(c) % P
+      else c => pmod(xxhash64(c), lit(P))
+    docs.select(col(idCol),
+        array_sort(array_distinct(transform(charShingles(col(textCol), n),
+          g => base(g)))).as("sh"))
+      .localCheckpoint()
+  }
+
+  /** EXACT all-pairs Jaccard similarity join — every pair (id1 < id2) with
+    * trigram-Jaccard >= `minJaccard` — WITHOUT the O(n^2) cartesian, via
+    * AllPairs/PPJoin-style prefix filtering (Bayardo, Ma & Srikant, WWW'07;
+    * Xiao et al., WWW'08):
+    *
+    *  1. order each document's distinct shingle hashes by ascending global
+    *     document frequency (rarest token first; ties broken by token value
+    *     so the global order is total and deterministic),
+    *  2. index only each document's PREFIX — the first
+    *     `|x| - ceil(t*|x|) + 1` tokens. Lemma: two sets with Jaccard >= t
+    *     must overlap within these prefixes, so an equi-join on prefix
+    *     tokens loses NO qualifying pair (exact, not approximate),
+    *  3. verify surviving candidates with the codegen merge-walk Jaccard.
+    *
+    * Because prefixes carry the rarest tokens, candidate volume tracks the
+    * true-pair count instead of n^2 — the standard scale-out shape for
+    * exact similarity joins (all stages are explode / groupBy / equi-join,
+    * so the plan is shuffle-partitioned on token and id keys). Used as the
+    * ground-truth side of the LSH recall audit (q_lsh_recall), where
+    * "exact" is the entire point. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double = 0.6, n: Int = 3,
+                        oracleParity: Boolean = true): DataFrame = {
+    graft.functions.ArrayFunctions.register(docs.sparkSession)
+    val sh = sortedShingleHashes(docs, idCol, textCol, n, oracleParity)
+    val tok = sh.select(col(idCol), explode(col("sh")).as("tok"))
+    val dfreq = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc tokens ordered by (df, tok): array_sort over structs compares
+    // fields left-to-right, so this is a deterministic global rarity order
+    val ordered = tok.join(dfreq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+      .select(col(idCol), transform(col("ts"), x => x.getField("tok")).as("toks"))
+    val preLen = (size(col("toks")) - ceil(size(col("toks")) * minJaccard) + 1)
+      .cast("int")
+    val pre = ordered
+      .select(col(idCol), explode(slice(col("toks"), lit(1), preLen)).as("tok"))
+    val cand = pre.toDF("id1", "tok")
+      .join(pre.toDF("id2", "tok"), Seq("tok"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val t1 = sh.toDF("id1", "sh1")
+    val t2 = sh.toDF("id2", "sh2")
+    cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id1"), col("id2"), col("jac"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every document
     * is labeled with the MINIMUM doc id reachable through the similarity
     * edges — the canonical-document step of a dedup pipeline (keep each
@@ -200,17 +298,28 @@ object TextDedup {
         .join(labels.select(col("id").as("b"), col("lbl").as("nlbl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nlbl")).as("nmin"))
         .withColumnRenamed("a", "id")
+      // The changed-flag rides along in the SAME join that produces the next
+      // label table, so convergence is read back with one cheap aggregation
+      // over the just-materialized checkpoint blocks — not a second
+      // join+count action per round.
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+          (col("nmin") < col("lbl")).cast("int").as("chg"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") < col("old")).count()
-      converged = changed == 0
-      labels = next
+      converged =
+        next.agg(coalesce(max(col("chg")), lit(0)).as("c")).first().getInt(0) == 0
+      labels = next.select(col("id"), col("lbl"))
       round += 1
     }
+    if (!converged)
+      // Returning silently here would hand downstream canonical-document
+      // selection WRONG cluster labels. Pointer contraction converges in
+      // O(log diameter) rounds, so exhausting maxRounds indicates a
+      // pathological input or a bug — surface it.
+      throw new IllegalStateException(
+        s"dedupClusters: label propagation did not converge within " +
+          s"$maxRounds rounds; refusing to return non-converged labels")
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 

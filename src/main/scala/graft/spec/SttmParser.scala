@@ -47,8 +47,10 @@ object SttmParser {
     * uploaded CSVs through chardet (sttm2flink-ui-5_4/sttm2flink/
     * generator.py:19-31); we cover the encodings an Excel/Sheets export
     * actually produces: UTF-8 (with or without BOM), UTF-16LE/BE with BOM,
-    * and BOM-less UTF-16 detected by the NUL-byte stripe ASCII-range CSV
-    * text exhibits on every other byte. */
+    * BOM-less UTF-16 detected by the NUL-byte stripe ASCII-range CSV text
+    * exhibits on every other byte, and plain Excel "CSV" exports (ANSI /
+    * windows-1252) — the latter by strict-validating as UTF-8 first and
+    * falling back on malformed input, so no byte ever decodes to U+FFFD. */
   def decodeCsvBytes(bytes: Array[Byte]): String = {
     import java.nio.charset.StandardCharsets._
     def b(i: Int): Int = bytes(i) & 0xff
@@ -64,7 +66,22 @@ object SttmParser {
       val nulEven = (0 until n by 2).count(bytes(_) == 0)
       if (n >= 4 && nulOdd > n / 4) new String(bytes, UTF_16LE)
       else if (n >= 4 && nulEven > n / 4) new String(bytes, UTF_16BE)
-      else new String(bytes, UTF_8)
+      else decodeUtf8OrCp1252(bytes)
+    }
+  }
+
+  /** Strict UTF-8 decode; windows-1252 on the first malformed sequence
+    * (every byte is defined in cp1252's table modulo the five C1 gaps,
+    * which Java maps to the C1 controls — nothing becomes U+FFFD). */
+  private def decodeUtf8OrCp1252(bytes: Array[Byte]): String = {
+    import java.nio.charset.{CodingErrorAction, StandardCharsets}
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.Charset.forName("windows-1252"))
     }
   }
 
@@ -109,8 +126,10 @@ object SttmParser {
   }
 
   /** Parse a v21-style Config sheet CSV: `key,value` columns (any case,
-    * extra columns ignored). Literal "nan" values become empty, mirroring
-    * cfg_get (sttm_to_flink_v21.py:35-43). */
+    * extra columns ignored). Mirrors cfg_get (sttm_to_flink_v21.py:35-43):
+    * literal "nan" AND empty values are dropped (so a blank cell falls back
+    * to the caller's default, like `or "val"` does in the reference), and a
+    * duplicated key keeps its FIRST row (`m['value'].iloc[0]`). */
   def configFromCsv(text: String): Map[String, String] = {
     val rows = splitCsv(text)
     if (rows.isEmpty) return Map.empty
@@ -118,12 +137,19 @@ object SttmParser {
     val keyIdx = header.indexWhere(_.equalsIgnoreCase("key"))
     val valIdx = header.indexWhere(_.equalsIgnoreCase("value"))
     if (keyIdx < 0 || valIdx < 0) return Map.empty
-    rows.tail.flatMap { cells =>
+    firstWins(rows.tail.flatMap { cells =>
       val k = cells.lift(keyIdx).getOrElse("").trim
       val v = cells.lift(valIdx).getOrElse("").trim
-      if (k.isEmpty || v.equalsIgnoreCase("nan")) None else Some(k -> v)
-    }.toMap
+      if (k.isEmpty || v.isEmpty || v.equalsIgnoreCase("nan")) None
+      else Some(k -> v)
+    })
   }
+
+  /** First occurrence of each key wins (reference takes `.iloc[0]`). */
+  private def firstWins(pairs: Seq[(String, String)]): Map[String, String] =
+    pairs.foldLeft(Map.empty[String, String]) { case (acc, (k, v)) =>
+      if (acc.contains(k)) acc else acc + (k -> v)
+    }
 
   // ---- xlsx -------------------------------------------------------------
 
@@ -229,13 +255,16 @@ object SttmParser {
           case _ => TableMatrix.empty
         }
       }.getOrElse(TableMatrix.empty)
-      // v21 Config sheet (key/value): prefix/suffix + generator settings
+      // v21 Config sheet (key/value): prefix/suffix + generator settings.
+      // Same semantics as configFromCsv: empty/"nan" dropped, first
+      // occurrence of a duplicate key wins (cfg_get's .iloc[0]).
       val config = sheetPath("Config").map { p =>
-        toRecords(readXlsxSheet(zip, p, shared)).flatMap { m =>
+        firstWins(toRecords(readXlsxSheet(zip, p, shared)).flatMap { m =>
           val k = m.find(_._1.equalsIgnoreCase("key")).map(_._2.trim).getOrElse("")
           val v = m.find(_._1.equalsIgnoreCase("value")).map(_._2.trim).getOrElse("")
-          if (k.isEmpty || v.equalsIgnoreCase("nan")) None else Some(k -> v)
-        }.toMap
+          if (k.isEmpty || v.isEmpty || v.equalsIgnoreCase("nan")) None
+          else Some(k -> v)
+        })
       }.getOrElse(Map.empty[String, String])
       SttmSpec(mappingRows.filter(r => r.targetTable.nonEmpty || r.targetColumn.nonEmpty),
         matrix, config)

@@ -81,7 +81,14 @@ final class SnapshotStore(root: String, nBuckets: Int = 16) {
     val buckets = effectiveBuckets
     val spark = batch.sparkSession
     val m = manifest
+    // Materialize the batch ONCE: `touched` (first action) and the merged
+    // write (second action) MUST observe the same rows. Without this, a
+    // non-deterministic or retried input frame re-evaluates per action and
+    // can write rows into a g<gen>/_bucket=X directory the manifest never
+    // points at — silent row loss. (Callers that already checkpointed, like
+    // StreamingPipeline, pay only a cheap narrow re-materialization.)
     val b = batch.withColumn(BucketCol, bucketOf(keys, buckets))
+      .localCheckpoint()
     val touched = b.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.isEmpty) return

@@ -62,16 +62,18 @@ class PipelineExecutionSpec extends AnyFunSuite {
     assert(masked.count() + unmasked.count() == f.count())
   }
 
-  test("quarantine stage holds exactly the keys without a customer match") {
+  test("quarantine stage holds exactly the keys without an entitled customer match") {
     import org.apache.spark.sql.functions._
     val q = outputs("QUAR_USER")
+    // compound join: a customer row only matches when c_acctbal >= 0, so
+    // missing AND negative-balance customers both quarantine (de-vacuated
+    // fixture — the arm is non-empty wherever any customer has acctbal < 0).
+    val entitled = Tables.customer(spark, dir).filter(col("c_acctbal") >= 0)
     val expected = outputs("XREF_USER")
-      .join(Tables.customer(spark, dir),
-        outputs("XREF_USER")("USER_ID") === col("c_custkey"), "left_anti")
+      .join(entitled, outputs("XREF_USER")("USER_ID") === col("c_custkey"), "left_anti")
     assert(q.count() == expected.count())
-    // sf0.001 may have zero orphans; when present the reason literal is fixed
     assert(q.select("REASON").distinct().collect().map(_.getString(0))
-      .forall(_ == "customer: none"))
+      .forall(_ == "customer: none or not entitled"))
   }
 
   test("csv view auto-index extracts positional fields") {

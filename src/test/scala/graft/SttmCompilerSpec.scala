@@ -130,6 +130,12 @@ class SttmCompilerSpec extends AnyFunSuite {
     // config csv parser: nan dropped, header case-insensitive
     val cfg = SttmParser.configFromCsv("KEY,Value\nview_prefix,p_\nx,nan\n")
     assert(cfg == Map("view_prefix" -> "p_"))
+    // cfg_get parity: empty value falls back to default (dropped here);
+    // duplicate key keeps the FIRST row (reference .iloc[0]), not the last
+    val cfg2 = SttmParser.configFromCsv(
+      "Key,Value\nraw_value_column,\nname_prefix,first_\nname_prefix,second_\n")
+    assert(!cfg2.contains("raw_value_column"))
+    assert(cfg2("name_prefix") == "first_")
 
     // v5/v20/v21 workbook scheme: name_prefix decorates ALL target kinds
     // (outermost when combined with kind-specific keys)
@@ -151,9 +157,15 @@ class SttmCompilerSpec extends AnyFunSuite {
       val spec = SttmParser.fromXlsx(s"/root/reference/resources/$f.xlsx")
       assert(spec.rows.nonEmpty, s"$f: no mapping rows")
       assert(spec.rows.exists(_.isPk), s"$f: no PK rows")
-      assert(spec.config.contains("name_prefix"), s"$f: Config sheet not parsed")
       assert(spec.config.contains("raw_table_name"), s"$f: raw_table_name missing")
     }
+    // v20 carries a real name_prefix value; v21's name_prefix cell is EMPTY
+    // in the workbook, so cfg_get falls back to the default — the parsed
+    // config must therefore drop the key, not retain "" (cfg_get parity)
+    assert(SttmParser.fromXlsx("/root/reference/resources/STTM_v20.xlsx")
+      .config("name_prefix") == "DMB13A_1")
+    assert(!SttmParser.fromXlsx("/root/reference/resources/STTM_v21.xlsx")
+      .config.contains("name_prefix"))
     // v21 added csv_delimiter to the Config sheet
     assert(SttmParser.fromXlsx("/root/reference/resources/STTM_v21.xlsx")
       .config.contains("csv_delimiter"))
@@ -170,6 +182,13 @@ class SttmCompilerSpec extends AnyFunSuite {
     // BOM-less UTF-16: detected by the alternating-NUL stripe
     assert(SttmParser.mappingFromCsvBytes(csv.getBytes(UTF_16LE)) == plain)
     assert(SttmParser.mappingFromCsvBytes(csv.getBytes(UTF_16BE)) == plain)
+    // ANSI Excel export (windows-1252): é is the single byte 0xE9, which is
+    // malformed UTF-8 — must decode via the cp1252 fallback, not to U+FFFD
+    val ansi = SttmRowCsv.header +
+      "View,EV_VW,ID,BIGINT,Y,ID,,,events,e,,id,,,,,,,café\n"
+    val fromAnsi = SttmParser.mappingFromCsvBytes(
+      ansi.getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    assert(fromAnsi.head.notes == "café")
   }
 
   test("xlsx parser reads the reference STTM_v22 workbook") {
