@@ -81,7 +81,17 @@ object TextDedup {
     *   caller-managed persist()/table materialization. */
   def lshCandidatePairs(sig: DataFrame, idCol: String, k: Int = 8, r: Int = 2,
                         maxBucket: Int = 64,
-                        materialize: Boolean = true): DataFrame = {
+                        materialize: Boolean = true): DataFrame =
+    lshCandidatesAndHotMembers(sig, idCol, k, r, maxBucket, materialize)._1
+
+  /** Like [[lshCandidatePairs]], but ALSO returns the distinct ids of docs
+    * appearing in any over-full (dropped) bucket — the input a caller needs
+    * to recover the recall the cap would otherwise cost (see
+    * [[nearDuplicatePairs]]'s hybrid). Second frame is empty when the cap
+    * is disabled. */
+  def lshCandidatesAndHotMembers(sig: DataFrame, idCol: String,
+                                 k: Int = 8, r: Int = 2, maxBucket: Int = 64,
+                                 materialize: Boolean = true): (DataFrame, DataFrame) = {
     // posexplode instead of a k/r-way union: one pass over the signature
     // (the union form recomputed the whole signature per band).
     val bandCols = (0 until k / r).map { band =>
@@ -96,20 +106,25 @@ object TextDedup {
     // Size cap: groupBy-count (map-side partial agg) + equi-join back on the
     // same (band, bucket) key the self-join shuffles on — no extra sort, and
     // the surviving-bucket list is tiny so Catalyst/AQE can broadcast it.
-    val bands =
-      if (maxBucket <= 0) all
+    val (bands, hotMembers) =
+      if (maxBucket <= 0)
+        (all, all.select(col(idCol)).limit(0))
       else {
-        val ok = all.groupBy(col("band"), col("bucket")).count()
-          .filter(col("count") <= maxBucket)
+        val counts = all.groupBy(col("band"), col("bucket")).count()
+        val ok = counts.filter(col("count") <= maxBucket)
           .select(col("band"), col("bucket"))
-        all.join(ok, Seq("band", "bucket"))
+        val hot = counts.filter(col("count") > maxBucket)
+          .select(col("band"), col("bucket"))
+        (all.join(ok, Seq("band", "bucket")),
+          all.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct())
       }
     val a = bands.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("id2"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
       .distinct()
+    (pairs, hotMembers)
   }
 
   /** SimHash (60-bit): majority vote per bit position over whitespace-token
@@ -164,35 +179,53 @@ object TextDedup {
 
   /** Composed near-duplicate pair detection over a document table: MinHash
     * signatures -> capped-LSH candidate pairs -> exact trigram-Jaccard
-    * verification. Returns (id1, id2, jac) with id1 < id2 and
-    * jac >= `minJaccard` (jac floored to 4 decimals).
+    * verification, HYBRIDIZED with an exact prefix-filtered similarity join
+    * over the docs the cap would otherwise silence. Returns (id1, id2, jac)
+    * with id1 < id2 and jac >= `minJaccard` (jac floored to 4 decimals).
     *
-    * THE CAP CONTRACT: `maxBucket` is what keeps candidate volume
-    * near-linear — a (band, bucket) group holding more than `maxBucket`
-    * docs is dropped entirely (see [[lshCandidatePairs]]), so a true pair
-    * whose ONLY band collision is a hot bucket is silently lost. Measured
-    * recall vs exact all-pairs ground truth on the synthetic corpus at
-    * sf0.01 with the default cap 64: see q_lsh_recall / BASELINE.md (the
-    * engine ships the measurement as a first-class query so a production
-    * run can re-audit on its own corpus slice). Raise `maxBucket` to trade
-    * candidate volume for recall; `maxBucket <= 0` disables the cap
-    * (exact-candidate behavior, quadratic under hot buckets).
-    */
+    * THE CAP CONTRACT (two tiers): a (band, bucket) group holding at most
+    * `maxBucket` docs is enumerated directly — per-bucket work is bounded
+    * by maxBucket^2/2 pairs, so the default ceiling (4096) bounds any
+    * single bucket at ~8.4M candidate pairs, trivially partitionable.
+    * A bucket LARGER than the ceiling switches ALGORITHM instead of being
+    * dropped: its member docs are routed to [[exactJaccardPairs]], whose
+    * cost tracks the true-pair output size rather than bucket^2. Dropping
+    * (round 1's cap=64 behavior) was measured against exact ground truth
+    * and cost 81% recall on the synthetic corpus (sf0.01: 1,600 of 8,308
+    * true pairs found) — the hot bucket IS the giant duplicate family,
+    * i.e. exactly the content a dedup pass exists to catch. Any true pair
+    * colliding only in over-ceiling buckets has BOTH ends in the
+    * hot-member set, so hybrid recall >= uncapped-LSH recall at every
+    * ceiling; residual misses are LSH-inherent only (pairs whose
+    * signatures collide in no band). Measured recall ships as the
+    * first-class audit query q_lsh_recall (see BASELINE.md) so any corpus
+    * slice can re-audit the trade-off. `maxBucket <= 0` disables both the
+    * ceiling and the hybrid (pure LSH, quadratic under hot buckets). */
   def nearDuplicatePairs(docs: DataFrame, idCol: String, textCol: String,
-                         minJaccard: Double = 0.6, maxBucket: Int = 64,
+                         minJaccard: Double = 0.6, maxBucket: Int = 4096,
                          oracleParity: Boolean = true): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
     val sig = minHashSignature(docs, idCol, textCol, oracleParity = oracleParity)
-    val cand = lshCandidatePairs(sig, idCol, maxBucket = maxBucket)
+    val (cand, hotMembers) =
+      lshCandidatesAndHotMembers(sig, idCol, maxBucket = maxBucket)
     // shingle arrays hashed + sorted ONCE per doc so the per-pair Jaccard
     // is a codegen merge walk (no per-candidate hash set)
     val t1 = sortedShingleHashes(docs, idCol, textCol, oracleParity = oracleParity)
       .toDF("id1", "sh1")
     val t2 = t1.toDF("id2", "sh2")
-    cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+    val lshVerified = cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
       .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= minJaccard)
       .select(col("id1"), col("id2"), col("jac"))
+    if (maxBucket <= 0) lshVerified
+    else {
+      val hotDocs = docs.join(hotMembers, Seq(idCol), "left_semi")
+      val hotPairs =
+        exactJaccardPairs(hotDocs, idCol, textCol, minJaccard, 3, oracleParity)
+      // a pair caught by both paths carries the identical jac (same shingle
+      // arrays, same floored formula), so distinct() is an exact dedup
+      lshVerified.unionByName(hotPairs).distinct()
+    }
   }
 
   /** (id, sorted distinct n-gram-hash array) per doc, localCheckpoint'ed —

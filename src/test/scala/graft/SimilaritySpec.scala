@@ -83,6 +83,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped == Set((100L, 101L)), s"capped pairs: $capped")
   }
 
+  test("exactJaccardPairs: prefix-filtered join equals brute-force all-pairs ground truth") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = TextDedup.exactJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force oracle: the O(n^2) cartesian the prefix filter exists to
+    // avoid — affordable at sf0.001 only, which is the point of the test
+    val sh = TextDedup.sortedShingleHashes(docs, "doc_id", "text")
+    val brute = sh.toDF("id1", "sh1").crossJoin(sh.toDF("id2", "sh2"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("jac", TextDedup.jaccardFromSortedShingles(col("sh1"), col("sh2")))
+      .filter(col("jac") >= 0.6)
+      .select(col("id1"), col("id2"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty, "no qualifying pairs at sf0.001 — fixture too small")
+    assert(exact == brute,
+      s"prefix filter lost/invented pairs: missing=${brute.keySet -- exact.keySet} " +
+        s"extra=${exact.keySet -- brute.keySet}")
+  }
+
+  test("nearDuplicatePairs: hybrid recovers over-ceiling buckets, dominates pure LSH at any ceiling") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(TextDedup.exactJaccardPairs(docs, "doc_id", "text"))
+    val pureLsh = pairSet(TextDedup.nearDuplicatePairs(docs, "doc_id", "text", maxBucket = 0))
+    val hybrid4 = pairSet(TextDedup.nearDuplicatePairs(docs, "doc_id", "text", maxBucket = 4))
+    val default4096 = pairSet(TextDedup.nearDuplicatePairs(docs, "doc_id", "text"))
+    // every emitted pair is exact-verified, so all variants are subsets of truth
+    assert(pureLsh.subsetOf(truth) && hybrid4.subsetOf(truth) && default4096.subsetOf(truth))
+    // the ceiling only ADDS recovered pairs: a colliding pair either sits in
+    // a small bucket (enumerated) or a hot one (both ends in the exact-join
+    // member set) — so hybrid recall dominates pure LSH at ANY ceiling
+    assert(pureLsh.subsetOf(hybrid4),
+      s"hybrid(4) lost LSH pairs: ${pureLsh -- hybrid4}")
+    assert(pureLsh.subsetOf(default4096))
+    // with a tiny ceiling the duplicate family routes through the exact
+    // join, so recall must beat the pure-LSH floor measurably
+    assert(hybrid4.size >= pureLsh.size)
+    assert(hybrid4.size >= (truth.size * 0.8).toInt,
+      s"hybrid(4) recall ${hybrid4.size.toDouble / truth.size} below 0.8 floor")
+  }
+
   test("dedupClusters: min-reachable-id components, chains contract, singletons kept") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
