@@ -521,11 +521,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // REAL image decode, oracle-verified: synthesize a deterministic flat-
-    // gray PNG per doc through the real ImageIO encoder, decode it back
-    // with the real ImageIO reader, and emit pixel statistics. A flat gray
-    // g decodes to mean luminance exactly g/255, so DuckDB verifies the
-    // whole encode->decode->stats round trip in closed form.
+    // REAL image decode, oracle-verified: synthesize a deterministic
+    // per-pixel GRADIENT PNG per doc through the real ImageIO encoder,
+    // decode it back with the real ImageIO reader, and emit pixel
+    // statistics. Every pixel differs (gray = (id + rasterPos) mod 256), so
+    // a decoder that ignored pixel data cannot pass, yet the exact integer
+    // luminance sum stays closed-form for DuckDB — verifying the whole
+    // encode->decode->stats round trip.
     "q_image_stats" -> ((s, dir) => {
       val withPng = graft.multimodal.Multimodal.withSyntheticPng(
         Tables.documents(s, dir), "doc_id")
@@ -835,7 +837,9 @@ object SparkEntry {
     "q_image_stats" ->
       """SELECT doc_id,
            CAST(8 AS INT) AS img_width, CAST(8 AS INT) AS img_height,
-           floor((doc_id % 256) / 255.0 * 1000000) / 1000000 AS mean_lum
+           floor(CAST(list_reduce(list_transform(range(64),
+                   p -> (abs(doc_id) % 256 + p) % 256), (a, b) -> a + b) AS DOUBLE)
+                 / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
          FROM documents ORDER BY doc_id""",
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

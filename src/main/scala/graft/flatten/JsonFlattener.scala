@@ -37,6 +37,25 @@ object JsonFlattener {
       maxRows: Option[Int] = None,
       maxCols: Option[Int] = None)
 
+  /** The reference CLI's traversal options (json_flattener_v2.py:123-133):
+    *  - `joiner` separates path segments in table and column names;
+    *  - `numericToFloat` mirrors --numeric-to-float: a row's OWN integral
+    *    scalar values are cast to double (booleans preserved). Inherited
+    *    ancestor scalars stay integral — the reference floats only the
+    *    values it merges into the row at emission time (`_maybe_float` is
+    *    applied to the element's scalars, never to the inherited dict);
+    *  - `emitEmptyParent` mirrors --emit-empty-parent: when false (the
+    *    reference CLI default), a list-of-dict element contributes a parent
+    *    row only if it has at least one own scalar value. The engine
+    *    default is true — schema-driven flattening emits every element row
+    *    (a declared divergence: from_json cannot distinguish a key present
+    *    with null from an absent key, so "has scalars" is approximated as
+    *    "any own scalar non-null"). */
+  final case class Options(
+      joiner: String = "_",
+      numericToFloat: Boolean = false,
+      emitEmptyParent: Boolean = true)
+
   val metaCols: Seq[String] =
     Seq("tableName", "_row_id", "_parent_id", "_path", "_elem_index", "_depth")
 
@@ -45,7 +64,8 @@ object JsonFlattener {
   final case class TablePlan(name: String, arraySegments: Seq[String], depth: Int)
 
   /** All array paths (tables) reachable in `schema` within the depth guard. */
-  def plan(schema: StructType, guards: Guards = Guards()): Seq[TablePlan] = {
+  def plan(schema: StructType, guards: Guards = Guards(),
+           joiner: String = "_"): Seq[TablePlan] = {
     val out = Seq.newBuilder[TablePlan]
     def structFields(st: StructType, path: Seq[String], arrays: Seq[String], depth: Int): Unit =
       st.fields.foreach { f =>
@@ -57,7 +77,7 @@ object JsonFlattener {
         case s: StructType => structFields(s, path, arrays, depth)
         case a: ArrayType =>
           val chain = arrays :+ path.mkString(".")
-          out += TablePlan(path.mkString("_"), chain, depth)
+          out += TablePlan(path.mkString(joiner), chain, depth)
           a.elementType match {
             case es: StructType => structFields(es, path, chain, depth)
             case ea: ArrayType => descend(ea, path, chain, depth + 1) // handled as same-name deeper table
@@ -73,12 +93,18 @@ object JsonFlattener {
     }.toSeq.sortBy(_.name)
   }
 
+  /** Backtick-quoted reference to an internal __inh_ column — inherited
+    * names embed the user-chosen joiner, which may contain dots that col()
+    * would otherwise parse as struct-field access. */
+  private def inhCol(n: String): Column = col(s"`__inh_$n`")
+
   private def isScalar(dt: DataType): Boolean =
     !dt.isInstanceOf[StructType] && !dt.isInstanceOf[ArrayType]
 
-  private def scalarCols(st: StructType, prefix: Seq[String], c: Column): Seq[(String, Column)] =
+  private def scalarCols(st: StructType, prefix: Seq[String], c: Column,
+                         joiner: String): Seq[(String, Column)] =
     st.fields.toSeq.filter(f => isScalar(f.dataType)).map { f =>
-      (prefix :+ f.name).mkString("_") -> c.getField(f.name)
+      (prefix :+ f.name).mkString(joiner) -> c.getField(f.name)
     }
 
   /** Flatten `df(jsonCol)` (a JSON string column) into one DataFrame per
@@ -86,10 +112,11 @@ object JsonFlattener {
     * ids are unique across documents. */
   def flatten(df: DataFrame, jsonCol: String, schema: StructType,
               docId: Option[String] = None,
-              guards: Guards = Guards()): Map[String, DataFrame] = {
+              guards: Guards = Guards(),
+              options: Options = Options()): Map[String, DataFrame] = {
     val parsed = df.withColumn("__doc", from_json(col(jsonCol), schema))
-    plan(schema, guards).map { tp =>
-      tp.name -> buildTable(parsed, schema, tp, docId, guards)
+    plan(schema, guards, options.joiner).map { tp =>
+      tp.name -> buildTable(parsed, schema, tp, docId, guards, options)
     }.toMap
   }
 
@@ -98,7 +125,8 @@ object JsonFlattener {
     * current element), __pptr (pointer of the enclosing element or null),
     * __idx (element index), __el (current element value). */
   private def buildTable(parsed: DataFrame, schema: StructType, tp: TablePlan,
-                         docId: Option[String], guards: Guards): DataFrame = {
+                         docId: Option[String], guards: Guards,
+                         options: Options = Options()): DataFrame = {
     val initPtr = docId.map(d => concat(lit("/"), col(d).cast("string"))).getOrElse(lit(""))
     var cur = parsed.select(
       initPtr.as("__ptr"),
@@ -121,7 +149,7 @@ object JsonFlattener {
       rel.dropRight(1).foreach { step =>
         t match {
           case st: StructType =>
-            newInh = newInh ++ scalarCols(st, prefix, c)
+            newInh = newInh ++ scalarCols(st, prefix, c, options.joiner)
             c = c.getField(step)
             t = st.fields.find(_.name == step).map(_.dataType).getOrElse(StringType)
             prefix = prefix :+ step
@@ -131,7 +159,7 @@ object JsonFlattener {
       }
       val (arrCol, elemType, arrPtrName) = t match {
         case st: StructType =>
-          newInh = newInh ++ scalarCols(st, prefix, c)
+          newInh = newInh ++ scalarCols(st, prefix, c, options.joiner)
           val last = rel.last
           val at = st.fields.find(_.name == last).map(_.dataType) match {
             case Some(ArrayType(e, _)) => e
@@ -141,7 +169,7 @@ object JsonFlattener {
         case ArrayType(e, _) => (c, e, ptrSuffix) // list-of-lists: __el IS the array
         case _ => (c, t, ptrSuffix)
       }
-      val inh = inheritedNames.map(n => n -> col(s"__inh_$n")) ++ newInh
+      val inh = inheritedNames.map(n => n -> inhCol(n)) ++ newInh
       cur = cur.select(
         (inh.map { case (n, e) => e.as(s"__inh_$n") } :+
           concat(col("__ptr"), lit(arrPtrName)).as("__base") :+
@@ -151,7 +179,7 @@ object JsonFlattener {
         .select(col("*"), posexplode_outer(col("__arr")).as(Seq("__i", "__e")))
         .filter(col("__i").isNotNull)
       cur = cur.select(
-        (inh.map { case (n, _) => col(s"__inh_$n") } :+
+        (inh.map { case (n, _) => inhCol(n) } :+
           concat(col("__base"), lit("/"), col("__i").cast("string")).as("__ptr") :+
           (if (consumed.isEmpty && docId.isEmpty) lit(null).cast("string")
            else if (consumed.isEmpty) lit(null).cast("string")
@@ -163,16 +191,39 @@ object JsonFlattener {
       consumed = segPath
     }
 
-    val elemCols: Seq[(String, Column)] = curType match {
-      case st: StructType => scalarCols(st, tp.arraySegments.last.split("\\.").toSeq, col("__el"))
-      case _ => Seq(tp.name -> col("__el"))
+    val isIntegral: DataType => Boolean = {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
-    val dataCols = inheritedNames.map(n => n -> col(s"__inh_$n")) ++ elemCols
+    // numericToFloat applies to the row's OWN scalars only — the reference
+    // floats values at emission time, never the inherited dict (see Options)
+    def maybeFloat(c: Column, dt: DataType): Column =
+      if (options.numericToFloat && isIntegral(dt)) c.cast("double") else c
+    val elemCols: Seq[(String, Column)] = curType match {
+      case st: StructType =>
+        val prefix = tp.arraySegments.last.split("\\.").toSeq
+        st.fields.toSeq.filter(f => isScalar(f.dataType)).map { f =>
+          (prefix :+ f.name).mkString(options.joiner) ->
+            maybeFloat(col("__el").getField(f.name), f.dataType)
+        }
+      case dt => Seq(tp.name -> maybeFloat(col("__el"), dt))
+    }
+    // emitEmptyParent=false: a struct element with no own scalar values
+    // contributes no row (the reference's prefixed-empty rule; struct types
+    // with zero scalar fields emit nothing at all under this option)
+    val emptyParentFilter: Option[Column] = curType match {
+      case _: StructType if !options.emitEmptyParent =>
+        val own = elemCols.map(_._2.isNotNull)
+        Some(if (own.isEmpty) lit(false) else own.reduce(_ || _))
+      case _ => None
+    }
+    val dataCols = inheritedNames.map(n => n -> inhCol(n)) ++ elemCols
     val kept = guards.maxCols match {
       case Some(mc) => dataCols.take(math.max(0, mc - metaCols.length))
       case None => dataCols
     }
-    val out = cur.select(
+    val filtered = emptyParentFilter.map(cur.filter).getOrElse(cur)
+    val out = filtered.select(
       (kept.map { case (n, c) => c.as(n) } ++ Seq(
         lit(tp.name).as("tableName"),
         xxhash64(col("__ptr")).as("_row_id"),

@@ -201,11 +201,13 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic PNG column: a flat w x h gray image with level
-    * `id % 256`, ENCODED through the real ImageIO PNG writer — lets the
-    * real decode path be oracle-verified on corpora with no binary column
-    * (a flat gray g decodes to mean luminance exactly g/255, closed-form
-    * for any SQL engine). */
+  /** Deterministic synthetic PNG column: a w x h GRADIENT whose pixel at
+    * raster position p (= y*w + x) has gray level (id + p) mod 256, ENCODED
+    * through the real ImageIO PNG writer — lets the real decode path be
+    * oracle-verified on corpora with no binary column. Every pixel differs,
+    * so a decoder that ignored pixel data (e.g. returned a palette entry)
+    * cannot pass; the integer luminance sum still has the closed form
+    * sum_{p<w*h} ((id + p) mod 256), computable in any SQL engine. */
   def withSyntheticPng(df: DataFrame, idCol: String,
                        w: Int = 8, h: Int = 8): DataFrame = {
     val inSchema = df.schema
@@ -215,14 +217,17 @@ object Multimodal {
       StructField("png", BinaryType, nullable = false)))
     withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
       rows.map { r =>
-        val gray = (math.abs(r.getLong(0)) % 256).toInt
-        val rgb = (gray << 16) | (gray << 8) | gray
+        val g0 = (math.abs(r.getLong(0)) % 256).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
+        var y = 0; var p = 0
         while (y < h) {
           var x = 0
-          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          while (x < w) {
+            val g = (g0 + p) % 256
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            p += 1; x += 1
+          }
           y += 1
         }
         Row(r.get(0), ImageDecoder.encodePng(img))

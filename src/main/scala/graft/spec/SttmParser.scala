@@ -190,6 +190,50 @@ object SttmParser {
       case _ => Nil
     }
 
+  /** Read one sheet of an xlsx workbook as ORDERED records: each data row
+    * as (headerName, cellValue) pairs in sheet column order, first row as
+    * header. Missing sheet or workbook -> Nil. Column order is preserved
+    * because some consumers (the connector workbook, which mirrors the
+    * reference's pandas-roundtrip JSON emission) are order-significant. */
+  def xlsxSheetRecordsOrdered(path: String, sheet: String): Seq[Seq[(String, String)]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
+        case Some(e) =>
+          val xml = XML.load(zip.getInputStream(e))
+          (xml \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+      val wb = XML.load(zip.getInputStream(zip.getEntry("xl/workbook.xml")))
+      val relNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+      val relTargets: Map[String, String] =
+        Option(zip.getEntry("xl/_rels/workbook.xml.rels")).map { e =>
+          (XML.load(zip.getInputStream(e)) \\ "Relationship").map { r =>
+            val target = (r \ "@Target").text
+            (r \ "@Id").text ->
+              (if (target.startsWith("/")) target.drop(1) else s"xl/$target")
+          }.toMap
+        }.getOrElse(Map.empty)
+      val path0 = (wb \\ "sheet").zipWithIndex.collectFirst {
+        case (s, idx) if (s \ "@name").text == sheet =>
+          relTargets.get(s.attribute(relNs, "id").map(_.text).getOrElse(""))
+            .getOrElse(s"xl/worksheets/sheet${idx + 1}.xml")
+      }
+      path0.filter(p => zip.getEntry(p) != null).map { p =>
+        readXlsxSheet(zip, p, shared) match {
+          case head +: tail =>
+            val header = head.toSeq.sortBy(x => colOrder(x._1))
+            tail.map { r =>
+              header.map { case (letter, name) =>
+                name.trim -> r.getOrElse(letter, "").trim
+              }
+            }
+          case _ => Nil
+        }
+      }.getOrElse(Nil)
+    } finally zip.close()
+  }
+
   /** Load an STTM workbook (.xlsx): STTM_Mapping (or STTM, or first sheet)
     * plus Config_TableMatrix if present. */
   def fromXlsx(path: String): SttmSpec = {

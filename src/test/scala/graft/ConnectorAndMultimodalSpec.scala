@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.ConnectorConfig
+import graft.sources.{ConnectorConfig, ConnectorWorkbook}
 import graft.sources.ConnectorConfig._
 import graft.multimodal.Multimodal
 
@@ -144,6 +144,37 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(df, "payload", "id", everyN = 5, maxFrames = 3)
     assert(frames.count() == 6) // 2 rows x 3 frames
     assert(frames.schema.fieldNames.toSeq == Seq("id", "frame_index", "frame"))
+  }
+
+  test("connector workbook: template xlsx renders the reference sample configs byte-for-byte") {
+    val tpl = "/root/reference/templates/gcs_connectors_template.xlsx"
+    val out = ConnectorWorkbook.generate(tpl) match {
+      case Left(errs) => fail(s"workbook validation errors: ${errs.mkString("; ")}")
+      case Right(cfgs) => cfgs.toMap
+    }
+    // golden: the reference ships the JSON it generates from this exact
+    // template — the ingested rows must reproduce both files byte-for-byte
+    // (key ORDER included, since the reference emits dict insertion order)
+    for (name <- Seq("GcsSinkConnector_sample", "GcsSourceConnector_sample")) {
+      val expected = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/templates/$name.config.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(out(name) == expected, s"$name config JSON differs from the golden file")
+    }
+    // the same rows bridge onto the typed engine models cleanly (deep
+    // validation + Spark reader/writer mapping)
+    val rows = ConnectorWorkbook.loadRows(tpl)
+    assert(rows.map(_.connectorType).sorted == Seq("sink", "source"))
+    val src = rows.find(_.connectorType == "source").map(ConnectorWorkbook.toFileSource).get
+    assert(src.validate.isEmpty && src.sparkReaderOptions._1 == "text")
+    val snk = rows.find(_.connectorType == "sink").map(ConnectorWorkbook.toFileSink).get
+    assert(snk.validate.isEmpty &&
+      snk.sparkWriterPlan._3 == Seq("year", "month", "day", "hour"))
+    // a missing required field is reported with the reference's message
+    val broken = ConnectorWorkbook.ConnectorRow(
+      rows.find(_.connectorType == "sink").get.fields.filterNot(_._1 == "topics"))
+    assert(ConnectorWorkbook.validateRow(broken)
+      .contains("[sink] Missing required field: topics"))
   }
 
   test("multimodal: REAL pixel decode via ImageIO — stats, grid features, resize") {

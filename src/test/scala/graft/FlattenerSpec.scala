@@ -96,6 +96,55 @@ class FlattenerSpec extends AnyFunSuite {
     assert(shallow.map(_.name).sorted == Seq("codes", "items"))
   }
 
+  test("options: joiner renames table and column paths") {
+    import spark.implicits._
+    val t = JsonFlattener.flatten(Seq(doc).toDF("doc"), "doc", schema,
+      options = JsonFlattener.Options(joiner = "."))
+    assert(t.keySet == Set("codes", "items", "items.tags"))
+    val cols = t("items").columns.toSet
+    assert(cols.contains("items.sku") && cols.contains("items.qty"))
+    assert(!cols.contains("items_sku"))
+    // lineage columns keep their fixed names regardless of joiner
+    assert(cols.contains("_path") && t("items").count() == 2)
+  }
+
+  test("options: numericToFloat casts own integral scalars, not inherited ones") {
+    import spark.implicits._
+    val d = """{"n": 7, "items": [{"sku": "a", "qty": 2}]}"""
+    val sch = StructType.fromDDL(
+      "n INT, items ARRAY<STRUCT<sku: STRING, qty: INT>>")
+    val t = JsonFlattener.flatten(Seq(d).toDF("doc"), "doc", sch,
+      options = JsonFlattener.Options(numericToFloat = true))("items")
+    // element's own qty floats; inherited root n stays integral (the
+    // reference applies _maybe_float at emission, never to inherited dicts)
+    assert(t.schema("items_qty").dataType.typeName == "double")
+    assert(t.schema("n").dataType.typeName == "integer")
+    val row = t.head()
+    assert(row.getAs[Double]("items_qty") == 2.0 && row.getAs[Int]("n") == 7)
+  }
+
+  test("options: emitEmptyParent=false drops struct elements with no own scalars") {
+    import spark.implicits._
+    val d = """{"items": [
+      {"sku": "a", "tags": ["x"]},
+      {"tags": ["y", "z"]},
+      {"sku": "c"}]}"""
+    val sch = StructType.fromDDL(
+      "items ARRAY<STRUCT<sku: STRING, tags: ARRAY<STRING>>>")
+    val dfIn = Seq(d).toDF("doc")
+    // default (engine behavior): every element row emitted
+    val all = JsonFlattener.flatten(dfIn, "doc", sch)("items")
+    assert(all.count() == 3)
+    // reference CLI default: the scalar-less element contributes no parent
+    // row, but its CHILD rows (tags) still flow
+    val opts = JsonFlattener.Options(emitEmptyParent = false)
+    val t = JsonFlattener.flatten(dfIn, "doc", sch, options = opts)
+    assert(t("items").count() == 2)
+    assert(t("items").select("items_sku").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "c"))
+    assert(t("items_tags").count() == 3) // x, y, z — children unaffected
+  }
+
   test("manifest reports sorted columns and types per table") {
     val m = JsonFlattener.manifest(tables)
     assert(m("items")._1.contains("items_sku"))
