@@ -214,6 +214,24 @@ object SparkEntry {
       TextDedup.lshCandidatePairs(sig, "doc_id").orderBy("id1", "id2")
     }),
 
+    // Production-hash twins of the two heaviest text queries: identical
+    // operators with oracleParity=false, i.e. codegen'd xxhash64 instead of
+    // the md5-derived cross-engine hash. xxhash64 has no DuckDB analog, so
+    // these carry no oracleSql (the driver records a rows-only check); they
+    // exist so the recorded bench numbers include what a production
+    // deployment would measure — md5 parity hashing is the documented perf
+    // floor of the dedup family (BASELINE.md parity-vs-production rows).
+    "q_minhash_sig_prod" -> ((s, dir) => {
+      TextDedup.minHashSignature(Tables.documents(s, dir), "doc_id", "text",
+          oracleParity = false)
+        .orderBy("doc_id")
+    }),
+    "q_winnow_fp_prod" -> ((s, dir) => {
+      TextDedup.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text",
+          oracleParity = false)
+        .orderBy("doc_id", "fp")
+    }),
+
     // SimHash (60-bit majority-vote signature over token hashes).
     "q_simhash" -> ((s, dir) => {
       TextDedup.simHashSignature(Tables.documents(s, dir), "doc_id", "text")

@@ -72,6 +72,56 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(snapshot2.count() == expected.count())
   }
 
+  test("scale: 20 micro-batches of sf0.1 events converge to batch latest-by-key") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir01 = "/root/testdata/sf0.1"
+    val work = Files.createTempDirectory("graft_stream_scale").toString
+    val ev = Tables.events(spark, dir01)
+
+    // 20 input files -> 20 micro-batches via maxFilesPerTrigger=1: the
+    // incremental snapshot store absorbs the whole sf0.1 event stream in
+    // bounded per-batch work (out-of-order upserts arrive across batches)
+    ev.withColumn("part", pmod(col("event_id"), lit(20)))
+      .write.partitionBy("part").parquet(s"$work/in")
+    val source = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+
+    val cust = Tables.customer(spark, dir01)
+    def view(b: DataFrame): DataFrame =
+      b.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
+      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+        .select(col("user_id"), col("event_id"), col("c_mktsegment"))
+    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+      v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
+        .select(col("user_id"), col("event_id"))
+
+    val t0 = System.nanoTime()
+    val q = StreamingPipeline.run(
+      source, view, XrefConfig(Seq("user_id"), Seq("ts", "event_id")),
+      enrich, quarantine, work)
+    q.awaitTermination(600000)
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    val durs = q.recentProgress.toSeq
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      .sorted
+    // recorded in BASELINE.md (streaming scale exercise)
+    println(f"[stream-scale] sf0.1: ${durs.length} batches, " +
+      f"total ${totalSec}%.1f s, median batch ${durs.lift(durs.length / 2).getOrElse(0L)} ms, " +
+      f"max batch ${durs.lastOption.getOrElse(0L)} ms")
+    assert(durs.length >= 20, s"expected >= 20 micro-batches, got ${durs.length}")
+
+    val snapshot = new SnapshotStore(s"$work/xref_snapshot").read(spark).get
+    val expected = SttmOps.latestByKey(view(ev), Seq("user_id"), Seq("ts", "event_id"))
+    assert(snapshot.count() == expected.count())
+    val joined = snapshot.select(col("user_id"), col("event_id").as("got"))
+      .join(expected.select(col("user_id"), col("event_id").as("want")), Seq("user_id"))
+    assert(joined.filter(col("got") =!= col("want")).count() == 0)
+  }
+
   test("incremental snapshot merge rewrites only touched buckets (byte-identical rest)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
