@@ -555,6 +555,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode, oracle-verified (the audio twin of q_image_stats):
+    // synthesize a per-doc sawtooth WAV through the real javax.sound
+    // encoder, decode it back with the real JDK WAV codec, and emit PCM
+    // statistics. Every sample differs (level = (((id+i) mod 512)-256)*128)
+    // so a decoder ignoring sample data cannot pass, yet the exact integer
+    // |amplitude| sum stays closed-form for DuckDB.
+    "q_audio_stats" -> ((s, dir) => {
+      val withWav = graft.multimodal.Multimodal.withSyntheticWav(
+        Tables.documents(s, dir), "doc_id")
+      graft.multimodal.Multimodal.audioStats(withWav, "wav", "doc_id")
+        .select(col("doc_id"), col("n_samples"), col("sample_rate"),
+          (floor(col("mean_abs") * 1000000) / 1000000.0).as("mean_abs"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -858,6 +873,13 @@ object SparkEntry {
            floor(CAST(list_reduce(list_transform(range(64),
                    p -> (abs(doc_id) % 256 + p) % 256), (a, b) -> a + b) AS DOUBLE)
                  / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
+         FROM documents ORDER BY doc_id""",
+    "q_audio_stats" ->
+      """SELECT doc_id,
+           CAST(256 AS BIGINT) AS n_samples, CAST(8000 AS INT) AS sample_rate,
+           floor(CAST(list_reduce(list_transform(range(256),
+                   i -> abs((abs(doc_id) + i) % 512 - 256) * 128), (a, b) -> a + b) AS DOUBLE)
+                 / (32768.0 * 256) * 1000000) / 1000000 AS mean_abs
          FROM documents ORDER BY doc_id""",
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

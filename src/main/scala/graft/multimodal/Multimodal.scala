@@ -14,14 +14,16 @@ import org.apache.spark.sql.types._
   * REAL here: container sniffing (magic bytes), PNG dimension parsing
   * (IHDR is at a fixed offset — pure byte inspection), IMAGE PIXEL DECODE
   * (PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` — no external
-  * dependency), grayscale grid features, bilinear resize + PNG re-encode,
-  * the DataFrame schema/encoder plumbing, and the partition-wise batching.
+  * dependency), AUDIO PCM DECODE (WAV/AIFF/AU via the JDK's
+  * `javax.sound.sampled` — also no external dependency), grayscale grid
+  * features, PCM amplitude features, bilinear resize + PNG re-encode, the
+  * DataFrame schema/encoder plumbing, and the partition-wise batching.
   * Decode is per-row CPU work with no cross-row state — embarrassingly
   * parallel at any scale; partitioning is whatever the upstream scan chose.
   *
-  * STUBBED (clearly marked): audio sample / video frame decoding — those
-  * codecs aren't in the JDK, so [[StubDecoder]] produces a deterministic
-  * hash-seeded fake with the right shape for non-image payloads.
+  * STUBBED (clearly marked): VIDEO frame decoding only — the JDK ships no
+  * video codec, so [[StubDecoder]] produces a deterministic hash-seeded
+  * fake with the right shape for those payloads.
   */
 object Multimodal {
 
@@ -134,11 +136,80 @@ object Multimodal {
     }
   }
 
-  // ---- stub: audio/video decode ----------------------------------------
+  // ---- real: audio decode (JDK javax.sound.sampled, no external dep) ----
+
+  /** WAV/AIFF/AU PCM decode via the JDK's `javax.sound.sampled` — the JDK
+    * DOES ship these container codecs (it is compressed audio like MP3/AAC
+    * it cannot decode). 16-bit signed PCM only; anything else returns None
+    * (DLQ-style tolerance, like [[ImageDecoder]]). */
+  object AudioDecoder {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decoded PCM: sample rate, channel count, 16-bit signed samples
+      * (channel-interleaved, as stored). */
+    final case class Pcm(sampleRate: Float, channels: Int, samples: Array[Short])
+
+    def decode(bytes: Array[Byte]): Option[Pcm] =
+      if (bytes == null || bytes.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 ||
+              f.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+          else {
+            val raw = in.readAllBytes()
+            val n = raw.length / 2
+            val out = new Array[Short](n)
+            val le = !f.isBigEndian
+            var i = 0
+            while (i < n) {
+              val lo = raw(2 * i) & 0xff
+              val hi = raw(2 * i + 1) & 0xff
+              out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+              i += 1
+            }
+            Some(Pcm(f.getSampleRate, f.getChannels, out))
+          }
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Encode 16-bit signed mono PCM as a real WAV container. */
+    def encodeWav(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos) finally ais.close()
+      bos.toByteArray
+    }
+
+    /** (n_samples, sample_rate, mean |amplitude| scaled to [0,1]) — the
+      * |amplitude| sum accumulates in exact long arithmetic with a SINGLE
+      * final division (the oracle-parity rule; see ImageDecoder.stats). */
+    def stats(p: Pcm): (Long, Int, Double) = {
+      var s = 0L
+      var i = 0
+      while (i < p.samples.length) { s += math.abs(p.samples(i).toInt); i += 1 }
+      (p.samples.length.toLong, p.sampleRate.toInt,
+        if (p.samples.isEmpty) 0.0 else s / (32768.0 * p.samples.length))
+    }
+  }
+
+  // ---- stub: video decode -----------------------------------------------
 
   /** Deterministic fake decoder: seeds pseudo-samples from a content hash.
-    * STUB — used only for audio/video payloads the JDK cannot decode;
-    * image payloads take the real [[ImageDecoder]] path. */
+    * STUB — used only for VIDEO payloads (the JDK ships no video codec);
+    * image payloads take the real [[ImageDecoder]] path and audio the real
+    * [[AudioDecoder]] path. */
   object StubDecoder {
     def decodeToFloats(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L // FNV-ish rolling seed over content
@@ -194,9 +265,84 @@ object Multimodal {
             ImageDecoder.decode(bytes)
               .map(ImageDecoder.gridFeatures(_, dim))
               .getOrElse(StubDecoder.decodeToFloats(bytes, dim)) // corrupt image
-          case _ => StubDecoder.decodeToFloats(bytes, dim) // audio/video: STUB
+          case "wav" =>
+            AudioDecoder.decode(bytes)
+              .map(p => audioGridFeatures(p, dim)) // REAL PCM features
+              .getOrElse(StubDecoder.decodeToFloats(bytes, dim)) // corrupt wav
+          case _ => StubDecoder.decodeToFloats(bytes, dim) // video: STUB
         }
         Row(r.get(idIdx), feats.toSeq)
+      }
+    }
+  }
+
+  /** Mean-pooled |amplitude| per time bucket, padded with zeros to `dim` —
+    * the audio twin of [[ImageDecoder.gridFeatures]] (real, deterministic,
+    * PCM-derived). */
+  private def audioGridFeatures(p: AudioDecoder.Pcm, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = p.samples.length
+    if (n == 0) return out
+    val sums = new Array[Long](dim)
+    val counts = new Array[Long](dim)
+    var i = 0
+    while (i < n) {
+      val c = math.min(dim - 1, i * dim / n)
+      sums(c) += math.abs(p.samples(i).toInt)
+      counts(c) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < dim) {
+      if (counts(j) > 0) out(j) = (sums(j) / (32768.0 * counts(j))).toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic WAV column: `n` 16-bit PCM samples, sample i
+    * at level (((id + i) mod 512) - 256) * 128 — a full-range sawtooth with
+    * a per-doc phase, ENCODED through the real javax.sound WAV writer.
+    * Same contract as [[withSyntheticPng]]: every sample differs, decode is
+    * the real JDK codec, and the exact integer |amplitude| sum has a closed
+    * form (sum_i |((id + i) mod 512) - 256| * 128) any SQL engine can
+    * compute — so the encode->decode->stats round trip is oracle-verifiable. */
+  def withSyntheticWav(df: DataFrame, idCol: String, n: Int = 256,
+                       sampleRate: Int = 8000): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("wav", BinaryType, nullable = false)))
+    withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
+      rows.map { r =>
+        val id = math.abs(r.getLong(0))
+        val samples =
+          Array.tabulate(n)(i => ((((id + i) % 512) - 256) * 128).toShort)
+        Row(r.get(0), AudioDecoder.encodeWav(samples, sampleRate.toFloat))
+      }
+    }
+  }
+
+  /** Real audio statistics: sample count / rate / mean |amplitude| from
+    * decoded PCM (null for non-audio or corrupt payloads). One row per
+    * input row. */
+  def audioStats(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("mean_abs", DoubleType, nullable = true)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        AudioDecoder.decode(bytes).map(AudioDecoder.stats) match {
+          case Some((n, sr, m)) => Row(r.get(idIdx), n, sr, m)
+          case None => Row(r.get(idIdx), null, null, null)
+        }
       }
     }
   }

@@ -177,6 +177,38 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
       .contains("[sink] Missing required field: topics"))
   }
 
+  test("multimodal: REAL audio PCM decode via javax.sound — roundtrip, stats, features") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // known samples: full-range endpoints + asymmetry so any byte-order or
+    // sign mistake in the decoder changes the values
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 12345, -1, 256)
+    val wav = Multimodal.AudioDecoder.encodeWav(samples, 8000f)
+    assert(Multimodal.sniffFormat(wav) == "wav")
+    // roundtrip through the real JDK codec reproduces every sample exactly
+    val pcm = Multimodal.AudioDecoder.decode(wav).get
+    assert(pcm.sampleRate == 8000f && pcm.channels == 1)
+    assert(pcm.samples.toSeq == samples.toSeq)
+    // stats: exact integer |amplitude| accumulation, single division
+    val (n, sr, mean) = Multimodal.AudioDecoder.stats(pcm)
+    val expectedMean = samples.map(s => math.abs(s.toInt).toLong).sum /
+      (32768.0 * samples.length)
+    assert(n == samples.length && sr == 8000 && mean == expectedMean)
+
+    // DataFrame surface: real rows decode, junk rows degrade to null
+    val df = Seq((1L, wav), (2L, "not audio".getBytes)).toDF("id", "payload")
+    val stats = Multimodal.audioStats(df, "payload", "id").orderBy("id").collect()
+    assert(stats(0).getLong(1) == samples.length && stats(0).getInt(2) == 8000)
+    assert(stats(1).isNullAt(1) && stats(1).isNullAt(3))
+    // feature extraction routes wav through the REAL PCM path: a silent
+    // signal must produce all-zero features (the hash-seeded stub cannot)
+    val silent = Multimodal.AudioDecoder.encodeWav(Array.fill[Short](64)(0), 8000f)
+    val feats = Multimodal.extractFeatures(
+        Seq((1L, silent)).toDF("id", "payload"), "payload", "id", dim = 4)
+      .head().getSeq[Float](1)
+    assert(feats.forall(_ == 0f), s"stub leaked into wav path: $feats")
+  }
+
   test("multimodal: REAL pixel decode via ImageIO — stats, grid features, resize") {
     spark.sparkContext.setLogLevel("ERROR")
     import java.awt.image.BufferedImage
