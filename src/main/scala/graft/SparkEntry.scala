@@ -513,6 +513,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PII scrub pass: count + redact emails / phone numbers / SSNs — pure
+    // codegen'd regexp projection, zero shuffle. Deterministic synthetic PII
+    // is appended per doc (like the image/audio fixtures) so the oracle
+    // verifies actual matches, not just no-op passes over clean text.
+    "q_pii_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+          col("doc_id"), lit(" ssn 123-45-6789")).as("text"))
+      TextAnalysis.redactPii(withPii, "doc_id", "text").orderBy("doc_id")
+    }),
+
     // Gopher-style repetition filters: top-bigram mass fraction + distinct
     // token ratio (degenerate/machine-generated text detection).
     "q_repetition" -> ((s, dir) => {
@@ -874,6 +887,22 @@ object SparkEntry {
                    p -> (abs(doc_id) % 256 + p) % 256), (a, b) -> a + b) AS DOUBLE)
                  / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
          FROM documents ORDER BY doc_id""",
+    // DuckDB's RE2 and Spark's Java regex agree on these restricted
+    // patterns (no backrefs/lookaround) — see TextAnalysis PII patterns
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-01'
+                || doc_id || ' ssn 123-45-6789' AS t
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+\d{1,3}-\d{3}-\d{2,10}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssns,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+\d{1,3}-\d{3}-\d{2,10}\b', '[PHONE]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS redacted
+         FROM p ORDER BY doc_id""",
     "q_audio_stats" ->
       """SELECT doc_id,
            CAST(256 AS BIGINT) AS n_samples, CAST(8000 AS INT) AS sample_rate,

@@ -90,4 +90,31 @@ object TextAnalysis {
           .as("avg_wlen"),
         trunc4(col("n_punct").cast("double") / length(col(textCol))).as("punct_ratio"))
   }
+
+  /** PII patterns — deliberately restricted to the regex subset where Java
+    * regex (Spark) and RE2 (DuckDB, common cross-engine baseline) agree: no
+    * backreferences, no lookaround, \b word boundaries only. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+\\d{1,3}-\\d{3}-\\d{2,10}\\b"
+  val ssnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** PII detection + redaction for training-data curation: counts and
+    * masks emails, international-format phone numbers, and SSNs. Pure
+    * projection (zero shuffle, codegen'd regexp) — the standard pre-training
+    * scrub pass. Counts are taken BEFORE redaction; replacement order is
+    * email -> phone -> ssn (the patterns cannot overlap each other's
+    * replacements). Returns (id, n_emails, n_phones, n_ssns, redacted). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ssnPattern, "[SSN]")
+    df.select(col(idCol),
+      regexp_count(t, lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phonePattern)).cast("long").as("n_phones"),
+      regexp_count(t, lit(ssnPattern)).cast("long").as("n_ssns"),
+      redacted.as("redacted"))
+  }
 }

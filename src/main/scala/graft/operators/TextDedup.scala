@@ -278,11 +278,30 @@ object TextDedup {
       .select(col(idCol), transform(col("ts"), x => x.getField("tok")).as("toks"))
     val preLen = (size(col("toks")) - ceil(size(col("toks")) * minJaccard) + 1)
       .cast("int")
-    val pre = ordered
-      .select(col(idCol), explode(slice(col("toks"), lit(1), preLen)).as("tok"))
-    val cand = pre.toDF("id1", "tok")
-      .join(pre.toDF("id2", "tok"), Seq("tok"))
+    // prefix rows carry (position-in-full-list, full length) so the join can
+    // apply PPJoin's pruning (Xiao et al., WWW'08). Both filters only DROP
+    // non-qualifying matches — the verified result set is unchanged (and the
+    // DuckDB oracle mirror therefore doesn't need them):
+    //  - length filter: jac >= t forces min(|x|,|y|) >= t*max(|x|,|y|)
+    //    (floor'd threshold = strictly safe under double rounding);
+    //  - positional filter: at a match at positions (px, py), the overlap
+    //    can't exceed 1 + min(|x|-px, |y|-py); a qualifying pair needs
+    //    overlap >= ceil(t/(1+t)*(|x|+|y|)), and its FIRST shared token
+    //    always passes, so filtering per-match loses no pair.
+    val pre = ordered.select(col(idCol),
+      posexplode(slice(col("toks"), lit(1), preLen)).as(Seq("p0", "tok")),
+      size(col("toks")).as("len"))
+      .select(col(idCol), col("tok"), (col("p0") + 1).as("pos"), col("len"))
+    val a = pre.toDF("id1", "tok", "pos1", "len1")
+    val b = pre.toDF("id2", "tok", "pos2", "len2")
+    val alphaSafe = floor(lit(minJaccard / (1 + minJaccard)) *
+      (col("len1") + col("len2")))
+    val cand = a.join(b, Seq("tok"))
       .filter(col("id1") < col("id2"))
+      .filter(col("len1") >= floor(col("len2") * minJaccard) &&
+        col("len2") >= floor(col("len1") * minJaccard))
+      .filter(lit(1) + least(col("len1") - col("pos1"),
+        col("len2") - col("pos2")) >= alphaSafe)
       .select(col("id1"), col("id2"))
       .distinct()
     val t1 = sh.toDF("id1", "sh1")

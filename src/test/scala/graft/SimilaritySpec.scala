@@ -86,7 +86,13 @@ class SimilaritySpec extends AnyFunSuite {
   test("exactJaccardPairs: prefix-filtered join equals brute-force all-pairs ground truth") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val exact = TextDedup.exactJaccardPairs(docs, "doc_id", "text")
+    val exactDf = TextDedup.exactJaccardPairs(docs, "doc_id", "text")
+    // scale shape: prefix-filtered join must be all equi-joins — the whole
+    // point is avoiding the cartesian the brute-force oracle below uses
+    val plan = exactDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    val exact = exactDf
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // brute-force oracle: the O(n^2) cartesian the prefix filter exists to
     // avoid — affordable at sf0.001 only, which is the point of the test

@@ -15,6 +15,26 @@ class TextDedupSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("redactPii: counts before redaction, masks all three kinds, leaves clean text alone") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org and x@y.io call +44-123-4567 ssn 987-65-4321"),
+      (2L, "no pii here, just 12-34 and version 1.2.3"),
+      (3L, "edge: 123-45-6789123 is not an ssn (no boundary)")
+    ).toDF("id", "text")
+    val got = TextAnalysis.redactPii(df, "id", "text")
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 1 && got(0).getLong(3) == 1)
+    assert(got(0).getString(4) ==
+      "mail [EMAIL] and [EMAIL] call [PHONE] ssn [SSN]")
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 0 && got(1).getLong(3) == 0)
+    assert(got(1).getString(4) == "no pii here, just 12-34 and version 1.2.3")
+    // \b guards: a 7-digit tail is not an SSN
+    assert(got(2).getLong(3) == 0)
+  }
+
   test("xxhash64 production path: same shape, deterministic, cheaper hash") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
