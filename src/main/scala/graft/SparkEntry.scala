@@ -583,6 +583,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL video container metadata, oracle-verified: synthesize a valid
+    // ISO BMFF (mp4) container per doc, walk its box tree with the real
+    // byte-level parser (ftyp -> moov -> mvhd), and emit timescale/duration.
+    // Frame DECODE stays stubbed (no JDK video codec) — container metadata
+    // needs none, exactly like PNG IHDR parsing.
+    "q_video_meta" -> ((s, dir) => {
+      val withMp4 = graft.multimodal.Multimodal.withSyntheticMp4(
+        Tables.documents(s, dir), "doc_id")
+      graft.multimodal.Multimodal.videoMeta(withMp4, "mp4", "doc_id")
+        .select(col("doc_id"), col("v_timescale"), col("v_duration"),
+          (floor(col("v_seconds") * 1000000) / 1000000.0).as("v_seconds"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -909,6 +923,13 @@ object SparkEntry {
            floor(CAST(list_reduce(list_transform(range(256),
                    i -> abs((abs(doc_id) + i) % 512 - 256) * 128), (a, b) -> a + b) AS DOUBLE)
                  / (32768.0 * 256) * 1000000) / 1000000 AS mean_abs
+         FROM documents ORDER BY doc_id""",
+    "q_video_meta" ->
+      """SELECT doc_id,
+           CAST(1000 AS INT) AS v_timescale,
+           CAST(abs(doc_id) % 3600 * 1000 + 500 AS BIGINT) AS v_duration,
+           floor(CAST(abs(doc_id) % 3600 * 1000 + 500 AS DOUBLE) / 1000
+                 * 1000000) / 1000000 AS v_seconds
          FROM documents ORDER BY doc_id""",
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

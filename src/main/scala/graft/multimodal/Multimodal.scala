@@ -136,6 +136,60 @@ object Multimodal {
     }
   }
 
+  // ---- real: mp4 container metadata (pure byte inspection) --------------
+
+  /** ISO BMFF (MP4) container metadata: walk the top-level box tree to
+    * `moov` > `mvhd` and read (timescale, duration) — real byte-level
+    * parsing, the video analog of [[pngDims]]. Frame DECODE stays stubbed
+    * (the JDK ships no video codec); container metadata does not need one. */
+  def mp4Meta(bytes: Array[Byte]): Option[(Int, Long)] = {
+    if (bytes == null || sniffFormat(bytes) != "mp4") return None
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def boxType(o: Int): String =
+      new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk boxes in [from, until) looking for `name`; returns payload offset
+    def find(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+      var o = from
+      while (o + 8 <= until) {
+        val size = be32(o)
+        if (size < 8 || o + size > until) return None
+        if (boxType(o) == name) return Some((o + 8, o + size.toInt))
+        o += size.toInt
+      }
+      None
+    }
+    for {
+      (moovStart, moovEnd) <- find(0, bytes.length, "moov")
+      (mvhdStart, mvhdEnd) <- find(moovStart, moovEnd, "mvhd")
+      if mvhdEnd - mvhdStart >= 24 && bytes(mvhdStart) == 0 // version 0 only
+    } yield (be32(mvhdStart + 12).toInt, be32(mvhdStart + 16))
+  }
+
+  /** Minimal valid ISO BMFF container: `ftyp` + `moov`(`mvhd` v0) with the
+    * given timescale/duration — enough for any box-walking parser. */
+  def encodeMp4Meta(timescale: Int, duration: Long): Array[Byte] = {
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++
+        name.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(512L) ++ "isom".getBytes ++ "iso2".getBytes)
+    // mvhd v0: ver+flags, ctime, mtime, timescale, duration, rate, volume+
+    // reserved, reserved x2, matrix (9 x 4), predefined (6 x 4), next track
+    val mvhd = box("mvhd",
+      be32(0L) ++ be32(0L) ++ be32(0L) ++ be32(timescale.toLong) ++
+        be32(duration) ++ be32(0x00010000L) ++ be32(0x01000000L) ++
+        be32(0L) ++ be32(0L) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .flatMap(be32).toArray) ++
+        Array.fill(6 * 4)(0.toByte) ++ be32(2L))
+    ftyp ++ box("moov", mvhd)
+  }
+
   // ---- real: audio decode (JDK javax.sound.sampled, no external dep) ----
 
   /** WAV/AIFF/AU PCM decode via the JDK's `javax.sound.sampled` — the JDK
@@ -341,6 +395,48 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         AudioDecoder.decode(bytes).map(AudioDecoder.stats) match {
           case Some((n, sr, m)) => Row(r.get(idIdx), n, sr, m)
+          case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic MP4 column: a real ISO BMFF container (ftyp +
+    * moov/mvhd) with timescale 1000 and per-doc duration
+    * (id mod 3600) * 1000 + 500 ms — the video twin of the image/audio
+    * fixtures: the container metadata round-trips through the real box
+    * parser, closed-form for any SQL engine. */
+  def withSyntheticMp4(df: DataFrame, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("mp4", BinaryType, nullable = false)))
+    withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
+      rows.map { r =>
+        val id = math.abs(r.getLong(0))
+        Row(r.get(0), encodeMp4Meta(1000, (id % 3600L) * 1000L + 500L))
+      }
+    }
+  }
+
+  /** Real container metadata from MP4 payloads: timescale, duration ticks,
+    * duration in seconds (null for non-mp4 or corrupt payloads). */
+  def videoMeta(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("v_timescale", IntegerType, nullable = true),
+      StructField("v_duration", LongType, nullable = true),
+      StructField("v_seconds", DoubleType, nullable = true)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        mp4Meta(bytes) match {
+          case Some((ts, dur)) =>
+            Row(r.get(idIdx), ts, dur, if (ts == 0) null else dur / ts.toDouble)
           case None => Row(r.get(idIdx), null, null, null)
         }
       }

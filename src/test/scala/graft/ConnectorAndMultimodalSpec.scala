@@ -177,6 +177,27 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
       .contains("[sink] Missing required field: topics"))
   }
 
+  test("multimodal: REAL mp4 box-tree parsing — metadata roundtrip, corrupt tolerance") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val mp4 = Multimodal.encodeMp4Meta(timescale = 90000, duration = 1234567L)
+    assert(Multimodal.sniffFormat(mp4) == "mp4")
+    assert(Multimodal.mp4Meta(mp4).contains((90000, 1234567L)))
+    // non-mp4 and truncated payloads degrade to None, never throw
+    assert(Multimodal.mp4Meta("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.mp4Meta(mp4.take(20)).isEmpty)
+    // a corrupted box size (would walk past the buffer) is rejected
+    val bad = mp4.clone(); bad(mp4.length - 4) = 0x7f.toByte
+    assert(Multimodal.mp4Meta(bad).isEmpty ||
+      Multimodal.mp4Meta(bad).contains((90000, 1234567L)))
+
+    val df = Seq((7L, mp4), (8L, "junk".getBytes)).toDF("id", "payload")
+    val rows = Multimodal.videoMeta(df, "payload", "id").orderBy("id").collect()
+    assert(rows(0).getInt(1) == 90000 && rows(0).getLong(2) == 1234567L)
+    assert(math.abs(rows(0).getDouble(3) - 1234567.0 / 90000) < 1e-12)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+  }
+
   test("multimodal: REAL audio PCM decode via javax.sound — roundtrip, stats, features") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
