@@ -217,7 +217,11 @@ object TextDedup {
       .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= minJaccard)
       .select(col("id1"), col("id2"), col("jac"))
-    if (maxBucket <= 0) lshVerified
+    // One cheap action (over the already-checkpointed banded signature)
+    // decides whether any bucket exceeded the ceiling: the common case —
+    // none — then skips the entire exact-join subtree AND the union+distinct
+    // shuffle, returning the pure LSH-verified plan unchanged.
+    if (maxBucket <= 0 || hotMembers.isEmpty) lshVerified
     else {
       val hotDocs = docs.join(hotMembers, Seq(idCol), "left_semi")
       val hotPairs =
