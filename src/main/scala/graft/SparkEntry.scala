@@ -513,6 +513,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus diff against a blocklist ("drop documents a previous run
+    // already used"): bloom prefilter routes definitely-clean rows past the
+    // join with zero shuffle; only the maybe-set enters the exact anti-join
+    // that removes bloom false positives — result is EXACT, so the oracle
+    // is a plain set difference.
+    "q_bloom_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val blocklist = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("blocked_id"))
+      operators.Blocklist.bloomDiff(docs, "doc_id", blocklist, "blocked_id")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub pass: count + redact emails / phone numbers / SSNs — pure
     // codegen'd regexp projection, zero shuffle. Deterministic synthetic PII
     // is appended per doc (like the image/audio fixtures) so the oracle
@@ -901,6 +915,8 @@ object SparkEntry {
                    p -> (abs(doc_id) % 256 + p) % 256), (a, b) -> a + b) AS DOUBLE)
                  / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
          FROM documents ORDER BY doc_id""",
+    "q_bloom_diff" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
     // DuckDB's RE2 and Spark's Java regex agree on these restricted
     // patterns (no backrefs/lookaround) — see TextAnalysis PII patterns
     "q_pii_redact" ->

@@ -15,6 +15,24 @@ class TextDedupSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("bloomDiff: exact set difference — bloom only routes, anti-join removes FPs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Blocklist
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val blocklist = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("blocked_id"))
+    // tiny filter (high fpp) forces real false positives through the
+    // maybe-path, so this exercises the FP-removal join, not just routing
+    val got = Blocklist.bloomDiff(docs, "doc_id", blocklist, "blocked_id",
+        expectedItems = 8, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("redactPii: counts before redaction, masks all three kinds, leaves clean text alone") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
