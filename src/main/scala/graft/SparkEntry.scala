@@ -513,6 +513,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: flag corpus docs sharing any character
+    // 8-gram with a (simulated) eval set — distinct-gram equi-join +
+    // partial count, no pairwise document comparison.
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val benchmark = docs.filter(col("doc_id") % 97 === 0)
+      TextDedup.ngramContamination(docs, "doc_id", "text", benchmark, "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus diff against a blocklist ("drop documents a previous run
     // already used"): bloom prefilter routes definitely-clean rows past the
     // join with zero shuffle; only the maybe-set enters the exact anti-join
@@ -917,6 +927,22 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_bloom_diff" ->
       """SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
+    "q_contamination" ->
+      s"""WITH bg AS (
+           SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS gh
+           FROM (SELECT unnest(${shinglesSql("text", 8)}) AS g
+                 FROM documents WHERE doc_id % 97 = 0)),
+         dg AS (
+           SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS gh
+           FROM (SELECT doc_id, unnest(${shinglesSql("text", 8)}) AS g
+                 FROM documents)),
+         ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+                FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           coalesce(ov.n_overlap, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN ov USING (doc_id)
+         ORDER BY d.doc_id""",
     // DuckDB's RE2 and Spark's Java regex agree on these restricted
     // patterns (no backrefs/lookaround) — see TextAnalysis PII patterns
     "q_pii_redact" ->

@@ -379,6 +379,39 @@ object TextDedup {
     labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
   }
 
+  /** Benchmark-contamination detection — the decontamination pass every
+    * training-data pipeline runs before trusting its evals: flag corpus
+    * documents sharing ANY character n-gram with a benchmark/eval set, with
+    * the count of distinct shared grams.
+    *
+    * Scale shape: both sides explode to (doc, gramHash) ONCE (per-doc
+    * grams already distinct), the benchmark side collapses to a distinct
+    * gram-hash set (eval sets are tiny relative to the corpus, so Catalyst
+    * broadcasts it), and overlap is an equi-join + map-side partial count —
+    * no pairwise document comparison anywhere. Returns
+    * (id, n_overlap, contaminated). */
+  def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 8,
+                         oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) c => stableHash(c) % P
+      else c => pmod(xxhash64(c), lit(P))
+    val benchGrams = benchmark
+      .select(explode(charShingles(col(benchTextCol), n)).as("g"))
+      .select(base(col("g")).as("gh"))
+      .distinct()
+    val docGrams = corpus
+      .select(col(idCol), explode(charShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), base(col("g")).as("gh"))
+    val overlap = docGrams.join(benchGrams, Seq("gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol)).join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
   /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in
     * every sliding window of `w` consecutive k-grams, emit the distinct set.
     * (Schleimer et al., "Winnowing: Local Algorithms for Document

@@ -33,6 +33,25 @@ class TextDedupSpec extends AnyFunSuite {
       s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("ngramContamination: benchmark members and verbatim borrowers flagged, disjoint text clean") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text with zero shared characters sequences!!"),
+      (3L, "plagiarized: the quick brown fox jumps appears verbatim here too")
+    ).toDF("doc_id", "text")
+    val benchmark = corpus.filter($"doc_id" === 1L)
+    val got = TextDedup.ngramContamination(corpus, "doc_id", "text", benchmark, "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getBoolean(2), "benchmark member must flag itself")
+    assert(!got(1).getBoolean(2) && got(1).getLong(1) == 0, "disjoint doc flagged")
+    assert(got(2).getBoolean(2) && got(2).getLong(1) > 0,
+      "doc borrowing a verbatim benchmark span must flag")
+    // the borrower shares fewer distinct grams than the full benchmark doc
+    assert(got(2).getLong(1) < got(0).getLong(1))
+  }
+
   test("redactPii: counts before redaction, masks all three kinds, leaves clean text alone") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
