@@ -513,6 +513,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus vocabulary: top-500 whitespace tokens by global count
+    // (deterministic tie-break on token text) — one partial-agg shuffle,
+    // TakeOrdered over the distinct-token table.
+    "q_vocab" -> ((s, dir) => {
+      TextAnalysis.topTokens(Tables.documents(s, dir), "text", 500)
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing any character
     // 8-gram with a (simulated) eval set — distinct-gram equi-join +
     // partial count, no pairwise document comparison.
@@ -927,6 +934,11 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_bloom_diff" ->
       """SELECT doc_id FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
+    "q_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS n
+         FROM t WHERE token <> '' GROUP BY token
+         ORDER BY n DESC, token LIMIT 500""",
     "q_contamination" ->
       s"""WITH bg AS (
            SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS gh

@@ -91,6 +91,19 @@ object TextAnalysis {
         trunc4(col("n_punct").cast("double") / length(col(textCol))).as("punct_ratio"))
   }
 
+  /** Corpus vocabulary building (the tokenizer-prep step): global
+    * occurrence counts of whitespace tokens, truncated to the `k` most
+    * frequent (ties broken by token text so the cut is deterministic).
+    * One explode + one hash-partitioned count with map-side partial
+    * aggregation; the final top-k is a TakeOrdered over the aggregated
+    * (distinct-token-sized, not corpus-sized) counts. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** PII patterns — deliberately restricted to the regex subset where Java
     * regex (Spark) and RE2 (DuckDB, common cross-engine baseline) agree: no
     * backreferences, no lookaround, \b word boundaries only. */
