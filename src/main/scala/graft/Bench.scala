@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   *
   * A query that throws is NOT silently timed as green: its median is
   * reported as -1 and the exception lands in the emitted "errors" array.
+  *
+  * Materialization: each query's ALREADY-OPTIMIZED physical plan is
+  * executed via `queryExecution.toRdd.count()`, not `df.count()`. Wrapping
+  * the query in a fresh count() lets Catalyst re-optimize — pruning every
+  * column, deleting the final sort, and even eliminating joins (a
+  * left join whose columns a count never reads is dropped whole, which
+  * made q_contamination's bench entry a scan of `documents`). toRdd runs
+  * the plan that Verify/consumers actually pay for, without collecting
+  * rows to the driver.
   */
 object Bench {
   private def jsonEscape(s: String): String =
@@ -43,7 +52,8 @@ object Bench {
     val benchQueries = SparkEntry.queries
       .filterNot { case (name, _) => SparkEntry.benchExclude.contains(name) }
     benchQueries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // perRun(i)(name) = seconds, or None if the query threw in that run.
@@ -52,7 +62,7 @@ object Bench {
       benchQueries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch {
             case e: Throwable =>
               errors += s"$name (run $r): ${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"

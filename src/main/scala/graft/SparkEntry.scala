@@ -637,6 +637,65 @@ object SparkEntry {
           length(col("text").cast("binary")).as("n_bytes"),
           sha2(col("text").cast("binary"), 256).as("digest"))
         .orderBy("doc_id")
+    }),
+
+    // Gaps-and-islands sessionization over the event stream (8h idle gap):
+    // per-user windows only — one hash exchange on user_id, no global sort.
+    "q_sessionize" -> ((s, dir) => {
+      operators.Sessionize.sessionStats(Tables.events(s, dir),
+          "user_id", "ts", "event_id", gapSeconds = 28800L)
+        .orderBy("user_id", "session_idx")
+    }),
+
+    // Token-stream packing into 512-token context windows: global exclusive
+    // prefix sum via the two-phase distributed scan (per-partition totals +
+    // broadcast offsets) — no single-reducer global window anywhere.
+    "q_seq_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Packing.packTokenStream(d, "doc_id",
+          size(split(col("text"), " ")), contextLen = 512)
+        .orderBy("doc_id")
+    }),
+
+    // Sliding token-window chunking (32-token windows, stride 24) — the
+    // RAG/long-document split. Pure per-row explode, zero shuffle.
+    "q_chunk" -> ((s, dir) => {
+      operators.Packing.chunkTokens(Tables.documents(s, dir),
+          "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Exact-substring duplication stats: fraction of each document's tokens
+    // covered by a token 5-gram occurring in another document (Lee et al.
+    // 2021 shape). Gram-keyed equi-joins only, no pairwise comparison.
+    "q_substring_dedup" -> ((s, dir) => {
+      TextDedup.repeatedNgramCoverage(Tables.documents(s, dir),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Per-document keyword extraction: top-3 non-stopword tokens by count,
+    // token-text tie-break; per-doc window, no global ordering.
+    "q_keywords" -> ((s, dir) => {
+      TextAnalysis.topKeywords(Tables.documents(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Length-percentile trimming (drop <p05 / >p95 token-count tails).
+    // Thresholds via the distinct-length histogram + integer k-th-smallest
+    // arithmetic; the corpus side stays a pure broadcast-filter.
+    "q_length_filter" -> ((s, dir) => {
+      TextAnalysis.lengthPercentileTrim(Tables.documents(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Sharded-export manifest: deterministic md5 shard assignment (16
+    // shards) + per-shard doc/token totals and id ranges.
+    "q_shard_assign" -> ((s, dir) => {
+      operators.Sampling.shardStats(Tables.documents(s, dir),
+          "doc_id", "text", nShards = 16)
+        .orderBy("shard")
     })
   )
 
@@ -1168,7 +1227,90 @@ object SparkEntry {
            CAST(trim(split_part(val, '|', 2)) AS VARCHAR) AS F_TYPE,
            CAST(trim(split_part(val, '|', 3)) AS VARCHAR) AS F_VAL,
            CAST(val AS VARCHAR) AS RAW
-         FROM p ORDER BY F_ID"""
+         FROM p ORDER BY F_ID""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id, event_id, ts_us,
+           CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                     > 28800000000
+                THEN 1 ELSE 0 END AS is_new
+           FROM e),
+         s AS (SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM g)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           max(ts_us) - min(ts_us) AS duration_us
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+    "q_seq_pack" ->
+      """WITH l AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           FROM l)
+         SELECT doc_id, n_tok, start_tok,
+           start_tok // 512 AS first_bin,
+           (start_tok + n_tok - 1) // 512 AS last_bin,
+           (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_bins
+         FROM c ORDER BY doc_id""",
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(range(1 + (greatest(len(toks) - 32, 0) + 23) // 24)) AS ci FROM t)
+         SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+           array_to_string(toks[(ci*24 + 1):(ci*24 + 32)], ' ') AS chunk_text
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos FROM t),
+         o AS (SELECT doc_id, pos,
+           array_to_string(toks[pos:pos+4], ' ') AS g FROM p),
+         rg AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         cv AS (SELECT DISTINCT doc_id, pos + unnest(range(5)) AS tp
+                FROM o SEMI JOIN rg USING (g)),
+         c2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered
+                FROM (SELECT DISTINCT doc_id, tp FROM cv) GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tok,
+           CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+           floor(coalesce(n_covered, 0) * 10000 / len(toks)) / 10000 AS cover_ratio
+         FROM t LEFT JOIN c2 USING (doc_id) ORDER BY doc_id""",
+    "q_keywords" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents),
+         c AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS n FROM tk
+               WHERE token <> '' AND token NOT IN ('the','a','and','of','to','in')
+               GROUP BY doc_id, token),
+         r AS (SELECT doc_id, token, n,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, token) AS INT) AS rank
+           FROM c)
+         SELECT doc_id, rank, token, n FROM r WHERE rank <= 3
+         ORDER BY doc_id, rank""",
+    "q_length_filter" ->
+      """WITH l AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),
+         h AS (SELECT n_tok, count(*) AS cnt FROM l GROUP BY n_tok),
+         c AS (SELECT n_tok, sum(cnt) OVER (ORDER BY n_tok
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l),
+         lo AS (SELECT min(n_tok) AS lo_tok FROM c, t WHERE cum >= (5*n + 99) // 100),
+         hi AS (SELECT min(n_tok) AS hi_tok FROM c, t WHERE cum >= (95*n + 99) // 100)
+         SELECT l.doc_id, l.n_tok, lo.lo_tok, hi.hi_tok
+         FROM l, lo, hi WHERE l.n_tok >= lo_tok AND l.n_tok <= hi_tok
+         ORDER BY doc_id""",
+    "q_shard_assign" ->
+      """WITH s AS (SELECT doc_id, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+         FROM documents)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok_total,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM s GROUP BY shard ORDER BY shard"""
   )
 
   /** The composed MinHash-LSH near-dup pipeline over the full corpus:

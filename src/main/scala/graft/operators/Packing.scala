@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and chunking — the last mile of a training-data
+  * pipeline: documents are concatenated into one token stream and sliced
+  * into fixed-length context windows (packing), or split into overlapping
+  * token windows (chunking, the RAG/long-doc shape).
+  *
+  * Packing needs a GLOBAL exclusive prefix sum of token counts in document
+  * order. The naive form — one window over `ORDER BY doc_id` with no
+  * partition key — funnels the entire corpus through a single reducer and
+  * is exactly the kind of plan that dies at 100 TB. [[packTokenStream]]
+  * instead runs the classic two-phase distributed scan:
+  *
+  *  1. range-partition by doc id (partition p holds a contiguous id range)
+  *     and freeze the partitioning with a localCheckpoint — the range
+  *     boundaries come from a nondeterministic sample, so both downstream
+  *     actions must observe the SAME placement;
+  *  2. aggregate one (partition, token-total) row per partition — a
+  *     driver-side list bounded by the partition count, not the data —
+  *     and turn it into per-partition start offsets;
+  *  3. add the broadcast offset to a WITHIN-partition running sum.
+  *
+  * Every partition then computes its slice of the global prefix sum
+  * independently; no single-reducer stage exists in the plan.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `nTokCol` in ascending `idCol` order, plus the
+    * context-window assignment for `contextLen`-token bins of the
+    * concatenated stream: first_bin/last_bin are the bins holding the
+    * document's first/last token, n_bins the span. */
+  def packTokenStream(docs: DataFrame, idCol: String, nTokCol: Column,
+                      contextLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(col(idCol).as("doc_id"), nTokCol.cast("long").as("n_tok"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // One row per partition: (pid, min doc_id, token total). Bounded by the
+    // partition count — manifest-scale bookkeeping, not a data collect.
+    val partRows = base.groupBy("_pid")
+      .agg(min("doc_id").as("lo"), sum("n_tok").as("tot"))
+      .collect()
+    val offsets = partRows.sortBy(_.getAs[Long]("lo"))
+      .scanLeft((-1, 0L)) { case ((_, acc), r) =>
+        (r.getAs[Int]("_pid"), acc + r.getAs[Long]("tot"))
+      }
+    val offsetByPid = offsets.zip(offsets.tail)
+      .map { case ((_, before), (pid, _)) => (pid, before) }
+    val offsetDf = offsetByPid.toSeq.toDF("_pid", "_offset")
+    val within = Window.partitionBy("_pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(contextLen.toLong)
+    base.join(broadcast(offsetDf), Seq("_pid"))
+      .withColumn("start_tok",
+        coalesce(sum("n_tok").over(within), lit(0L)) + col("_offset"))
+      .withColumn("first_bin", expr(s"start_tok div $contextLen"))
+      .withColumn("last_bin",
+        expr(s"(start_tok + n_tok - 1) div $contextLen"))
+      .withColumn("n_bins", col("last_bin") - col("first_bin") + lit(1L))
+      .select("doc_id", "n_tok", "start_tok", "first_bin", "last_bin", "n_bins")
+  }
+
+  /** Overlapping fixed-size token windows per document: chunks start at
+    * token offsets 0, stride, 2*stride, ... and the last chunk is the
+    * first one whose window reaches the end of the document (it may be
+    * shorter than `chunkSize`; no fully-redundant tail windows are
+    * emitted). Pure per-row explode — embarrassingly parallel, no
+    * shuffle. Returns (id, chunk_idx, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "need 0 < stride <= chunkSize")
+    val toks = split(col(textCol), " ")
+    val nTok = size(toks)
+    // 1 + ceil(max(0, n_tok - chunkSize) / stride), in integer arithmetic
+    val extra = greatest(nTok - lit(chunkSize), lit(0))
+    val nChunks = lit(1) +
+      ((extra + lit(stride - 1)) / lit(stride)).cast("int")
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))))
+      .toDF(idCol, "chunk_idx", "chunk_text")
+  }
+}

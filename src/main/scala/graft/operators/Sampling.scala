@@ -41,6 +41,27 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic shard assignment for corpus export: shard =
+    * stableHash(id) mod nShards. Like the splits, a document's shard never
+    * changes across runs, engines, or incremental loads — the property a
+    * resumable multi-file export needs. Pure projection. */
+  def shardAssign(df: DataFrame, idCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard",
+      pmod(TextDedup.stableHash(col(idCol).cast("string")), lit(nShards.toLong)))
+
+  /** Per-shard manifest for a sharded export: document count, total token
+    * count and the id range per shard — the numbers a downstream loader
+    * checks before trusting the export. One hash aggregation. */
+  def shardStats(df: DataFrame, idCol: String, textCol: String,
+                 nShards: Int): DataFrame =
+    shardAssign(df, idCol, nShards)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("n_tok_total"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

@@ -104,6 +104,57 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Per-document keyword extraction: the `k` most frequent non-stopword
+    * tokens of each document, ranked by count descending with the token
+    * text as a deterministic tie-break. One explode + hash aggregation
+    * (map-side partial combine), then a window partitioned BY DOCUMENT —
+    * no global ordering, so the plan scales with the corpus. Returns
+    * (id, rank, token, n). */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
+                  stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "" && !col("token").isin(stopwords: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("n").desc, col("token"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("n"))
+  }
+
+  /** Length-percentile trimming (drop the shortest/longest tails, the
+    * standard "too short to be text / too long to be one document" filter):
+    * keeps rows whose token count lies within the [pLo, pHi] DISCRETE
+    * percentiles, where the p-th percentile is the smallest length whose
+    * cumulative count reaches ceil(p * n). Percentiles are given as exact
+    * rationals (numerator/denominator) so the thresholds are pure integer
+    * arithmetic — no float multiply whose rounding could move a boundary.
+    *
+    * Scale: the corpus is never globally sorted. The cumulative window runs
+    * over the DISTINCT-LENGTH histogram (cardinality = number of distinct
+    * token counts, bounded and tiny relative to the corpus), and the two
+    * 1-row thresholds broadcast back onto a pure filter. */
+  def lengthPercentileTrim(df: DataFrame, idCol: String, textCol: String,
+                           loNum: Int = 5, hiNum: Int = 95,
+                           den: Int = 100): DataFrame = {
+    val nTok = size(split(col(textCol), " "))
+    val lens = df.select(col(idCol), nTok.as("n_tok"))
+    val hist = lens.groupBy("n_tok").agg(count(lit(1)).as("cnt"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy("n_tok")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum("cnt").over(wc))
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("n"))))
+    def kth(num: Int): Column = expr(s"($num * n + ${den - 1}) div $den")
+    val lo = cum.filter(col("cum") >= kth(loNum))
+      .agg(min("n_tok").as("lo_tok"))
+    val hi = cum.filter(col("cum") >= kth(hiNum))
+      .agg(min("n_tok").as("hi_tok"))
+    lens.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .filter(col("n_tok") >= col("lo_tok") && col("n_tok") <= col("hi_tok"))
+      .select(col(idCol), col("n_tok"), col("lo_tok"), col("hi_tok"))
+  }
+
   /** PII patterns — deliberately restricted to the regex subset where Java
     * regex (Spark) and RE2 (DuckDB, common cross-engine baseline) agree: no
     * backreferences, no lookaround, \b word boundaries only. */

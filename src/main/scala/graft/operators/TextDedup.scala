@@ -156,8 +156,12 @@ object TextDedup {
     * recomputing them per pair multiplies the shingling cost by the average
     * pair fan-out. */
   def jaccardFromShingles(sa: Column, sb: Column): Column = {
+    // Both inputs hold DISTINCT elements (charShingles dedups), so
+    // |union| = |a| + |b| - |intersection| — no per-pair concat +
+    // re-dedup, which was the dominant cost when scoring many pairs
+    // (array_distinct builds and hashes a |a|+|b| array per pair).
     val inter = size(array_intersect(sa, sb)).cast("double")
-    val uni = size(array_distinct(concat(sa, sb))).cast("double")
+    val uni = (size(sa) + size(sb)).cast("double") - inter
     floor(inter / uni * 10000) / 10000.0
   }
 
@@ -410,6 +414,46 @@ object TextDedup {
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  /** Exact-substring duplication stats (the Lee et al. 2021 "Deduplicating
+    * Training Data Makes Language Models Better" shape, at token-n-gram
+    * granularity): for every document, how many of its tokens are covered
+    * by a token n-gram that also occurs in ANOTHER document. High coverage
+    * means the document is largely stitched from corpus-repeated spans —
+    * boilerplate, licenses, templated text.
+    *
+    * Scale shape: one explode to (doc, pos, gram) rows, a gram-keyed count
+    * of distinct source docs (map-side partial agg), an equi-join back on
+    * the gram restricted to cross-doc-repeated grams, and a distinct over
+    * (doc, token-position) to turn overlapping windows into exact token
+    * coverage. No pairwise document comparison anywhere; every shuffle key
+    * is a gram hash or a doc id. Returns
+    * (id, n_tok, n_covered, cover_ratio) — ratio floor-truncated to 4
+    * decimals. */
+  def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        p => struct(p.as("pos"), concat_ws(" ", slice(toks, p, lit(n))).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+    val occ = docs.select(col(idCol), explode(grams).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val repeatedGrams = occ.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("g")
+    val covered = occ.join(repeatedGrams, Seq("g"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_covered"))
+    docs.select(col(idCol), size(toks).as("n_tok"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (floor(coalesce(col("n_covered"), lit(0L)) * 10000 / col("n_tok")) / 10000.0)
+          .as("cover_ratio"))
   }
 
   /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Packing, Sessionize, TextAnalysis, TextDedup, Sampling}
+
+/** Specs for the round-4 training-data operators: sessionization, token
+  * packing/chunking, exact-substring coverage, keyword extraction,
+  * length trimming, shard manifests. */
+class PackingSessionizeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("sessionize: gap rule splits sessions, tie column breaks equal timestamps") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // user 1: events at t=0s, 10s, 2000s (gap>1800 -> new session), 2005s
+    // user 2: one event; equal-ts pair ordered by event_id stays one session
+    val ev = Seq(
+      (1L, 0L, 10L), (1L, 10000000L, 11L), (1L, 2000000000L, 12L),
+      (1L, 2005000000L, 13L),
+      (2L, 5000000L, 20L), (2L, 5000000L, 21L))
+      .toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Sessionize.sessionStats(ev, "user_id", "ts", "event_id", 1800L)
+      .orderBy("user_id", "session_idx")
+      .select("user_id", "session_idx", "n_events", "duration_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 10000000L),
+      (1L, 2L, 2L, 5000000L),
+      (2L, 1L, 2L, 0L)))
+  }
+
+  test("packTokenStream: two-phase prefix sum == naive global cumsum, any partitioning") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = (1L to 97L).map(i => (i, ((i * 7) % 13 + 1).toInt))
+      .toDF("doc_id", "n")
+      .repartition(7) // scrambled placement; operator must re-range-partition
+    val got = Packing.packTokenStream(docs, "doc_id", col("n"), contextLen = 10)
+      .orderBy("doc_id").collect()
+    var running = 0L
+    (1L to 97L).zip(got).foreach { case (i, r) =>
+      val n = (i * 7) % 13 + 1
+      assert(r.getAs[Long]("start_tok") == running, s"doc $i")
+      assert(r.getAs[Long]("first_bin") == running / 10)
+      assert(r.getAs[Long]("last_bin") == (running + n - 1) / 10)
+      running += n
+    }
+  }
+
+  test("chunkTokens: boundary cases — short doc, exact fit, overlap tail") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),                       // 3 toks < chunk -> 1 chunk
+      (2L, (1 to 8).map("t" + _).mkString(" ")), // 8 toks = exact 2 strides
+      (3L, (1 to 11).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkTokens(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.count(_._1 == 1L) == 1 && got.head._3 == "a b c")
+    // 8 toks: extra=0 -> single chunk covering all
+    assert(got.count(_._1 == 2L) == 1)
+    assert(got.find(_._1 == 2L).get._3 == (1 to 8).map("t" + _).mkString(" "))
+    // 11 toks: extra=3 -> ceil(3/4)=1 extra chunk at offset 4 (toks 5..11)
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.map(_._2).toSeq == Seq(0, 1))
+    assert(d3(0)._3 == (1 to 8).map("t" + _).mkString(" "))
+    assert(d3(1)._3 == (5 to 11).map("t" + _).mkString(" "))
+  }
+
+  test("repeatedNgramCoverage: shared 5-gram covers exactly its span; unique docs zero") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val shared = "one two three four five"
+    val docs = Seq(
+      (1L, s"$shared alpha beta"),   // tokens 1-5 covered, 6-7 not
+      (2L, s"gamma $shared delta"),  // tokens 2-6 covered
+      (3L, "unrelated text entirely here now"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.repeatedNgramCoverage(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 7, 5L), (2L, 7, 5L), (3L, 5, 0L)))
+  }
+
+  test("topKeywords: count-desc rank with token-text tie-break, stopwords excluded") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq((1L, "zz zz aa bb bb the the the")).toDF("doc_id", "text")
+    val got = TextAnalysis.topKeywords(docs, "doc_id", "text", 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    // counts: zz=2, bb=2, aa=1; 'the' is a stopword; tie zz/bb -> bb first
+    assert(got.toSeq == Seq((1, "bb", 2L), (2, "zz", 2L), (3, "aa", 1L)))
+  }
+
+  test("lengthPercentileTrim: discrete thresholds hit ceil(p*n)-th smallest") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 10 docs with token counts 1..10; p05 -> ceil(0.5)=1st smallest = 1,
+    // p95 -> ceil(9.5)=10th smallest = 10 => nothing trimmed. With
+    // 20/80 percentiles: lo = 4th smallest = 4, hi = 16th -> none; use
+    // explicit rationals to exercise a real trim.
+    val docs = (1 to 10).map(i => (i.toLong, (1 to i).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lengthPercentileTrim(docs, "doc_id", "text",
+        loNum = 20, hiNum = 80, den = 100)
+      .orderBy("doc_id").collect()
+    // lo = ceil(0.2*10)=2nd smallest = 2; hi = ceil(0.8*10)=8th = 8
+    assert(got.map(_.getLong(0)).toSeq == (2L to 8L))
+    assert(got.head.getAs[Int]("lo_tok") == 2 && got.head.getAs[Int]("hi_tok") == 8)
+  }
+
+  test("shardStats: shards partition the corpus; totals add up; deterministic") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val stats = Sampling.shardStats(docs, "doc_id", "text", nShards = 8)
+      .orderBy("shard").collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val again = Sampling.shardStats(docs, "doc_id", "text", nShards = 8)
+      .orderBy("shard").collect()
+    assert(stats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
