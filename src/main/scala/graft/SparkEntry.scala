@@ -238,14 +238,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // Character trigram Jaccard similarity between consecutive documents.
+    // Character trigram Jaccard similarity between consecutive documents,
+    // over md5-hashed shingles: each doc's sorted distinct hash array is
+    // built ONCE, and the per-pair score is the codegen merge walk
+    // (SortedIntersectCount) — the string-array form ran entirely in
+    // interpreted higher-order functions and was ~8x slower at sf0.1.
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val d1 = d.select(col("doc_id").as("id1"), col("text").as("t1"))
-      val d2 = d.select(col("doc_id").as("id2"), col("text").as("t2"))
-      d1.join(d2, col("id2") === col("id1") + 1)
+      graft.functions.ArrayFunctions.register(s)
+      val sh = TextDedup.sortedShingleHashes(Tables.documents(s, dir),
+        "doc_id", "text")
+      val a = sh.toDF("id1", "sh1")
+      val b = sh.toDF("id2", "sh2")
+      a.join(b, col("id2") === col("id1") + 1)
         .select(col("id1"), col("id2"),
-          TextDedup.ngramJaccard(col("t1"), col("t2"), 3).as("jac"))
+          TextDedup.jaccardFromSortedShingles(col("sh1"), col("sh2")).as("jac"))
         .orderBy("id1")
     }),
 
@@ -690,6 +696,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer application: encode every document against the built
+    // top-20 vocabulary (dense ids in count-desc order, 0 = OOV — the
+    // corpus has >20 distinct tokens, so OOV rows are non-vacuous).
+    // Vocab is bounded -> broadcast join; corpus side never shuffles.
+    "q_tokenize" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.tokenize(d, "doc_id", "text",
+          TextAnalysis.vocabIds(d, "text", 20))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Sharded-export manifest: deterministic md5 shard assignment (16
     // shards) + per-shard doc/token totals and id ranges.
     "q_shard_assign" -> ((s, dir) => {
@@ -817,10 +834,14 @@ object SparkEntry {
            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "q_ngram_jaccard" ->
-      s"""WITH s AS (SELECT doc_id, ${shinglesSql("text", 3)} AS sh FROM documents)
+      s"""WITH s AS (SELECT doc_id,
+           list_distinct(list_transform(${shinglesSql("text", 3)},
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647)) AS sh
+         FROM documents)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
            floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))) * 10000) / 10000 AS jac
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 * 10000) / 10000 AS jac
          FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
          ORDER BY id1""",
     "q_winnow_fp" ->
@@ -1303,6 +1324,18 @@ object SparkEntry {
          SELECT l.doc_id, l.n_tok, lo.lo_tok, hi.hi_tok
          FROM l, lo, hi WHERE l.n_tok >= lo_tok AND l.n_tok <= hi_tok
          ORDER BY doc_id""",
+    "q_tokenize" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+               WHERE token <> '' GROUP BY token),
+         v AS (SELECT token,
+                 CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+               FROM (SELECT * FROM c ORDER BY n DESC, token LIMIT 20)),
+         tk AS (SELECT doc_id, toks, unnest(range(len(toks))) AS pos
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         e AS (SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS token FROM tk)
+         SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id
+         FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
     "q_shard_assign" ->
       """WITH s AS (SELECT doc_id, text,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard

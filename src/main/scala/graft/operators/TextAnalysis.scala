@@ -104,6 +104,35 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Vocabulary as an id table: the top-`k` tokens of [[topTokens]] with a
+    * dense 1-based id in (count desc, token) order — id 0 is reserved for
+    * out-of-vocabulary. The ranking window runs over the aggregated
+    * distinct-token table (vocab-sized), not the corpus. */
+  def vocabIds(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    topTokens(df, textCol, k)
+      .withColumn("token_id", row_number().over(w))
+      .select(col("token"), col("token_id"), col("n"))
+  }
+
+  /** Tokenizer application (the encode step after vocabulary building):
+    * map every token of every document to its vocabulary id, 0 for
+    * out-of-vocabulary. Returns one (id, pos, token_id) row per token —
+    * the flat layout a sequence-packing stage consumes.
+    *
+    * Scale: the vocabulary is bounded (top-k) so Spark broadcasts it; the
+    * corpus side is explode + broadcast-hash-join + projection — no
+    * shuffle of corpus data at all. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+    toks.join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+  }
+
   /** Per-document keyword extraction: the `k` most frequent non-stopword
     * tokens of each document, ranked by count descending with the token
     * text as a deterministic tie-break. One explode + hash aggregation

@@ -1,9 +1,10 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import graft.operators.TextDedup
 
-/** Dev scratch probe — not part of the engine API. */
+/** Dev scratch probe — not part of the engine API. Current form: physical
+  * plan audit of the round-4 operators (exchanges / joins / windows per
+  * query — the shapes that decide 100 TB viability). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -12,20 +13,18 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.1")
-    docs.count() // warmup
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    val dir = "/root/testdata/sf0.01"
+    for (q <- Seq("q_sessionize", "q_seq_pack", "q_chunk", "q_substring_dedup",
+        "q_tokenize", "q_length_filter", "q_shard_assign", "q_keywords")) {
+      println(s"===== $q =====")
+      val df = graft.SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.executedPlan.toString.linesIterator
+        .map(_.trim)
+        .filter(l => l.contains("Exchange") || l.contains("Join") ||
+          l.contains("Window") || l.contains("BroadcastNestedLoop") ||
+          l.contains("Cartesian"))
+        .foreach(l => println("  " + l.take(160)))
     }
-    time("minhash md5 (oracle parity)")(
-      TextDedup.minHashSignature(docs, "doc_id", "text").count())
-    time("minhash xxhash64 (production)")(
-      TextDedup.minHashSignature(docs, "doc_id", "text", oracleParity = false).count())
-    time("winnow md5")(
-      TextDedup.winnowingFingerprints(docs, "doc_id", "text").count())
-    time("winnow xxhash64")(
-      TextDedup.winnowingFingerprints(docs, "doc_id", "text", oracleParity = false).count())
     spark.stop()
   }
 }

@@ -121,6 +121,20 @@ class PackingSessionizeSpec extends AnyFunSuite {
     assert(got.head.getAs[Int]("lo_tok") == 2 && got.head.getAs[Int]("hi_tok") == 8)
   }
 
+  test("tokenize: dense ids in count-desc order, OOV maps to 0, round-trips") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq((1L, "b b b a a c rare")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabIds(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // counts: b=3, a=2, c=1, rare=1; top-3 by (n desc, token) = b, a, c
+    assert(vocab == Map("b" -> 1, "a" -> 2, "c" -> 3))
+    val got = TextAnalysis.tokenize(docs, "doc_id", "text",
+        TextAnalysis.vocabIds(docs, "text", 3))
+      .orderBy("pos").collect().map(_.getInt(2)).toSeq
+    assert(got == Seq(1, 1, 1, 2, 2, 3, 0))
+  }
+
   test("shardStats: shards partition the corpus; totals add up; deterministic") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
