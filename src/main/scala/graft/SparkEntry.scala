@@ -707,6 +707,25 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // Corpus reporting: one-row exact summary (doc/source/vocab
+    // cardinalities, token total, floored mean length) — the sanity
+    // dashboard before a training run. Two partial-agg passes joined by a
+    // 1-row cross join; distinct counts shuffle the distinct VALUES, not
+    // the corpus.
+    "q_corpus_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val a = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok_total"))
+      val b = toks.agg(countDistinct(col("token")).as("n_vocab"))
+      a.crossJoin(b)
+        .withColumn("mean_tok",
+          floor(col("n_tok_total") * 10000 / col("n_docs")) / 10000.0)
+    }),
+
     // Sharded-export manifest: deterministic md5 shard assignment (16
     // shards) + per-shard doc/token totals and id ranges.
     "q_shard_assign" -> ((s, dir) => {
@@ -1336,6 +1355,17 @@ object SparkEntry {
          e AS (SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS token FROM tk)
          SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id
          FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
+    "q_corpus_stats" ->
+      """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok_total
+           FROM documents),
+         b AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS n_vocab FROM
+             (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token <> '')
+         SELECT a.n_docs, a.n_sources, a.n_tok_total, b.n_vocab,
+           floor(n_tok_total * 10000 / n_docs) / 10000 AS mean_tok
+         FROM a, b""",
     "q_shard_assign" ->
       """WITH s AS (SELECT doc_id, text,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingDedup
+
+/** Ingest-time dedup: replaying the event table with every record
+  * duplicated in-batch AND the tail of each batch repeated at the head of
+  * the next (the at-least-once redelivery shapes), each event_id must be
+  * emitted exactly once. */
+class StreamingDedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("duplicated replay emits each event exactly once") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_sdedup").toString
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy("ts_us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val slices = rows.grouped((rows.length + 3) / 4).map(_.toSeq).toSeq
+    // each slice: every row twice, plus the previous slice's last 10 rows
+    val batches = slices.zipWithIndex.map { case (s, i) =>
+      val redelivered = if (i == 0) Seq.empty else slices(i - 1).takeRight(10)
+      s ++ s ++ redelivered
+    }
+
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batches.foreach { b =>
+      b.toDF("event_id", "ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .coalesce(1).write.mode("append").parquet(s"$work/in")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in")
+      val deduped = StreamingDedup.dedupStream(src, Seq("event_id"), "ts", "1 hour")
+      val q = deduped.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted ++= batch.select("event_id").collect().map(_.getLong(0))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    assert(emitted.size == rows.length,
+      s"expected ${rows.length} unique emissions, got ${emitted.size}")
+    assert(emitted.toSet == rows.map(_._1).toSet)
+  }
+}
