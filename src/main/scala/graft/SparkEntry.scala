@@ -1040,15 +1040,14 @@ object SparkEntry {
          ORDER BY n DESC, token LIMIT 500""",
     "q_contamination" ->
       s"""WITH bg AS (
-           SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS gh
+           SELECT DISTINCT g
            FROM (SELECT unnest(${shinglesSql("text", 8)}) AS g
                  FROM documents WHERE doc_id % 97 = 0)),
          dg AS (
-           SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS gh
-           FROM (SELECT doc_id, unnest(${shinglesSql("text", 8)}) AS g
-                 FROM documents)),
+           SELECT doc_id, unnest(${shinglesSql("text", 8)}) AS g
+           FROM documents),
          ov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
-                FROM dg JOIN bg USING (gh) GROUP BY doc_id)
+                FROM dg JOIN bg USING (g) GROUP BY doc_id)
          SELECT d.doc_id,
            CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
            coalesce(ov.n_overlap, 0) > 0 AS contaminated

@@ -396,19 +396,19 @@ object TextDedup {
     * (id, n_overlap, contaminated). */
   def ngramContamination(corpus: DataFrame, idCol: String, textCol: String,
                          benchmark: DataFrame, benchTextCol: String,
-                         n: Int = 8,
-                         oracleParity: Boolean = true): DataFrame = {
-    val base: Column => Column =
-      if (oracleParity) c => stableHash(c) % P
-      else c => pmod(xxhash64(c), lit(P))
+                         n: Int = 8): DataFrame = {
+    // Join on the RAW gram string: the gram never reaches the output, the
+    // benchmark side is distinct + small (eval sets ≪ corpus, Catalyst
+    // broadcasts it), and the corpus side therefore never shuffles — so
+    // hashing the grams first (as through round 3) bought nothing and cost
+    // one md5 per (doc, gram) pair, the single largest term in the query.
+    // Exact string equality also removes hash-collision false positives.
     val benchGrams = benchmark
       .select(explode(charShingles(col(benchTextCol), n)).as("g"))
-      .select(base(col("g")).as("gh"))
       .distinct()
     val docGrams = corpus
       .select(col(idCol), explode(charShingles(col(textCol), n)).as("g"))
-      .select(col(idCol), base(col("g")).as("gh"))
-    val overlap = docGrams.join(benchGrams, Seq("gh"))
+    val overlap = docGrams.join(benchGrams, Seq("g"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     corpus.select(col(idCol)).join(overlap, Seq(idCol), "left")
       .select(col(idCol),

@@ -13,6 +13,14 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    for (q <- Seq("q_contamination", "q_substring_dedup", "q_ngram_jaccard")) {
+      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      df.queryExecution.toRdd.count() // warm
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+        .queryExecution.toRdd.count()
+      println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q_sessionize", "q_seq_pack", "q_chunk", "q_substring_dedup",
         "q_tokenize", "q_length_filter", "q_shard_assign", "q_keywords")) {
