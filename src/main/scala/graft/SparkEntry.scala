@@ -707,6 +707,45 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // Per-source corpus mix report (the "what am I training on" table):
+    // doc/token totals and an aggregate stopword ratio per source. Ratios
+    // are INTEGER-accumulated (sum of counts, one floored division at the
+    // end) — never a mean of per-doc doubles, whose accumulation order
+    // differs across engines. One partial-agg shuffle on source.
+    "q_source_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = split(col("text"), " ")
+      val stop = Seq("the", "a", "and", "of", "to", "in")
+      d.select(col("source"), col("lang"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum("n_tok").as("n_tok_total"),
+          (floor(sum("n_stop") * 10000 / sum("n_tok")) / 10000.0).as("stop_ratio"))
+        .orderBy("source")
+    }),
+
+    // Cross-source near-duplicate leakage: verified near-dup pairs whose
+    // docs come from DIFFERENT sources, counted per source pair — the
+    // audit that catches one crawl republishing another. Reuses the
+    // memoized verified-pair stage; two broadcast joins + one partial agg.
+    "q_cross_source_leakage" -> ((s, dir) => {
+      val pairs = nearDupPairs(s, dir)
+      val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("id1", "src1"), Seq("id1"))
+        .join(src.toDF("id2", "src2"), Seq("id2"))
+        .filter(col("src1") =!= col("src2"))
+        .select(least(col("src1"), col("src2")).as("source_a"),
+          greatest(col("src1"), col("src2")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Corpus reporting: one-row exact summary (doc/source/vocab
     // cardinalities, token total, floored mean length) — the sanity
     // dashboard before a training run. Two partial-agg passes joined by a
@@ -1354,6 +1393,26 @@ object SparkEntry {
          e AS (SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS token FROM tk)
          SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id
          FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
+    "q_source_quality" ->
+      """WITH d AS (SELECT source, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','and','of','to','in'))) AS BIGINT) AS n_stop
+         FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+           floor(sum(n_stop) * 10000 / sum(n_tok)) / 10000 AS stop_ratio
+         FROM d GROUP BY source ORDER BY source""",
+    "q_cross_source_leakage" ->
+      s"""WITH $minhashCte, $hybridPairsCtes,
+         e AS (SELECT least(x.source, y.source) AS source_a,
+                      greatest(x.source, y.source) AS source_b
+               FROM vp JOIN documents x ON x.doc_id = vp.id1
+                       JOIN documents y ON y.doc_id = vp.id2
+               WHERE x.source <> y.source)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e GROUP BY source_a, source_b ORDER BY source_a, source_b""",
     "q_corpus_stats" ->
       """WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
