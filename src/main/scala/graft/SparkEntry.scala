@@ -707,6 +707,19 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // Semantic dedup over embeddings: cosine-LSH candidate pairs (the
+    // equi-join scale path, no nested loop) -> connected components ->
+    // canonical = min vec_id per cluster. The embedding-space twin of the
+    // text near-dup chain, reusing the same CC fixpoint.
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.cosinePairsLsh(emb, "vec_id", "embedding", 0.4)
+        .select(col("id1"), col("id2"))
+      TextDedup.dedupClusters(emb, "vec_id", pairs)
+        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     // Per-source corpus mix report (the "what am I training on" table):
     // doc/token totals and an aggregate stopword ratio per source. Ratios
     // are INTEGER-accumulated (sum of counts, one floored division at the
@@ -1393,6 +1406,30 @@ object SparkEntry {
          e AS (SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS token FROM tk)
          SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id
          FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
+         b AS (
+           SELECT vec_id, 0 AS tab, ${lshBucketSql("embedding", 4, 0)} AS bucket
+           FROM embeddings
+           UNION ALL
+           SELECT vec_id, 1, ${lshBucketSql("embedding", 4, 4)} FROM embeddings),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+           FROM b a JOIN b c
+             ON a.tab = c.tab AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         vp2 AS (SELECT id1, id2
+                 FROM cand JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2
+                 WHERE ${cosSql("x.e", "y.e")} > 0.4),
+         e2 AS (SELECT id1 AS a, id2 AS b FROM vp2
+                UNION ALL SELECT id2, id1 FROM vp2),
+         r AS (SELECT a, b FROM e2
+               UNION SELECT r.a, e2.b FROM r JOIN e2 ON r.b = e2.a),
+         m AS (SELECT a, min(b) AS mb FROM r GROUP BY a)
+         SELECT em.vec_id,
+           CAST(least(em.vec_id, coalesce(m.mb, em.vec_id)) AS BIGINT) AS cluster_id,
+           least(em.vec_id, coalesce(m.mb, em.vec_id)) = em.vec_id AS is_canonical
+         FROM embeddings em LEFT JOIN m ON m.a = em.vec_id
+         ORDER BY em.vec_id""",
     "q_source_quality" ->
       """WITH d AS (SELECT source, lang,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
