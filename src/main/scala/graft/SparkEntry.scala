@@ -663,6 +663,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Pack manifest: per (bin, doc) token slices — what a dataloader
+    // actually assembles context windows from. Explode over each doc's
+    // bin span; integer arithmetic end to end.
+    "q_pack_manifest" -> ((s, dir) => {
+      operators.Packing.packManifest(Tables.documents(s, dir), "doc_id",
+          size(split(col("text"), " ")), contextLen = 512)
+        .orderBy("bin", "doc_id")
+    }),
+
     // Sliding token-window chunking (32-token windows, stride 24) — the
     // RAG/long-document split. Pure per-row explode, zero shuffle.
     "q_chunk" -> ((s, dir) => {
@@ -1349,6 +1358,21 @@ object SparkEntry {
            (start_tok + n_tok - 1) // 512 AS last_bin,
            (start_tok + n_tok - 1) // 512 - start_tok // 512 + 1 AS n_bins
          FROM c ORDER BY doc_id""",
+    "q_pack_manifest" ->
+      """WITH l AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         c AS (SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           FROM l),
+         s AS (SELECT doc_id, n_tok, start_tok,
+           start_tok // 512 AS fb, (start_tok + n_tok - 1) // 512 AS lb FROM c),
+         x AS (SELECT doc_id, n_tok, start_tok,
+           fb + unnest(range(lb - fb + 1)) AS bin FROM s)
+         SELECT bin, doc_id,
+           greatest(bin * 512 - start_tok, 0) AS tok_from,
+           least((bin + 1) * 512 - start_tok, n_tok) AS tok_to
+         FROM x ORDER BY bin, doc_id""",
     "q_chunk" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks,

@@ -68,6 +68,24 @@ object Packing {
       .select("doc_id", "n_tok", "start_tok", "first_bin", "last_bin", "n_bins")
   }
 
+  /** Pack manifest: one row per (context bin, document slice) — the table
+    * a dataloader consumes to assemble each `contextLen`-token window from
+    * document pieces. For every bin a document overlaps, emits the
+    * DOC-RELATIVE token range [tok_from, tok_to) feeding that bin. Built
+    * from [[packTokenStream]]'s offsets by a per-row explode over the
+    * first_bin..last_bin span — no further shuffle beyond the prefix sum. */
+  def packManifest(docs: DataFrame, idCol: String, nTokCol: Column,
+                   contextLen: Int): DataFrame = {
+    val packed = packTokenStream(docs, idCol, nTokCol, contextLen)
+    val L = contextLen.toLong
+    packed
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+      .select(col("bin"), col("doc_id"),
+        greatest(col("bin") * L - col("start_tok"), lit(0L)).as("tok_from"),
+        least((col("bin") + 1) * L - col("start_tok"), col("n_tok")).as("tok_to"))
+  }
+
   /** Overlapping fixed-size token windows per document: chunks start at
     * token offsets 0, stride, 2*stride, ... and the last chunk is the
     * first one whose window reaches the end of the document (it may be

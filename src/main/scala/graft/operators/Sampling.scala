@@ -62,6 +62,21 @@ object Sampling {
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
+  /** Physical sharded export: write `df` under `path` partitioned by the
+    * deterministic shard, capping rows per file so downstream loaders get
+    * bounded, parallel-friendly files. Layout: `path/shard=N/part-*.parquet`.
+    * Because the shard is a pure function of the id, re-exporting after an
+    * incremental load appends only to the affected shards' directories. */
+  def exportShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+                   maxRecordsPerFile: Int = 1000000): Unit =
+    shardAssign(df, idCol, nShards)
+      .repartition(col("shard"))
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(path)
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

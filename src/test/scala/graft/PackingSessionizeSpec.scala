@@ -121,6 +121,50 @@ class PackingSessionizeSpec extends AnyFunSuite {
     assert(got.head.getAs[Int]("lo_tok") == 2 && got.head.getAs[Int]("hi_tok") == 8)
   }
 
+  test("packManifest: slices per doc rebuild the doc; full bins carry exactly contextLen tokens") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = (1L to 97L).map(i => (i, ((i * 7) % 13 + 1).toInt))
+      .toDF("doc_id", "n")
+    val m = Packing.packManifest(docs, "doc_id", col("n"), contextLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per doc: slice lengths sum to the doc's token count
+    val perDoc = m.groupBy(_._2).view.mapValues(_.map(s => s._4 - s._3).sum)
+    (1L to 97L).foreach { i =>
+      assert(perDoc(i) == (i * 7) % 13 + 1, s"doc $i")
+    }
+    // per bin except the last: assembled slices fill the context exactly
+    val total = (1L to 97L).map(i => (i * 7) % 13 + 1).sum
+    val perBin = m.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum)
+    val lastBin = (total - 1) / 10
+    perBin.foreach { case (bin, tokens) =>
+      if (bin < lastBin) assert(tokens == 10, s"bin $bin has $tokens tokens")
+    }
+    assert(perBin(lastBin) == total - lastBin * 10)
+  }
+
+  test("exportShards: on-disk layout partitioned by shard, content round-trips") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sampling.exportShards(docs, "doc_id", nShards = 4, path = out,
+      maxRecordsPerFile = 20)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(d => d.drop(6).toInt < 4))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // every row landed in the shard its id hashes to
+    val mismatches = back.join(
+        Sampling.shardAssign(docs, "doc_id", 4)
+          .withColumnRenamed("shard", "expected_shard"),
+        Seq("doc_id"))
+      .filter(org.apache.spark.sql.functions.col("shard") =!=
+        org.apache.spark.sql.functions.col("expected_shard"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("tokenize: dense ids in count-desc order, OOV maps to 0, round-trips") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
