@@ -45,10 +45,14 @@ object Packing {
       .localCheckpoint()
     // One row per partition: (pid, min doc_id, token total). Bounded by the
     // partition count — manifest-scale bookkeeping, not a data collect.
+    // orderBy("lo") sorts with the id column's own type ordering, so int,
+    // long, and string doc ids all work — a driver-side getAs[Long] sort
+    // would ClassCastException on anything but long.
     val partRows = base.groupBy("_pid")
       .agg(min("doc_id").as("lo"), sum("n_tok").as("tot"))
+      .orderBy("lo")
       .collect()
-    val offsets = partRows.sortBy(_.getAs[Long]("lo"))
+    val offsets = partRows
       .scanLeft((-1, 0L)) { case ((_, acc), r) =>
         (r.getAs[Int]("_pid"), acc + r.getAs[Long]("tot"))
       }

@@ -73,6 +73,10 @@ object Sampling {
       .repartition(col("shard"))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      // Dynamic overwrite replaces only the shard directories present in
+      // `df` — without it Spark's static mode deletes the whole `path`,
+      // breaking the incremental re-export contract documented above.
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard")
       .mode("overwrite")
       .parquet(path)

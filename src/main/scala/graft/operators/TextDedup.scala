@@ -398,17 +398,20 @@ object TextDedup {
                          benchmark: DataFrame, benchTextCol: String,
                          n: Int = 8): DataFrame = {
     // Join on the RAW gram string: the gram never reaches the output, the
-    // benchmark side is distinct + small (eval sets ≪ corpus, Catalyst
-    // broadcasts it), and the corpus side therefore never shuffles — so
-    // hashing the grams first (as through round 3) bought nothing and cost
-    // one md5 per (doc, gram) pair, the single largest term in the query.
-    // Exact string equality also removes hash-collision false positives.
+    // benchmark side is distinct + small (eval sets ≪ corpus), and the
+    // corpus side therefore never shuffles — so hashing the grams first (as
+    // through round 3) bought nothing and cost one md5 per (doc, gram)
+    // pair, the single largest term in the query. Exact string equality
+    // also removes hash-collision false positives. The broadcast hint is
+    // explicit: a post-distinct size ESTIMATE can exceed the auto
+    // threshold, and a silent fallback to sort-merge would shuffle the
+    // full corpus gram explode.
     val benchGrams = benchmark
       .select(explode(charShingles(col(benchTextCol), n)).as("g"))
       .distinct()
     val docGrams = corpus
       .select(col(idCol), explode(charShingles(col(textCol), n)).as("g"))
-    val overlap = docGrams.join(benchGrams, Seq("g"))
+    val overlap = docGrams.join(broadcast(benchGrams), Seq("g"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     corpus.select(col(idCol)).join(overlap, Seq(idCol), "left")
       .select(col(idCol),
