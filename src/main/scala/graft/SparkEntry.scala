@@ -623,8 +623,8 @@ object SparkEntry {
     // REAL video container metadata, oracle-verified: synthesize a valid
     // ISO BMFF (mp4) container per doc, walk its box tree with the real
     // byte-level parser (ftyp -> moov -> mvhd), and emit timescale/duration.
-    // Frame DECODE stays stubbed (no JDK video codec) — container metadata
-    // needs none, exactly like PNG IHDR parsing.
+    // (MP4 frame decode stays stubbed — the JDK ships no H.264 codec —
+    // but AVI frame decode is REAL: see q_video_frames.)
     "q_video_meta" -> ((s, dir) => {
       val withMp4 = graft.multimodal.Multimodal.withSyntheticMp4(
         Tables.documents(s, dir), "doc_id")
@@ -632,6 +632,22 @@ object SparkEntry {
         .select(col("doc_id"), col("v_timescale"), col("v_duration"),
           (floor(col("v_seconds") * 1000000) / 1000000.0).as("v_seconds"))
         .orderBy("doc_id")
+    }),
+
+    // REAL video frame decode, oracle-verified (the video twin of
+    // q_image_stats): synthesize a 4-frame uncompressed-DIB AVI per doc
+    // through the real RIFF encoder, walk the container and decode every
+    // frame through the JDK BMP codec (AviCodec), and emit per-frame pixel
+    // statistics. Frame f's pixel p has gray (id + 17f + p) mod 256 —
+    // every pixel of every frame differs, yet the exact integer luminance
+    // sum stays closed-form for DuckDB.
+    "q_video_frames" -> ((s, dir) => {
+      val withAvi = graft.multimodal.Multimodal.withSyntheticAvi(
+        Tables.documents(s, dir), "doc_id")
+      graft.multimodal.Multimodal.videoFrameStats(withAvi, "avi", "doc_id")
+        .select(col("doc_id"), col("frame_index"), col("f_width"), col("f_height"),
+          (floor(col("mean_lum") * 1000000) / 1000000.0).as("mean_lum"))
+        .orderBy("doc_id", "frame_index")
     }),
 
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
@@ -1144,6 +1160,14 @@ object SparkEntry {
            floor(CAST(abs(doc_id) % 3600 * 1000 + 500 AS DOUBLE) / 1000
                  * 1000000) / 1000000 AS v_seconds
          FROM documents ORDER BY doc_id""",
+    "q_video_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_index,
+           CAST(8 AS INT) AS f_width, CAST(8 AS INT) AS f_height,
+           floor(CAST(list_reduce(list_transform(range(64),
+                   p -> (abs(doc_id) % 256 + 17 * f + p) % 256), (a, b) -> a + b) AS DOUBLE)
+                 / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
+         FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
+         ORDER BY doc_id, frame_index""",
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket

@@ -15,15 +15,18 @@ import org.apache.spark.sql.types._
   * (IHDR is at a fixed offset — pure byte inspection), IMAGE PIXEL DECODE
   * (PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` — no external
   * dependency), AUDIO PCM DECODE (WAV/AIFF/AU via the JDK's
-  * `javax.sound.sampled` — also no external dependency), grayscale grid
-  * features, PCM amplitude features, bilinear resize + PNG re-encode, the
-  * DataFrame schema/encoder plumbing, and the partition-wise batching.
-  * Decode is per-row CPU work with no cross-row state — embarrassingly
-  * parallel at any scale; partitioning is whatever the upstream scan chose.
+  * `javax.sound.sampled` — also no external dependency), VIDEO FRAME
+  * DECODE for AVI containers ([[AviCodec]]: RIFF walk + MJPEG frames via
+  * the JDK JPEG codec, uncompressed DIB frames via the JDK BMP codec),
+  * MP4 container metadata (box-tree walk), grayscale grid features, PCM
+  * amplitude features, bilinear resize + PNG re-encode, the DataFrame
+  * schema/encoder plumbing, and the partition-wise batching. Decode is
+  * per-row CPU work with no cross-row state — embarrassingly parallel at
+  * any scale; partitioning is whatever the upstream scan chose.
   *
-  * STUBBED (clearly marked): VIDEO frame decoding only — the JDK ships no
-  * video codec, so [[StubDecoder]] produces a deterministic hash-seeded
-  * fake with the right shape for those payloads.
+  * STUBBED (clearly marked): only pixel decode of codecs the JDK does not
+  * ship (H.264/HEVC/VP9 inside MP4) — [[StubDecoder]] produces a
+  * deterministic hash-seeded fake with the right shape for those payloads.
   */
 object Multimodal {
 
@@ -37,6 +40,8 @@ object Multimodal {
     else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') "gif"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
              at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+             at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else "unknown"
   }
@@ -258,12 +263,185 @@ object Multimodal {
     }
   }
 
-  // ---- stub: video decode -----------------------------------------------
+  // ---- real: AVI video frame decode (RIFF walk + JDK image codecs) ------
+
+  /** AVI (RIFF) video codec: REAL frame decode with zero external
+    * dependencies. The container walk (RIFF -> hdrl/strl/strf ->
+    * movi -> 00db/00dc chunks) is pure byte inspection, and the per-frame
+    * pixel decode goes through the JDK's own image codecs:
+    *
+    *  - `00dc` Motion-JPEG frames (each frame a complete JPEG stream) are
+    *    decoded by `javax.imageio`'s JPEG reader directly;
+    *  - `00db` uncompressed DIB frames (BI_RGB bottom-up BGR, the classic
+    *    uncompressed-AVI layout) are wrapped with a 14-byte BMP file header
+    *    in front of the stream's own BITMAPINFOHEADER and decoded by
+    *    `javax.imageio`'s BMP reader.
+    *
+    * What remains undecodable without an external codec (H.264/HEVC/VP9 in
+    * MP4 et al.) falls back to [[StubDecoder]], clearly marked at the call
+    * sites. */
+  object AviCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** RIFF chunk: id + size + payload, padded to an even byte length. */
+    private def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = if ((payload.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray
+      fourcc(id) ++ le32(payload.length.toLong) ++ payload ++ pad
+    }
+    private def list(kind: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(kind) ++ payload)
+
+    /** 40-byte BITMAPINFOHEADER for `w` x `h` 24bpp BI_RGB. */
+    private def bmpInfoHeader(w: Int, h: Int, imageSize: Int): Array[Byte] =
+      le32(40L) ++ le32(w.toLong) ++ le32(h.toLong) ++ le16(1) ++ le16(24) ++
+        le32(0L) ++ le32(imageSize.toLong) ++ le32(0L) ++ le32(0L) ++
+        le32(0L) ++ le32(0L)
+
+    /** Bottom-up BGR24 raster with 4-byte row alignment (DIB layout). */
+    private def toDib(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val rowOff = (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(rowOff + x * 3) = (rgb & 0xff).toByte
+          out(rowOff + x * 3 + 1) = ((rgb >> 8) & 0xff).toByte
+          out(rowOff + x * 3 + 2) = ((rgb >> 16) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Encode frames as a minimal valid AVI: RIFF(AVI ) with hdrl
+      * (avih + strl(strh + strf)) and movi. `mjpeg = true` writes `00dc`
+      * JPEG frames (lossy, like real MJPEG cameras); `false` writes `00db`
+      * uncompressed DIB frames (bit-exact round trip). */
+    def encodeAvi(frames: Seq[BufferedImage], fps: Int,
+                  mjpeg: Boolean = false): Array[Byte] = {
+      require(frames.nonEmpty, "encodeAvi needs at least one frame")
+      val w = frames.head.getWidth; val h = frames.head.getHeight
+      val payloads = frames.map { f =>
+        if (mjpeg) {
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(f, "jpg", bos)
+          bos.toByteArray
+        } else toDib(f)
+      }
+      val maxBuf = payloads.map(_.length).max
+      val avih = chunk("avih",
+        le32(if (fps > 0) 1000000L / fps else 0L) ++ // usec per frame
+          le32(0L) ++ le32(0L) ++ le32(0L) ++         // bytes/sec, pad, flags
+          le32(frames.length.toLong) ++ le32(0L) ++   // total, initial frames
+          le32(1L) ++ le32(maxBuf.toLong) ++          // streams, sugg. buffer
+          le32(w.toLong) ++ le32(h.toLong) ++
+          le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L)) // reserved[4]
+      val strh = chunk("strh",
+        fourcc("vids") ++ fourcc(if (mjpeg) "MJPG" else "DIB ") ++
+          le32(0L) ++ le16(0) ++ le16(0) ++ le32(0L) ++ // flags, prio, lang, init
+          le32(1L) ++ le32(fps.toLong) ++               // scale, rate
+          le32(0L) ++ le32(frames.length.toLong) ++     // start, length
+          le32(maxBuf.toLong) ++ le32(0L) ++ le32(0L) ++ // buf, quality, sample
+          le16(0) ++ le16(0) ++ le16(w) ++ le16(h))     // rcFrame
+      val strf = chunk("strf",
+        bmpInfoHeader(w, h, if (mjpeg) 0 else payloads.head.length))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val movi = list("movi",
+        payloads.flatMap(p => chunk(if (mjpeg) "00dc" else "00db", p)).toArray)
+      val body = fourcc("AVI ") ++ hdrl ++ movi
+      fourcc("RIFF") ++ le32(body.length.toLong) ++ body
+    }
+
+    private def rdLe32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def ckId(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Walk RIFF chunks in [from, until), descending into LISTs, feeding
+      * every (id, payloadStart, payloadEnd) to `f`. */
+    private def walk(b: Array[Byte], from: Int, until: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= until) {
+        val id = ckId(b, o)
+        val size = rdLe32(b, o + 4)
+        val start = o + 8
+        val end = start + size.toInt
+        if (size < 0 || end > until) return
+        if (id == "LIST" && size >= 4) {
+          f(ckId(b, start), start + 4, end) // announce the list kind too
+          walk(b, start + 4, end)(f)
+        } else f(id, start, end)
+        o = end + (size.toInt & 1) // chunks pad to even offsets
+      }
+    }
+
+    /** Decoded AVI: (width, height, fps, frames). Returns None for
+      * null/corrupt/non-AVI payloads — the DLQ-style tolerance all the
+      * multimodal decoders share. */
+    def decodeFrames(bytes: Array[Byte]): Option[(Int, Int, Int, Seq[BufferedImage])] = {
+      if (bytes == null || sniffFormat(bytes) != "avi") return None
+      try {
+        var strf: Option[Array[Byte]] = None
+        var fps = 0
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        walk(bytes, 12, bytes.length) { (id, s, e) =>
+          if (id == "strf" && strf.isEmpty && e - s >= 40)
+            strf = Some(java.util.Arrays.copyOfRange(bytes, s, s + 40))
+          else if (id == "strh" && e - s >= 32) {
+            val scale = rdLe32(bytes, s + 20); val rate = rdLe32(bytes, s + 24)
+            if (scale > 0) fps = (rate / scale).toInt
+          } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")))
+            frames += ((id, s, e))
+        }
+        val decoded = frames.toSeq.flatMap { case (id, s, e) =>
+          val payload = java.util.Arrays.copyOfRange(bytes, s, e)
+          val stream: Option[Array[Byte]] =
+            if (payload.length >= 2 &&
+                (payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+              Some(payload) // MJPEG: the chunk IS a JPEG stream
+            else strf.map { ih => // DIB: BMP file header + stream header + bits
+              val withSize = ih.clone()
+              System.arraycopy(le32(payload.length.toLong), 0, withSize, 20, 4)
+              fourcc("BM") ++ le32(14L + 40L + payload.length) ++ le32(0L) ++
+                le32(54L) ++ withSize ++ payload
+            }
+          stream.flatMap(sb =>
+            try Option(ImageIO.read(new ByteArrayInputStream(sb)))
+            catch { case _: Exception => None })
+        }
+        strf match {
+          case Some(ih) if decoded.nonEmpty =>
+            Some((rdLe32(ih, 4).toInt, rdLe32(ih, 8).toInt, fps, decoded))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
+  // ---- stub: video decode (non-AVI codecs only) -------------------------
 
   /** Deterministic fake decoder: seeds pseudo-samples from a content hash.
-    * STUB — used only for VIDEO payloads (the JDK ships no video codec);
-    * image payloads take the real [[ImageDecoder]] path and audio the real
-    * [[AudioDecoder]] path. */
+    * STUB — used only for video payloads in containers whose codecs the
+    * JDK cannot decode (H.264/HEVC in MP4 et al.); AVI video takes the
+    * real [[AviCodec]] path, image payloads the real [[ImageDecoder]] path
+    * and audio the real [[AudioDecoder]] path. */
   object StubDecoder {
     def decodeToFloats(bytes: Array[Byte], dim: Int): Array[Float] = {
       var h = 1125899906842597L // FNV-ish rolling seed over content
@@ -323,7 +501,12 @@ object Multimodal {
             AudioDecoder.decode(bytes)
               .map(p => audioGridFeatures(p, dim)) // REAL PCM features
               .getOrElse(StubDecoder.decodeToFloats(bytes, dim)) // corrupt wav
-          case _ => StubDecoder.decodeToFloats(bytes, dim) // video: STUB
+          case "avi" =>
+            AviCodec.decodeFrames(bytes) // REAL frame decode (DIB/MJPEG)
+              .map { case (_, _, _, fs) =>
+                ImageDecoder.gridFeatures(fs.head, dim) }
+              .getOrElse(StubDecoder.decodeToFloats(bytes, dim)) // corrupt avi
+          case _ => StubDecoder.decodeToFloats(bytes, dim) // mp4 et al.: STUB
         }
         Row(r.get(idIdx), feats.toSeq)
       }
@@ -443,6 +626,72 @@ object Multimodal {
     }
   }
 
+  /** Deterministic synthetic AVI column: a real RIFF AVI container holding
+    * `nFrames` uncompressed DIB frames, where frame f's pixel at raster
+    * position p has gray level (id + 17*f + p) mod 256 — the video twin of
+    * [[withSyntheticPng]]. Every pixel of every frame differs, so a decoder
+    * ignoring pixel data cannot pass, yet each frame's exact integer
+    * luminance sum keeps the closed form sum_{p<w*h} ((id + 17f + p) mod
+    * 256), computable in any SQL engine. */
+  def withSyntheticAvi(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8,
+                       nFrames: Int = 4, fps: Int = 5): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("avi", BinaryType, nullable = false)))
+    withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
+      rows.map { r =>
+        val id = math.abs(r.getLong(0))
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0; var p = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id + 17L * f + p) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Row(r.get(0), AviCodec.encodeAvi(frames, fps))
+      }
+    }
+  }
+
+  /** REAL video frame statistics: container walk + per-frame pixel decode
+    * through the JDK codecs ([[AviCodec]]). One output row per decoded
+    * frame: (id, frame_index, f_width, f_height, mean_lum); payloads that
+    * aren't decodable AVI produce no rows (DLQ-style tolerance). */
+  def videoFrameStats(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("f_width", IntegerType, nullable = false),
+      StructField("f_height", IntegerType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        AviCodec.decodeFrames(bytes) match {
+          case Some((_, _, _, frames)) =>
+            frames.iterator.zipWithIndex.map { case (img, i) =>
+              val (w, h, m) = ImageDecoder.stats(img)
+              Row(r.get(idIdx), i, w, h, m)
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic PNG column: a w x h GRADIENT whose pixel at
     * raster position p (= y*w + x) has gray level (id + p) mod 256, ENCODED
     * through the real ImageIO PNG writer — lets the real decode path be
@@ -520,8 +769,11 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: one row per sampled frame index (video -> frames).
-    * Frame decode stubbed; the row-explosion shape and lineage are real. */
+  /** Frame sampling: one row per sampled frame (video -> frames), taking
+    * every `everyN`-th frame up to `maxFrames`. AVI payloads get REAL
+    * decoded frames re-encoded as PNG ([[AviCodec]] + [[ImageDecoder]]);
+    * containers with no JDK codec (mp4 et al.) fall back to the clearly
+    * marked stub slice so lineage/shape stay exercised. */
   def sampleFrames(df: DataFrame, binCol: String, idCol: String,
                    everyN: Int = 10, maxFrames: Int = 4): DataFrame = {
     val inSchema = df.schema
@@ -534,10 +786,19 @@ object Multimodal {
     withMappedPartitions(df, outSchema) { rows =>
       rows.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
-        (0 until maxFrames).iterator.map { f =>
-          // STUB frame payload: content-derived slice stands in for a decoded frame
-          val start = math.min(bytes.length, f * everyN)
-          Row(r.get(idIdx), f * everyN, bytes.drop(start).take(32))
+        AviCodec.decodeFrames(bytes) match {
+          case Some((_, _, _, frames)) => // REAL: decode, stride, re-encode
+            frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % everyN == 0 }
+              .take(maxFrames)
+              .map { case (img, i) =>
+                Row(r.get(idIdx), i, ImageDecoder.encodePng(img)) }
+          case None =>
+            (0 until maxFrames).iterator.map { f =>
+              // STUB frame payload: content slice stands in for a decoded frame
+              val start = math.min(bytes.length, f * everyN)
+              Row(r.get(idIdx), f * everyN, bytes.drop(start).take(32))
+            }
         }
       }
     }

@@ -275,4 +275,72 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(math.abs(Multimodal.ImageDecoder.stats(rimg)._3 - 128.0 / 255.0) < 1e-2)
     assert(resized(2).isNullAt(1)) // non-decodable passes through as null
   }
+
+  test("multimodal: REAL AVI frame decode — DIB bit-exact, MJPEG, sampling, tolerance") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+
+    def grad(seed: Int, w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (seed + p) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g); p += 1
+      }
+      img
+    }
+    val frames = (0 until 3).map(f => grad(f * 37 + 5, 8, 8))
+
+    // uncompressed DIB: the RIFF walk + JDK BMP codec round trip is bit-exact
+    val avi = Multimodal.AviCodec.encodeAvi(frames, fps = 5)
+    assert(Multimodal.sniffFormat(avi) == "avi")
+    val (w, h, fps, dec) = Multimodal.AviCodec.decodeFrames(avi).get
+    assert(w == 8 && h == 8 && fps == 5 && dec.length == 3)
+    for (f <- 0 until 3; y <- 0 until 8; x <- 0 until 8)
+      assert((dec(f).getRGB(x, y) & 0xffffff) == (frames(f).getRGB(x, y) & 0xffffff),
+        s"pixel mismatch at frame $f ($x,$y)")
+
+    // MJPEG: each frame is a real JPEG stream through the JDK JPEG codec —
+    // dims/count exact, pixel values lossy-close
+    val mjpeg = Multimodal.AviCodec.encodeAvi(frames, fps = 5, mjpeg = true)
+    val (mw, mh, _, mdec) = Multimodal.AviCodec.decodeFrames(mjpeg).get
+    assert(mw == 8 && mh == 8 && mdec.length == 3)
+    for (f <- 0 until 3) {
+      val want = Multimodal.ImageDecoder.stats(frames(f))._3
+      val got = Multimodal.ImageDecoder.stats(mdec(f))._3
+      assert(math.abs(want - got) < 0.05, s"MJPEG frame $f luminance drifted")
+    }
+
+    // distributed frame stats match the synthetic fixture's closed form
+    val docs = Seq(5L, 300L).toDF("doc_id")
+    val withAvi = Multimodal.withSyntheticAvi(docs, "doc_id")
+    val st = Multimodal.videoFrameStats(withAvi, "avi", "doc_id")
+      .orderBy("doc_id", "frame_index").collect()
+    assert(st.length == 8) // 2 docs x 4 frames
+    for (r <- st) {
+      val id = r.getLong(0); val fi = r.getInt(1)
+      val want = (0 until 64).map(p => (id + 17 * fi + p) % 256).sum / (255.0 * 64)
+      assert(r.getInt(2) == 8 && r.getInt(3) == 8)
+      assert(math.abs(r.getDouble(4) - want) < 1e-12,
+        s"doc $id frame $fi mean luminance off closed form")
+    }
+
+    // sampleFrames takes the REAL path for avi: PNG-encoded decoded frames
+    val sf = Multimodal.sampleFrames(withAvi, "avi", "doc_id",
+        everyN = 2, maxFrames = 2)
+      .orderBy("doc_id", "frame_index").collect()
+    assert(sf.length == 4) // frames 0 and 2 per doc
+    assert(sf.map(_.getInt(1)).toSeq == Seq(0, 2, 0, 2))
+    for (r <- sf) {
+      val payload = r.getAs[Array[Byte]]("frame")
+      assert(Multimodal.sniffFormat(payload) == "png")
+      assert(Multimodal.pngDims(payload).contains((8, 8)))
+    }
+
+    // tolerance: corrupt/non-avi payloads decode to None, produce no rows
+    assert(Multimodal.AviCodec.decodeFrames(null).isEmpty)
+    assert(Multimodal.AviCodec.decodeFrames("RIFF1234AVI corrupt".getBytes).isEmpty)
+    assert(Multimodal.AviCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }
