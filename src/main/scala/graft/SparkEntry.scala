@@ -284,6 +284,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Deterministic integer k-means over the embedding corpus (semantic
+    // clustering for curation/mix balancing): quantized vectors, k-lowest-id
+    // init, 3 Lloyd's rounds, exact integer distances — every iteration is
+    // one scan + one k*dim-row partial-agg shuffle, mirrored in DuckDB by
+    // unrolled CTE rounds.
+    "q_kmeans" -> ((s, dir) => {
+      operators.Clustering.kmeansAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 8, iters = 3)
+        .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // Per-cluster rollup of the same assignment (size, exact distance sum,
+    // floor-truncated mean) — the report a curation pipeline reads.
+    "q_kmeans_summary" -> ((s, dir) => {
+      operators.Clustering.kmeansSummary(
+          operators.Clustering.kmeansAssign(
+            Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3))
+        .select(col("cluster"), col("n"), col("sum_dist"), col("mean_dist"),
+          col("min_id").as("min_vec_id"))
+        .orderBy("cluster")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -959,6 +983,17 @@ object SparkEntry {
            FROM g)
          SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE n_after = 4
          ORDER BY doc_id, fp""",
+    "q_kmeans" ->
+      s"""WITH ${kmeansCte(8, 3, 64)}
+         SELECT id AS vec_id, CAST(j AS INT) AS cluster, d AS dist
+         FROM fin ORDER BY vec_id""",
+    "q_kmeans_summary" ->
+      s"""WITH ${kmeansCte(8, 3, 64)}
+         SELECT CAST(j AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(d) AS BIGINT) AS sum_dist,
+           floor(CAST(sum(d) AS DOUBLE) * 100 / count(*)) / 100 AS mean_dist,
+           min(id) AS min_vec_id
+         FROM fin GROUP BY j ORDER BY cluster""",
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -1668,6 +1703,39 @@ object SparkEntry {
   }
 
   private val minhashCte: String = minhashCteFor("")
+
+  /** Unrolled deterministic k-means rounds ending in CTE `fin(id, j, d)`
+    * (mirrors Clustering.kmeansAssign: floor(v*1000) integer quantization,
+    * k-lowest-id init, exact integer L2, ties to lowest j, floor-div
+    * centroid updates, empty clusters drop out). `dim` is the fixture's
+    * embedding length. */
+  private def kmeansCte(k: Int, iters: Int, dim: Int): String = {
+    def dist(r: Int) =
+      s"""d$r AS (SELECT p.id, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d
+           FROM pts p JOIN cent${r - 1} c USING (pos) GROUP BY p.id, c.j)"""
+    val rounds = (1 until iters).map { r =>
+      s"""${dist(r)},
+         a$r AS (SELECT id, j FROM (
+             SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+             FROM d$r) WHERE rn = 1),
+         cent$r AS (SELECT a.j, p.pos,
+             CAST(floor(sum(p.q) * 1.0 / count(*)) AS BIGINT) AS c
+           FROM a$r a JOIN pts p USING (id) GROUP BY a.j, p.pos)"""
+    }.mkString(",\n")
+    s"""pts AS (
+         SELECT vec_id AS id, CAST(t.i AS INT) AS pos,
+           CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+         FROM embeddings, (SELECT unnest(range($dim)) AS i) t),
+       init AS (
+         SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
+         FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT $k)),
+       cent0 AS (SELECT i.j, p.pos, p.q AS c FROM init i JOIN pts p USING (id)),
+       $rounds,
+       ${dist(iters)},
+       fin AS (SELECT id, j, d FROM (
+           SELECT id, j, d, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+           FROM d$iters) WHERE rn = 1)"""
+  }
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */

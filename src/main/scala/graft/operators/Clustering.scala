@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means clustering over an embedding column — the
+  * semantic-clustering stage of a training-data pipeline (topic balancing,
+  * domain mixing, cluster-based curation a la DoReMi/cluster-filtering).
+  *
+  * Determinism is designed in, not hoped for:
+  *  - vectors are quantized once to exact integers (floor(v * scale)), so
+  *    every distance and every centroid is integer arithmetic — no
+  *    float-summation-order sensitivity across partitions, runs, or
+  *    engines (the repo-wide oracle-parity rule);
+  *  - init is the k lowest-id vectors (no RNG);
+  *  - ties in assignment break to the lowest cluster index;
+  *  - centroid updates use floor division; clusters that lose all members
+  *    simply drop out (mirrored exactly by the SQL oracle).
+  *
+  * Scale shape (100 TB): each iteration is ONE scan of the quantized
+  * vectors (localCheckpoint'ed once) + ONE map-side-combining shuffle of
+  * (cluster, pos) partial sums — k*dim rows total cross the wire, and the
+  * centroid set collected to the driver is k*dim longs (manifest-scale,
+  * like the snapshot-store bucket list, NOT a data collect). Assignment is
+  * pure codegen expressions (zip_with/aggregate over array<long>), no UDF,
+  * no cartesian: the k centroids ride along as literals. This is textbook
+  * distributed Lloyd's; iteration count is fixed (curation pipelines want
+  * reproducible clusters, not convergence-to-epsilon).
+  */
+object Clustering {
+
+  /** Element-wise squared-L2 to each centroid literal; argmin with ties to
+    * the lowest cluster index, via array_min over struct(dist, j). */
+  private def nearest(cents: Seq[(Int, Array[Long])], q: Column): Column = {
+    val dists = cents.map { case (j, c) =>
+      val centLit = array(c.map(lit(_)): _*)
+      struct(
+        aggregate(zip_with(q, centLit, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j).as("j"))
+    }
+    array_min(array(dists: _*))
+  }
+
+  /** (id, cluster, dist): final Lloyd's assignment after `iters` assignment
+    * rounds (so `iters - 1` centroid updates), with `dist` the exact
+    * integer squared L2 to the winning centroid in quantized space. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 3, scale: Int = 1000): DataFrame = {
+    val pts = df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") * scale).cast("long")).as("q"))
+      .localCheckpoint() // scanned once per iteration, plan kept flat
+    // init: the k lowest-id vectors, cluster j = rank among those ids
+    var cents: Seq[(Int, Array[Long])] = pts.orderBy("id").limit(k).collect()
+      .zipWithIndex
+      .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
+    var it = 1
+    while (it < iters) {
+      // k*dim partial-agg rows to the driver — bounded bookkeeping
+      val sums = pts
+        .withColumn("cluster", nearest(cents, col("q")).getField("j"))
+        .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cluster", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (j, rows) =>
+        val dim = rows.length
+        val c = new Array[Long](dim)
+        rows.foreach { r =>
+          c(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3))
+        }
+        (j, c)
+      }.sortBy(_._1)
+      it += 1
+    }
+    val fin = nearest(cents, col("q"))
+    pts.select(col("id"),
+      fin.getField("j").as("cluster"),
+      fin.getField("d").as("dist"))
+  }
+
+  /** Per-cluster summary over the final assignment: size and mean quantized
+    * distance (floor-truncated ratio, oracle-parity style). */
+  def kmeansSummary(assigned: DataFrame): DataFrame =
+    assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum("dist").as("sum_dist"),
+        min("id").as("min_id"))
+      .select(col("cluster"), col("n"), col("sum_dist"),
+        (floor(col("sum_dist") * 100 / col("n")) / 100.0).as("mean_dist"),
+        col("min_id"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
+
+class ClusteringSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans separates two obvious blobs and is deterministic") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // ids 0..4 near (1, 0); ids 5..9 near (0, 1) — init takes ids 0 and 1,
+    // both in blob A, but one Lloyd's update pulls a centroid into blob B
+    val rows = (0L to 4L).map(i => (i, Seq(1.0f + i * 0.01f, 0.0f))) ++
+      (5L to 9L).map(i => (i, Seq(0.0f, 1.0f + i * 0.01f)))
+    val out = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
+        k = 2, iters = 3)
+      .orderBy("id").collect()
+    val byCluster = out.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+    assert(byCluster.values.toSet == Set((0L to 4L).toSet, (5L to 9L).toSet),
+      s"blobs not separated: ${out.mkString(", ")}")
+
+    val again = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
+        k = 2, iters = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "kmeans not deterministic across runs")
+  }
+
+  test("equidistant points break ties to the lowest cluster index") {
+    // iters = 1: assignment against the init centroids (ids 0 and 1) only.
+    // id 2 sits exactly halfway between them in quantized space.
+    val rows = Seq(
+      (0L, Seq(0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.5f, 0.0f)))
+    val out = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
+        k = 2, iters = 1)
+      .orderBy("id").collect()
+    assert(out(2).getInt(1) == 0, s"tie should go to cluster 0: ${out(2)}")
+    // and the reported dist is the exact quantized integer: 500^2
+    assert(out(2).getLong(2) == 250000L)
+  }
+
+  test("every point gets exactly one cluster; summary sizes add up") {
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 7).toFloat * 0.1f, (i % 11).toFloat * 0.1f)))
+    val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(assigned.count() == 40L)
+    assert(assigned.select("id").distinct().count() == 40L)
+    val sum = Clustering.kmeansSummary(assigned).collect()
+    assert(sum.map(_.getLong(1)).sum == 40L)
+    assert(sum.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
+  }
+
+  test("assignment plan is scan + projection — no join, no cartesian") {
+    val rows = (0L until 20L).map(i => (i, Seq(i.toFloat, (i * 3 % 5).toFloat)))
+    val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
+      k = 3, iters = 2)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must ride as literals, not a joined side:\n$plan")
+  }
+}
