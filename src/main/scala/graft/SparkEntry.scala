@@ -736,6 +736,27 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    // BM25 retrieval against a query-term set (targeted data selection /
+    // decontamination triage): integer-rational scoring (k1=6/5, b=3/4,
+    // log-free idf surrogate) so DuckDB reproduces every score
+    // bit-for-bit; corpus-sized scan, query-term-sized shuffle, TakeOrdered
+    // top-k.
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "window", "customer", "vector"), topK = 20)
+        .orderBy("rank")
+    }),
+
+    // Production BM25 twin: textbook double-precision ln-idf scoring —
+    // rows-only check (cross-engine ln() parity is not guaranteed at the
+    // last ulp, same policy as the xxhash64 twins).
+    "q_bm25_prod" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "window", "customer", "vector"), topK = 20,
+          logIdf = true)
+        .orderBy("rank")
+    }),
+
     // Length-percentile trimming (drop <p05 / >p95 token-count tails).
     // Thresholds via the distinct-length histogram + integer k-th-smallest
     // arithmetic; the corpus side stays a pure broadcast-filter.
@@ -1465,6 +1486,26 @@ object SparkEntry {
            FROM c)
          SELECT doc_id, rank, token, n FROM r WHERE rank <= 3
          ORDER BY doc_id, rank""",
+    "q_bm25" ->
+      """WITH docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl,
+             string_split(text, ' ') AS w FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS S
+                FROM docs),
+         tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM docs)
+                WHERE t IN ('spark', 'window', 'customer', 'vector')
+                GROUP BY doc_id, dl, t),
+         dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tf GROUP BY t),
+         sc AS (SELECT doc_id, dl,
+             (1000000 * (N - df + 1) * 22 * S * tf)
+               // ((df + 1) * (10 * S * tf + 3 * S + 9 * dl * N)) AS score_t
+           FROM tf JOIN dft USING (t) CROSS JOIN st),
+         agg AS (SELECT doc_id, dl, CAST(sum(score_t) AS BIGINT) AS score
+                 FROM sc GROUP BY doc_id, dl),
+         r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+                 doc_id, score, dl FROM agg)
+         SELECT rank, doc_id, score, dl FROM r WHERE rank <= 20 ORDER BY rank""",
     "q_length_filter" ->
       """WITH l AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),

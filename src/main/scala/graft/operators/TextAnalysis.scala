@@ -184,6 +184,71 @@ object TextAnalysis {
       .select(col(idCol), col("n_tok"), col("lo_tok"), col("hi_tok"))
   }
 
+  /** BM25 relevance ranking of the corpus against a small query-term set —
+    * the retrieval primitive behind targeted data selection and
+    * decontamination triage ("which training docs look like this eval
+    * prompt"). Returns the `topK` docs as (rank, id, score, dl).
+    *
+    * Two scoring modes:
+    *  - parity (default): a fully RATIONAL BM25 with k1 = 6/5, b = 3/4 and
+    *    a log-free idf surrogate (N - df + 1)/(df + 1). Folding the
+    *    rationals gives the exact integer per-term score
+    *      floor(1e6 * (N-df+1) * 22*S*tf
+    *            / ((df+1) * (10*S*tf + 3*S + 9*dl*N)))
+    *    (S = corpus token count, dl = doc length): every intermediate is a
+    *    64-bit integer, so any SQL engine reproduces it bit-for-bit — no
+    *    ln() whose last-ulp rounding could move a floor boundary, no
+    *    float-summation-order sensitivity. The surrogate is monotone in df
+    *    exactly as ln is, so single-term orderings match true BM25.
+    *    Headroom: the numerator stays under 2^63 for corpora up to ~4e11
+    *    total tokens at 1e6 scaling; beyond that, use the prod mode.
+    *  - prod (`logIdf = true`): textbook double-precision BM25 with
+    *    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) — the production scorer,
+    *    benchmarked rows-only (no cross-engine oracle, like the xxhash64
+    *    twins).
+    *
+    * Scale shape: the term filter collapses the explode to query-term rows
+    * only (corpus-sized scan, query-sized shuffle); df and the 1-row corpus
+    * stats broadcast; the top-K is TakeOrdered (no global sort
+    * materialization), and the rank window runs over topK rows. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], topK: Int = 20,
+               logIdf: Boolean = false): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val docs = df.select(col(idCol), size(toks).as("dl"), toks.as("w"))
+    val stats = docs.agg(count(lit(1)).as("N"),
+      sum(col("dl").cast("long")).as("S"))
+    val tf = docs.select(col(idCol), col("dl"), explode(col("w")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("t").agg(countDistinct(col(idCol)).as("df"))
+    val joined = tf.join(broadcast(dfT), Seq("t")).crossJoin(broadcast(stats))
+    val scored =
+      if (logIdf)
+        joined.withColumn("score_t",
+          log(lit(1.0) + (col("N") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (lit(22.0) * col("S") * col("tf")) /
+            (lit(10.0) * col("S") * col("tf") + lit(3.0) * col("S") +
+              lit(9.0) * col("dl").cast("double") * col("N")))
+      else
+        joined
+          .withColumn("num",
+            lit(1000000L) * (col("N") - col("df") + 1) * lit(22L) *
+              col("S") * col("tf"))
+          .withColumn("den",
+            (col("df") + 1) * (lit(10L) * col("S") * col("tf") +
+              lit(3L) * col("S") + lit(9L) * col("dl").cast("long") * col("N")))
+          .withColumn("score_t", expr("num div den"))
+    val perDoc = scored.groupBy(col(idCol), col("dl"))
+      .agg(sum("score_t").as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol))
+    perDoc.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col(idCol), col("score"), col("dl"))
+  }
+
   /** PII patterns — deliberately restricted to the regex subset where Java
     * regex (Spark) and RE2 (DuckDB, common cross-engine baseline) agree: no
     * backreferences, no lookaround, \b word boundaries only. */
