@@ -516,6 +516,20 @@ object SparkEntry {
           10000.0).as("recall"))
     }),
 
+    // Incremental corpus dedup (the batch-N+1 ingestion shape): incoming
+    // docs (doc_id % 5 == 0) matched against the existing corpus (the rest)
+    // through the minhash band index — cross-side equi-join only, never
+    // existing x existing — with the deterministic bucket ceiling + hybrid
+    // exact recovery. maxBucket = 64 so BOTH paths exercise at sf0.01.
+    "q_incr_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.incrementalDedup(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", maxBucket = 64)
+        .orderBy("new_id")
+    }),
+
     // Dedup cluster assignment: connected components over the verified
     // near-dup pairs — every doc labeled with the min reachable doc id
     // (the canonical-document step: keep one representative per cluster).
@@ -1263,6 +1277,65 @@ object SparkEntry {
     "q_near_dup_pipeline" ->
       s"""WITH $minhashCte, $hybridPairsCtes
          SELECT id1, id2, jac FROM vp ORDER BY id1, id2""",
+    // incremental dedup mirror: per-side signatures + bands, COMBINED
+    // bucket ceiling (64), cross-side ok-bucket candidates UNION hot-member
+    // prefix-filtered exact candidates, one verification pass, best match
+    // per incoming doc
+    "q_incr_dedup" ->
+      s"""WITH ${minhashCteNamed("i", "WHERE doc_id % 5 = 0")},
+         ${minhashCteNamed("e", "WHERE doc_id % 5 <> 0")},
+         ${bandsCteNamed("i")},
+         ${bandsCteNamed("e")},
+         bcnt AS (SELECT band, bucket, count(*) AS c
+                  FROM (SELECT * FROM bandi UNION ALL SELECT * FROM bande)
+                  GROUP BY band, bucket),
+         okb AS (SELECT band, bucket FROM bcnt WHERE c <= 64),
+         hotb AS (SELECT band, bucket FROM bcnt WHERE c > 64),
+         lcand AS (SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
+                   FROM bandi i
+                     JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
+                     JOIN bande e ON e.band = i.band AND e.bucket = i.bucket),
+         shv AS (SELECT doc_id,
+                   list_distinct(list_transform(${shinglesSql("text", 3)},
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+                 FROM documents),
+         hoti AS (SELECT DISTINCT doc_id FROM bandi JOIN hotb USING (band, bucket)),
+         hote AS (SELECT DISTINCT doc_id FROM bande JOIN hotb USING (band, bucket)),
+         hsh AS (SELECT s.doc_id, s.sh FROM shv s
+                 JOIN (SELECT doc_id FROM hoti UNION SELECT doc_id FROM hote) h
+                   USING (doc_id)),
+         htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
+         hdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM htok GROUP BY tok),
+         hord AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
+                  FROM htok t JOIN hdf d ON d.tok = t.tok GROUP BY t.doc_id),
+         hpre AS (SELECT doc_id, len(toks) AS ln,
+                    unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
+                  FROM hord),
+         hcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                   FROM hpre a
+                     JOIN hoti ON hoti.doc_id = a.doc_id
+                     JOIN hpre b ON b.tok = a.tok
+                     JOIN hote ON hote.doc_id = b.doc_id
+                   WHERE a.ln >= floor(b.ln * 0.6) AND b.ln >= floor(a.ln * 0.6)),
+         acand AS (SELECT new_id, old_id FROM lcand
+                   UNION SELECT new_id, old_id FROM hcand),
+         vf AS (SELECT new_id, old_id,
+                  floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
+                FROM acand JOIN shv x ON x.doc_id = new_id
+                  JOIN shv y ON y.doc_id = old_id
+                WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6),
+         best AS (SELECT new_id, old_id AS match_id, jac FROM (
+                    SELECT new_id, old_id, jac, row_number() OVER
+                      (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rn
+                    FROM vf) WHERE rn = 1)
+         SELECT d.doc_id AS new_id, best.match_id,
+           coalesce(best.jac, 0.0) AS jac,
+           best.match_id IS NOT NULL AS is_dup
+         FROM documents d LEFT JOIN best ON best.new_id = d.doc_id
+         WHERE d.doc_id % 5 = 0
+         ORDER BY new_id""",
     // recall of the hybrid pipeline vs EXACT ground truth; the truth side
     // mirrors TextDedup.exactJaccardPairs' prefix-filtered similarity join
     // over the WHOLE corpus (rarest-token prefixes, exact verify) — no
@@ -1862,6 +1935,29 @@ object SparkEntry {
        cl AS (SELECT d.doc_id,
                 CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
               FROM documents d LEFT JOIN m ON m.a = d.doc_id)"""
+
+  /** Suffixed minhash CTE chain (sh/hs/sig + `sfx`) so two corpus slices
+    * can carry independent signatures in one WITH (mirrors
+    * TextDedup.minHashSignature exactly, like [[minhashCteFor]]). */
+  private def minhashCteNamed(sfx: String, where: String): String = {
+    val mins = (0 until 8).map { i =>
+      val a = 2 * i + 1; val b = i * i + 1
+      s"min((h * $a + $b) % 2147483647) AS mh$i"
+    }.mkString(", ")
+    s"""sh$sfx AS (SELECT doc_id, unnest(${shinglesSql("text", 4)}) AS g
+          FROM documents $where),
+        hs$sfx AS (SELECT doc_id,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h FROM sh$sfx),
+        sig$sfx AS (SELECT doc_id, $mins FROM hs$sfx GROUP BY doc_id)"""
+  }
+
+  /** Suffixed band CTE over `sig$sfx` (4 bands x 2 signature rows). */
+  private def bandsCteNamed(sfx: String): String =
+    s"""band$sfx AS (
+         SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig$sfx
+         UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig$sfx
+         UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig$sfx
+         UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig$sfx)"""
 
   /** Band CTE (4 bands x 2 signature rows) over `sig`, then the
     * deterministic bucket-size cap mirror of TextDedup.lshCandidatePairs

@@ -236,6 +236,103 @@ object TextDedup {
     }
   }
 
+  /** Incremental corpus dedup — the batch-N+1 ingestion shape: match an
+    * INCOMING batch against an EXISTING corpus and mark each incoming doc
+    * as duplicate-of-existing (best existing match + Jaccard). Existing and
+    * incoming must have disjoint id spaces.
+    *
+    * Never existing x existing, never all-pairs: the existing side
+    * contributes its minhash band index (in production a stored table,
+    * appended per batch — only the incoming batch is hashed fresh), and
+    * candidates come from the cross-side band-bucket equi-join. The same
+    * deterministic bucket ceiling as [[nearDuplicatePairs]] applies to the
+    * COMBINED bucket population, with the same hybrid recovery: members of
+    * over-ceiling buckets go through the prefix-filtered exact join
+    * (incoming-hot x existing-hot only), so recall is never below the
+    * uncapped LSH while candidate volume stays near-linear. All stages are
+    * explode / groupBy / equi-join on gram-hash or band keys — the plan
+    * shape that survives a 100 TB existing corpus.
+    *
+    * Returns one row PER INCOMING doc: (new_id, match_id, jac, is_dup) with
+    * match_id/jac of the best verified match (highest Jaccard, ties to the
+    * lowest existing id), match_id null + jac 0.0 + is_dup false when no
+    * existing doc clears `minJaccard`. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       minJaccard: Double = 0.6, maxBucket: Int = 4096,
+                       oracleParity: Boolean = true): DataFrame = {
+    graft.functions.ArrayFunctions.register(existing.sparkSession)
+    val k = 8; val r = 2
+    def banded(docs: DataFrame): DataFrame = {
+      val sig = minHashSignature(docs, idCol, textCol, oracleParity = oracleParity)
+      val bandCols = (0 until k / r).map { band =>
+        concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
+      }
+      sig.select(col(idCol),
+          posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+        .localCheckpoint()
+    }
+    val bi = banded(incoming)
+    val be = banded(existing)
+    val counts = bi.unionByName(be).groupBy("band", "bucket").count()
+    val ok = counts.filter(col("count") <= maxBucket).select("band", "bucket")
+    val hot = counts.filter(col("count") > maxBucket).select("band", "bucket")
+    val lshCand = bi.join(ok, Seq("band", "bucket"))
+      .select(col(idCol).as("new_id"), col("band"), col("bucket"))
+      .join(be.join(ok, Seq("band", "bucket"))
+        .select(col(idCol).as("old_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("old_id"))
+    val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
+    val shE = sortedShingleHashes(existing, idCol, textCol, oracleParity = oracleParity)
+    val hotI = bi.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
+    val hotE = be.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
+    val cand =
+      if (maxBucket <= 0 || (hotI.isEmpty && hotE.isEmpty)) lshCand.distinct()
+      else {
+        // prefix-filtered exact candidates among hot members, cross-side
+        // only (same AllPairs scheme as exactJaccardPairs; df ordering over
+        // the hot union so both sides share one rarity order)
+        val tok = shI.join(hotI, Seq(idCol), "left_semi")
+          .unionByName(shE.join(hotE, Seq(idCol), "left_semi"))
+          .select(col(idCol), explode(col("sh")).as("tok"))
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        val ordered = tok.join(dfreq, Seq("tok"))
+          .groupBy(col(idCol))
+          .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ts"))
+          .select(col(idCol), transform(col("ts"), x => x.getField("tok")).as("toks"))
+        val preLen = (size(col("toks")) - ceil(size(col("toks")) * minJaccard) + 1)
+          .cast("int")
+        val pre = ordered.select(col(idCol),
+          explode(slice(col("toks"), lit(1), preLen)).as("tok"),
+          size(col("toks")).as("len"))
+        val preI = pre.join(hotI, Seq(idCol), "left_semi")
+          .toDF("new_id", "tok", "len1")
+        val preE = pre.join(hotE, Seq(idCol), "left_semi")
+          .toDF("old_id", "tok", "len2")
+        val hotCand = preI.join(preE, Seq("tok"))
+          .filter(col("len1") >= floor(col("len2") * minJaccard) &&
+            col("len2") >= floor(col("len1") * minJaccard))
+          .select(col("new_id"), col("old_id"))
+        lshCand.unionByName(hotCand).distinct()
+      }
+    val verified = cand
+      .join(shI.toDF("new_id", "sh1"), Seq("new_id"))
+      .join(shE.toDF("old_id", "sh2"), Seq("old_id"))
+      .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
+      .filter(col("jac") >= minJaccard)
+    val best = verified.groupBy(col("new_id"))
+      .agg(max_by(struct(col("old_id").as("match_id"), col("jac")),
+        struct(col("jac"), (-col("old_id")).as("neg"))).as("m"))
+      .select(col("new_id"), col("m.match_id").as("match_id"),
+        col("m.jac").as("jac"))
+    incoming.select(col(idCol).as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id"),
+        coalesce(col("jac"), lit(0.0)).as("jac"),
+        col("match_id").isNotNull.as("is_dup"))
+  }
+
   /** (id, sorted distinct n-gram-hash array) per doc, localCheckpoint'ed —
     * the shared verify-side input for [[nearDuplicatePairs]] and for exact
     * ground-truth audits (q_lsh_recall). */

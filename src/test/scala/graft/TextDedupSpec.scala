@@ -97,4 +97,37 @@ class TextDedupSpec extends AnyFunSuite {
     val (co, cp) = (wO.count(), wP.count())
     assert(math.abs(co - cp) < co / 5, s"fingerprint counts diverged: $co vs $cp")
   }
+
+  test("incrementalDedup: verbatim copies match, fresh docs pass, one row per incoming doc") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val existing = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 1
+      (102L, "completely different words nowhere else in this corpus x"), // fresh
+      (103L, "one two three four five six seven eight nine ten"))         // copy of 2
+      .toDF("doc_id", "text")
+    val out = TextDedup.incrementalDedup(existing, incoming, "doc_id", "text")
+      .orderBy("new_id").collect()
+    assert(out.length == 3) // one row per incoming doc, matched or not
+    assert(out(0).getLong(0) == 101L && out(0).getLong(1) == 1L &&
+      out(0).getDouble(2) == 1.0 && out(0).getBoolean(3))
+    assert(out(1).getLong(0) == 102L && out(1).isNullAt(1) &&
+      out(1).getDouble(2) == 0.0 && !out(1).getBoolean(3))
+    assert(out(2).getLong(0) == 103L && out(2).getLong(1) == 2L &&
+      out(2).getBoolean(3))
+
+    // a tiny ceiling pushes every bucket over the cap: the hybrid exact
+    // path alone must reproduce the same matches (recall never below LSH)
+    val capped = TextDedup.incrementalDedup(existing, incoming, "doc_id", "text",
+        maxBucket = 1)
+      .orderBy("new_id").collect()
+    assert(capped.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
+      out.map(r => (r.getLong(0), r.getBoolean(3))).toSeq)
+  }
 }
