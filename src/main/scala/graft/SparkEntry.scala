@@ -825,6 +825,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Training-mix token-budget planner: per-source budget slices, capped
+    // at availability, with the sampling fraction in basis points that
+    // stratifiedSample executes. Exact integer arithmetic end to end; one
+    // partial-agg shuffle on source, O(#sources) output.
+    "q_mix_plan" -> ((s, dir) => {
+      operators.Sampling.mixPlan(Tables.documents(s, dir), "source", "text",
+          Map("src0" -> 40L, "src1" -> 25L, "src2" -> 20L, "src3" -> 10L,
+            "src4" -> 5L),
+          budgetTokens = 20000L)
+        .orderBy("source")
+    }),
+
     // Cross-source near-duplicate leakage: verified near-dup pairs whose
     // docs come from DIFFERENT sources, counted per source pair — the
     // audit that catches one crawl republishing another. Reuses the
@@ -1638,6 +1650,24 @@ object SparkEntry {
            CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
            floor(sum(n_stop) * 10000 / sum(n_tok)) / 10000 AS stop_ratio
          FROM d GROUP BY source ORDER BY source""",
+    "q_mix_plan" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS avail_tok
+                 FROM t GROUP BY source),
+         w AS (SELECT *, CAST(CASE source
+             WHEN 'src0' THEN 40 WHEN 'src1' THEN 25 WHEN 'src2' THEN 20
+             WHEN 'src3' THEN 10 WHEN 'src4' THEN 5 ELSE 0 END AS BIGINT) AS weight
+           FROM agg),
+         p AS (SELECT *, (weight * 20000) // 100 AS target_tok FROM w)
+         SELECT source, n_docs, avail_tok, weight, target_tok,
+           least(avail_tok, target_tok) AS plan_tok,
+           CASE WHEN avail_tok > 0
+             THEN (least(avail_tok, target_tok) * 10000) // avail_tok
+             ELSE 0 END AS sample_bp,
+           avail_tok >= target_tok AS fillable
+         FROM p ORDER BY source""",
     "q_cross_source_leakage" ->
       s"""WITH $minhashCte, $hybridPairsCtes,
          e AS (SELECT least(x.source, y.source) AS source_a,

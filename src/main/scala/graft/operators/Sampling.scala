@@ -81,6 +81,43 @@ object Sampling {
       .mode("overwrite")
       .parquet(path)
 
+  /** Training-mix token-budget planner: given per-source target weights
+    * (exact integer parts of a whole) and a global token budget, emit the
+    * plan a mixture-sampling stage executes — per source: available
+    * docs/tokens, the budget slice floor(weight * budget / weightSum), the
+    * achievable tokens (capped at available), the sampling fraction in
+    * basis points, and whether the source can fill its slice (the signal
+    * to re-weight or up-sample elsewhere). Sources absent from `weights`
+    * get weight 0 and stay in the report.
+    *
+    * All arithmetic is exact integers (weights as parts, fractions in
+    * basis points via integer division) so the plan is reproducible across
+    * engines and runs. Scale shape: one partial-agg shuffle on source;
+    * the weight table rides as a literal CASE; output is O(#sources). The
+    * plan's `sample_bp` feeds [[stratifiedSample]]'s per-stratum fractions
+    * directly (same basis-point convention), giving the deterministic,
+    * nested-by-construction sampling the mix executes with. */
+  def mixPlan(df: DataFrame, sourceCol: String, textCol: String,
+              weights: Map[String, Long], budgetTokens: Long): DataFrame = {
+    val wsum = weights.values.sum
+    require(wsum > 0, "mixPlan needs a positive total weight")
+    val wCol = weights.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((s, w), acc) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    df.select(col(sourceCol), size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tok"))
+      .withColumn("weight", wCol)
+      .withColumn("_num", col("weight") * lit(budgetTokens))
+      .withColumn("target_tok", expr(s"_num div $wsum"))
+      .withColumn("plan_tok", least(col("avail_tok"), col("target_tok")))
+      .withColumn("sample_bp",
+        when(col("avail_tok") > 0, expr("(plan_tok * 10000) div avail_tok"))
+          .otherwise(lit(0L)))
+      .withColumn("fillable", col("avail_tok") >= col("target_tok"))
+      .drop("_num")
+  }
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

@@ -189,4 +189,36 @@ class PackingSessionizeSpec extends AnyFunSuite {
       .orderBy("shard").collect()
     assert(stats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("mixPlan: budget slices floor-divide, scarcity caps and flags, zero-weight stays") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // srcA: 3 docs x 4 tokens = 12 avail; srcB: 1 doc x 4 = 4; srcC unweighted
+    val docs = Seq(
+      (1L, "srcA", "w w w w"), (2L, "srcA", "w w w w"), (3L, "srcA", "w w w w"),
+      (4L, "srcB", "w w w w"),
+      (5L, "srcC", "w w w w"))
+      .toDF("doc_id", "source", "text")
+    // weights 3:1, budget 16 -> srcA target 12 (fits exactly), srcB target 4
+    val plan = Sampling.mixPlan(docs, "source", "text",
+        Map("srcA" -> 3L, "srcB" -> 1L), budgetTokens = 16L)
+      .orderBy("source").collect()
+    val a = plan(0); val b = plan(1); val c = plan(2)
+    assert(a.getAs[Long]("target_tok") == 12L && a.getAs[Long]("plan_tok") == 12L &&
+      a.getAs[Long]("sample_bp") == 10000L && a.getAs[Boolean]("fillable"))
+    assert(b.getAs[Long]("target_tok") == 4L && b.getAs[Boolean]("fillable"))
+    assert(c.getAs[Long]("weight") == 0L && c.getAs[Long]("plan_tok") == 0L &&
+      c.getAs[Long]("sample_bp") == 0L)
+
+    // budget beyond availability: target 24 > avail 12 -> capped + flagged
+    val scarce = Sampling.mixPlan(docs, "source", "text",
+        Map("srcA" -> 3L, "srcB" -> 1L), budgetTokens = 32L)
+      .orderBy("source").collect()
+    assert(scarce(0).getAs[Long]("target_tok") == 24L &&
+      scarce(0).getAs[Long]("plan_tok") == 12L &&
+      !scarce(0).getAs[Boolean]("fillable"))
+    // half-fillable source: target 8 of 4 avail -> 10000 bp cap holds
+    assert(scarce(1).getAs[Long]("plan_tok") == 4L &&
+      scarce(1).getAs[Long]("sample_bp") == 10000L)
+  }
 }
