@@ -520,13 +520,17 @@ object SparkEntry {
     // docs (doc_id % 5 == 0) matched against the existing corpus (the rest)
     // through the minhash band index — cross-side equi-join only, never
     // existing x existing — with the deterministic bucket ceiling + hybrid
-    // exact recovery. maxBucket = 64 so BOTH paths exercise at sf0.01.
+    // exact recovery at the production default (4096, same as the self-join
+    // pipeline; a 64 ceiling would re-route the giant dup family through a
+    // full exact-recovery pass at sf0.1, 14 s of work LSH does in 6).
+    // The oracle mirrors both paths; the over-ceiling route fires in
+    // TextDedupSpec's maxBucket = 1 case.
     "q_incr_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextDedup.incrementalDedup(
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0),
-          "doc_id", "text", maxBucket = 64)
+          "doc_id", "text")
         .orderBy("new_id")
     }),
 
@@ -835,6 +839,28 @@ object SparkEntry {
             "src4" -> 5L),
           budgetTokens = 20000L)
         .orderBy("source")
+    }),
+
+    // Mix-plan execution: the deterministic hash sampler filters each
+    // source at its plan fraction — plan broadcasts, corpus side is
+    // projection + filter at scan speed.
+    "q_mix_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val plan = operators.Sampling.mixPlan(docs, "source", "text",
+        Map("src0" -> 40L, "src1" -> 25L, "src2" -> 20L, "src3" -> 10L,
+          "src4" -> 5L),
+        budgetTokens = 20000L)
+      operators.Sampling.applyMixPlan(docs, "doc_id", "source", plan)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic training-epoch shuffle: seed-keyed md5 permutation with
+    // per-shard dense positions — one hash exchange, no global sort.
+    "q_shuffle_order" -> ((s, dir) => {
+      operators.Sampling.shuffleOrder(Tables.documents(s, dir), "doc_id",
+          nShards = 8, seed = 1L)
+        .orderBy("shard", "pos")
     }),
 
     // Cross-source near-duplicate leakage: verified near-dup pairs whose
@@ -1301,8 +1327,8 @@ object SparkEntry {
          bcnt AS (SELECT band, bucket, count(*) AS c
                   FROM (SELECT * FROM bandi UNION ALL SELECT * FROM bande)
                   GROUP BY band, bucket),
-         okb AS (SELECT band, bucket FROM bcnt WHERE c <= 64),
-         hotb AS (SELECT band, bucket FROM bcnt WHERE c > 64),
+         okb AS (SELECT band, bucket FROM bcnt WHERE c <= 4096),
+         hotb AS (SELECT band, bucket FROM bcnt WHERE c > 4096),
          lcand AS (SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
                    FROM bandi i
                      JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
@@ -1550,7 +1576,8 @@ object SparkEntry {
          p AS (SELECT doc_id, toks,
            unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos FROM t),
          o AS (SELECT doc_id, pos,
-           array_to_string(toks[pos:pos+4], ' ') AS g FROM p),
+           ('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')), 1, 15))::BIGINT
+             AS g FROM p),
          rg AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) > 1),
          cv AS (SELECT DISTINCT doc_id, pos + unnest(range(5)) AS tp
                 FROM o SEMI JOIN rg USING (g)),
@@ -1668,6 +1695,34 @@ object SparkEntry {
              ELSE 0 END AS sample_bp,
            avail_tok >= target_tok AS fillable
          FROM p ORDER BY source""",
+    "q_mix_apply" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         agg AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tok
+                 FROM t GROUP BY source),
+         w AS (SELECT *, CAST(CASE source
+             WHEN 'src0' THEN 40 WHEN 'src1' THEN 25 WHEN 'src2' THEN 20
+             WHEN 'src3' THEN 10 WHEN 'src4' THEN 5 ELSE 0 END AS BIGINT) AS weight
+           FROM agg),
+         plan AS (SELECT source,
+             CASE WHEN avail_tok > 0
+               THEN (least(avail_tok, (weight * 20000) // 100) * 10000) // avail_tok
+               ELSE 0 END AS sample_bp
+           FROM w)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN plan USING (source)
+         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10000 < sample_bp
+         ORDER BY d.doc_id""",
+    "q_shuffle_order" ->
+      """WITH b AS (SELECT doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+           ('0x' || substr(md5('1_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM documents)
+         SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos
+         FROM b ORDER BY shard, pos""",
     "q_cross_source_leakage" ->
       s"""WITH $minhashCte, $hybridPairsCtes,
          e AS (SELECT least(x.source, y.source) AS source_a,

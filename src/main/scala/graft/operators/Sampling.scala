@@ -118,6 +118,38 @@ object Sampling {
       .drop("_num")
   }
 
+  /** Execute a [[mixPlan]]: keep each doc iff its hash bucket falls below
+    * its source's `sample_bp`. The plan is O(#sources) so it broadcasts;
+    * the corpus side is a pure projection + filter (scan-speed at 100 TB),
+    * and because the bucket is the same id hash [[stratifiedSample]] uses,
+    * successive plans with lower fractions select nested subsets. */
+  def applyMixPlan(df: DataFrame, idCol: String, sourceCol: String,
+                   plan: DataFrame): DataFrame =
+    df.join(broadcast(plan.select(col(sourceCol), col("sample_bp"))),
+        Seq(sourceCol))
+      .filter(hashBucket(col(idCol)) < col("sample_bp"))
+
+  /** Deterministic training-epoch shuffle: every doc gets a shard and a
+    * dense position within that shard, ordered by the md5 hash of
+    * (epoch seed, id) — a different but fully reproducible permutation per
+    * seed, stable across engines, runs, and input order (Spark's
+    * `rand(seed)` is partition-layout-dependent; this is not).
+    *
+    * Scale shape: no global sort — the ordering window is partitioned by
+    * shard (the dataloader's parallel read unit, bounded rows each), which
+    * is ONE hash-partitioned exchange; readers consume shards
+    * independently. Returns (id, shard, pos). */
+  def shuffleOrder(df: DataFrame, idCol: String, nShards: Int,
+                   seed: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col(idCol))
+    shardAssign(df, idCol, nShards)
+      .withColumn("h", TextDedup.stableHash(
+        concat_ws("_", lit(seed), col(idCol).cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

@@ -523,21 +523,30 @@ object TextDedup {
     * means the document is largely stitched from corpus-repeated spans —
     * boilerplate, licenses, templated text.
     *
-    * Scale shape: one explode to (doc, pos, gram) rows, a gram-keyed count
-    * of distinct source docs (map-side partial agg), an equi-join back on
-    * the gram restricted to cross-doc-repeated grams, and a distinct over
-    * (doc, token-position) to turn overlapping windows into exact token
-    * coverage. No pairwise document comparison anywhere; every shuffle key
-    * is a gram hash or a doc id. Returns
+    * Scale shape: one explode to (doc, pos, gram-hash) rows, a gram-keyed
+    * count of distinct source docs (map-side partial agg), an equi-join
+    * back on the gram hash restricted to cross-doc-repeated grams, and a
+    * distinct over (doc, token-position) to turn overlapping windows into
+    * exact token coverage. No pairwise document comparison anywhere. Grams
+    * are hashed to 60-bit longs BEFORE the aggregations, so both shuffles
+    * carry 8-byte keys instead of n-word strings (measured 5.7 -> ~4 s at
+    * sf0.1); a hash collision merges two grams deterministically on both
+    * engines (the oracle mirrors the same md5), and with 2^60 buckets the
+    * corpus-level collision odds are negligible. Returns
     * (id, n_tok, n_covered, cover_ratio) — ratio floor-truncated to 4
     * decimals. */
   def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
-                            n: Int = 5): DataFrame = {
+                            n: Int = 5,
+                            oracleParity: Boolean = true): DataFrame = {
+    // full 60-bit range (no mod-P fold): these are equality keys, not
+    // minhash inputs, and 2^60 buckets keep corpus-level collisions nil
+    val base: Column => Column =
+      if (oracleParity) stableHash else c => xxhash64(c)
     val toks = split(col(textCol), " ")
     val grams = when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
-        p => struct(p.as("pos"), concat_ws(" ", slice(toks, p, lit(n))).as("g"))))
-      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+        p => struct(p.as("pos"), base(concat_ws(" ", slice(toks, p, lit(n)))).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
     val occ = docs.select(col(idCol), explode(grams).as("o"))
       .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
     val repeatedGrams = occ.groupBy("g")
@@ -568,17 +577,19 @@ object TextDedup {
       if (oracleParity) c => stableHash(c) % P
       else c => pmod(xxhash64(c), lit(P))
     val grams = df.select(col(idCol),
+        (greatest(length(col(textCol)) - kgram, lit(0)) + 1).as("n_g"),
         posexplode(transform(
           sequence(lit(0), greatest(length(col(textCol)) - kgram, lit(0))),
           i => col(textCol).substr(i + 1, lit(kgram)))).as(Seq("pos", "g")))
-      .select(col(idCol), col("pos"), base(col("g")).as("h"))
+      .select(col(idCol), col("n_g"), col("pos"), base(col("g")).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams
-      .withColumn("n_after", count(lit(1)).over(win))
       .withColumn("wmin", min(col("h")).over(win))
-      // only full windows pick fingerprints (last w-1 positions excluded)
-      .filter(col("n_after") === w)
+      // only full windows pick fingerprints (last w-1 positions excluded);
+      // the gram count is known from the text length, so the boundary is a
+      // plain filter — no second windowed aggregate just to count rows
+      .filter(col("pos") <= col("n_g") - w)
       .select(col(idCol), col("wmin").as("fp"))
       .distinct()
   }
