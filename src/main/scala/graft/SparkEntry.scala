@@ -747,6 +747,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-rarity surprisal proxy (CCNet-style vocabulary-quality
+    // signal, log-free integer rarities): flags both boilerplate (low) and
+    // gibberish (high) tails. One explode + vocab-sized count + one join.
+    "q_surprisal" -> ((s, dir) => {
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Content-defined chunking dedup: hash-boundary chunks move WITH the
+    // content, so repeated boilerplate is caught even when its position
+    // shifted — the complement of fixed n-gram coverage.
+    "q_cdc_dedup" -> ((s, dir) => {
+      TextDedup.cdcRepeatedChunks(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Per-document keyword extraction: top-3 non-stopword tokens by count,
     // token-text tie-break; per-doc window, no global ordering.
     "q_keywords" -> ((s, dir) => {
@@ -1587,6 +1603,45 @@ object SparkEntry {
            CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
            floor(coalesce(n_covered, 0) * 10000 / len(toks)) / 10000 AS cover_ratio
          FROM t LEFT JOIN c2 USING (doc_id) ORDER BY doc_id""",
+    "q_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         c AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS S FROM tok),
+         r AS (SELECT doc_id, (1000000 * S) // c.c AS rarity
+               FROM tok JOIN c USING (t) CROSS JOIN st)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(rarity) AS BIGINT) AS sum_rarity,
+           CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         tok AS (SELECT doc_id, pos, toks[pos] AS tk
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS pos
+                       FROM t)),
+         sg AS (SELECT doc_id, pos, tk,
+                  sum(CASE WHEN ('0x' || substr(md5(tk), 1, 15))::BIGINT % 8 = 0
+                      THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+                FROM tok),
+         ch AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS seg_tok,
+                  ('0x' || substr(md5(string_agg(tk, ' ' ORDER BY pos)), 1, 15))::BIGINT
+                    AS seg_hash
+                FROM sg GROUP BY doc_id, seg),
+         rep AS (SELECT seg_hash FROM ch GROUP BY seg_hash
+                 HAVING count(DISTINCT doc_id) > 1),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rep_chunks,
+                  CAST(sum(seg_tok) AS BIGINT) AS rep_tok
+                FROM ch SEMI JOIN rep USING (seg_hash) GROUP BY doc_id),
+         nc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                FROM ch GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tok,
+           CAST(coalesce(nc.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(pd.n_rep_chunks, 0) AS BIGINT) AS n_rep_chunks,
+           CAST(coalesce(pd.rep_tok, 0) AS BIGINT) AS rep_tok,
+           floor(coalesce(pd.rep_tok, 0) * 10000 / len(toks)) / 10000 AS rep_ratio
+         FROM t LEFT JOIN nc USING (doc_id) LEFT JOIN pd USING (doc_id)
+         ORDER BY t.doc_id""",
     "q_keywords" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                      FROM documents),

@@ -184,6 +184,36 @@ object TextAnalysis {
       .select(col(idCol), col("n_tok"), col("lo_tok"), col("hi_tok"))
   }
 
+  /** Unigram-frequency surprisal proxy — the CCNet-style "how unusual is
+    * this document's vocabulary" quality signal, log-free: every token t
+    * gets the integer rarity floor(1e6 * S / c(t)) (S = corpus token
+    * count, c(t) = t's corpus count — i.e. the scaled inverse unigram
+    * probability, monotone in true surprisal -log p(t)), and a document
+    * scores the floor mean rarity of its tokens. Low = stitched from the
+    * corpus's most common tokens (boilerplate); high = rare-vocabulary
+    * text (often noise/gibberish); both tails are the standard drop
+    * candidates. Exact integer arithmetic throughout (the repo-wide parity
+    * rule — no ln, no float accumulation).
+    *
+    * Scale shape: one explode + one token-keyed count (map-side partial
+    * agg, vocab-sized result), one shuffle join of the token stream
+    * against that count, one per-doc aggregation. No windows, no
+    * collect. Returns (id, n_tok, sum_rarity, mean_rarity). */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val stats = tok.agg(count(lit(1)).as("S"))
+    val rar = tok.join(counts, Seq("t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_num", lit(1000000L) * col("S"))
+      .withColumn("rarity", expr("_num div c"))
+    rar.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("rarity").as("sum_rarity"))
+      .withColumn("mean_rarity", expr("sum_rarity div n_tok"))
+      .select(col(idCol), col("n_tok"), col("sum_rarity"), col("mean_rarity"))
+  }
+
   /** BM25 relevance ranking of the corpus against a small query-term set —
     * the retrieval primitive behind targeted data selection and
     * decontamination triage ("which training docs look like this eval

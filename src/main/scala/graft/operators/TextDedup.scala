@@ -565,6 +565,59 @@ object TextDedup {
           .as("cover_ratio"))
   }
 
+  /** Content-defined chunking (CDC) dedup at token granularity — the
+    * shift-robust complement to fixed n-gram coverage: a token is a chunk
+    * BOUNDARY iff its hash ≡ 0 (mod `boundaryDiv`), so chunk borders move
+    * WITH the content and an insertion disturbs only the chunk it lands in
+    * (fixed-size chunking re-aligns every downstream chunk, masking
+    * repeats). Chunks are the token runs starting at each boundary; a
+    * chunk repeated across documents marks shared boilerplate even when
+    * its position shifted.
+    *
+    * Scale shape: one explode to (doc, pos, token), ONE per-doc window to
+    * number chunks (running boundary count — same exchange the chunk
+    * aggregation reuses), a chunk-hash-keyed distinct-doc count (map-side
+    * partial agg), and a join back on the chunk hash. Expected chunk
+    * length is `boundaryDiv` tokens — the knob trading granularity for
+    * chunk-table size. Returns per doc: (id, n_tok, n_chunks,
+    * n_rep_chunks, rep_tok, rep_ratio floor-4). */
+  def cdcRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
+                        boundaryDiv: Int = 8,
+                        oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) stableHash else c => xxhash64(c)
+    val tok = docs.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val seg = tok
+      .withColumn("is_b", (pmod(base(col("t")), lit(boundaryDiv.toLong)) === 0)
+        .cast("int"))
+      .withColumn("seg", sum("is_b").over(w))
+    val chunks = seg.groupBy(col(idCol), col("seg"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("t")))).as("ts"))
+      .select(col(idCol), col("seg"),
+        size(col("ts")).as("seg_tok"),
+        base(concat_ws(" ", transform(col("ts"), x => x.getField("t"))))
+          .as("seg_hash"))
+    val rep = chunks.groupBy("seg_hash")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select("seg_hash")
+    val perDoc = chunks.join(rep, Seq("seg_hash"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_rep_chunks"), sum("seg_tok").as("rep_tok"))
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("n_tok"))
+      .join(chunks.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks")),
+        Seq(idCol), "left")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_rep_chunks"), lit(0L)).as("n_rep_chunks"),
+        coalesce(col("rep_tok"), lit(0L)).as("rep_tok"),
+        (floor(coalesce(col("rep_tok"), lit(0L)) * 10000 / col("n_tok")) / 10000.0)
+          .as("rep_ratio"))
+  }
+
   /** Winnowing-style fingerprints: hash all k-grams, take the minimum hash in
     * every sliding window of `w` consecutive k-grams, emit the distinct set.
     * (Schleimer et al., "Winnowing: Local Algorithms for Document
@@ -577,19 +630,21 @@ object TextDedup {
       if (oracleParity) c => stableHash(c) % P
       else c => pmod(xxhash64(c), lit(P))
     val grams = df.select(col(idCol),
-        (greatest(length(col(textCol)) - kgram, lit(0)) + 1).as("n_g"),
         posexplode(transform(
           sequence(lit(0), greatest(length(col(textCol)) - kgram, lit(0))),
           i => col(textCol).substr(i + 1, lit(kgram)))).as(Seq("pos", "g")))
-      .select(col(idCol), col("n_g"), col("pos"), base(col("g")).as("h"))
+      .select(col(idCol), col("pos"), base(col("g")).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams
+      .withColumn("n_after", count(lit(1)).over(win))
       .withColumn("wmin", min(col("h")).over(win))
-      // only full windows pick fingerprints (last w-1 positions excluded);
-      // the gram count is known from the text length, so the boundary is a
-      // plain filter — no second windowed aggregate just to count rows
-      .filter(col("pos") <= col("n_g") - w)
+      // only full windows pick fingerprints (last w-1 positions excluded).
+      // Measured A/B at sf0.1 (tools/WinnowBench): replacing the count
+      // aggregate with a text-length-derived `pos` filter is ~50% SLOWER
+      // (6-8 s vs ~4 s) — both aggregates share one frame pass, so the
+      // count is nearly free, while the length column rides the exchange.
+      .filter(col("n_after") === w)
       .select(col(idCol), col("wmin").as("fp"))
       .distinct()
   }

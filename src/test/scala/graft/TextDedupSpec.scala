@@ -98,6 +98,49 @@ class TextDedupSpec extends AnyFunSuite {
     assert(math.abs(co - cp) < co / 5, s"fingerprint counts diverged: $co vs $cp")
   }
 
+  test("cdcRepeatedChunks: shared boilerplate found even when shifted; unique docs zero") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, boiler),                                  // the boilerplate itself
+      (2L, "completely unrelated preamble words here " + boiler), // SHIFTED copy
+      (3L, "no shared content in this document at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.cdcRepeatedChunks(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // content-defined boundaries realign after the inserted prefix, so the
+    // interior chunks of the boilerplate hash identically in docs 1 and 2
+    assert(out(0).getLong(3) > 0, s"doc 1 found no repeated chunks: ${out(0)}")
+    assert(out(1).getLong(3) > 0, s"shifted copy not caught: ${out(1)}")
+    assert(out(0).getDouble(5) > 0.5, "boilerplate doc should be mostly repeated")
+    assert(out(2).getLong(3) == 0 && out(2).getDouble(5) == 0.0)
+    // chunk counts partition the tokens
+    assert(out.forall(r => r.getLong(4) <= r.getInt(1)))
+  }
+
+  test("unigramSurprisal: rare-vocabulary docs score above boilerplate docs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),          // 1 token repeated corpus-wide
+      (2L, "common common rare1 rare2"),            // half rare
+      (3L, "unique1 unique2 unique3 unique4"))      // all singletons
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val S = 12L // corpus tokens
+    // doc 1: every token has c=6 -> rarity = 1e6*12/6 = 2_000_000 exactly
+    assert(out(0).getLong(3) == 1000000L * S / 6)
+    assert(out(0).getLong(1) == 4L)
+    // monotone: more singletons -> higher mean rarity
+    assert(out(0).getLong(3) < out(1).getLong(3))
+    assert(out(1).getLong(3) < out(2).getLong(3))
+    // doc 3: all c=1 -> mean = 1e6*12
+    assert(out(2).getLong(3) == 1000000L * S)
+  }
+
   test("incrementalDedup: verbatim copies match, fresh docs pass, one row per incoming doc") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
