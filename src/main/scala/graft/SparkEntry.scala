@@ -1336,8 +1336,8 @@ object SparkEntry {
     // prefix-filtered exact candidates, one verification pass, best match
     // per incoming doc
     "q_incr_dedup" ->
-      s"""WITH ${minhashCteNamed("i", "WHERE doc_id % 5 = 0")},
-         ${minhashCteNamed("e", "WHERE doc_id % 5 <> 0")},
+      s"""WITH ${shingleSigCteNamed("i", "WHERE doc_id % 5 = 0")},
+         ${shingleSigCteNamed("e", "WHERE doc_id % 5 <> 0")},
          ${bandsCteNamed("i")},
          ${bandsCteNamed("e")},
          bcnt AS (SELECT band, bucket, count(*) AS c
@@ -1349,13 +1349,10 @@ object SparkEntry {
                    FROM bandi i
                      JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
                      JOIN bande e ON e.band = i.band AND e.bucket = i.bucket),
-         shv AS (SELECT doc_id,
-                   list_distinct(list_transform(${shinglesSql("text", 3)},
-                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
-                 FROM documents),
          hoti AS (SELECT DISTINCT doc_id FROM bandi JOIN hotb USING (band, bucket)),
          hote AS (SELECT DISTINCT doc_id FROM bande JOIN hotb USING (band, bucket)),
-         hsh AS (SELECT s.doc_id, s.sh FROM shv s
+         hsh AS (SELECT v.doc_id, v.sh
+                 FROM (SELECT * FROM vshi UNION ALL SELECT * FROM vshe) v
                  JOIN (SELECT doc_id FROM hoti UNION SELECT doc_id FROM hote) h
                    USING (doc_id)),
          htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
@@ -1376,8 +1373,8 @@ object SparkEntry {
          vf AS (SELECT new_id, old_id,
                   floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                         / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
-                FROM acand JOIN shv x ON x.doc_id = new_id
-                  JOIN shv y ON y.doc_id = old_id
+                FROM acand JOIN vshi x ON x.doc_id = new_id
+                  JOIN vshe y ON y.doc_id = old_id
                 WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                         / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6),
          best AS (SELECT new_id, old_id AS match_id, jac FROM (
@@ -2076,18 +2073,21 @@ object SparkEntry {
                 CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
               FROM documents d LEFT JOIN m ON m.a = d.doc_id)"""
 
-  /** Suffixed minhash CTE chain (sh/hs/sig + `sfx`) so two corpus slices
-    * can carry independent signatures in one WITH (mirrors
-    * TextDedup.minHashSignature exactly, like [[minhashCteFor]]). */
-  private def minhashCteNamed(sfx: String, where: String): String = {
+  /** Suffixed CTE chain for one corpus slice of the incremental-dedup
+    * mirror: the distinct 3-gram hash LIST `vsh$sfx` (the verify side)
+    * plus the minhash signature `sig$sfx` derived from THAT SAME hash set
+    * (mirrors TextDedup.incrementalDedup's single-md5-pass design — same
+    * perturbation coefficients as minHashSignature). */
+  private def shingleSigCteNamed(sfx: String, where: String): String = {
     val mins = (0 until 8).map { i =>
       val a = 2 * i + 1; val b = i * i + 1
       s"min((h * $a + $b) % 2147483647) AS mh$i"
     }.mkString(", ")
-    s"""sh$sfx AS (SELECT doc_id, unnest(${shinglesSql("text", 4)}) AS g
+    s"""vsh$sfx AS (SELECT doc_id,
+          list_distinct(list_transform(${shinglesSql("text", 3)},
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
           FROM documents $where),
-        hs$sfx AS (SELECT doc_id,
-          ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647 AS h FROM sh$sfx),
+        hs$sfx AS (SELECT doc_id, unnest(sh) AS h FROM vsh$sfx),
         sig$sfx AS (SELECT doc_id, $mins FROM hs$sfx GROUP BY doc_id)"""
   }
 

