@@ -879,6 +879,34 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // End-to-end training manifest: quality/language gate -> token-budget
+    // mix plan over the KEPT docs -> deterministic hash sampling at the
+    // plan fractions -> seed-keyed epoch shuffle with per-shard positions.
+    // The curation-to-dataloader path in one composed plan: projections,
+    // one source agg (broadcast back), one shard exchange — no global
+    // sort, no pairwise stage.
+    "q_training_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
+      val kept = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(qual.select("doc_id", "n_tok", "stop_ratio", "punct_ratio"),
+          Seq("doc_id"))
+        .filter(col("lang_pred") =!= "und" && col("n_tok") >= 5 &&
+          col("stop_ratio") >= 0.01 && col("punct_ratio") <= 0.2)
+      val plan = operators.Sampling.mixPlan(kept, "source", "text",
+        Map("src0" -> 40L, "src1" -> 25L, "src2" -> 20L, "src3" -> 10L,
+          "src4" -> 5L),
+        budgetTokens = 20000L)
+      val sampled = operators.Sampling.applyMixPlan(kept, "doc_id", "source", plan)
+      operators.Sampling.shuffleOrder(sampled, "doc_id", nShards = 8, seed = 1L)
+        .join(sampled.select("doc_id", "source", "n_tok"), Seq("doc_id"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("source"),
+          col("n_tok"))
+        .orderBy("shard", "pos")
+    }),
+
     // Cross-source near-duplicate leakage: verified near-dup pairs whose
     // docs come from DIFFERENT sources, counted per source pair — the
     // audit that catches one crawl republishing another. Reuses the
@@ -1766,6 +1794,37 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                  % 10000 < sample_bp
          ORDER BY d.doc_id""",
+    "q_training_manifest" ->
+      s"""WITH $langQualCtes,
+         kept AS (SELECT d.doc_id, d.source, qual.n_tok
+                  FROM documents d
+                    JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+                  WHERE lang.lang_pred <> 'und' AND qual.n_tok >= 5
+                    AND qual.stop_ratio >= 0.01 AND qual.punct_ratio <= 0.2),
+         agg AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS avail_tok
+                 FROM kept GROUP BY source),
+         w AS (SELECT *, CAST(CASE source
+             WHEN 'src0' THEN 40 WHEN 'src1' THEN 25 WHEN 'src2' THEN 20
+             WHEN 'src3' THEN 10 WHEN 'src4' THEN 5 ELSE 0 END AS BIGINT) AS weight
+           FROM agg),
+         plan AS (SELECT source,
+             CASE WHEN avail_tok > 0
+               THEN (least(avail_tok, (weight * 20000) // 100) * 10000) // avail_tok
+               ELSE 0 END AS sample_bp
+           FROM w),
+         samp AS (SELECT k.doc_id, k.source, k.n_tok
+                  FROM kept k JOIN plan USING (source)
+                  WHERE ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 10000 < sample_bp),
+         shf AS (SELECT doc_id, source, n_tok,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+                   ('0x' || substr(md5('1_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                 FROM samp)
+         SELECT shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+                AS BIGINT) AS pos,
+           doc_id, source, n_tok
+         FROM shf ORDER BY shard, pos""",
     "q_shuffle_order" ->
       """WITH b AS (SELECT doc_id,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
@@ -2072,6 +2131,41 @@ object SparkEntry {
        cl AS (SELECT d.doc_id,
                 CAST(least(d.doc_id, coalesce(m.mb, d.doc_id)) AS BIGINT) AS cluster_id
               FROM documents d LEFT JOIN m ON m.a = d.doc_id)"""
+
+  /** Language-ID + quality-feature CTE chain ending in `lang(doc_id,
+    * lang_pred)` and `qual(doc_id, n_tok, stop_ratio, punct_ratio)` —
+    * mirrors TextAnalysis.langId / qualityFeatures (same CTEs the
+    * curation-pipeline oracle inlines). */
+  private val langQualCtes: String =
+    """lt AS (SELECT doc_id,
+         list_distinct(string_split(text, ' ')) AS toks FROM documents),
+       ls AS (SELECT doc_id,
+         len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+         len(list_intersect(toks, ['the','a','and','of','is'])) AS s_en,
+         len(list_intersect(toks, ['el','la','los','y','es'])) AS s_es,
+         len(list_intersect(toks, ['le','la','les','et','est'])) AS s_fr,
+         len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+       FROM lt),
+       lm AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM ls),
+       lang AS (SELECT doc_id,
+         CASE WHEN best = 0 THEN 'und'
+              WHEN s_de = best THEN 'de'
+              WHEN s_en = best THEN 'en'
+              WHEN s_es = best THEN 'es'
+              WHEN s_fr = best THEN 'fr'
+              ELSE 'zh' END AS lang_pred
+       FROM lm),
+       qt AS (SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+         CAST(len(list_filter(string_split(text, ' '),
+              t -> t IN ('the','a','and','of','to','in'))) AS INT) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g'))
+              AS INT) AS n_punct
+       FROM documents),
+       qual AS (SELECT doc_id, n_tok,
+         floor(CAST(n_stop AS DOUBLE) / n_tok * 10000) / 10000 AS stop_ratio,
+         floor(CAST(n_punct AS DOUBLE) / length(text) * 10000) / 10000 AS punct_ratio
+       FROM qt)"""
 
   /** Suffixed CTE chain for one corpus slice of the incremental-dedup
     * mirror: the distinct 3-gram hash LIST `vsh$sfx` (the verify side)

@@ -28,4 +28,23 @@ object StreamingDedup {
                   eventTimeCol: String, delay: String): DataFrame =
     ds.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** NEAR-dup gate for stream ingestion, the micro-batch twin of
+    * TextDedup.incrementalDedup: inside `foreachBatch`, match the batch
+    * against the STATIC existing-corpus index and pass through only rows
+    * whose text does not near-duplicate it (trigram Jaccard below
+    * `minJaccard`). Per batch the cost is one signature pass over the
+    * BATCH plus the cross-side band equi-join — the existing side's index
+    * is production-precomputed and never self-joined. Exact-key dedup
+    * within the stream itself stays [[dedupStream]]'s job; this gate
+    * screens against the accumulated corpus. */
+  def nearDupGate(existing: DataFrame, batch: DataFrame, idCol: String,
+                  textCol: String, minJaccard: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val verdict = graft.operators.TextDedup
+      .incrementalDedup(existing, batch, idCol, textCol, minJaccard)
+    batch.join(
+      verdict.filter(!col("is_dup")).select(col("new_id").as(idCol)),
+      Seq(idCol), "left_semi")
+  }
 }

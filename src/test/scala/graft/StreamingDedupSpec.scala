@@ -62,4 +62,49 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"expected ${rows.length} unique emissions, got ${emitted.size}")
     assert(emitted.toSet == rows.map(_._1).toSet)
   }
+
+  test("near-dup gate: streamed micro-batches pass exactly the batch-mode survivors") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_ndgate").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("doc_id", "text").localCheckpoint()
+    val incomingRows = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // ground truth: one batch-mode gate over the whole incoming set
+    val batchKept = StreamingDedup.nearDupGate(existing,
+        incomingRows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < incomingRows.size,
+      s"fixture should both keep and drop docs (kept ${batchKept.size}/${incomingRows.size})")
+
+    // stream the incoming docs in 3 micro-batches through the same gate
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    incomingRows.grouped((incomingRows.size + 2) / 3).foreach { slice =>
+      slice.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(s"$work/in")
+      val src = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in")
+      val q = src.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          kept ++= StreamingDedup.nearDupGate(existing, batch, "doc_id", "text")
+            .select("doc_id").collect().map(_.getLong(0))
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    // batch split cannot change the verdict: the gate is per-doc vs a
+    // static index, so streamed survivors == batch survivors exactly
+    assert(kept.toSet == batchKept, s"missing=${batchKept -- kept.toSet} extra=${kept.toSet -- batchKept}")
+    assert(kept.size == kept.toSet.size, "a doc was emitted twice")
+  }
 }
