@@ -692,6 +692,19 @@ object SparkEntry {
         .orderBy("doc_id", "frame_index")
     }),
 
+    // REAL animated-GIF frame decode (the GIF twin of q_video_frames):
+    // per-doc 4-frame animation on a fixed 256-gray palette — palette
+    // encoding is lossless, so the real ImageIO sequence-write ->
+    // sequence-read round trip preserves the closed-form gradient exactly.
+    "q_gif_frames" -> ((s, dir) => {
+      val withGif = graft.multimodal.Multimodal.withSyntheticGif(
+        Tables.documents(s, dir), "doc_id")
+      graft.multimodal.Multimodal.videoFrameStats(withGif, "gif", "doc_id")
+        .select(col("doc_id"), col("frame_index"), col("f_width"), col("f_height"),
+          (floor(col("mean_lum") * 1000000) / 1000000.0).as("mean_lum"))
+        .orderBy("doc_id", "frame_index")
+    }),
+
     // Multimodal plumbing: opaque binary payload + typed metadata (byte
     // length, content digest) — the schema/projection layer under the
     // stubbed decoders in graft.multimodal.
@@ -1317,6 +1330,14 @@ object SparkEntry {
            CAST(8 AS INT) AS f_width, CAST(8 AS INT) AS f_height,
            floor(CAST(list_reduce(list_transform(range(64),
                    p -> (abs(doc_id) % 256 + 17 * f + p) % 256), (a, b) -> a + b) AS DOUBLE)
+                 / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
+         FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
+         ORDER BY doc_id, frame_index""",
+    "q_gif_frames" ->
+      """SELECT doc_id, CAST(f AS INT) AS frame_index,
+           CAST(8 AS INT) AS f_width, CAST(8 AS INT) AS f_height,
+           floor(CAST(list_reduce(list_transform(range(64),
+                   p -> (abs(doc_id) % 256 + 11 * f + p) % 256), (a, b) -> a + b) AS DOUBLE)
                  / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
          FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
          ORDER BY doc_id, frame_index""",

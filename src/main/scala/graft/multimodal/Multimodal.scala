@@ -435,6 +435,81 @@ object Multimodal {
     }
   }
 
+  // ---- real: animated GIF frame decode (JDK ImageIO sequence API) -------
+
+  /** Animated-GIF codec via the JDK's own GIF reader/writer — the second
+    * real multi-frame path next to [[AviCodec]]. Encoding uses an explicit
+    * 256-gray indexed palette, so grayscale frames round-trip LOSSLESSLY
+    * (GIF is palette-based; with a fixed palette the writer cannot
+    * quantize), which keeps the closed-form luminance oracle exact. */
+  object GifCodec {
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+
+    /** 256-level grayscale palette (r=g=b=i). */
+    def grayPalette: IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    /** Encode frames as one animated GIF (sequence write, per-frame delay
+      * in centiseconds). Frames should share dimensions. */
+    def encodeAnimatedGif(frames: Seq[BufferedImage],
+                          delayCs: Int = 10): Array[Byte] = {
+      require(frames.nonEmpty, "encodeAnimatedGif needs at least one frame")
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        frames.foreach { img =>
+          val meta = writer.getDefaultImageMetadata(
+            new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+          val gce = new IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", delayCs.toString)
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new IIOImage(img, null, meta), null)
+        }
+        writer.endWriteSequence()
+      } finally {
+        ios.close()
+        writer.dispose()
+      }
+      bos.toByteArray
+    }
+
+    /** All frames of a GIF payload (1 for a still image). None for
+      * null/corrupt/non-GIF payloads — the shared DLQ-style tolerance.
+      * Frames written by [[encodeAnimatedGif]] are full-size replacements,
+      * so per-index reads are complete images. */
+    def decodeFrames(bytes: Array[Byte]): Option[Seq[BufferedImage]] = {
+      if (bytes == null || sniffFormat(bytes) != "gif") return None
+      try {
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, false)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(reader.read))
+        } finally {
+          iis.close()
+          reader.dispose()
+        }
+      } catch { case _: Exception => None }
+    }
+  }
+
   // ---- stub: video decode (non-AVI codecs only) -------------------------
 
   /** Deterministic fake decoder: seeds pseudo-samples from a content hash.
@@ -663,10 +738,21 @@ object Multimodal {
     }
   }
 
-  /** REAL video frame statistics: container walk + per-frame pixel decode
-    * through the JDK codecs ([[AviCodec]]). One output row per decoded
-    * frame: (id, frame_index, f_width, f_height, mean_lum); payloads that
-    * aren't decodable AVI produce no rows (DLQ-style tolerance). */
+  /** Frames of any animated payload the JDK can decode: AVI (MJPEG /
+    * uncompressed DIB via [[AviCodec]]) or animated GIF ([[GifCodec]]).
+    * None for everything else. */
+  private def animationFrames(bytes: Array[Byte]): Option[Seq[java.awt.image.BufferedImage]] =
+    sniffFormat(bytes) match {
+      case "avi" => AviCodec.decodeFrames(bytes).map(_._4)
+      case "gif" => GifCodec.decodeFrames(bytes)
+      case _ => None
+    }
+
+  /** REAL video/animation frame statistics: container walk + per-frame
+    * pixel decode through the JDK codecs (AVI via [[AviCodec]], animated
+    * GIF via [[GifCodec]]). One output row per decoded frame:
+    * (id, frame_index, f_width, f_height, mean_lum); payloads that aren't
+    * decodable animations produce no rows (DLQ-style tolerance). */
   def videoFrameStats(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val inSchema = df.schema
     val binIdx = inSchema.fieldIndex(binCol)
@@ -680,14 +766,49 @@ object Multimodal {
     withMappedPartitions(df, outSchema) { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        AviCodec.decodeFrames(bytes) match {
-          case Some((_, _, _, frames)) =>
+        animationFrames(bytes) match {
+          case Some(frames) =>
             frames.iterator.zipWithIndex.map { case (img, i) =>
               val (w, h, m) = ImageDecoder.stats(img)
               Row(r.get(idIdx), i, w, h, m)
             }
           case None => Iterator.empty
         }
+      }
+    }
+  }
+
+  /** Deterministic synthetic animated-GIF column: `nFrames` frames on the
+    * fixed 256-gray palette, frame f's pixel at raster position p holding
+    * gray (id + 11*f + p) mod 256 — the GIF twin of [[withSyntheticAvi]].
+    * The indexed palette makes the GIF encode lossless, so the closed form
+    * sum_{p<w*h} ((id + 11f + p) mod 256) survives the real
+    * encode -> decode round trip exactly. */
+  def withSyntheticGif(df: DataFrame, idCol: String, w: Int = 8, h: Int = 8,
+                       nFrames: Int = 4): DataFrame = {
+    val inSchema = df.schema
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("gif", BinaryType, nullable = false)))
+    withMappedPartitions(df.select(df(idCol)), outSchema) { rows =>
+      rows.map { r =>
+        val id = math.abs(r.getLong(0))
+        val frames = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, GifCodec.grayPalette)
+          var y = 0; var p = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0, ((id + 11L * f + p) % 256).toInt)
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          img
+        }
+        Row(r.get(0), GifCodec.encodeAnimatedGif(frames))
       }
     }
   }
@@ -770,10 +891,11 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame (video -> frames), taking
-    * every `everyN`-th frame up to `maxFrames`. AVI payloads get REAL
-    * decoded frames re-encoded as PNG ([[AviCodec]] + [[ImageDecoder]]);
-    * containers with no JDK codec (mp4 et al.) fall back to the clearly
-    * marked stub slice so lineage/shape stay exercised. */
+    * every `everyN`-th frame up to `maxFrames`. AVI and animated-GIF
+    * payloads get REAL decoded frames re-encoded as PNG ([[AviCodec]] /
+    * [[GifCodec]] + [[ImageDecoder]]); containers with no JDK codec (mp4
+    * et al.) fall back to the clearly marked stub slice so lineage/shape
+    * stay exercised. */
   def sampleFrames(df: DataFrame, binCol: String, idCol: String,
                    everyN: Int = 10, maxFrames: Int = 4): DataFrame = {
     val inSchema = df.schema
@@ -786,8 +908,8 @@ object Multimodal {
     withMappedPartitions(df, outSchema) { rows =>
       rows.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](binIdx)).getOrElse(Array.emptyByteArray)
-        AviCodec.decodeFrames(bytes) match {
-          case Some((_, _, _, frames)) => // REAL: decode, stride, re-encode
+        animationFrames(bytes) match {
+          case Some(frames) => // REAL: decode, stride, re-encode
             frames.iterator.zipWithIndex
               .filter { case (_, i) => i % everyN == 0 }
               .take(maxFrames)

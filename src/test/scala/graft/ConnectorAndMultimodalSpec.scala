@@ -343,4 +343,55 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.AviCodec.decodeFrames("RIFF1234AVI corrupt".getBytes).isEmpty)
     assert(Multimodal.AviCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("multimodal: REAL animated-GIF decode — lossless indexed round trip, frame sampling") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+
+    def grayFrame(seed: Int): BufferedImage = {
+      val img = new BufferedImage(8, 8,
+        BufferedImage.TYPE_BYTE_INDEXED, Multimodal.GifCodec.grayPalette)
+      var p = 0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        img.getRaster.setSample(x, y, 0, (seed + p) % 256); p += 1
+      }
+      img
+    }
+    val frames = (0 until 3).map(f => grayFrame(f * 41 + 7))
+    val gif = Multimodal.GifCodec.encodeAnimatedGif(frames)
+    assert(Multimodal.sniffFormat(gif) == "gif")
+
+    // sequence read returns every frame, pixel-exact (fixed palette)
+    val dec = Multimodal.GifCodec.decodeFrames(gif).get
+    assert(dec.length == 3)
+    for (f <- 0 until 3; y <- 0 until 8; x <- 0 until 8)
+      assert((dec(f).getRGB(x, y) & 0xffffff) == (frames(f).getRGB(x, y) & 0xffffff),
+        s"GIF pixel mismatch at frame $f ($x,$y)")
+
+    // a still PNG-style single-frame gif decodes to exactly one frame
+    val still = Multimodal.GifCodec.encodeAnimatedGif(frames.take(1))
+    assert(Multimodal.GifCodec.decodeFrames(still).get.length == 1)
+
+    // distributed frame stats + real-path sampling over the synthetic fixture
+    val docs = Seq(9L, 260L).toDF("doc_id")
+    val withGif = Multimodal.withSyntheticGif(docs, "doc_id")
+    val st = Multimodal.videoFrameStats(withGif, "gif", "doc_id")
+      .orderBy("doc_id", "frame_index").collect()
+    assert(st.length == 8)
+    for (r <- st) {
+      val id = r.getLong(0); val fi = r.getInt(1)
+      val want = (0 until 64).map(p => (id + 11 * fi + p) % 256).sum / (255.0 * 64)
+      assert(math.abs(r.getDouble(4) - want) < 1e-12,
+        s"doc $id frame $fi mean luminance off closed form")
+    }
+    val sf = Multimodal.sampleFrames(withGif, "gif", "doc_id", everyN = 3, maxFrames = 2)
+      .orderBy("doc_id", "frame_index").collect()
+    assert(sf.map(_.getInt(1)).toSeq == Seq(0, 3, 0, 3))
+    assert(sf.forall(r => Multimodal.sniffFormat(r.getAs[Array[Byte]]("frame")) == "png"))
+
+    // tolerance
+    assert(Multimodal.GifCodec.decodeFrames(null).isEmpty)
+    assert(Multimodal.GifCodec.decodeFrames("GIF89a garbage".getBytes).isEmpty)
+  }
 }
