@@ -308,6 +308,18 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // Product quantization (the memory-bound half of IVF-PQ serving):
+    // 4 subspaces x 16 centroids, deterministic integer k-means per
+    // subspace — 64 floats compress to 4 code bytes; qerr is the exact
+    // integer reconstruction distance.
+    "q_pq_codes" -> ((s, dir) => {
+      operators.Clustering.pqCodes(
+          Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64)
+        .select(col("id").as("vec_id"), col("c0"), col("c1"), col("c2"),
+          col("c3"), col("qerr"))
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1124,6 +1136,15 @@ object SparkEntry {
            floor(CAST(sum(d) AS DOUBLE) * 100 / count(*)) / 100 AS mean_dist,
            min(id) AS min_vec_id
          FROM fin GROUP BY j ORDER BY cluster""",
+    "q_pq_codes" ->
+      s"""WITH ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16)).mkString(",\n")}
+         SELECT f0.id AS vec_id,
+           CAST(f0.j AS INT) AS c0, CAST(f1.j AS INT) AS c1,
+           CAST(f2.j AS INT) AS c2, CAST(f3.j AS INT) AS c3,
+           f0.d + f1.d + f2.d + f3.d AS qerr
+         FROM fins0 f0 JOIN fins1 f1 USING (id) JOIN fins2 f2 USING (id)
+           JOIN fins3 f3 USING (id)
+         ORDER BY vec_id""",
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2035,38 +2056,44 @@ object SparkEntry {
 
   private val minhashCte: String = minhashCteFor("")
 
-  /** Unrolled deterministic k-means rounds ending in CTE `fin(id, j, d)`
+  /** Unrolled deterministic k-means rounds ending in CTE `fin$sfx(id, j, d)`
     * (mirrors Clustering.kmeansAssign: floor(v*1000) integer quantization,
     * k-lowest-id init, exact integer L2, ties to lowest j, floor-div
-    * centroid updates, empty clusters drop out). `dim` is the fixture's
-    * embedding length. */
-  private def kmeansCte(k: Int, iters: Int, dim: Int): String = {
+    * centroid updates, empty clusters drop out). `dim` positions starting
+    * at embedding offset `off` — sfx/off > 0 give the per-subspace chains
+    * of the PQ mirror. */
+  private def kmeansCteSub(sfx: String, k: Int, iters: Int, dim: Int,
+                           off: Int): String = {
     def dist(r: Int) =
-      s"""d$r AS (SELECT p.id, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d
-           FROM pts p JOIN cent${r - 1} c USING (pos) GROUP BY p.id, c.j)"""
+      s"""d$r$sfx AS (SELECT p.id, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d
+           FROM pts$sfx p JOIN cent${r - 1}$sfx c USING (pos) GROUP BY p.id, c.j)"""
     val rounds = (1 until iters).map { r =>
       s"""${dist(r)},
-         a$r AS (SELECT id, j FROM (
+         a$r$sfx AS (SELECT id, j FROM (
              SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-             FROM d$r) WHERE rn = 1),
-         cent$r AS (SELECT a.j, p.pos,
+             FROM d$r$sfx) WHERE rn = 1),
+         cent$r$sfx AS (SELECT a.j, p.pos,
              CAST(floor(sum(p.q) * 1.0 / count(*)) AS BIGINT) AS c
-           FROM a$r a JOIN pts p USING (id) GROUP BY a.j, p.pos)"""
+           FROM a$r$sfx a JOIN pts$sfx p USING (id) GROUP BY a.j, p.pos)"""
     }.mkString(",\n")
-    s"""pts AS (
+    s"""pts$sfx AS (
          SELECT vec_id AS id, CAST(t.i AS INT) AS pos,
-           CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+           CAST(floor(CAST(embedding[t.i + 1 + $off] AS DOUBLE) * 1000) AS BIGINT) AS q
          FROM embeddings, (SELECT unnest(range($dim)) AS i) t),
-       init AS (
+       init$sfx AS (
          SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
-         FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT $k)),
-       cent0 AS (SELECT i.j, p.pos, p.q AS c FROM init i JOIN pts p USING (id)),
+         FROM (SELECT DISTINCT id FROM pts$sfx ORDER BY id LIMIT $k)),
+       cent0$sfx AS (SELECT i.j, p.pos, p.q AS c
+                     FROM init$sfx i JOIN pts$sfx p USING (id)),
        $rounds,
        ${dist(iters)},
-       fin AS (SELECT id, j, d FROM (
+       fin$sfx AS (SELECT id, j, d FROM (
            SELECT id, j, d, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-           FROM d$iters) WHERE rn = 1)"""
+           FROM d$iters$sfx) WHERE rn = 1)"""
   }
+
+  private def kmeansCte(k: Int, iters: Int, dim: Int): String =
+    kmeansCteSub("", k, iters, dim, 0)
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */

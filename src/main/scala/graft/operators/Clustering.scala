@@ -80,6 +80,35 @@ object Clustering {
       fin.getField("d").as("dist"))
   }
 
+  /** Product quantization: split each vector into `m` equal subspaces, run
+    * the deterministic integer k-means per subspace, and emit each
+    * vector's per-subspace centroid codes plus the exact integer
+    * quantization error (sum of squared L2 to the assigned centroids in
+    * quantized space) — the memory-bound half of IVF-PQ ANN serving:
+    * dim*4 bytes/vector compress to m code bytes (k <= 256).
+    *
+    * Scale shape: m independent [[kmeansAssign]] runs over sliced
+    * subvectors (each the same one-scan-per-iteration shape), then an
+    * id-keyed join of the m assignments. Codes come back as columns
+    * c0..c{m-1} (exact-compare-friendly) with `qerr` the summed distance.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+              m: Int = 4, k: Int = 16, iters: Int = 2,
+              scale: Int = 1000): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val subs = (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
+      kmeansAssign(sub, idCol, "sub", k, iters, scale)
+        .select(col("id"), col("cluster").as(s"c$s"), col("dist").as(s"d$s"))
+    }
+    subs.reduce((a, b) => a.join(b, Seq("id")))
+      .select(col("id") +:
+        (0 until m).map(s => col(s"c$s")) :+
+        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("qerr"): _*)
+  }
+
   /** Per-cluster summary over the final assignment: size and mean quantized
     * distance (floor-truncated ratio, oracle-parity style). */
   def kmeansSummary(assigned: DataFrame): DataFrame =

@@ -65,6 +65,41 @@ class ClusteringSpec extends AnyFunSuite {
     assert(sum.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
   }
 
+  test("pqCodes: per-subspace codes match independent kmeans runs; qerr adds up") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 30L).map(i =>
+      (i, Seq((i % 5).toFloat, (i % 3).toFloat, (i % 7).toFloat, (i % 2).toFloat)))
+    val df = this.df(rows)
+    val pq = Clustering.pqCodes(df, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2)
+      .orderBy("id").collect()
+    assert(pq.length == 30)
+    assert(pq.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 2 &&
+      r.getInt(2) >= 0 && r.getInt(2) < 2))
+
+    // definitional: subspace s codes/dists == kmeansAssign over that slice
+    for (s <- 0 until 2) {
+      val sub = df.select(col("vec_id"),
+        slice(col("embedding"), s * 2 + 1, 2).as("sub"))
+      val ind = Clustering.kmeansAssign(sub, "vec_id", "sub", k = 2, iters = 2)
+        .orderBy("id").collect()
+      for (i <- 0 until 30) {
+        assert(pq(i).getInt(1 + s) == ind(i).getInt(1),
+          s"subspace $s code mismatch at row $i")
+      }
+      // qerr = d0 + d1
+      if (s == 0) {
+        val other = Clustering.kmeansAssign(
+            df.select(col("vec_id"), slice(col("embedding"), 3, 2).as("sub")),
+            "vec_id", "sub", k = 2, iters = 2)
+          .orderBy("id").collect()
+        for (i <- 0 until 30)
+          assert(pq(i).getLong(3) == ind(i).getLong(2) + other(i).getLong(2))
+      }
+    }
+  }
+
   test("assignment plan is scan + projection — no join, no cartesian") {
     val rows = (0L until 20L).map(i => (i, Seq(i.toFloat, (i * 3 % 5).toFloat)))
     val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
