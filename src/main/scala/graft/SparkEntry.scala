@@ -320,6 +320,16 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // PQ asymmetric-distance ANN (the serving half of IVF-PQ): queries
+    // score against 4-byte codes via broadcast per-query lookup tables —
+    // the corpus is never decompressed. Exact integer distances.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.Clustering.annTopKPq(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1145,6 +1155,24 @@ object SparkEntry {
          FROM fins0 f0 JOIN fins1 f1 USING (id) JOIN fins2 f2 USING (id)
            JOIN fins3 f3 USING (id)
          ORDER BY vec_id""",
+    "q_ann_pq" ->
+      s"""WITH ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16)).mkString(",\n")},
+         ${(0 until 4).map { s =>
+           s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
+                FROM ptss$s p JOIN cent1s$s c USING (pos)
+                WHERE p.id < 10 GROUP BY p.id, c.j),
+              sc$s AS (SELECT l.qid, f.id, l.pd FROM fins$s f JOIN lut$s l ON l.j = f.j)"""
+         }.mkString(",\n")},
+         scores AS (SELECT s0.qid, s0.id,
+             CAST(s0.pd + s1.pd + s2.pd + s3.pd AS BIGINT) AS adist
+           FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
+             JOIN sc3 s3 USING (qid, id)
+           WHERE s0.id <> s0.qid),
+         r AS (SELECT qid, id, adist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
+           FROM scores)
+         SELECT qid, rank, id AS nid, adist FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -42,22 +42,26 @@ object Clustering {
     array_min(array(dists: _*))
   }
 
-  /** (id, cluster, dist): final Lloyd's assignment after `iters` assignment
-    * rounds (so `iters - 1` centroid updates), with `dist` the exact
-    * integer squared L2 to the winning centroid in quantized space. */
-  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int = 8, iters: Int = 3, scale: Int = 1000): DataFrame = {
-    val pts = df.select(col(idCol).cast("long").as("id"),
+  /** Quantized point table (id, q: array<long>) — floor(v * scale), the
+    * exact-integer space every operator here works in. Checkpointed: it is
+    * scanned once per training iteration. */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        scale: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol),
           v => floor(v.cast("double") * scale).cast("long")).as("q"))
-      .localCheckpoint() // scanned once per iteration, plan kept flat
-    // init: the k lowest-id vectors, cluster j = rank among those ids
+      .localCheckpoint()
+
+  /** Lloyd's training over a quantized point table: k-lowest-id init, then
+    * `iters - 1` floor-div centroid updates. Returns the final centroids
+    * as (cluster id, quantized vector) — k*dim longs of driver-side
+    * bookkeeping per round, never a data collect. */
+  private def train(pts: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
     var cents: Seq[(Int, Array[Long])] = pts.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
     var it = 1
     while (it < iters) {
-      // k*dim partial-agg rows to the driver — bounded bookkeeping
       val sums = pts
         .withColumn("cluster", nearest(cents, col("q")).getField("j"))
         .select(col("cluster"), posexplode(col("q")).as(Seq("pos", "v")))
@@ -74,10 +78,70 @@ object Clustering {
       }.sortBy(_._1)
       it += 1
     }
-    val fin = nearest(cents, col("q"))
+    cents
+  }
+
+  /** (id, cluster, dist): final Lloyd's assignment after `iters` assignment
+    * rounds (so `iters - 1` centroid updates), with `dist` the exact
+    * integer squared L2 to the winning centroid in quantized space. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int = 8, iters: Int = 3, scale: Int = 1000): DataFrame = {
+    val pts = quantized(df, idCol, vecCol, scale)
+    val fin = nearest(train(pts, k, iters), col("q"))
     pts.select(col("id"),
       fin.getField("j").as("cluster"),
       fin.getField("d").as("dist"))
+  }
+
+  /** PQ asymmetric-distance ANN (the serving half of IVF-PQ): per
+    * subspace, train centroids on the corpus, code every corpus vector,
+    * and precompute each QUERY's distance to every centroid — an m*k-row
+    * lookup table per query. A corpus vector's approximate distance to a
+    * query is then the SUM of m table lookups on its codes: the corpus
+    * side is never decompressed, never re-scored against raw vectors.
+    *
+    * Scale shape: the lookup tables are |queries|*m*k rows — broadcast;
+    * the scoring join is codes x (broadcast) luts on (sub, code) followed
+    * by a (qid, id)-keyed partial-agg sum and a per-query top-k window
+    * (WindowGroupLimit pushdown, same shape as brute-force ANN but over
+    * 4-byte codes instead of dim floats). All distances are exact
+    * integers in quantized space. Returns (qid, rank, nid, adist). */
+  def annTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, kNN: Int = 3, m: Int = 4,
+                k: Int = 16, iters: Int = 2, scale: Int = 1000): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val parts = (0 until m).map { s =>
+      val sliceCol = slice(col(vecCol), s * subDim + 1, subDim)
+      val cpts = quantized(corpus.select(col(idCol), sliceCol.as("v")),
+        idCol, "v", scale)
+      val cents = train(cpts, k, iters)
+      val codes = cpts.select(lit(s).as("sub"), col("id"),
+        nearest(cents, col("q")).getField("j").as("code"))
+      val qpts = quantized(queries.select(col(idCol), sliceCol.as("v")),
+        idCol, "v", scale)
+      val lut = qpts.select(col("id").as("qid"),
+          explode(array(cents.map { case (j, c) =>
+            val centLit = array(c.map(lit(_)): _*)
+            struct(lit(j).as("code"),
+              aggregate(zip_with(col("q"), centLit, (a, b) => (a - b) * (a - b)),
+                lit(0L), (acc, x) => acc + x).as("pd"))
+          }: _*)).as("e"))
+        .select(col("qid"), lit(s).as("sub"),
+          col("e.code").as("code"), col("e.pd").as("pd"))
+      (codes, lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val luts = parts.map(_._2).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("id"))
+    codes.join(broadcast(luts), Seq("sub", "code"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum("pd").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("rank"), col("id").as("nid"), col("adist"))
   }
 
   /** Product quantization: split each vector into `m` equal subspaces, run

@@ -100,6 +100,39 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("annTopKPq: identical vectors rank first with zero distance; shape holds") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // corpus of 3 well-separated blobs; query 100 duplicates vector 0
+    val base = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1.01f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 1.01f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0f, 1.01f, 0f),
+      100L -> Seq(1f, 0f, 0f, 0f))
+    val corpus = df(base.map { case (i, v) => (i, v) })
+    val queries = df(Seq((100L, Seq(1f, 0f, 0f, 0f))))
+    val out = Clustering.annTopKPq(corpus, queries, "vec_id", "embedding",
+        dim = 4, kNN = 3, m = 2, k = 4, iters = 2)
+      .orderBy("rank").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    assert(out.forall(_.getLong(0) == 100L))
+    assert(out.forall(_.getLong(2) != 100L)) // self excluded
+    // ADC scores query-to-CENTROID, so the exact duplicate (vector 0) ties
+    // its blob-mate (vector 1, same codes) and wins rank 1 on the id
+    // tie-break; the other blobs' centroids are strictly farther
+    assert(out(0).getLong(2) == 0L,
+      s"exact duplicate should rank first: ${out.mkString(", ")}")
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == out(0).getLong(3),
+      "same-blob vector shares the codes, so it must tie the duplicate")
+    assert(out(2).getLong(3) > out(0).getLong(3),
+      "a different blob's centroid must be strictly farther")
+    // deterministic across runs
+    val again = Clustering.annTopKPq(corpus, queries, "vec_id", "embedding",
+        dim = 4, kNN = 3, m = 2, k = 4, iters = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("assignment plan is scan + projection — no join, no cartesian") {
     val rows = (0L until 20L).map(i => (i, Seq(i.toFloat, (i * 3 % 5).toFloat)))
     val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
