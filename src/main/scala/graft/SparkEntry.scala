@@ -979,6 +979,59 @@ object SparkEntry {
           floor(col("n_tok_total") * 10000 / col("n_docs")) / 10000.0)
     }),
 
+    // Filter-funnel audit (the "where did my documents go" table every
+    // curation run ships with): per quality rule, how many docs fail it
+    // ALONE, and the cumulative survivor count applying the rules in
+    // pipeline order — all from ONE pass of conditional aggregates, no
+    // per-rule scans.
+    "q_filter_funnel" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val qual = TextAnalysis.qualityFeatures(d, "doc_id", "text")
+      val flags = d
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lp"))
+        .join(qual, Seq("doc_id"))
+        .select(
+          (col("lp") =!= "und").as("r_lang"),
+          (col("n_tok") >= 5).as("r_len"),
+          (col("stop_ratio") >= 0.01).as("r_stop"),
+          (col("punct_ratio") <= 0.2).as("r_punct"))
+      def cnt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        sum(when(c, 1L).otherwise(0L))
+      flags.agg(
+        count(lit(1)).as("n_docs"),
+        cnt(!col("r_lang")).as("fail_lang"),
+        cnt(!col("r_len")).as("fail_len"),
+        cnt(!col("r_stop")).as("fail_stop"),
+        cnt(!col("r_punct")).as("fail_punct"),
+        cnt(col("r_lang")).as("surv_lang"),
+        cnt(col("r_lang") && col("r_len")).as("surv_len"),
+        cnt(col("r_lang") && col("r_len") && col("r_stop")).as("surv_stop"),
+        cnt(col("r_lang") && col("r_len") && col("r_stop") && col("r_punct"))
+          .as("surv_all"))
+    }),
+
+    // One-row dataset card: the summary a corpus release ships with —
+    // sizes, vocabulary, split sizes, exact-duplicate rate, language
+    // count. Conditional aggregates + two distinct-count shuffles.
+    "q_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val bucket = operators.Sampling.hashBucket(col("doc_id"))
+      val a = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok_total"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"),
+        sum(when(bucket < 8000, 1L).otherwise(0L)).as("n_train"),
+        sum(when(bucket >= 8000 && bucket < 9000, 1L).otherwise(0L)).as("n_val"),
+        sum(when(bucket >= 9000, 1L).otherwise(0L)).as("n_test"))
+      a.select(col("*"),
+        (floor((col("n_docs") - col("n_unique_texts")) * 10000 / col("n_docs"))
+          / 10000.0).as("dup_rate"),
+        (floor(col("n_tok_total") * 10000 / col("n_docs")) / 10000.0)
+          .as("mean_tok"))
+    }),
+
     // Sharded-export manifest: deterministic md5 shard assignment (16
     // shards) + per-shard doc/token totals and id ranges.
     "q_shard_assign" -> ((s, dir) => {
@@ -1924,6 +1977,41 @@ object SparkEntry {
          SELECT a.n_docs, a.n_sources, a.n_tok_total, b.n_vocab,
            floor(n_tok_total * 10000 / n_docs) / 10000 AS mean_tok
          FROM a, b""",
+    "q_filter_funnel" ->
+      s"""WITH $langQualCtes,
+         fl AS (SELECT lang.lang_pred <> 'und' AS r_lang,
+                  qual.n_tok >= 5 AS r_len,
+                  qual.stop_ratio >= 0.01 AS r_stop,
+                  qual.punct_ratio <= 0.2 AS r_punct
+                FROM documents d
+                  JOIN lang USING (doc_id) JOIN qual USING (doc_id))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT r_lang THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+           CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+           CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+           CAST(sum(CASE WHEN NOT r_punct THEN 1 ELSE 0 END) AS BIGINT) AS fail_punct,
+           CAST(sum(CASE WHEN r_lang THEN 1 ELSE 0 END) AS BIGINT) AS surv_lang,
+           CAST(sum(CASE WHEN r_lang AND r_len THEN 1 ELSE 0 END) AS BIGINT) AS surv_len,
+           CAST(sum(CASE WHEN r_lang AND r_len AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS surv_stop,
+           CAST(sum(CASE WHEN r_lang AND r_len AND r_stop AND r_punct THEN 1 ELSE 0 END) AS BIGINT) AS surv_all
+         FROM fl""",
+    "q_dataset_card" ->
+      """WITH b AS (SELECT *,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bucket
+         FROM documents),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok_total,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(sum(CASE WHEN bucket < 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN bucket >= 8000 AND bucket < 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN bucket >= 9000 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         FROM b)
+         SELECT *,
+           floor((n_docs - n_unique_texts) * 10000 / n_docs) / 10000 AS dup_rate,
+           floor(n_tok_total * 10000 / n_docs) / 10000 AS mean_tok
+         FROM a""",
     "q_shard_assign" ->
       """WITH s AS (SELECT doc_id, text,
            ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
