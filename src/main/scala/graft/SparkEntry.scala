@@ -782,6 +782,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Canonical text normalization before hashing (lowercase, collapse
+    // whitespace, trim) + the fingerprint of the normalized form — keeps
+    // trivially-reformatted copies from escaping exact dedup.
+    "q_normalize" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          length(TextAnalysis.normalizeText(col("text"))).as("n_chars_norm"),
+          md5(TextAnalysis.normalizeText(col("text"))).as("norm_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Length-bucketed batch assignment (dynamic batching): similar-length
+    // docs share a batch, bounding padding waste; one exchange on the
+    // bucket key, windows per bucket.
+    "q_length_batches" -> ((s, dir) => {
+      operators.Packing.lengthBatches(Tables.documents(s, dir),
+          "doc_id", "text", bucketTok = 16, batchSize = 32)
+        .orderBy("doc_id")
+    }),
+
     // Unigram-rarity surprisal proxy (CCNet-style vocabulary-quality
     // signal, log-free integer rarities): flags both boilerplate (low) and
     // gibberish (high) tails. One explode + vocab-sized count + one join.
@@ -1751,6 +1772,23 @@ object SparkEntry {
            CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
            floor(coalesce(n_covered, 0) * 10000 / len(toks)) / 10000 AS cover_ratio
          FROM t LEFT JOIN c2 USING (doc_id) ORDER BY doc_id""",
+    "q_normalize" ->
+      """SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS INT)
+             AS n_chars_norm,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_fp
+         FROM documents ORDER BY doc_id""",
+    "q_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),
+         b AS (SELECT doc_id, n_tok, n_tok // 16 AS bucket FROM t),
+         r AS (SELECT doc_id, n_tok, CAST(bucket AS INT) AS bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rn
+           FROM b)
+         SELECT doc_id, n_tok, bucket,
+           CAST(rn // 32 AS INT) AS batch_idx, CAST(rn % 32 AS INT) AS pos_in_batch
+         FROM r ORDER BY doc_id""",
     "q_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                       FROM documents),

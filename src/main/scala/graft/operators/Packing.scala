@@ -111,4 +111,28 @@ object Packing {
           i => array_join(slice(toks, i * stride + 1, lit(chunkSize)), " "))))
       .toDF(idCol, "chunk_idx", "chunk_text")
   }
+
+  /** Length-bucketed batch assignment (dynamic batching for inference /
+    * padded training): documents land in a token-length bucket
+    * (n_tok div bucketTok) and get a dense (batch_idx, pos_in_batch)
+    * within it, so every batch holds `batchSize` docs of similar length
+    * and padding waste is bounded by bucketTok. Ordering within a bucket
+    * is by id — deterministic across runs and engines.
+    *
+    * Scale shape: ONE hash exchange on the bucket key; each window
+    * partition is a length bucket, not the corpus. Returns
+    * (id, n_tok, bucket, batch_idx, pos_in_batch). */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+                    bucketTok: Int = 16, batchSize: Int = 32): DataFrame = {
+    require(bucketTok > 0 && batchSize > 0, "need positive bucket/batch sizes")
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    docs.select(col(idCol), size(split(col(textCol), " ")).as("n_tok"))
+      // Spark's `div` yields LONG; cast back so the schema is int like the
+      // inputs (and the SQL mirrors' explicit INT casts)
+      .withColumn("bucket", expr(s"n_tok div $bucketTok").cast("int"))
+      .withColumn("_rn", row_number().over(w) - 1)
+      .withColumn("batch_idx", expr(s"_rn div $batchSize").cast("int"))
+      .withColumn("pos_in_batch", expr(s"_rn % $batchSize"))
+      .drop("_rn")
+  }
 }

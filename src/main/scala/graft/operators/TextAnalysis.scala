@@ -184,6 +184,14 @@ object TextAnalysis {
       .select(col(idCol), col("n_tok"), col("lo_tok"), col("hi_tok"))
   }
 
+  /** Canonical text normalization applied before hashing/dedup (the
+    * C4-style step that keeps trivially-reformatted copies from escaping
+    * exact dedup): lowercase, collapse all whitespace runs to one space,
+    * trim. Pure codegen projection; deliberately ASCII-safe operations so
+    * any SQL engine normalizes identically. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
   /** Unigram-frequency surprisal proxy — the CCNet-style "how unusual is
     * this document's vocabulary" quality signal, log-free: every token t
     * gets the integer rarity floor(1e6 * S / c(t)) (S = corpus token

@@ -190,6 +190,36 @@ class PackingSessionizeSpec extends AnyFunSuite {
     assert(stats.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("lengthBatches: batches bounded and length-homogeneous; normalizeText canonicalizes") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.{Packing, TextAnalysis}
+    val docs = (0L until 100L).map(i => (i, ("w " * (5 + (i % 40).toInt)).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.lengthBatches(docs, "doc_id", "text",
+        bucketTok = 8, batchSize = 4)
+      .collect()
+    assert(out.length == 100)
+    // every (bucket, batch) holds at most batchSize docs; positions dense
+    val groups = out.groupBy(r => (r.getInt(2), r.getInt(3)))
+    assert(groups.values.forall(_.length <= 4))
+    for ((_, g) <- groups)
+      assert(g.map(_.getInt(4)).sorted.toSeq == (0 until g.length).toSeq)
+    // homogeneous: same bucket => token counts within bucketTok of each other
+    for ((b, rows) <- out.groupBy(_.getInt(2))) {
+      val lens = rows.map(_.getInt(1))
+      assert(lens.max - lens.min < 8, s"bucket $b spans ${lens.min}..${lens.max}")
+    }
+
+    val norm = Seq((1L, "  Hello   WORLD \t x "), (2L, "hello world x"))
+      .toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.md5(
+        TextAnalysis.normalizeText(org.apache.spark.sql.functions.col("text")))
+        .as("fp"))
+      .collect().map(_.getString(0))
+    assert(norm(0) == norm(1), "reformatted copies must share the normalized fingerprint")
+  }
+
   test("mixPlan: budget slices floor-divide, scarcity caps and flags, zero-weight stays") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
