@@ -13,6 +13,9 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+only = set(sys.argv[3:])
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 fails = 0
 for name, sql in sorted(oracle.items()):
     qdir = f"{outdir}/{name}"

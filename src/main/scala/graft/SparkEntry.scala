@@ -811,6 +811,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023): score every raw
+    // document against a curated target slice (here source='src0') via
+    // hashed-token bucket ratios. The fitted "model" is a <=4096-row
+    // broadcast table; parity mode is exact 64-bit integer arithmetic.
+    "q_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Selection.importanceWeights(
+          docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Production twin of q_dsir: textbook double log-importance weights —
+    // rows-only check (float summation order has no cross-engine oracle).
+    "q_dsir_prod" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Selection.importanceWeights(
+          docs, docs.filter(col("source") === "src0"), "doc_id", "text",
+          logRatio = true)
+        .orderBy("doc_id")
+    }),
+
     // Content-defined chunking dedup: hash-boundary chunks move WITH the
     // content, so repeated boilerplate is caught even when its position
     // shifted — the complement of fixed n-gram coverage.
@@ -1800,6 +1821,27 @@ object SparkEntry {
            CAST(sum(rarity) AS BIGINT) AS sum_rarity,
            CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                      FROM documents),
+         bt AS (SELECT doc_id,
+                  ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b FROM tok),
+         tgt AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 4096 AS b
+                 FROM (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents WHERE source = 'src0')),
+         tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM tgt GROUP BY b),
+         rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM bt GROUP BY b),
+         tt AS (SELECT CAST(count(*) AS BIGINT) + 4096 AS T FROM tgt),
+         rt AS (SELECT CAST(count(*) AS BIGINT) + 4096 AS R FROM bt),
+         sc AS (SELECT rc.b,
+                  (1000000 * (COALESCE(tc.tc, 0) + 1) * R)
+                    // ((rc.rc + 1) * T) AS score
+                FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(score) AS BIGINT) AS dsir_score,
+           CAST(sum(score) AS BIGINT) // count(*) AS mean_score
+         FROM bt JOIN sc USING (b)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_cdc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          tok AS (SELECT doc_id, pos, toks[pos] AS tk

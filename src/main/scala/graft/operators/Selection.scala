@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Targeted data selection: score every raw document by how much it looks
+  * like a small curated target corpus.
+  *
+  * The estimator is DSIR-shaped (Data Selection via Importance Resampling,
+  * Xie et al. 2023): featurize text as HASHED token buckets, fit two
+  * categorical bucket distributions — target p and raw q, both
+  * Laplace-smoothed — and weight each document by the sum over its token
+  * occurrences of the bucket importance ratio p_b / q_b. Hashing keeps the
+  * parameter table at a fixed `nBuckets` rows no matter the vocabulary, so
+  * the learned "model" broadcasts to every executor for free.
+  *
+  * Two scoring modes, mirroring [[TextAnalysis.bm25Rank]]:
+  *  - parity (default): the per-occurrence contribution is the exact
+  *    integer `floor(1e6 * (tc_b+1) * R / ((rc_b+1) * T))` with
+  *    T = targetTokens + nBuckets and R = rawTokens + nBuckets — every
+  *    intermediate a 64-bit integer, so any SQL engine reproduces the score
+  *    bit-for-bit. Summing scaled ratios (not logs) keeps it integral; the
+  *    per-bucket ranking is identical to the log form because log is
+  *    monotone. Headroom: 1e6 * tc * R must stay under 2^63, which holds to
+  *    ~3e5 target tokens x 3e11 raw tokens; past that use prod mode.
+  *  - prod (`logRatio = true`): textbook double log-importance
+  *    log((tc_b+1)/T) - log((rc_b+1)/R) summed per document — the score the
+  *    paper resamples on. No cross-engine oracle (float summation order),
+  *    benchmarked rows-only like the xxhash64 twins.
+  *
+  * Scale shape: one explode pass per corpus feeding a `nBuckets`-row
+  * partial aggregation each (map-side combine collapses the shuffle to at
+  * most nBuckets rows per task); the joined bucket-score table is tiny by
+  * construction and broadcast to the raw-token side; the per-document
+  * rollup is one hash aggregation keyed by the document id. Nothing here
+  * is quadratic and no window touches the full corpus, so the plan holds
+  * at 100 TB — the target corpus is the only side that must stay "small"
+  * (it is, by definition: a hand-curated sample).
+  *
+  * Reference anchor: complements the quality/langid gates the reference's
+  * pipelines apply per-row (resources/requirements.txt §quality) with a
+  * corpus-relative selection signal.
+  */
+object Selection {
+
+  /** Per-document importance weight of `raw` against `target`.
+    * Output: (idCol, n_tok, dsir_score, mean_score) — parity mode longs, or
+    * doubles when `logRatio`. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, nBuckets: Int = 4096,
+                        logRatio: Boolean = false): DataFrame = {
+    val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
+    val rawTok = raw
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+    val tgtTok = target
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+
+    val tc = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
+    // Smoothed totals: +nBuckets for the +1 on every bucket.
+    val tTot = tgtTok.agg((count(lit(1)) + nBuckets).as("T"))
+    val rTot = rawTok.agg((count(lit(1)) + nBuckets).as("R"))
+
+    // <= nBuckets rows: the whole fitted model, broadcastable by size.
+    val model = rc
+      .join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("tc1", coalesce(col("tc"), lit(0L)) + 1L)
+      .withColumn("rc1", col("rc") + 1L)
+    val scored =
+      if (logRatio)
+        model.select(col("b"),
+          (log(col("tc1").cast("double") / col("T")) -
+            log(col("rc1").cast("double") / col("R"))).as("score"))
+      else
+        model.select(col("b"),
+          expr("(1000000 * tc1 * R) div (rc1 * T)").as("score"))
+
+    val perDoc = rawTok.join(broadcast(scored), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("score").as("dsir_score"))
+    if (logRatio)
+      perDoc.withColumn("mean_score", col("dsir_score") / col("n_tok"))
+    else
+      perDoc.withColumn("mean_score", expr("dsir_score div n_tok"))
+  }
+}
