@@ -832,6 +832,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source frequency cap (RefinedWeb-style domain balancing): at
+    // most 15 docs per source survive, chosen by deterministic hash rank —
+    // one window partitioned by source, reproducible across engines.
+    "q_cap_per_source" -> ((s, dir) => {
+      operators.Sampling.capPerGroup(Tables.documents(s, dir),
+          "doc_id", "source", maxPerGroup = 15, seed = 7L)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quality deciles: ntile(10) of the integer stopword
+    // permille within each source — the "keep the top 30% of every
+    // source" primitive; exact-integer key so bucket boundaries are
+    // bit-identical across engines.
+    "q_quality_buckets" -> ((s, dir) => {
+      TextAnalysis.qualityBuckets(Tables.documents(s, dir),
+          "doc_id", "text", "source", nBuckets = 10)
+        .orderBy("doc_id")
+    }),
+
     // Content-defined chunking dedup: hash-boundary chunks move WITH the
     // content, so repeated boilerplate is caught even when its position
     // shifted — the complement of fixed n-gram coverage.
@@ -1842,6 +1862,29 @@ object SparkEntry {
            CAST(sum(score) AS BIGINT) // count(*) AS mean_score
          FROM bt JOIN sc USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_cap_per_source" ->
+      """WITH h AS (SELECT doc_id, source,
+           ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+         FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                   AS rk
+               FROM h)
+         SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id""",
+    "q_quality_buckets" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                    FROM documents),
+         k AS (SELECT doc_id, source,
+                 CAST((10000 * len(list_filter(toks,
+                     x -> x IN ('the','a','and','of','to','in'))))
+                   // len(toks) AS BIGINT) AS q_key
+               FROM t)
+         SELECT doc_id, source, q_key,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY q_key DESC, doc_id) AS BIGINT)
+             AS q_bucket
+         FROM k ORDER BY doc_id""",
     "q_cdc_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          tok AS (SELECT doc_id, pos, toks[pos] AS tk

@@ -150,6 +150,30 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Frequency cap: keep at most `maxPerGroup` rows per group, chosen by
+    * deterministic hash rank — the domain-balancing step web-corpus
+    * curation applies so no single host/source dominates the mix
+    * (RefinedWeb-style per-domain caps). Which rows survive is a pure
+    * function of (seed, id): reproducible across engines, runs, input
+    * order, and — unlike a LIMIT per group — unchanged when other rows of
+    * the group are added or removed BELOW the survivor's rank.
+    *
+    * Scale shape: one window partitioned by the group column (one hash
+    * exchange, per-group sort bounded by group size). A group so hot it
+    * skews a partition is exactly the group the cap exists to shrink; for
+    * pathological single-domain corpora, pre-filter with
+    * [[stratifiedSample]] to bound group size before ranking. */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  maxPerGroup: Int, seed: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", TextDedup.stableHash(
+        concat_ws("_", lit(seed), col(idCol).cast("string"))))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxPerGroup)
+      .drop("_h", "_rk")
+  }
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

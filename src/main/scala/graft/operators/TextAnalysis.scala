@@ -91,6 +91,33 @@ object TextAnalysis {
         trunc4(col("n_punct").cast("double") / length(col(textCol))).as("punct_ratio"))
   }
 
+  /** Per-group quality bucketing: ntile(`nBuckets`) of an exact-integer
+    * quality key within each group — the "keep the top 30% of each source"
+    * primitive (per-source percentiles, so a uniformly-verbose source
+    * cannot crowd out a terse one the way one global cut would). The key is
+    * stopword permille (10000 * n_stop div n_tok, higher = more natural
+    * prose), an integer so the ordering — and therefore every bucket
+    * boundary — is bit-identical across engines; ties break on the id.
+    *
+    * Scale shape: one window partitioned by the group column — a single
+    * hash exchange with per-group sorts; groups are sources/domains, whose
+    * sizes the upstream [[graft.operators.Sampling.capPerGroup]] bounds. */
+  def qualityBuckets(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, nBuckets: Int = 10): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(col("q_key").desc, col(idCol))
+    df.select(col(idCol), col(groupCol),
+        (size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("long") * 10000L)
+          .as("_s"),
+        size(toks).cast("long").as("_n"))
+      .withColumn("q_key", expr("_s div _n"))
+      .withColumn("q_bucket", ntile(nBuckets).over(w).cast("long"))
+      .select(col(idCol), col(groupCol), col("q_key"), col("q_bucket"))
+  }
+
   /** Corpus vocabulary building (the tokenizer-prep step): global
     * occurrence counts of whitespace tokens, truncated to the `k` most
     * frequent (ties broken by token text so the cut is deterministic).

@@ -251,4 +251,43 @@ class PackingSessionizeSpec extends AnyFunSuite {
     assert(scarce(1).getAs[Long]("plan_tok") == 4L &&
       scarce(1).getAs[Long]("sample_bp") == 10000L)
   }
+
+  test("capPerGroup: bounds each group, survivors stable when losers leave") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, if (i <= 15) "hot" else "cold"))
+      .toDF("doc_id", "source")
+    val kept = Sampling.capPerGroup(df, "doc_id", "source", maxPerGroup = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "hot") == 5)
+    assert(kept.count(_._2 == "cold") == 5) // under cap -> untouched
+    // removing non-survivors must not change who survives
+    val survivorIds = kept.filter(_._2 == "hot").map(_._1).toSet
+    val shrunk = df.filter(col("source") === "cold" ||
+      col("doc_id").isin(survivorIds.toSeq: _*))
+    val kept2 = Sampling.capPerGroup(shrunk, "doc_id", "source", maxPerGroup = 5)
+      .filter(col("source") === "hot")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == survivorIds)
+  }
+
+  test("qualityBuckets: per-group deciles, integer key, deterministic ties") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // group A: 4 docs with distinct stopword densities -> ntile(2) splits 2/2
+    val df = Seq(
+      (1L, "A", "the of and in"),        // 4/4 stopwords -> key 10000
+      (2L, "A", "the of cat dog"),       // 2/4 -> 5000
+      (3L, "A", "the cat dog fish"),     // 1/4 -> 2500
+      (4L, "A", "cat dog fish bird"),    // 0/4 -> 0
+      (5L, "B", "the the the the"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityBuckets(df, "doc_id", "text", "source",
+        nBuckets = 2)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("q_key"),
+        r.getAs[Long]("q_bucket"))).toMap
+    assert(got(1L) == (10000L, 1L) && got(2L) == (5000L, 1L))
+    assert(got(3L) == (2500L, 2L) && got(4L) == (0L, 2L))
+    assert(got(5L)._2 == 1L) // singleton group fills bucket 1
+  }
 }
