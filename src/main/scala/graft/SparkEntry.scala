@@ -832,6 +832,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Bigram conditional surprisal: exact-integer inverse p(w2|w1) per
+    // adjacent pair — the count-based LM perplexity filter signal, log-free
+    // so the oracle reproduces it bit-for-bit. Two distinct-gram-sized
+    // count tables, no positional self-join.
+    "q_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Perceptual image dedup: REAL decode -> grid dHash (8x7 = 56 bits,
+    // resize-robust) over the synthetic gradient PNGs, then exact-dup
+    // grouping on the hash. Gradient wrap positions depend on doc_id mod
+    // 256, so hashes differ across docs yet stay closed-form for DuckDB —
+    // and ids 256 apart collide by construction, making n_same > 1 real.
+    "q_image_dhash" -> ((s, dir) => {
+      val withPng = graft.multimodal.Multimodal.withSyntheticPng(
+        Tables.documents(s, dir), "doc_id")
+      val h = graft.multimodal.Multimodal.imageDHash(withPng, "png", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("dhash")
+      h.withColumn("canonical", min("doc_id").over(w))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     // Per-source frequency cap (RefinedWeb-style domain balancing): at
     // most 15 docs per source survive, chosen by deterministic hash rank —
     // one window partitioned by source, reproducible across engines.
@@ -1862,6 +1886,34 @@ object SparkEntry {
            CAST(sum(score) AS BIGINT) // count(*) AS mean_score
          FROM bt JOIN sc USING (b)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id, toks[pos] || ' ' || toks[pos + 1] AS bg,
+                  toks[pos] AS w1
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks))) AS pos FROM t)),
+         cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg),
+         cl AS (SELECT w1, CAST(count(*) AS BIGINT) AS cl FROM bg GROUP BY w1),
+         r AS (SELECT doc_id, (1000000 * cl) // cb AS rarity
+               FROM bg JOIN cb USING (bg) JOIN cl USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_big,
+           CAST(sum(rarity) AS BIGINT) AS sum_rarity,
+           CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_image_dhash" ->
+      """WITH g AS (SELECT doc_id, doc_id % 256 AS g0 FROM documents),
+         bits AS (SELECT doc_id,
+             CASE WHEN (g0 + ((y * 8) // 7) * 8 + (((x + 1) * 8) // 9)) % 256
+                     > (g0 + ((y * 8) // 7) * 8 + ((x * 8) // 9)) % 256
+                  THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END AS bit
+           FROM g, range(7) t1(y), range(8) t2(x)),
+         h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash
+               FROM bits GROUP BY doc_id)
+         SELECT doc_id, dhash,
+           min(doc_id) OVER (PARTITION BY dhash) AS canonical,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+         FROM h ORDER BY doc_id""",
     "q_cap_per_source" ->
       """WITH h AS (SELECT doc_id, source,
            ('0x' || substr(md5('7_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

@@ -91,6 +91,39 @@ object TextAnalysis {
         trunc4(col("n_punct").cast("double") / length(col(textCol))).as("punct_ratio"))
   }
 
+  /** Bigram conditional surprisal (the bigram upgrade of
+    * [[unigramSurprisal]]): per adjacent token pair, the exact integer
+    * rarity `1e6 * c(w1·) div c(w1 w2)` — the scaled inverse of the
+    * conditional probability p(w2 | w1), monotone in -log p exactly as the
+    * unigram rarity is. Low mean = formulaic continuations (boilerplate,
+    * templated spam); high mean = incoherent token transitions (gibberish,
+    * OCR noise) — the signal a count-based LM perplexity filter thresholds
+    * on, kept log-free so any engine reproduces it bit-for-bit.
+    *
+    * Docs with fewer than two tokens have no bigrams and drop out (the
+    * caller's length filter has already rejected them).
+    *
+    * Scale shape: bigrams come from one `zip_with` + explode (no
+    * positional self-join); both count tables are distinct-gram-sized with
+    * map-side partial aggregation; the rollup is one hash agg by doc. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val big = df.select(col(idCol),
+        explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1),
+          slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cl = big.groupBy("w1").agg(count(lit(1)).as("cl"))
+    big.join(cb, Seq("bg")).join(cl, Seq("w1"))
+      .withColumn("rarity", expr("(1000000 * cl) div cb"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"), sum("rarity").as("sum_rarity"))
+      .withColumn("mean_rarity", expr("sum_rarity div n_big"))
+      .select(col(idCol), col("n_big"), col("sum_rarity"), col("mean_rarity"))
+  }
+
   /** Per-group quality bucketing: ntile(`nBuckets`) of an exact-integer
     * quality key within each group — the "keep the top 30% of each source"
     * primitive (per-source percentiles, so a uniformly-verbose source

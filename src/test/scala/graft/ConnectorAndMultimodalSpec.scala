@@ -9,6 +9,31 @@ import graft.multimodal.Multimodal
 
 class ConnectorAndMultimodalSpec extends AnyFunSuite {
 
+  test("dHash: brightness-invariant, structure-sensitive, size-robust") {
+    import java.awt.image.BufferedImage
+    def mk(w: Int, h: Int)(g: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    // horizontal ramp, kept in [0,200] so a +20 shift cannot wrap
+    val ramp = mk(32, 16)((x, _) => x * 6)
+    val brighter = mk(32, 16)((x, _) => x * 6 + 20)
+    val vramp = mk(32, 16)((_, y) => y * 12) // vertical ramp: no h-gradient
+    val big = mk(64, 32)((x, _) => x * 3)    // same ramp, double size
+    val h0 = Multimodal.ImageDecoder.dHash(ramp)
+    // global brightness shift preserves every gradient sign
+    assert(Multimodal.ImageDecoder.dHash(brighter) == h0)
+    // the same structure at a different resolution reduces to the same grid
+    assert(Multimodal.ImageDecoder.dHash(big) == h0)
+    // a structurally different image must not collide
+    assert(Multimodal.ImageDecoder.dHash(vramp) != h0)
+    // all-increasing ramp sets every bit; vertical ramp sets none
+    assert(Multimodal.ImageDecoder.dHash(vramp) == 0L)
+  }
+
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")

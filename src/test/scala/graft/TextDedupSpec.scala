@@ -141,6 +141,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(2).getLong(3) == 1000000L * S)
   }
 
+  test("bigramSurprisal: formulaic transitions score below novel ones, closed form") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),      // "a b" x3, "b a" x2 — fully templated
+      (2L, "a b c d e f"),      // every bigram a singleton
+      (3L, "x"))                // single token: no bigrams, drops out
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .bigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2) // doc 3 has no bigrams
+    // doc 1: "a b": c(a·)=3+1(from doc2)=4, c(a b)=3+1=4 -> rarity 1e6
+    //        "b a": c(b·)=2+1=3, c(b a)=2 -> 1e6*3/2
+    // n_big=5; sum = 3*1e6 + 2*1_500_000 = 6e6; mean = 1_200_000
+    assert(out(0).getAs[Long]("n_big") == 5L)
+    assert(out(0).getAs[Long]("mean_rarity") == 1200000L)
+    // every doc-2 bigram unique given its left counts -> higher mean
+    assert(out(1).getAs[Long]("mean_rarity") > out(0).getAs[Long]("mean_rarity"))
+  }
+
   test("incrementalDedup: verbatim copies match, fresh docs pass, one row per incoming doc") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
