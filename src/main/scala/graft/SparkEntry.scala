@@ -297,6 +297,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Cluster-balanced diversity sampling (SemDeDup-adjacent selection):
+    // k-means over the embeddings, then a deterministic per-cluster cap —
+    // "at most N exemplars per semantic region", so dense regions cannot
+    // crowd the sample. Composes the two shuffles already paid: the
+    // assignment scan and one window per cluster.
+    "q_cluster_balanced" -> ((s, dir) => {
+      val assign = operators.Clustering.kmeansAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, iters = 3)
+        .select(col("id").as("vec_id"), col("cluster"))
+      operators.Sampling.capPerGroup(assign, "vec_id", "cluster",
+          maxPerGroup = 20, seed = 3L)
+        .orderBy("vec_id")
+    }),
+
     // Per-cluster rollup of the same assignment (size, exact distance sum,
     // floor-truncated mean) — the report a curation pipeline reads.
     "q_kmeans_summary" -> ((s, dir) => {
@@ -1065,6 +1079,25 @@ object SparkEntry {
           floor(col("n_tok_total") * 10000 / col("n_docs")) / 10000.0)
     }),
 
+    // Approximate corpus profile — the 100-TB twin of q_corpus_stats:
+    // HyperLogLog++ distinct counts (relative sd 0.02) replace the exact
+    // distinct-value shuffles, so source/vocab cardinalities come from a
+    // constant-size sketch per partition instead of a distinct-row
+    // exchange. Rows-only check (sketch estimates have no cross-engine
+    // oracle); PackingSessionizeSpec bounds the error vs exact at sf0.01.
+    "q_corpus_stats_approx" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val a = d.agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("source"), 0.02).as("n_sources_approx"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok_total"))
+      val b = toks.agg(
+        approx_count_distinct(col("token"), 0.02).as("n_vocab_approx"))
+      a.crossJoin(b)
+    }),
+
     // Filter-funnel audit (the "where did my documents go" table every
     // curation run ships with): per quality rule, how many docs fail it
     // ALONE, and the cumulative survivor count applying the rules in
@@ -1278,6 +1311,18 @@ object SparkEntry {
       s"""WITH ${kmeansCte(8, 3, 64)}
          SELECT id AS vec_id, CAST(j AS INT) AS cluster, d AS dist
          FROM fin ORDER BY vec_id""",
+    "q_cluster_balanced" ->
+      s"""WITH ${kmeansCte(8, 3, 64)},
+         a AS (SELECT id AS vec_id, CAST(j AS INT) AS cluster FROM fin),
+         h AS (SELECT vec_id, cluster,
+                 ('0x' || substr(md5('3_' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+               FROM a),
+         r AS (SELECT vec_id, cluster,
+                 row_number() OVER (PARTITION BY cluster ORDER BY h, vec_id)
+                   AS rk
+               FROM h)
+         SELECT vec_id, cluster FROM r WHERE rk <= 20 ORDER BY vec_id""",
     "q_kmeans_summary" ->
       s"""WITH ${kmeansCte(8, 3, 64)}
          SELECT CAST(j AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
@@ -1566,7 +1611,7 @@ object SparkEntry {
            epoch_us(strptime(fs, '%Y-%m-%d %H:%M:%S')) AS tsf
          FROM src ORDER BY o_orderkey""",
     "q_near_dup_pipeline" ->
-      s"""WITH $minhashCte, $hybridPairsCtes
+      s"""WITH $pairSigCte, $hybridPairsCtes
          SELECT id1, id2, jac FROM vp ORDER BY id1, id2""",
     // incremental dedup mirror: per-side signatures + bands, COMBINED
     // bucket ceiling (64), cross-side ok-bucket candidates UNION hot-member
@@ -1629,7 +1674,7 @@ object SparkEntry {
     // over the WHOLE corpus (rarest-token prefixes, exact verify) — no
     // cartesian on either side
     "q_lsh_recall" ->
-      s"""WITH $minhashCte, $hybridPairsCtes,
+      s"""WITH $pairSigCte, $hybridPairsCtes,
          fo AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM vp),
          tokt AS (SELECT doc_id, unnest(sh) AS tok FROM sh3),
          dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
@@ -2133,7 +2178,7 @@ object SparkEntry {
                 AS BIGINT) AS pos
          FROM b ORDER BY shard, pos""",
     "q_cross_source_leakage" ->
-      s"""WITH $minhashCte, $hybridPairsCtes,
+      s"""WITH $pairSigCte, $hybridPairsCtes,
          e AS (SELECT least(x.source, y.source) AS source_a,
                       greatest(x.source, y.source) AS source_b
                FROM vp JOIN documents x ON x.doc_id = vp.id1
@@ -2347,6 +2392,23 @@ object SparkEntry {
 
   private val minhashCte: String = minhashCteFor("")
 
+  /** Opener for the hybrid pair mirrors: the distinct 3-gram hash LIST
+    * `sh3` (the verify side) plus the minhash signature `sig` derived from
+    * THAT SAME hash set — mirrors nearDuplicatePairs' single-hash-pass
+    * design (same perturbation coefficients as minHashSignature). */
+  private lazy val pairSigCte: String = {
+    val mins = (0 until 16).map { i =>
+      val a = 2 * i + 1; val b = i * i + 1
+      s"min((h * $a + $b) % 2147483647) AS mh$i"
+    }.mkString(", ")
+    s"""sh3 AS (SELECT doc_id,
+          list_distinct(list_transform(${shinglesSql("text", 3)},
+            s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
+          FROM documents),
+        hs3 AS (SELECT doc_id, unnest(sh) AS h FROM sh3),
+        sig AS (SELECT doc_id, $mins FROM hs3 GROUP BY doc_id)"""
+  }
+
   /** Unrolled deterministic k-means rounds ending in CTE `fin$sfx(id, j, d)`
     * (mirrors Clustering.kmeansAssign: floor(v*1000) integer quantization,
     * k-lowest-id init, exact integer L2, ties to lowest j, floor-div
@@ -2411,13 +2473,13 @@ object SparkEntry {
     * ceiling (`fb`/`lcand`) UNIONed with an exact prefix-filtered
     * similarity join over the member docs of over-ceiling buckets
     * (`hotm`/`hpre`/`hcand`), all exact-verified at >= 0.6.
-    * Assumes `sig` (minhashCte) is already open. */
-  private lazy val hybridPairsCtes: String =
+    * Assumes `sh3` and `sig` (pairSigCte) are already open. */
+  private lazy val hybridPairsCtes: String = {
+    val arms = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sig"
+    }.mkString("\n         UNION ALL ")
     s"""bands AS (
-         SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig
-         UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig
-         UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig
-         UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig),
+         $arms),
        bcnt AS (SELECT band, bucket, count(*) AS c
                 FROM bands GROUP BY band, bucket),
        fb AS (SELECT bands.* FROM bands JOIN bcnt USING (band, bucket)
@@ -2428,10 +2490,6 @@ object SparkEntry {
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM fb a JOIN fb b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       sh3 AS (SELECT doc_id,
-                 list_distinct(list_transform(${shinglesSql("text", 3)},
-                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
-               FROM documents),
        hsh AS (SELECT sh3.* FROM sh3 JOIN hotm USING (doc_id)),
        htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
        hdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
@@ -2453,13 +2511,14 @@ object SparkEntry {
          FROM acand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
          WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6)"""
+  }
 
   /** Shared CTE chain for the dedup-cluster oracles: minhash signature ->
     * hybrid verified pairs `vp` -> symmetric edges -> recursive transitive
     * closure -> per-doc min reachable id in `cl` (mirrors
     * TextDedup.dedupClusters' fixpoint). Must be opened with WITH RECURSIVE. */
   private lazy val clusterCtes: String =
-    s"""$minhashCte, $hybridPairsCtes,
+    s"""$pairSigCte, $hybridPairsCtes,
        e AS (SELECT id1 AS a, id2 AS b FROM vp
              UNION ALL SELECT id2, id1 FROM vp),
        r AS (

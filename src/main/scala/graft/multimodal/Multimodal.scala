@@ -484,36 +484,52 @@ object Multimodal {
       new IndexColorModel(8, 256, ramp, ramp, ramp)
     }
 
+    // One writer per task thread, reset()-and-reused across rows: the
+    // registry lookup and writer construction are per-ROW costs at corpus
+    // scale (5k rows/s/core stalls on them), the writer itself is
+    // thread-confined so a ThreadLocal is safe.
+    private val writerTL = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        ImageIO.getImageWritersByFormatName("gif").next()
+    }
+    private val readerTL = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        ImageIO.getImageReadersByFormatName("gif").next()
+    }
+
     /** Encode frames as one animated GIF (sequence write, per-frame delay
-      * in centiseconds). Frames should share dimensions. */
+      * in centiseconds). Frames should share dimensions and type: the
+      * GraphicControlExtension metadata is built ONCE per call from the
+      * first frame's type and reused for every frame (building the DOM
+      * tree per frame dominated encode cost at corpus scale). */
     def encodeAnimatedGif(frames: Seq[BufferedImage],
                           delayCs: Int = 10): Array[Byte] = {
       require(frames.nonEmpty, "encodeAnimatedGif needs at least one frame")
-      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val writer = writerTL.get()
       val bos = new ByteArrayOutputStream()
       val ios = ImageIO.createImageOutputStream(bos)
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        val meta = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(frames.head), writer.getDefaultWriteParam)
+        val fmt = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmt, root)
         frames.foreach { img =>
-          val meta = writer.getDefaultImageMetadata(
-            new ImageTypeSpecifier(img), writer.getDefaultWriteParam)
-          val fmt = meta.getNativeMetadataFormatName
-          val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
-          val gce = new IIOMetadataNode("GraphicControlExtension")
-          gce.setAttribute("disposalMethod", "none")
-          gce.setAttribute("userInputFlag", "FALSE")
-          gce.setAttribute("transparentColorFlag", "FALSE")
-          gce.setAttribute("delayTime", delayCs.toString)
-          gce.setAttribute("transparentColorIndex", "0")
-          root.appendChild(gce)
-          meta.setFromTree(fmt, root)
           writer.writeToSequence(new IIOImage(img, null, meta), null)
         }
         writer.endWriteSequence()
       } finally {
         ios.close()
-        writer.dispose()
+        writer.reset()
       }
       bos.toByteArray
     }
@@ -525,7 +541,7 @@ object Multimodal {
     def decodeFrames(bytes: Array[Byte]): Option[Seq[BufferedImage]] = {
       if (bytes == null || sniffFormat(bytes) != "gif") return None
       try {
-        val reader = ImageIO.getImageReadersByFormatName("gif").next()
+        val reader = readerTL.get()
         val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
         try {
           reader.setInput(iis, false)
@@ -534,7 +550,7 @@ object Multimodal {
           else Some((0 until n).map(reader.read))
         } finally {
           iis.close()
-          reader.dispose()
+          reader.reset()
         }
       } catch { case _: Exception => None }
     }

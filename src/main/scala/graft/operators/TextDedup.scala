@@ -209,15 +209,41 @@ object TextDedup {
                          minJaccard: Double = 0.6, maxBucket: Int = 4096,
                          oracleParity: Boolean = true): DataFrame = {
     graft.functions.ArrayFunctions.register(docs.sparkSession)
-    val sig = minHashSignature(docs, idCol, textCol, oracleParity = oracleParity)
+    // ONE hash pass: the sorted distinct 3-gram hash arrays feed BOTH the
+    // minhash signature (min of perturbed hashes, same coefficients as
+    // minHashSignature) and the exact verification — the single-pass design
+    // incrementalDedup measured at ~10 -> ~6 s per corpus side at sf0.1,
+    // now applied to the self-join pipeline too. The signature space is
+    // then exactly the space the Jaccard threshold verifies.
+    // k = 16 / 8 bands (vs the standalone op's 8/4): the 3-gram signature
+    // space needs more bands to clear the verification threshold — at
+    // jac = 0.6 the band-collision probability is 1-(1-0.36)^8 = 0.97 vs
+    // 0.83 at 4 bands (measured on the synthetic corpus: 0.63 found at 4
+    // bands, 0.836 with the old two-pass 4-gram signature, see BASELINE.md
+    // for the shipped number). Cost: 8 extra min-aggregates in the same
+    // partial-agg shuffle + 2x band rows — still one corpus hash pass.
+    val sh = sortedShingleHashes(docs, idCol, textCol, oracleParity = oracleParity)
+    val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val mins = (0 until 16).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
     val (cand, hotMembers) =
-      lshCandidatesAndHotMembers(sig, idCol, maxBucket = maxBucket)
-    // shingle arrays hashed + sorted ONCE per doc so the per-pair Jaccard
-    // is a codegen merge walk (no per-candidate hash set)
-    val t1 = sortedShingleHashes(docs, idCol, textCol, oracleParity = oracleParity)
-      .toDF("id1", "sh1")
+      lshCandidatesAndHotMembers(sig, idCol, k = 16, r = 2,
+        maxBucket = maxBucket)
+    // the same checkpointed arrays verify every candidate as a codegen
+    // merge walk (no per-candidate hash set, no second corpus hash pass)
+    val t1 = sh.toDF("id1", "sh1")
     val t2 = t1.toDF("id2", "sh2")
+    // Length prefilter ahead of the merge walk: jac >= t forces
+    // t*|B| <= |A| (and symmetrically), so a size-ratio check — two O(1)
+    // array-length reads — skips the O(|A|+|B|) intersection for every
+    // candidate whose set sizes already rule it out. Pure filter, no
+    // change to the result set.
     val lshVerified = cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .filter(size(col("sh1")).cast("double") >= size(col("sh2")) * minJaccard &&
+        size(col("sh2")).cast("double") >= size(col("sh1")) * minJaccard)
       .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= minJaccard)
       .select(col("id1"), col("id2"), col("jac"))
@@ -265,10 +291,10 @@ object TextDedup {
     val k = 8; val r = 2
     // ONE md5 pass per side: the sorted 3-gram hash arrays feed BOTH the
     // minhash signatures (min of perturbed hashes, same coefficients as
-    // minHashSignature) and the exact verification — unlike the self-join
-    // pipeline's separate 4-gram signature pass, so the signature space is
-    // the very space the Jaccard threshold verifies, and the corpus is
-    // hashed half as often (measured ~10 -> ~6 s at sf0.1).
+    // minHashSignature) and the exact verification, so the signature space
+    // is the very space the Jaccard threshold verifies and the corpus is
+    // hashed half as often (measured ~10 -> ~6 s at sf0.1; the self-join
+    // pipeline [[nearDuplicatePairs]] adopted the same design in round 5).
     val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
     val shE = sortedShingleHashes(existing, idCol, textCol, oracleParity = oracleParity)
     def banded(sh: DataFrame): DataFrame = {

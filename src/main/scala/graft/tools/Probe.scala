@@ -2,37 +2,65 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratch probe — not part of the engine API. Current form: physical
-  * plan audit of the round-4 operators (exchanges / joins / windows per
-  * query — the shapes that decide 100 TB viability). */
+/** Dev scratch probe — not part of the engine API. Times the queries named
+  * in args (default: a fixed set) at the sf dir in SPARK_GRAFT_SF_DIR,
+  * after one warmup execution each, and prints per-query seconds. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q_contamination", "q_substring_dedup", "q_ngram_jaccard")) {
-      val df = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
-      df.queryExecution.toRdd.count() // warm
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("stages")) { stages(spark, dir); spark.stop(); return }
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_gif_frames", "q_cross_source_leakage")
+    for (q <- names) {
       val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.1")
+      val n = graft.SparkEntry.queries(q)(spark, dir)
         .queryExecution.toRdd.count()
-      println(f"$q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
-    }
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q_sessionize", "q_seq_pack", "q_chunk", "q_substring_dedup",
-        "q_tokenize", "q_length_filter", "q_shard_assign", "q_keywords")) {
-      println(s"===== $q =====")
-      val df = graft.SparkEntry.queries(q)(spark, dir)
-      df.queryExecution.executedPlan.toString.linesIterator
-        .map(_.trim)
-        .filter(l => l.contains("Exchange") || l.contains("Join") ||
-          l.contains("Window") || l.contains("BroadcastNestedLoop") ||
-          l.contains("Cartesian"))
-        .foreach(l => println("  " + l.take(160)))
+      println(f"PROBE $q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
+  }
+
+  /** Stage-level timing of the near-dup pair chain. */
+  private def stages(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextDedup
+    graft.functions.ArrayFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    docs.count() // warm scan
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val sh = t("shingleHashes+checkpoint") {
+      TextDedup.sortedShingleHashes(docs, "doc_id", "text")
+    }
+    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+    val P = 2147483647L
+    val mins = (0 until 16).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val (cand, hot) = TextDedup.lshCandidatesAndHotMembers(sig, "doc_id",
+      k = 16, r = 2, maxBucket = 4096)
+    val nc = t("sig+bands+candidates") { cand.count() }
+    println(s"  candidates: $nc, hotMembers empty: ${hot.isEmpty}")
+    val t1 = sh.toDF("id1", "sh1"); val t2 = sh.toDF("id2", "sh2")
+    val nv = t("verify") {
+      cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+        .withColumn("jac",
+          TextDedup.jaccardFromSortedShingles(col("sh1"), col("sh2")))
+        .filter(col("jac") >= 0.6).count()
+    }
+    println(s"  verified: $nv")
   }
 }

@@ -252,6 +252,22 @@ class PackingSessionizeSpec extends AnyFunSuite {
       scarce(1).getAs[Long]("sample_bp") == 10000L)
   }
 
+  test("approx corpus profile: HLL++ estimates within 5% of exact at sf0.01") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val approx = SparkEntry.queries("q_corpus_stats_approx")(spark, dir)
+      .collect()(0)
+    val d = graft.Tables.documents(spark, dir)
+    val exactSources = d.select("source").distinct().count()
+    val exactVocab = d
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "").select("t").distinct().count()
+    def close(est: Long, exact: Long): Boolean =
+      math.abs(est - exact).toDouble / exact <= 0.05
+    assert(close(approx.getAs[Long]("n_sources_approx"), exactSources))
+    assert(close(approx.getAs[Long]("n_vocab_approx"), exactVocab))
+  }
+
   test("capPerGroup: bounds each group, survivors stable when losers leave") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
