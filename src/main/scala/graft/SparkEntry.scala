@@ -358,6 +358,36 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // ANN recall audit (the embedding twin of q_lsh_recall): recall@3 of
+    // the LSH and IVF paths against the exact brute-force top-3 for the
+    // same query set — the number an operator checks before trusting an
+    // approximate index at scale. Reuses the three ANN plans; one
+    // left-join + one small agg on top.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.annTopK(e, q, "vec_id", "embedding", 3)
+        .select(col("qid"), col("nid"))
+      val approx =
+        Similarity.annTopKLsh(e, q, "vec_id", "embedding", 3)
+          .select(lit("lsh").as("method"), col("qid"), col("nid"))
+          .unionByName(
+            Similarity.annTopKIvf(e, q, "vec_id", "embedding", 3)
+              .select(lit("ivf_p1").as("method"), col("qid"), col("nid")))
+          .unionByName(
+            Similarity.annTopKIvf(e, q, "vec_id", "embedding", 3, nProbe = 2)
+              .select(lit("ivf_p2").as("method"), col("qid"), col("nid")))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      approx.join(exact.withColumn("hit", lit(1L)), Seq("qid", "nid"), "left")
+        .groupBy("method")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .crossJoin(broadcast(nEx))
+        .withColumn("recall",
+          floor(col("n_hit") * 10000 / col("n_exact")) / 10000.0)
+        .select(col("method"), col("n_exact"), col("n_hit"), col("recall"))
+        .orderBy("method")
+    }),
+
     // S5 — dead-letter split: malformed payloads routed to a quarantine
     // side output instead of aborting (errors.tolerance=all semantics).
     "q_dlq_parse" -> ((s, dir) => {
@@ -1394,14 +1424,11 @@ object SparkEntry {
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
     "q_ann_lsh" ->
-      s"""WITH b AS (
-           SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
-           FROM embeddings),
+      s"""WITH $annLshCandCte,
          scored AS (
-           SELECT q.vec_id AS qid, c.vec_id AS nid,
-             ${cosSql("q.embedding", "c.embedding")} AS sim
-           FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-           WHERE q.vec_id < 10),
+           SELECT qid, nid, ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM lcand JOIN embeddings q ON q.vec_id = qid
+                      JOIN embeddings c ON c.vec_id = nid),
          ranked AS (
            SELECT qid, nid, sim, row_number() OVER
              (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
@@ -1432,6 +1459,69 @@ object SparkEntry {
          SELECT qid, CAST(rank AS INT) AS rank, nid,
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_ann_recall" ->
+      s"""WITH bfs AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         bf AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM bfs) WHERE rank <= 3),
+         $annLshCandCte,
+         lss AS (SELECT qid, nid, ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM lcand JOIN embeddings q ON q.vec_id = qid
+                      JOIN embeddings c ON c.vec_id = nid),
+         ls AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM lss) WHERE rank <= 3),
+         seeds AS (
+           SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+         assigned AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT a.vec_id, a.embedding, s.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "s.cv")} DESC, s.cid ASC) AS r
+             FROM embeddings a CROSS JOIN seeds s)
+           WHERE r = 1),
+         ivs AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM assigned q JOIN assigned c
+             ON q.cid = c.cid AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         iv AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM ivs) WHERE rank <= 3),
+         qc2 AS (SELECT vec_id, cid FROM (
+             SELECT a.vec_id, s.cid,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY ${cosSql("a.embedding", "s.cv")} DESC, s.cid ASC) AS r
+             FROM embeddings a CROSS JOIN seeds s
+             WHERE a.vec_id < 10)
+           WHERE r <= 2),
+         iv2s AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM qc2 j JOIN embeddings q ON q.vec_id = j.vec_id
+                      JOIN assigned c ON c.cid = j.cid
+           WHERE q.vec_id <> c.vec_id),
+         iv2 AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM iv2s) WHERE rank <= 3),
+         ap AS (SELECT 'lsh' AS method, qid, nid FROM ls
+                UNION ALL SELECT 'ivf_p1', qid, nid FROM iv
+                UNION ALL SELECT 'ivf_p2', qid, nid FROM iv2),
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM bf),
+         hits AS (SELECT method,
+             CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+           FROM ap LEFT JOIN bf USING (qid, nid) GROUP BY method)
+         SELECT method, n_exact, n_hit,
+           floor(n_hit * 10000.0 / n_exact) / 10000 AS recall
+         FROM hits CROSS JOIN ex ORDER BY method""",
     "q_dlq_parse" ->
       """SELECT event_id, '{not-json' AS raw, 'MALFORMED_PAYLOAD' AS error_reason
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
@@ -2455,6 +2545,24 @@ object SparkEntry {
       s"list_reduce(list_transform(range(len($x)), " +
         s"i -> CAST($x[i + 1] AS DOUBLE) * CAST($y[i + 1] AS DOUBLE)), (p, q) -> p + q)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Multi-table LSH candidate CTEs for the ANN mirrors: `lb` holds one
+    * (vec_id, tab, bucket) row per table (disjoint planes via the offset,
+    * mirroring Similarity.annTopKLsh's nTables = 4), `lcand` the distinct
+    * (qid, nid) pairs sharing any table bucket. */
+  private lazy val annLshCandCte: String = {
+    val arms = (0 until 4).map { t =>
+      s"""SELECT vec_id, $t AS tab, ${lshBucketSql("embedding", 4, t * 4)} AS bucket
+          FROM embeddings"""
+    }.mkString("\n          UNION ALL ")
+    s"""lb AS (
+          $arms),
+        lcand AS (
+          SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+          FROM lb q JOIN lb c
+            ON q.tab = c.tab AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10)"""
   }
 
   /** Sign-bit hyperplane bucket (mirrors Similarity.lshSignBits; `offset`

@@ -116,19 +116,41 @@ object Similarity {
       .select(col("id1"), col("id2"), (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
   }
 
-  /** LSH-bucketed ANN: exact top-k *within* the query's hyperplane bucket.
-    * The crossJoin above becomes an equi-join on bucket — at 100 TB this is
-    * the difference between O(n*q) and O(n*q / 2^bits) comparisons. */
+  /** LSH-bucketed ANN: exact top-k within the query's hyperplane buckets.
+    * The crossJoin above becomes an equi-join on (table, bucket) — at
+    * 100 TB this is the difference between O(n*q) and
+    * O(n*q*nTables / 2^bits) comparisons. `nTables` independent tables
+    * (disjoint planes via the offset, the [[cosinePairsLsh]] scheme)
+    * recover part of the recall a single bucketing loses: measured
+    * recall@3 on the synthetic corpus is 0.20 with one table, 0.33 with
+    * four (the true neighbors there are only moderately similar, so
+    * sign-collision probability per table is low) — shipped as the
+    * q_ann_recall audit, the number to check before trusting an
+    * approximate index at a new scale. On corpora like this one the IVF
+    * path dominates (0.83 at nProbe=1, higher per probe): prefer
+    * [[annTopKIvf]] and treat LSH ANN as the no-training fallback. */
   def annTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
-                 vecCol: String, k: Int, nBits: Int = 4): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol)
-      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"),
-        lshSignBits(col("v"), nBits).as("bucket"))
-    val q = prepared(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        lshSignBits(col("v"), nBits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+                 vecCol: String, k: Int, nBits: Int = 4,
+                 nTables: Int = 4): DataFrame = {
+    def banded(df: DataFrame, id: String) = {
+      val buckets = array((0 until nTables).map(t =>
+        lshSignBits(col("v"), nBits, t * nBits)): _*)
+      df.select(col("id").as(id), posexplode(buckets).as(Seq("tab", "bucket")))
+    }
+    val cPrep = prepared(corpus, idCol, vecCol)
+    val qPrep = prepared(queries, idCol, vecCol)
+    // a (query, neighbor) pair colliding in several tables is scored once:
+    // distinct on bare ids BEFORE the vectors re-join
+    val cand = banded(cPrep, "nid")
+      .join(broadcast(banded(qPrep, "qid")), Seq("tab", "bucket"))
       .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(qPrep.select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))), Seq("qid"))
+      .join(cPrep.select(col("id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nid"))
       .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
     topK(scored, k)
   }

@@ -356,6 +356,10 @@ object TextDedup {
     val verified = cand
       .join(shI.toDF("new_id", "sh1"), Seq("new_id"))
       .join(shE.toDF("old_id", "sh2"), Seq("old_id"))
+      // same size-ratio prefilter as nearDuplicatePairs: two O(1) length
+      // reads skip the merge walk where jac >= t is already impossible
+      .filter(size(col("sh1")).cast("double") >= size(col("sh2")) * minJaccard &&
+        size(col("sh2")).cast("double") >= size(col("sh1")) * minJaccard)
       .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= minJaccard)
     val best = verified.groupBy(col("new_id"))
