@@ -600,6 +600,49 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // Event funnel: users progressing view -> click -> purchase, each
+    // stage's first hit strictly after the previous stage's AND within the
+    // conversion window (the classic product-analytics sequential funnel;
+    // the window is what makes it a funnel rather than "ever did both" —
+    // without it every user here converts). Three stage aggregations + two
+    // user-keyed equi-joins — every shuffle is on user_id, no window over
+    // the full event stream.
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def first(stage: String) = ev.filter(col("event_type") === stage)
+      val v = first("view").groupBy("user_id").agg(min("us").as("v_us"))
+      val win = 60000000000L // conversion window: ~16.7 h in micros
+      val c = first("click").join(v, Seq("user_id"))
+        .filter(col("us") > col("v_us") && col("us") <= col("v_us") + win)
+        .groupBy("user_id").agg(min("us").as("c_us"))
+      val p = first("purchase").join(c, Seq("user_id"))
+        .filter(col("us") > col("c_us") && col("us") <= col("c_us") + win)
+        .groupBy("user_id").agg(min("us").as("p_us"))
+      val nv = v.agg(count(lit(1)).as("n_view"))
+      val nc = c.agg(count(lit(1)).as("n_click"))
+      val np = p.agg(count(lit(1)).as("n_purchase"))
+      nv.crossJoin(nc).crossJoin(np)
+        .withColumn("click_bp", expr("(n_click * 10000) div n_view"))
+        .withColumn("purchase_bp", expr("(n_purchase * 10000) div n_click"))
+    }),
+
+    // Fuzzy eval-set decontamination: mark every corpus doc that is a
+    // NEAR-duplicate of a held-out eval slice (here source='src0') — the
+    // MinHash upgrade of q_contamination's exact 8-gram overlap, catching
+    // paraphrased/reflowed leakage exact grams miss. Pure reuse of the
+    // cross-side incremental machinery: eval side contributes its band
+    // index, never corpus x corpus.
+    "q_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.incrementalDedup(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") =!= "src0"),
+          "doc_id", "text")
+        .orderBy("new_id")
+    }),
+
     // Dedup cluster assignment: connected components over the verified
     // near-dup pairs — every doc labeled with the min reachable doc id
     // (the canonical-document step: keep one representative per cluster).
@@ -1708,57 +1751,29 @@ object SparkEntry {
     // prefix-filtered exact candidates, one verification pass, best match
     // per incoming doc
     "q_incr_dedup" ->
-      s"""WITH ${shingleSigCteNamed("i", "WHERE doc_id % 5 = 0")},
-         ${shingleSigCteNamed("e", "WHERE doc_id % 5 <> 0")},
-         ${bandsCteNamed("i")},
-         ${bandsCteNamed("e")},
-         bcnt AS (SELECT band, bucket, count(*) AS c
-                  FROM (SELECT * FROM bandi UNION ALL SELECT * FROM bande)
-                  GROUP BY band, bucket),
-         okb AS (SELECT band, bucket FROM bcnt WHERE c <= 4096),
-         hotb AS (SELECT band, bucket FROM bcnt WHERE c > 4096),
-         lcand AS (SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
-                   FROM bandi i
-                     JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
-                     JOIN bande e ON e.band = i.band AND e.bucket = i.bucket),
-         hoti AS (SELECT DISTINCT doc_id FROM bandi JOIN hotb USING (band, bucket)),
-         hote AS (SELECT DISTINCT doc_id FROM bande JOIN hotb USING (band, bucket)),
-         hsh AS (SELECT v.doc_id, v.sh
-                 FROM (SELECT * FROM vshi UNION ALL SELECT * FROM vshe) v
-                 JOIN (SELECT doc_id FROM hoti UNION SELECT doc_id FROM hote) h
-                   USING (doc_id)),
-         htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
-         hdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM htok GROUP BY tok),
-         hord AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
-                  FROM htok t JOIN hdf d ON d.tok = t.tok GROUP BY t.doc_id),
-         hpre AS (SELECT doc_id, len(toks) AS ln,
-                    unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
-                  FROM hord),
-         hcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
-                   FROM hpre a
-                     JOIN hoti ON hoti.doc_id = a.doc_id
-                     JOIN hpre b ON b.tok = a.tok
-                     JOIN hote ON hote.doc_id = b.doc_id
-                   WHERE a.ln >= floor(b.ln * 0.6) AND b.ln >= floor(a.ln * 0.6)),
-         acand AS (SELECT new_id, old_id FROM lcand
-                   UNION SELECT new_id, old_id FROM hcand),
-         vf AS (SELECT new_id, old_id,
-                  floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
-                FROM acand JOIN vshi x ON x.doc_id = new_id
-                  JOIN vshe y ON y.doc_id = old_id
-                WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6),
-         best AS (SELECT new_id, old_id AS match_id, jac FROM (
-                    SELECT new_id, old_id, jac, row_number() OVER
-                      (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rn
-                    FROM vf) WHERE rn = 1)
-         SELECT d.doc_id AS new_id, best.match_id,
-           coalesce(best.jac, 0.0) AS jac,
-           best.match_id IS NOT NULL AS is_dup
-         FROM documents d LEFT JOIN best ON best.new_id = d.doc_id
-         WHERE d.doc_id % 5 = 0
-         ORDER BY new_id""",
+      incrDedupOracle("WHERE doc_id % 5 = 0", "WHERE doc_id % 5 <> 0",
+        "d.doc_id % 5 = 0"),
+    "q_fuzzy_decontam" ->
+      incrDedupOracle("WHERE source <> 'src0'", "WHERE source = 'src0'",
+        "d.source <> 'src0'"),
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id, min(us) AS v_us FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND us > v_us
+                 AND us <= v_us + 60000000000 GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND us > c_us
+                 AND us <= c_us + 60000000000 GROUP BY e.user_id)
+         SELECT
+           (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           ((SELECT count(*) FROM c) * 10000)
+             // (SELECT count(*) FROM v) AS click_bp,
+           ((SELECT count(*) FROM p) * 10000)
+             // (SELECT count(*) FROM c) AS purchase_bp""",
     // recall of the hybrid pipeline vs EXACT ground truth; the truth side
     // mirrors TextDedup.exactJaccardPairs' prefix-filtered similarity join
     // over the WHOLE corpus (rarest-token prefixes, exact verify) — no
@@ -2469,6 +2484,63 @@ object SparkEntry {
 
   /** Minhash signature CTE `sig` (mirrors TextDedup.minHashSignature:
     * 60-bit md5-prefix hash mod 2^31-1, 8 odd-coefficient perturbations). */
+  /** Cross-side incremental-dedup mirror, parameterized by the two corpus
+    * slices (see q_incr_dedup / q_fuzzy_decontam). `finalPred` re-selects
+    * the incoming slice for the one-row-per-incoming-doc left join. */
+  private def incrDedupOracle(whereIn: String, whereEx: String,
+                              finalPred: String): String =
+    s"""WITH ${shingleSigCteNamed("i", whereIn)},
+         ${shingleSigCteNamed("e", whereEx)},
+         ${bandsCteNamed("i")},
+         ${bandsCteNamed("e")},
+         bcnt AS (SELECT band, bucket, count(*) AS c
+                  FROM (SELECT * FROM bandi UNION ALL SELECT * FROM bande)
+                  GROUP BY band, bucket),
+         okb AS (SELECT band, bucket FROM bcnt WHERE c <= 4096),
+         hotb AS (SELECT band, bucket FROM bcnt WHERE c > 4096),
+         lcand AS (SELECT DISTINCT i.doc_id AS new_id, e.doc_id AS old_id
+                   FROM bandi i
+                     JOIN okb o ON o.band = i.band AND o.bucket = i.bucket
+                     JOIN bande e ON e.band = i.band AND e.bucket = i.bucket),
+         hoti AS (SELECT DISTINCT doc_id FROM bandi JOIN hotb USING (band, bucket)),
+         hote AS (SELECT DISTINCT doc_id FROM bande JOIN hotb USING (band, bucket)),
+         hsh AS (SELECT v.doc_id, v.sh
+                 FROM (SELECT * FROM vshi UNION ALL SELECT * FROM vshe) v
+                 JOIN (SELECT doc_id FROM hoti UNION SELECT doc_id FROM hote) h
+                   USING (doc_id)),
+         htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
+         hdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM htok GROUP BY tok),
+         hord AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
+                  FROM htok t JOIN hdf d ON d.tok = t.tok GROUP BY t.doc_id),
+         hpre AS (SELECT doc_id, len(toks) AS ln,
+                    unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
+                  FROM hord),
+         hcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                   FROM hpre a
+                     JOIN hoti ON hoti.doc_id = a.doc_id
+                     JOIN hpre b ON b.tok = a.tok
+                     JOIN hote ON hote.doc_id = b.doc_id
+                   WHERE a.ln >= floor(b.ln * 0.6) AND b.ln >= floor(a.ln * 0.6)),
+         acand AS (SELECT new_id, old_id FROM lcand
+                   UNION SELECT new_id, old_id FROM hcand),
+         vf AS (SELECT new_id, old_id,
+                  floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
+                FROM acand JOIN vshi x ON x.doc_id = new_id
+                  JOIN vshe y ON y.doc_id = old_id
+                WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6),
+         best AS (SELECT new_id, old_id AS match_id, jac FROM (
+                    SELECT new_id, old_id, jac, row_number() OVER
+                      (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rn
+                    FROM vf) WHERE rn = 1)
+         SELECT d.doc_id AS new_id, best.match_id,
+           coalesce(best.jac, 0.0) AS jac,
+           best.match_id IS NOT NULL AS is_dup
+         FROM documents d LEFT JOIN best ON best.new_id = d.doc_id
+         WHERE $finalPred
+         ORDER BY new_id"""
+
   private def minhashCteFor(where: String): String = {
     val mins = (0 until 8).map { i =>
       val a = 2 * i + 1; val b = i * i + 1
