@@ -600,6 +600,51 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // Cohort retention matrix: users cohorted by first-activity day, per
+    // (cohort, day-offset) distinct active users and the retention rate —
+    // the other product-analytics staple next to the funnel. Days are
+    // integer epoch-microsecond divisions, so the matrix is bit-identical
+    // across engines (day granularity: at week granularity every synthetic
+    // user is active every week and the matrix is all-10000). Shuffles:
+    // one user agg, one (user, day) distinct, one matrix agg; cohort sizes
+    // broadcast back.
+    "q_retention" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $dayUs").as("d"))
+      val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+      val active = ev.distinct()
+      val matrix = active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_d"), (col("d") - col("cohort_d")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = cohort.groupBy("cohort_d").agg(count(lit(1)).as("n_cohort"))
+      matrix.join(broadcast(sizes), Seq("cohort_d"))
+        .withColumn("retention_bp", expr("(n_active * 10000) div n_cohort"))
+        .orderBy("cohort_d", "day_offset")
+    }),
+
+    // TPC-H-style revenue rollup: lineitem x orders x customer x nation,
+    // revenue summed as exact integer cents (floor per item) so the
+    // aggregate is reduction-order-independent across engines. The nation
+    // dim broadcasts; the two big joins shuffle on their keys.
+    "q_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+      val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), sum("cents").as("revenue_cents"))
+        .orderBy("n_name")
+    }),
+
     // Event funnel: users progressing view -> click -> purchase, each
     // stage's first hit strictly after the previous stage's AND within the
     // conversion window (the classic product-analytics sequential funnel;
@@ -1756,6 +1801,32 @@ object SparkEntry {
     "q_fuzzy_decontam" ->
       incrDedupOracle("WHERE source <> 'src0'", "WHERE source = 'src0'",
         "d.source <> 'src0'"),
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+                    FROM events),
+         cohort AS (SELECT user_id, min(d) AS cohort_d FROM e GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, d FROM e),
+         m AS (SELECT cohort_d, d - cohort_d AS day_offset,
+                 CAST(count(*) AS BIGINT) AS n_active
+               FROM active JOIN cohort USING (user_id)
+               GROUP BY cohort_d, d - cohort_d),
+         sz AS (SELECT cohort_d, CAST(count(*) AS BIGINT) AS n_cohort
+                FROM cohort GROUP BY cohort_d)
+         SELECT cohort_d, day_offset, n_active, n_cohort,
+           (n_active * 10000) // n_cohort AS retention_bp
+         FROM m JOIN sz USING (cohort_d)
+         ORDER BY cohort_d, day_offset""",
+    "q_revenue_by_nation" ->
+      """WITH li AS (SELECT l_orderkey,
+           CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+             AS cents
+         FROM lineitem)
+         SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM li JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
          v AS (SELECT user_id, min(us) AS v_us FROM e
