@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate over the ENTIRE query surface: every entry in
+  * `SparkEntry.queries` must compile to a physical plan free of the shapes
+  * that kill a 100 TB run — cartesian products, and nested-loop joins
+  * outside the documented 1-row-side crosses. A new query added without
+  * thinking about its join strategy fails here before it ever reaches the
+  * bench.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+  // either a crossJoin against a 1-row aggregate (constant fan-out), or a
+  // deliberate broadcast of a BOUNDED-SMALL side — the ANN query set
+  // (O(#queries) rows) / IVF seed set (O(nCells) rows) scanned against the
+  // corpus, which IS the documented brute-force/assignment design. Keep
+  // this list EXPLICIT so a new nested-loop join has to be justified here.
+  private val oneRowCrossAllowed: Set[String] = Set(
+    "q_corpus_stats", "q_corpus_stats_approx", "q_dataset_card",
+    "q_surprisal", "q_bigram_lm", "q_dsir", "q_dsir_prod",
+    "q_length_filter", "q_ann_recall", "q_funnel",
+    "q_bm25", "q_bm25_prod", "q_contamination", "q_substring_dedup",
+    "q_lsh_recall", "q_curation_pipeline", "q_training_manifest",
+    "q_repetition", "q_quality_full",
+    "q_ann_topk", "q_ann_ivf")
+
+  // The exact all-pairs cosine is DOCUMENTED as a small-input utility
+  // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
+  private val pairwiseDocumented: Set[String] = Set("q_embed_cosine_pairs")
+
+  test("no query plan contains a cartesian or unexplained nested-loop join") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => bad += s"$name: plan build failed: ${e.getMessage}"; "" }
+      if (plan.contains("CartesianProduct") && !pairwiseDocumented(name))
+        bad += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") &&
+          !oneRowCrossAllowed(name) && !pairwiseDocumented(name))
+        bad += s"$name: BroadcastNestedLoopJoin (add to allowlist ONLY if the side is O(1) rows)"
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
+}
