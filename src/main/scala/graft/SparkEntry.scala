@@ -600,6 +600,44 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // IVF ANN with a TRAINED coarse quantizer: deterministic-k-means cells
+    // instead of seed medoids — the same nCells bound with cells that track
+    // the data distribution.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.annTopKIvfTrained(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 3)
+        .orderBy("qid", "rank")
+    }),
+
+    // OLAP subtotals: ROLLUP over (event_type, day) — per-type-per-day,
+    // per-type, and grand-total rows from ONE aggregation pass (partial
+    // aggs expand the grouping sets map-side; no per-level rescan). Value
+    // summed as floored integer cents for cross-engine exactness.
+    "q_rollup_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      ev.rollup(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
+    }),
+
+    // Pivot: days x event-type count matrix through the DataFrame pivot
+    // API (fixed value list, so the schema is static and the plan is one
+    // aggregation — Spark rewrites it to conditional counts, the same
+    // CASE sums the oracle states explicitly).
+    "q_pivot_daily" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        expr("unix_micros(ts) div 86400000000").as("d"), col("event_type"))
+      ev.groupBy("d")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("d")
+    }),
+
     // Cohort retention matrix: users cohorted by first-activity day, per
     // (cohort, day-offset) distinct active users and the retention rate —
     // the other product-analytics staple next to the funnel. Days are
@@ -1801,6 +1839,41 @@ object SparkEntry {
     "q_fuzzy_decontam" ->
       incrDedupOracle("WHERE source <> 'src0'", "WHERE source = 'src0'",
         "d.source <> 'src0'"),
+    "q_ann_ivf_kmeans" ->
+      s"""WITH ${kmeansCte(8, 3, 64)},
+         cells AS (SELECT id AS vec_id, j AS cell FROM fin),
+         v AS (SELECT e.vec_id, e.embedding, c.cell
+               FROM embeddings e JOIN cells c USING (vec_id)),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM v q JOIN v c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM scored)
+         SELECT qid, CAST(rank AS INT) AS rank, nid,
+           floor(sim * 1000000) / 1000000 AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_rollup_daily" ->
+      """WITH e AS (SELECT event_type,
+           epoch_us(ts) // 86400000000 AS d,
+           CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT event_type, d, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+         FROM e GROUP BY ROLLUP (event_type, d)
+         ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_pivot_daily" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type
+                    FROM events)
+         SELECT d,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+         FROM e GROUP BY d ORDER BY d""",
     "q_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
                     FROM events),
