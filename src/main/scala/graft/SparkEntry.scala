@@ -638,6 +638,22 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // Salted skew join: the explicit, planner-independent skew mitigation
+    // (probe side salted, build side replicated nSalt ways, join on
+    // (key, salt)) — result-identical to the plain inner join, which is
+    // exactly what the oracle states. Use where AQE's runtime skew split
+    // cannot see the join; the salt never escapes the operator.
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey").as("k"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      operators.Skew.saltedJoin(li, ord, "k", nSalt = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Cohort retention matrix: users cohorted by first-activity day, per
     // (cohort, day-offset) distinct active users and the retention rate —
     // the other product-analytics staple next to the funnel. Days are
@@ -1874,6 +1890,14 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
+    "q_salted_join" ->
+      """WITH li AS (SELECT l_orderkey AS k,
+           CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+         FROM lineitem)
+         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+         FROM li JOIN orders ON k = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
                     FROM events),
