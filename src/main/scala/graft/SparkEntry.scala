@@ -749,6 +749,22 @@ object SparkEntry {
       nearDupClusters(s, dir).orderBy("doc_id")
     }),
 
+    // Leakage-safe train/val/test split: the hash bucket comes from the
+    // near-dup CLUSTER canonical, not the doc id, so a document and all
+    // its near-duplicates land in the SAME split — the split discipline
+    // that keeps eval honest (a doc-id split scatters paraphrases of one
+    // document across train and test). Composes the shared cluster labels
+    // with the zero-shuffle hash splitter. The weights are per-CLUSTER:
+    // a giant duplicate family lands in ONE split wholesale (at sf0.01 the
+    // dominant family pulls 'test' to 330 of 500 docs) — dedup to
+    // canonicals first when DOC-level proportions matter.
+    "q_leakage_safe_split" -> ((s, dir) => {
+      Sampling.hashSplit(nearDupClusters(s, dir), "cluster_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline: language-ID + quality thresholds +
     // dedup-canonical selection — the composed query a training-data
     // engine exists for. All stages are narrow projections or the shared
@@ -1973,6 +1989,17 @@ object SparkEntry {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         b AS (SELECT doc_id, cluster_id,
+                 ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 10000 AS bucket
+               FROM cl)
+         SELECT doc_id, cluster_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
     // end-to-end curation: language-ID + quality thresholds + dedup-
     // canonical selection composed over the full corpus
     "q_curation_pipeline" ->
