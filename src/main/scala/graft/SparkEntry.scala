@@ -638,6 +638,26 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // Exact percentile report (the SLA table: p50/p90/p99 of the event
+    // value) via the distinct-value histogram + cumulative window — the
+    // ordered window runs over DISTINCT values, never the event stream, so
+    // the single-partition sort is bounded by value cardinality. The
+    // percentile is the exact k-th smallest (k = ceil(p*n/100)); no
+    // interpolation, no arithmetic on the doubles, so any engine returns
+    // the identical stored value.
+    "q_value_percentiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("value"))
+      val hist = ev.groupBy("value").agg(count(lit(1)).as("cnt"))
+      val wc = org.apache.spark.sql.expressions.Window.orderBy("value")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = hist.withColumn("cum", sum("cnt").over(wc))
+        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
+      def p(num: Int) = cum
+        .filter(col("cum") >= expr(s"($num * n + 99) div 100"))
+        .agg(lit(num.toLong).as("pct"), min("value").as("value"))
+      p(50).unionByName(p(90)).unionByName(p(99)).orderBy("pct")
+    }),
+
     // Salted skew join: the explicit, planner-independent skew mitigation
     // (probe side salted, build side replicated nSalt ways, join on
     // (key, salt)) — result-identical to the plain inner join, which is
@@ -1906,6 +1926,23 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
+    "q_value_percentiles" ->
+      """WITH v AS (SELECT value FROM events),
+         h AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt
+               FROM v GROUP BY value),
+         c AS (SELECT value, sum(cnt) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM h),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+         SELECT CAST(50 AS BIGINT) AS pct, min(value) AS value
+         FROM c CROSS JOIN n WHERE cum >= (50 * n + 99) // 100
+         UNION ALL
+         SELECT 90, min(value) FROM c CROSS JOIN n
+         WHERE cum >= (90 * n + 99) // 100
+         UNION ALL
+         SELECT 99, min(value) FROM c CROSS JOIN n
+         WHERE cum >= (99 * n + 99) // 100
+         ORDER BY pct""",
     "q_salted_join" ->
       """WITH li AS (SELECT l_orderkey AS k,
            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
