@@ -638,6 +638,23 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // As-of join: for each purchase, the latest click by the same user at
+    // or before purchase time — the time-series enrichment join, encoded
+    // as UNION + one per-key ordered window (linear, sessionization plan
+    // shape) instead of a quadratic range theta join. DuckDB verifies with
+    // its NATIVE ASOF JOIN, so the semantics are pinned to the standard.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "us", "event_id", "value")
+      operators.AsOf.asOfJoin(purchases, clicks, "user_id", "us",
+          "event_id", "value")
+        .orderBy("event_id")
+    }),
+
     // Exact percentile report (the SLA table: p50/p90/p99 of the event
     // value) via the distinct-value histogram + cumulative window — the
     // ordered window runs over DISTINCT values, never the event stream, so
@@ -1926,6 +1943,19 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                    FROM events WHERE event_type = 'purchase'),
+         rr AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+                FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, us, max(event_id) AS r_id,
+                 arg_max(value, event_id) AS r_val
+               FROM rr GROUP BY user_id, us)
+         SELECT l.event_id, l.user_id, l.us,
+           r.r_id AS asof_event_id, r.r_val AS asof_value
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.us >= r.us
+         ORDER BY l.event_id""",
     "q_value_percentiles" ->
       """WITH v AS (SELECT value FROM events),
          h AS (SELECT value, CAST(count(*) AS BIGINT) AS cnt
