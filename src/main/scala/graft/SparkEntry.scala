@@ -638,6 +638,19 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // Range join via banding: ordered pairs of same-user events within a
+    // 2-hour window — the interval theta join rewritten to a hash
+    // equi-join on (user, time-bucket) with the earlier side exploded to
+    // its bucket and the next (any pair within W is at most one bucket
+    // apart), exact predicate filtered in-stage. No nested loop.
+    "q_range_pairs" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      operators.RangeJoin.withinWindowPairs(ev, "user_id", "us", "event_id",
+          window = 7200000000L)
+        .orderBy("id1", "id2")
+    }),
+
     // As-of join: for each purchase, the latest click by the same user at
     // or before purchase time — the time-series enrichment join, encoded
     // as UNION + one per-key ordered window (linear, sessionization plan
@@ -1943,6 +1956,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
+    "q_range_pairs" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+                    FROM events)
+         SELECT a.k, a.event_id AS id1, a.us AS ts1,
+           b.event_id AS id2, b.us AS ts2
+         FROM e a JOIN e b ON a.k = b.k
+           AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+           AND b.us - a.us <= 7200000000
+         ORDER BY id1, id2""",
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
                     FROM events WHERE event_type = 'purchase'),
