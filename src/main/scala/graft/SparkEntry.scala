@@ -377,6 +377,9 @@ object SparkEntry {
           .unionByName(
             Similarity.annTopKIvf(e, q, "vec_id", "embedding", 3, nProbe = 2)
               .select(lit("ivf_p2").as("method"), col("qid"), col("nid")))
+          .unionByName(
+            Similarity.annTopKIvfTrained(e, q, "vec_id", "embedding", 3)
+              .select(lit("ivf_km").as("method"), col("qid"), col("nid")))
       val nEx = exact.agg(count(lit(1)).as("n_exact"))
       approx.join(exact.withColumn("hit", lit(1L)), Seq("qid", "nid"), "left")
         .groupBy("method")
@@ -1668,7 +1671,19 @@ object SparkEntry {
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
     "q_ann_recall" ->
-      s"""WITH bfs AS (
+      s"""WITH ${kmeansCte(8, 3, 64)},
+         kcell AS (SELECT id AS vec_id, j AS cell FROM fin),
+         kv AS (SELECT e.vec_id, e.embedding, c.cell
+                FROM embeddings e JOIN kcell c USING (vec_id)),
+         kms AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM kv q JOIN kv c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         km AS (SELECT qid, nid FROM (
+             SELECT qid, nid, row_number() OVER
+               (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+             FROM kms) WHERE rank <= 3),
+         bfs AS (
            SELECT q.vec_id AS qid, c.vec_id AS nid,
              ${cosSql("q.embedding", "c.embedding")} AS sim
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
@@ -1721,7 +1736,8 @@ object SparkEntry {
              FROM iv2s) WHERE rank <= 3),
          ap AS (SELECT 'lsh' AS method, qid, nid FROM ls
                 UNION ALL SELECT 'ivf_p1', qid, nid FROM iv
-                UNION ALL SELECT 'ivf_p2', qid, nid FROM iv2),
+                UNION ALL SELECT 'ivf_p2', qid, nid FROM iv2
+                UNION ALL SELECT 'ivf_km', qid, nid FROM km),
          ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM bf),
          hits AS (SELECT method,
              CAST(sum(CASE WHEN bf.qid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
