@@ -672,23 +672,17 @@ object SparkEntry {
     }),
 
     // Exact percentile report (the SLA table: p50/p90/p99 of the event
-    // value) via the distinct-value histogram + cumulative window — the
-    // ordered window runs over DISTINCT values, never the event stream, so
-    // the single-partition sort is bounded by value cardinality. The
-    // percentile is the exact k-th smallest (k = ceil(p*n/100)); no
-    // interpolation, no arithmetic on the doubles, so any engine returns
-    // the identical stored value.
+    // value) via two-phase range-bucketed selection: bucket counts locate
+    // each percentile's target bucket, and the ordered selection runs only
+    // INSIDE that bucket (window partitioned by bucket id) — no global
+    // histogram window, so no single task ever sorts the full distinct-
+    // value set. The percentile is the exact k-th smallest
+    // (k = ceil(p*n/100)); no interpolation, no arithmetic on the doubles,
+    // so any engine returns the identical stored value.
     "q_value_percentiles" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("value"))
-      val hist = ev.groupBy("value").agg(count(lit(1)).as("cnt"))
-      val wc = org.apache.spark.sql.expressions.Window.orderBy("value")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cum = hist.withColumn("cum", sum("cnt").over(wc))
-        .crossJoin(broadcast(ev.agg(count(lit(1)).as("n"))))
-      def p(num: Int) = cum
-        .filter(col("cum") >= expr(s"($num * n + 99) div 100"))
-        .agg(lit(num.toLong).as("pct"), min("value").as("value"))
-      p(50).unionByName(p(90)).unionByName(p(99)).orderBy("pct")
+      operators.Percentiles.exactKth(ev, "value", Seq(50, 90, 99))
+        .orderBy("pct")
     }),
 
     // Salted skew join: the explicit, planner-independent skew mitigation

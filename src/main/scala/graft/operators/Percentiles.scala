@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed percentiles (k-th smallest, k = ceil(p*n/100), no
+  * interpolation) via two-phase range-bucketed selection — the scale-safe
+  * replacement for the "cumulative window over the global value histogram"
+  * plan, whose single unpartitioned ordered window funnels every distinct
+  * value through ONE task. Reference analog: the percentile/SLA reporting
+  * the reference's refined tables feed (resources/architecture/
+  * sttm-requirements.md:87-142 target-table analytics).
+  *
+  * Phase shape (no global sort, no unbounded single-task window):
+  *   1. one hash aggregation builds the distinct-value histogram;
+  *   2. values are range-bucketed into `nBuckets` equal-width buckets
+  *      between the observed min/max (1-row broadcast); per-bucket counts
+  *      aggregate to <= nBuckets rows;
+  *   3. a cumulative sum over those <= nBuckets rows locates, for each
+  *      requested percentile, the single target bucket and the rank still
+  *      needed inside it (this window IS unpartitioned, but its input is
+  *      the constant-bounded bucket-count table, never data-scale);
+  *   4. the ordered selection then runs ONLY inside the target bucket —
+  *      a window partitioned by bucket id, so the per-task sort is bounded
+  *      by the largest bucket's distinct-value count (~n_distinct/nBuckets
+  *      for non-degenerate distributions), not the corpus.
+  *
+  * At 100 TB, raise `nBuckets` so histogram_size/nBuckets fits a task
+  * (the bucket-count table stays metadata-scale: nBuckets rows). A
+  * degenerate distribution (one value dominating) caps that bucket's
+  * DISTINCT count at 1 row per duplicated value, so duplicates never
+  * enlarge the sort.
+  *
+  * Exactness: global_cum(v) = cum_before(bucket(v)) + in_bucket_cum(v)
+  * for every v in the target bucket, so "min value with in-bucket cum >=
+  * k - cum_before" is identical to "min value with global cum >= k" — the
+  * selected value is the stored k-th smallest, bit-identical across
+  * engines.
+  */
+object Percentiles {
+
+  /** Exact percentiles of `valueCol`; returns one row per requested
+    * percentile with columns (pct, value). `pcts` are integer percents. */
+  def exactKth(values: DataFrame, valueCol: String, pcts: Seq[Int],
+               nBuckets: Int = 1024): DataFrame = {
+    val hist = values.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.agg(min("value").as("vmin"), max("value").as("vmax"),
+      sum("cnt").as("n"))
+    // Equal-width range bucket; the vmax row itself caps to the last one.
+    val histB = hist.crossJoin(broadcast(stats))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / nBuckets)),
+            lit(nBuckets - 1L))))
+      .select(col("value"), col("cnt"), col("bucket"), col("n"))
+    val bcnt = histB.groupBy("bucket").agg(sum("cnt").as("bc"))
+    val wb = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bcum = bcnt.withColumn("cumb", sum("bc").over(wb))
+      .crossJoin(broadcast(stats.select("n")))
+    val wIn = Window.partitionBy("bucket").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val arms = pcts.map { p =>
+      val target = bcum
+        .withColumn("k", expr(s"($p * n + 99) div 100"))
+        .filter(col("cumb") >= col("k"))
+        .agg(min_by(
+          struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
+            col("k")),
+          col("bucket")).as("t"))
+        .select(col("t.bucket").as("bucket"), col("t.cum_before"),
+          col("t.k"))
+      histB.select("value", "cnt", "bucket")
+        .join(broadcast(target), Seq("bucket"))
+        .withColumn("cum_in", sum("cnt").over(wIn))
+        .filter(col("cum_in") >= col("k") - col("cum_before"))
+        .agg(lit(p.toLong).as("pct"), min("value").as("value"))
+    }
+    arms.reduce(_.unionByName(_))
+  }
+}

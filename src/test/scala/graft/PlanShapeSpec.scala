@@ -39,6 +39,21 @@ class PlanShapeSpec extends AnyFunSuite {
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
   private val pairwiseDocumented: Set[String] = Set("q_embed_cosine_pairs")
 
+  // Queries whose plan legitimately contains a Window with an EMPTY
+  // partition spec. An unpartitioned ordered window funnels its whole
+  // input through one task — the classic 100-TB scale killer — so every
+  // entry here must justify why its window input is bounded by a CONSTANT
+  // (or by per-document size), never by corpus size.
+  private val unpartitionedWindowAllowed: Map[String, String] = Map(
+    "q_value_percentiles" ->
+      ("bucket-level cumulative over <= nBuckets(=1024) range-bucket " +
+        "counts (Percentiles.exactKth phase 3) — constant-bounded; the " +
+        "value-level selection window IS partitioned (by bucket id)"),
+    "q_length_filter" ->
+      ("cumulative over the DISTINCT token-count histogram " +
+        "(TextAnalysis.lengthPercentileTrim) — cardinality bounded by the " +
+        "longest document's token count, not by corpus size"))
+
   test("no query plan contains a cartesian or unexplained nested-loop join") {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
@@ -52,6 +67,30 @@ class PlanShapeSpec extends AnyFunSuite {
       if (plan.contains("BroadcastNestedLoopJoin") &&
           !oneRowCrossAllowed(name) && !pairwiseDocumented(name))
         bad += s"$name: BroadcastNestedLoopJoin (add to allowlist ONLY if the side is O(1) rows)"
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
+
+  test("no query plan contains an unexplained unpartitioned window") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val windows =
+        try fn(spark, dir).queryExecution.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        catch {
+          case e: Throwable =>
+            bad += s"$name: plan build failed: ${e.getMessage}"; Nil
+        }
+      if (windows.nonEmpty && !unpartitionedWindowAllowed.contains(name))
+        bad += s"$name: unpartitioned Window (single-task sort of its " +
+          "whole input) — allowlist ONLY with a written bound on the " +
+          "window's input size"
     }
     assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
   }
