@@ -45,24 +45,32 @@ object AsOf {
       .agg(max_by(struct(col(rIdCol), col(rValCol)), col(rIdCol)).as("_r"))
       .select(col(keyCol), col(tsCol), col("_r")(rIdCol).as("_r_id"),
         col("_r")(rValCol).as("_r_val"))
+    // The matched right row is carried forward as ONE struct, not two
+    // parallel columns: the struct is non-null for every right row even
+    // when the payload itself is null, so a null rValCol can never make
+    // last(..., ignoreNulls) skip the value while keeping the id — the
+    // matched (id, value) pair always comes from the SAME right row
+    // (DuckDB ASOF semantics).
+    val rowType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", r1.schema("_r_id").dataType),
+      org.apache.spark.sql.types.StructField("v", r1.schema("_r_val").dataType)))
     val lTagged = left
-      .withColumn("_r_id", lit(null).cast(r1.schema("_r_id").dataType))
-      .withColumn("_r_val", lit(null).cast(r1.schema("_r_val").dataType))
+      .withColumn("_rrow", lit(null).cast(rowType))
       .withColumn("_side", lit(1))
     val rTagged = r1
       .select((leftCols.map(c =>
           if (c == keyCol || c == tsCol) col(c)
           else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        Seq(col("_r_id"), col("_r_val"), lit(0).as("_side"))): _*)
+        Seq(struct(col("_r_id").as("id"), col("_r_val").as("v")).as("_rrow"),
+          lit(0).as("_side"))): _*)
     // right rows sort BEFORE left rows at equal ts -> inclusive match
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     lTagged.unionByName(rTagged)
-      .withColumn("_m_id", last(col("_r_id"), ignoreNulls = true).over(w))
-      .withColumn("_m_val", last(col("_r_val"), ignoreNulls = true).over(w))
+      .withColumn("_m", last(col("_rrow"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .select(leftCols.map(col) :+ col("_m_id").as(s"asof_$rIdCol")
-        :+ col("_m_val").as(s"asof_$rValCol"): _*)
+      .select(leftCols.map(col) :+ col("_m")("id").as(s"asof_$rIdCol")
+        :+ col("_m")("v").as(s"asof_$rValCol"): _*)
   }
 }

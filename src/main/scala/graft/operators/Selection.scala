@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   *    intermediate a 64-bit integer, so any SQL engine reproduces the score
   *    bit-for-bit. Summing scaled ratios (not logs) keeps it integral; the
   *    per-bucket ranking is identical to the log form because log is
-  *    monotone. Headroom: 1e6 * tc * R must stay under 2^63, which holds to
-  *    ~3e5 target tokens x 3e11 raw tokens; past that use prod mode.
+  *    monotone. Headroom: the widest intermediate is 1e6 * tc1 * R, so the
+  *    MAX smoothed per-bucket target count times the smoothed raw token
+  *    total must stay under 2^63/1e6 ~ 9.2e12 — under bucket skew one hot
+  *    bucket alone can blow it long before the average does. Past the
+  *    bound Spark wraps longs silently (garbage scores) while other
+  *    engines error, so an `assert_true` guard over the nBuckets-row model
+  *    fails loudly instead, directing to `logRatio = true`.
   *  - prod (`logRatio = true`): textbook double log-importance
   *    log((tc_b+1)/T) - log((rc_b+1)/R) summed per document — the score the
   *    paper resamples on. No cross-engine oracle (float summation order),
@@ -74,9 +79,22 @@ object Selection {
         model.select(col("b"),
           (log(col("tc1").cast("double") / col("T")) -
             log(col("rc1").cast("double") / col("R"))).as("score"))
-      else
+      else {
+        // In-plan headroom guard, evaluated on the <= nBuckets model rows
+        // only (no extra corpus scan): 1e6 * tc1 * R must fit a long for
+        // EVERY bucket. The double-typed check is conservative (9.2e12 <
+        // 2^63/1e6) and cannot itself overflow. assert_true yields NULL on
+        // success; folding it into the score (+0) keeps Catalyst from
+        // pruning the unused guard column.
+        val guard = assert_true(
+          col("tc1").cast("double") * col("R").cast("double") < 9.2e12,
+          lit("DSIR parity-mode headroom exceeded: max per-bucket smoothed " +
+            "target count x smoothed raw tokens must stay under ~9.2e12; " +
+            "use logRatio = true for corpora this large"))
         model.select(col("b"),
-          expr("(1000000 * tc1 * R) div (rc1 * T)").as("score"))
+          (expr("(1000000 * tc1 * R) div (rc1 * T)") +
+            coalesce(guard.cast("long"), lit(0L))).as("score"))
+      }
 
     val perDoc = rawTok.join(broadcast(scored), Seq("b"))
       .groupBy(col(idCol))

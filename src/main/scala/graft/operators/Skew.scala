@@ -19,23 +19,41 @@ import org.apache.spark.sql.functions._
   * Cost: build side scales by nSalt — keep the REPLICATED side the smaller
   * one and nSalt near the executor-count granularity, not higher.
   *
-  * Exact same result set as the plain inner join (each probe row meets
-  * each matching build row exactly once, under exactly one salt value).
+  * Exact same result set as the plain join (each probe row meets each
+  * matching build row exactly once, under exactly one salt value; an
+  * unmatched probe row in a left join nulls out exactly once, under its
+  * one salt).
   */
 object Skew {
 
-  /** Inner equi-join of `probe` and `build` on `key`, salted `nSalt` ways.
-    * `probe` is the large/skewed side (salted); `build` is replicated. The
-    * salt is derived from a hash of the probe row's whole projection, so
-    * it is deterministic and uniform without needing a unique id column. */
+  /** Equi-join of `probe` and `build` on `key`, salted `nSalt` ways.
+    * `probe` is the large/skewed side (salted); `build` is replicated.
+    *
+    * The salt comes from `monotonically_increasing_id` — a per-row source
+    * INDEPENDENT of row content — so fully duplicate probe rows (identical
+    * key + payload, the common shape of a hot key after projection) still
+    * spread across all nSalt partitions; a content hash would send every
+    * copy to one salt and leave the hot partition whole. The salt never
+    * escapes the join, so result parity is unaffected.
+    *
+    * `joinType` may be any probe-preserving type — inner, left/left_outer,
+    * left_semi, left_anti — where replicating the build side keeps the
+    * result identical to the unsalted join. Build-preserving types (right/
+    * full) would emit each unmatched build row once PER SALT and are
+    * rejected. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 nSalt: Int): DataFrame = {
+                 nSalt: Int, joinType: String = "inner"): DataFrame = {
     require(nSalt > 0, "nSalt must be positive")
-    val saltP = pmod(hash(probe.columns.map(col): _*), lit(nSalt)).as("_salt")
+    val probePreserving =
+      Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti")
+    require(probePreserving(joinType.toLowerCase),
+      s"saltedJoin supports probe-preserving join types only, got $joinType")
+    val saltP = pmod(hash(monotonically_increasing_id()), lit(nSalt))
     val p = probe.withColumn("_salt", saltP)
     val b = build.withColumn("_salt",
       explode(sequence(lit(0), lit(nSalt - 1))))
-    p.join(b, Seq(key, "_salt")).drop("_salt")
+    p.join(b, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
   /** Rows per (key)-hash partition for `df` under `n` partitions — the

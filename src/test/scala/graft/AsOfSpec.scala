@@ -40,6 +40,22 @@ class AsOfSpec extends AnyFunSuite {
     assert(got(3) == ((4L, Some(21L), Some(2.0)))) // key isolation
   }
 
+  test("asOfJoin: null right payload still pairs id and value from the same row") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L)).toDF("lid", "k", "ts")
+    // latest right row (rid 12, ts 7) carries a NULL payload; an older row
+    // (rid 11, ts 3) carries a value. The match must be (12, null) — never
+    // the mismatched (12, 0.3) a per-column ignoreNulls carry would build.
+    val right = Seq(
+      (100L, 11L, 3L, Some(0.3)),
+      (100L, 12L, 7L, Option.empty[Double]))
+      .toDF("k", "rid", "ts", "v")
+    val got = AsOf.asOfJoin(left, right, "k", "ts", "rid", "v").collect()(0)
+    assert(got.getLong(3) == 12L)
+    assert(got.isNullAt(4), s"expected null payload from rid 12, got $got")
+  }
+
   test("asOfJoin plan: one key exchange, no nested-loop or cartesian") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -33,6 +33,36 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L), (2L, 3L), (2L, 4L), (3L, 4L), (6L, 7L)))
   }
 
+  test("salted band join: parity on a 90%-hot-key fixture, bounded task skew") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 90% of events on key 1, and all of key 1's events inside ONE 100-wide
+    // bucket — the worst case: one (key, bucket) cell holds the corpus.
+    val df = (1L to 2000L).map { i =>
+      if (i % 10 != 0) (i, i % 97, 1L)      // hot key, ts in [0, 97)
+      else (i, i * 13 % 5000, i % 7 + 2)    // cold keys spread out
+    }.toDF("id", "ts", "k")
+    def canon(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3)))
+        .sortBy(identity)
+    val plain = canon(RangeJoin.withinWindowPairs(df, "k", "ts", "id", 100L))
+    val salted = canon(RangeJoin.withinWindowPairs(df, "k", "ts", "id", 100L,
+      nSalt = 8))
+    assert(salted.length == plain.length && salted.sameElements(plain))
+
+    // the hot cell's LATER side actually spreads: no (k, b, salt) group
+    // holds more than 2x the even share of the hot cell's rows
+    import org.apache.spark.sql.functions._
+    val lateSalted = df.filter($"k" === 1L)
+      .select(expr("ts div 100").as("b"),
+        pmod(hash(monotonically_increasing_id()), lit(8)).as("s"))
+      .groupBy("b", "s").count().collect().map(_.getLong(2))
+    assert(lateSalted.length == 8, "hot cell not spread over all salts")
+    val mean = lateSalted.sum / lateSalted.length
+    assert(lateSalted.max <= 2 * mean,
+      s"salted hot cell still skewed: ${lateSalted.mkString(",")}")
+  }
+
   test("plan: hash equi-join on (key, bucket), no nested loop") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -39,13 +39,49 @@ class SkewSpec extends AnyFunSuite {
     import spark.implicits._
     val probe = (1L to 8000L).map(i => (1L, i)).toDF("k", "probe_val") // all hot
     val salted = probe.withColumn("_salt",
-      pmod(hash(probe.columns.map(col): _*), lit(8)))
+      pmod(hash(monotonically_increasing_id()), lit(8)))
     val sizes = salted.groupBy("_salt").count().collect().map(_.getLong(1))
     // every salt bucket occupied, and no bucket holds more than 2x the mean
     assert(sizes.length == 8)
     val mean = sizes.sum / sizes.length
     assert(sizes.max <= 2 * mean,
       s"salt distribution skewed: ${sizes.mkString(",")}")
+  }
+
+  test("fully duplicate probe rows still spread (content-independent salt)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // every probe row IDENTICAL (hot key + same payload) — a content-hash
+    // salt would put all 8000 on one salt value and not spread at all
+    val probe = (1L to 8000L).map(_ => (1L, 42L)).toDF("k", "probe_val")
+    val salted = probe.withColumn("_salt",
+      pmod(hash(monotonically_increasing_id()), lit(8)))
+    val sizes = salted.groupBy("_salt").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8)
+    val mean = sizes.sum / sizes.length
+    assert(sizes.max <= 2 * mean,
+      s"duplicate rows collapsed onto few salts: ${sizes.mkString(",")}")
+  }
+
+  test("saltedJoin == plain LEFT join, unmatched probe rows null exactly once") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 95% of probe rows on hot key 1; keys 0 and 4,6 have NO build match —
+    // the quarantine/enrichment shape (J4/J5) where production skew bites
+    val probe = (1L to 10000L)
+      .map(i => (if (i % 20 != 0) 1L else i % 7, i))
+      .toDF("k", "probe_val")
+    val build = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (5L, "e"))
+      .toDF("k", "build_val")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "probe_val", "build_val")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val plain = canon(probe.join(build, Seq("k"), "left"))
+    val salted = canon(Skew.saltedJoin(probe, build, "k", nSalt = 8,
+      joinType = "left"))
+    assert(salted.length == plain.length && salted.sameElements(plain))
   }
 
   test("partitionHistogram surfaces the hot key") {
