@@ -287,43 +287,73 @@ object TextDedup {
                        idCol: String, textCol: String,
                        minJaccard: Double = 0.6, maxBucket: Int = 4096,
                        oracleParity: Boolean = true): DataFrame = {
-    graft.functions.ArrayFunctions.register(existing.sparkSession)
-    val k = 8; val r = 2
     // ONE md5 pass per side: the sorted 3-gram hash arrays feed BOTH the
     // minhash signatures (min of perturbed hashes, same coefficients as
     // minHashSignature) and the exact verification, so the signature space
     // is the very space the Jaccard threshold verifies and the corpus is
     // hashed half as often (measured ~10 -> ~6 s at sf0.1; the self-join
     // pipeline [[nearDuplicatePairs]] adopted the same design in round 5).
-    val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
     val shE = sortedShingleHashes(existing, idCol, textCol, oracleParity = oracleParity)
-    def banded(sh: DataFrame): DataFrame = {
-      val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
-      val mins = (0 until k).map { i =>
-        val a = 2L * i + 1; val b = i.toLong * i + 1
-        min((col("h") * a + b) % P).as(s"mh$i")
-      }
-      val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      val bandCols = (0 until k / r).map { band =>
-        concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
-      }
-      sig.select(col(idCol),
-          posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-        .localCheckpoint()
+    incrementalDedupAgainst(shE, bandedFromShingles(shE, idCol),
+      incoming, idCol, textCol, minJaccard, maxBucket, oracleParity)
+  }
+
+  /** Banded minhash index rows (id, band, bucket) from a
+    * [[sortedShingleHashes]] table — the persistable form of the existing-
+    * corpus side (see [[DedupIndex]]): k=8 perturbed-min signatures in 4
+    * bands of 2, same coefficients as [[minHashSignature]]. */
+  def bandedFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+    val k = 8; val r = 2
+    val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      min((col("h") * a + b) % P).as(s"mh$i")
     }
-    val bi = banded(shI)
-    val be = banded(shE)
-    val counts = bi.unionByName(be).groupBy("band", "bucket").count()
+    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until k / r).map { band =>
+      concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
+    }
+    sig.select(col(idCol),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .localCheckpoint()
+  }
+
+  /** [[incrementalDedup]] against a PRECOMPUTED existing side — `shE` the
+    * (id, sh) sorted-shingle table and `be` its (id, band, bucket) band
+    * index, either built in-session or loaded from a [[DedupIndex]]
+    * store. This is the per-batch path at scale: only the incoming batch
+    * is hashed fresh; the existing corpus contributes stored rows and is
+    * NEVER re-scanned or re-hashed. */
+  def incrementalDedupAgainst(shE: DataFrame, be: DataFrame,
+                              incoming: DataFrame,
+                              idCol: String, textCol: String,
+                              minJaccard: Double = 0.6, maxBucket: Int = 4096,
+                              oracleParity: Boolean = true): DataFrame = {
+    graft.functions.ArrayFunctions.register(incoming.sparkSession)
+    val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
+    val bi = bandedFromShingles(shI, idCol)
+    // Every downstream stage only cares about buckets the BATCH touches:
+    // an existing doc sharing no band bucket with any incoming doc can
+    // never become a candidate, so the stored index is semi-joined down to
+    // the batch's (band, bucket) set FIRST (a broadcast — the batch is
+    // small by definition). Per-batch shuffle/aggregation volume is then
+    // bounded by the touched buckets' population, independent of total
+    // corpus size; the bucket ceiling is likewise judged over the touched
+    // population only (an over-full bucket nobody probes needs no exact
+    // recovery).
+    val beT = be.join(broadcast(bi.select("band", "bucket").distinct()),
+      Seq("band", "bucket"), "left_semi")
+    val counts = bi.unionByName(beT).groupBy("band", "bucket").count()
     val ok = counts.filter(col("count") <= maxBucket).select("band", "bucket")
     val hot = counts.filter(col("count") > maxBucket).select("band", "bucket")
     val lshCand = bi.join(ok, Seq("band", "bucket"))
       .select(col(idCol).as("new_id"), col("band"), col("bucket"))
-      .join(be.join(ok, Seq("band", "bucket"))
+      .join(beT.join(ok, Seq("band", "bucket"))
         .select(col(idCol).as("old_id"), col("band"), col("bucket")),
         Seq("band", "bucket"))
       .select(col("new_id"), col("old_id"))
     val hotI = bi.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
-    val hotE = be.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
+    val hotE = beT.join(hot, Seq("band", "bucket")).select(col(idCol)).distinct()
     val cand =
       if (maxBucket <= 0 || (hotI.isEmpty && hotE.isEmpty)) lshCand.distinct()
       else {

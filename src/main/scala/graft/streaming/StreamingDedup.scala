@@ -39,10 +39,24 @@ object StreamingDedup {
     * within the stream itself stays [[dedupStream]]'s job; this gate
     * screens against the accumulated corpus. */
   def nearDupGate(existing: DataFrame, batch: DataFrame, idCol: String,
-                  textCol: String, minJaccard: Double = 0.6): DataFrame = {
+                  textCol: String, minJaccard: Double = 0.6): DataFrame =
+    keep(batch, idCol, graft.operators.TextDedup
+      .incrementalDedup(existing, batch, idCol, textCol, minJaccard))
+
+  /** Index-backed gate — the production shape: the existing corpus
+    * contributes its STORED [[graft.operators.DedupIndex]] (built once,
+    * appended per accepted batch), so each micro-batch pays one signature
+    * pass over the batch plus touched-bucket joins against the store —
+    * never a corpus rehash. Maintain the index by calling
+    * `DedupIndex.append` with each batch's survivors after it commits. */
+  def nearDupGate(indexDir: String, batch: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    keep(batch, idCol, graft.operators.DedupIndex
+      .matchBatch(batch, idCol, textCol, indexDir))
+
+  private def keep(batch: DataFrame, idCol: String,
+                   verdict: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val verdict = graft.operators.TextDedup
-      .incrementalDedup(existing, batch, idCol, textCol, minJaccard)
     batch.join(
       verdict.filter(!col("is_dup")).select(col("new_id").as(idCol)),
       Seq(idCol), "left_semi")

@@ -107,4 +107,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(kept.toSet == batchKept, s"missing=${batchKept -- kept.toSet} extra=${kept.toSet -- batchKept}")
     assert(kept.size == kept.toSet.size, "a doc was emitted twice")
   }
+
+  test("near-dup gate at sf0.1: 20 micro-batches vs the stored index == batch survivors") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incomingRows = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val idxDir = Files.createTempDirectory("graft_ndgate_idx").toString
+    graft.operators.DedupIndex.build(existing, "doc_id", "text", idxDir)
+
+    // ground truth: ONE batch gate over the whole incoming set, same index
+    val batchKept = StreamingDedup.nearDupGate(idxDir,
+        incomingRows.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept.nonEmpty && batchKept.size < incomingRows.size,
+      s"fixture should both keep and drop docs (kept ${batchKept.size}/${incomingRows.size})")
+
+    // 20 micro-batches through the index-backed gate (foreachBatch shape;
+    // driving the gate directly per-slice — the streaming-source plumbing
+    // itself is covered by the 3-batch case above)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val batchTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    incomingRows.grouped((incomingRows.size + 19) / 20).foreach { slice =>
+      val t0 = System.nanoTime()
+      kept ++= StreamingDedup.nearDupGate(idxDir,
+          slice.toDF("doc_id", "text"), "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0))
+      batchTimes += (System.nanoTime() - t0) / 1e9
+    }
+    info(f"per-batch wall: median ${batchTimes.sorted.apply(batchTimes.size / 2)}%.2f s " +
+      f"max ${batchTimes.max}%.2f s over ${batchTimes.size} batches")
+    assert(kept.toSet == batchKept,
+      s"missing=${batchKept -- kept.toSet} extra=${kept.toSet -- batchKept}")
+    assert(kept.size == kept.toSet.size, "a doc was emitted twice")
+  }
 }
