@@ -2963,17 +2963,23 @@ object SparkEntry {
     * mirroring Similarity.annTopKLsh's nTables = 4), `lcand` the distinct
     * (qid, nid) pairs sharing any table bucket. */
   private lazy val annLshCandCte: String = {
-    val arms = (0 until 4).map { t =>
+    val arms = (0 until 8).map { t =>
       s"""SELECT vec_id, $t AS tab, ${lshBucketSql("embedding", 4, t * 4)} AS bucket
           FROM embeddings"""
     }.mkString("\n          UNION ALL ")
+    // query-side Hamming-1 multi-probe: each query probes its own bucket
+    // plus every single-bit flip (mirrors annTopKLsh hammingProbe = 1)
+    val probeArms = ("bucket" +: (0 until 4).map(j => s"xor(bucket, ${1L << j})"))
+      .map(b => s"SELECT vec_id, tab, $b AS bucket FROM lb WHERE vec_id < 10")
+      .mkString("\n          UNION ALL ")
     s"""lb AS (
           $arms),
+        lq AS (
+          $probeArms),
         lcand AS (
           SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-          FROM lb q JOIN lb c
-            ON q.tab = c.tab AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 10)"""
+          FROM lq q JOIN lb c
+            ON q.tab = c.tab AND q.bucket = c.bucket AND q.vec_id <> c.vec_id)"""
   }
 
   /** Sign-bit hyperplane bucket (mirrors Similarity.lshSignBits; `offset`

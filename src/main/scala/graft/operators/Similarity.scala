@@ -121,17 +121,27 @@ object Similarity {
     * 100 TB this is the difference between O(n*q) and
     * O(n*q*nTables / 2^bits) comparisons. `nTables` independent tables
     * (disjoint planes via the offset, the [[cosinePairsLsh]] scheme)
-    * recover part of the recall a single bucketing loses: measured
-    * recall@3 on the synthetic corpus is 0.20 with one table, 0.33 with
-    * four (the true neighbors there are only moderately similar, so
-    * sign-collision probability per table is low) — shipped as the
-    * q_ann_recall audit, the number to check before trusting an
-    * approximate index at a new scale. On corpora like this one the IVF
-    * path dominates (0.83 at nProbe=1, higher per probe): prefer
-    * [[annTopKIvf]] and treat LSH ANN as the no-training fallback. */
+    * recover part of the recall a single bucketing loses.
+    *
+    * MULTI-PROBE (`hammingProbe = 1`, the default): each QUERY also probes
+    * every bucket at Hamming distance 1 from its own signature — the
+    * bucket a true neighbor most likely fell into when exactly one
+    * hyperplane sign disagreed (Lv et al., VLDB'07). Only the small
+    * broadcast query side fans out (1 + nBits probes per table); the
+    * corpus keeps one bucket per table, so index size and the equi-join
+    * shape are unchanged. Measured recall@3 on the synthetic corpus
+    * (q_ann_recall audit at sf0.01): 0.33 with 4 exact-bucket tables ->
+    * 0.60 with Hamming-1 probing -> 0.77 with 8 tables + Hamming-1 (the
+    * shipped default), at ~5x the (still bucket-bounded) candidate volume
+    * per table — the number to check before trusting an approximate index
+    * at a new scale, bounded >= 0.7 in SimilaritySpec. `hammingProbe = 0`
+    * restores exact-bucket probing; the IVF paths ([[annTopKIvf]] 0.83 at
+    * nProbe=1) remain the trained alternative. */
   def annTopKLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, nBits: Int = 4,
-                 nTables: Int = 4): DataFrame = {
+                 nTables: Int = 8, hammingProbe: Int = 1): DataFrame = {
+    require(hammingProbe >= 0 && hammingProbe <= 1,
+      "hammingProbe radius 0 or 1 only")
     def banded(df: DataFrame, id: String) = {
       val buckets = array((0 until nTables).map(t =>
         lshSignBits(col("v"), nBits, t * nBits)): _*)
@@ -139,10 +149,17 @@ object Similarity {
     }
     val cPrep = prepared(corpus, idCol, vecCol)
     val qPrep = prepared(queries, idCol, vecCol)
-    // a (query, neighbor) pair colliding in several tables is scored once:
-    // distinct on bare ids BEFORE the vectors re-join
+    val qBanded0 = banded(qPrep, "qid")
+    val qBanded =
+      if (hammingProbe == 0) qBanded0
+      else qBanded0.select(col("qid"), col("tab"),
+        explode(array(col("bucket") +:
+          (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    // a (query, neighbor) pair colliding in several tables/probes is scored
+    // once: distinct on bare ids BEFORE the vectors re-join
     val cand = banded(cPrep, "nid")
-      .join(broadcast(banded(qPrep, "qid")), Seq("tab", "bucket"))
+      .join(broadcast(qBanded), Seq("tab", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"))
       .distinct()

@@ -221,6 +221,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(single.count() > 0)
   }
 
+  test("annTopKLsh multi-probe recall@3 >= 0.7 on the sf0.01 audit corpus") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = Similarity.annTopK(e, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annTopKLsh(e, q, "vec_id", "embedding", 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.7,
+      f"LSH ANN recall@3 $recall%.3f below 0.7 — defaults no longer fit for use")
+    // multi-probe must strictly beat the exact-bucket probing it replaces
+    val p0 = Similarity.annTopKLsh(e, q, "vec_id", "embedding", 3,
+        hammingProbe = 0)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.intersect(exact).size > p0.intersect(exact).size,
+      "Hamming-1 probing did not improve recall over exact-bucket probing")
+  }
+
   test("annTopKIvf: assignment aggregates (single Window node = final top-k only)") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = embeddings
