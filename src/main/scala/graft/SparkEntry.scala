@@ -690,6 +690,22 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // Sketch twin of the exact report — ONE aggregation pass over the raw
+    // values (KLL/GK-style percentile_approx, error bounded by the
+    // accuracy parameter), no histogram, no second phase: the cheapest
+    // 100-TB path when the SLA tolerates approximate quantiles. Rows-only
+    // (sketch internals differ across engines, like the xxhash64 twins);
+    // the exact q_value_percentiles is the cross-engine-verified form.
+    "q_value_percentiles_approx" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("value"))
+      ev.agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
+        .select(posexplode(col("ps")).as(Seq("i", "value")))
+        .select(element_at(array(lit(50L), lit(90L), lit(99L)),
+          col("i") + 1).as("pct"), col("value"))
+        .orderBy("pct")
+    }),
+
     // Salted skew join: the explicit, planner-independent skew mitigation
     // (probe side salted, build side replicated nSalt ways, join on
     // (key, salt)) — result-identical to the plain inner join, which is

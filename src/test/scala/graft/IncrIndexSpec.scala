@@ -59,6 +59,37 @@ class IncrIndexSpec extends AnyFunSuite {
       appended.sameElements(rebuilt))
   }
 
+  test("sequential ingest: appending batch survivors suppresses later copies") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") % 5 === 1)
+    val b1 = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft_didx_seq").toString
+    DedupIndex.build(seed, "doc_id", "text", dir)
+
+    // batch 1: gate against the seed corpus, then APPEND its survivors —
+    // the maintenance discipline the production gate runs per batch
+    val s1 = graft.streaming.StreamingDedup
+      .nearDupGate(dir, b1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.nonEmpty)
+    DedupIndex.append(s1.toSeq.toDF("doc_id", "text"), "doc_id", "text", dir)
+
+    // batch 2: verbatim copies of batch 1's survivors under fresh ids.
+    // Against the seed-only index they would ALL survive again (same text
+    // -> same verdict); against the appended index every copy must drop.
+    val b2 = s1.map { case (id, text) => (id + 1000000L, text) }
+      .toSeq.toDF("doc_id", "text")
+    val s2 = graft.streaming.StreamingDedup
+      .nearDupGate(dir, b2, "doc_id", "text")
+      .collect()
+    assert(s2.isEmpty,
+      s"${s2.length} copies of already-accepted docs slipped past the " +
+        "appended index")
+  }
+
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")

@@ -52,7 +52,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_length_filter" ->
       ("cumulative over the DISTINCT token-count histogram " +
         "(TextAnalysis.lengthPercentileTrim) — cardinality bounded by the " +
-        "longest document's token count, not by corpus size"))
+        "longest document's token count, not by corpus size"),
+    "q_tokenize" ->
+      ("dense-id ranking over the already-truncated top-k vocabulary " +
+        "(TextAnalysis.vocabIds: Window AFTER limit(k)) — input <= k rows"),
+    "q_bm25" ->
+      ("final rank over the already-truncated top-K retrieval result " +
+        "(TextAnalysis.bm25Rank: Window AFTER limit(topK)) — input <= 20 rows"),
+    "q_bm25_prod" ->
+      ("same bounded bm25Rank ranking window as q_bm25 (prod scoring mode)"))
 
   test("no query plan contains a cartesian or unexplained nested-loop join") {
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,16 +79,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
   }
 
+  // The check runs on the OPTIMIZED LOGICAL plan, not executedPlan: under
+  // AQE the physical tree roots at AdaptiveSparkPlanExec (a leaf node), so
+  // a physical-node collect() silently finds NOTHING — a vacuous gate
+  // (caught by PercentilesSpec's positive-detection case).
   test("no query plan contains an unexplained unpartitioned window") {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       val windows =
-        try fn(spark, dir).queryExecution.executedPlan.collect {
-          case w: org.apache.spark.sql.execution.window.WindowExec
+        try fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
-          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          case w: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
               if w.partitionSpec.isEmpty => w
         }
         catch {
