@@ -10,14 +10,23 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q_bm25", "q_mix_plan", "q_mix_apply", "q_shuffle_order", "q_incr_dedup")) {
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_bm25", "q_mix_plan", "q_mix_apply", "q_shuffle_order", "q_incr_dedup")
+    for (name <- names) {
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      val plan = qe.executedPlan.toString
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       val bcasts = "BroadcastExchange".r.findAllIn(plan).length
       val bnlj = plan.contains("BroadcastNestedLoopJoin")
       val cart = plan.contains("CartesianProduct")
-      println(s"PLAN $name: shuffles=$exchanges broadcasts=$bcasts bnlj=$bnlj cartesian=$cart")
+      // logical plan, not executedPlan: AQE hides the physical tree behind
+      // AdaptiveSparkPlanExec (see PlanShapeSpec's gate)
+      val unpartWin = qe.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }.length
+      println(s"PLAN $name: shuffles=$exchanges broadcasts=$bcasts " +
+        s"bnlj=$bnlj cartesian=$cart unpartitioned_windows=$unpartWin")
     }
     spark.stop()
   }
