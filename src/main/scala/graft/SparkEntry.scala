@@ -344,6 +344,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Combined IVF-PQ ANN (the full FAISS-style index, both halves
+    // composed): trained coarse cells restrict each query to nProbe cells,
+    // PQ lookup tables score only those cells' members — the corpus is
+    // both filtered (1/nCells per probe) and compressed (4 code bytes, not
+    // 64 floats) at serving time. Exact integer distances throughout.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.Clustering.annTopKIvfPq(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1610,6 +1622,30 @@ object SparkEntry {
            FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
              JOIN sc3 s3 USING (qid, id)
            WHERE s0.id <> s0.qid),
+         r AS (SELECT qid, id, adist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
+           FROM scores)
+         SELECT qid, rank, id AS nid, adist FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
+    "q_ann_ivfpq" ->
+      s"""WITH ${kmeansCteSub("iv", 8, 3, 64, 0)},
+         ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16)).mkString(",\n")},
+         qprobe AS (SELECT id AS qid, j FROM (
+             SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+             FROM d3iv WHERE id < 10) WHERE rn <= 2),
+         cand AS (SELECT p.qid, f.id FROM qprobe p JOIN finiv f ON f.j = p.j
+           WHERE f.id <> p.qid),
+         ${(0 until 4).map { s =>
+           s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
+                FROM ptss$s p JOIN cent1s$s c USING (pos)
+                WHERE p.id < 10 GROUP BY p.id, c.j),
+              sc$s AS (SELECT l.qid, f.id, l.pd FROM fins$s f JOIN lut$s l ON l.j = f.j)"""
+         }.mkString(",\n")},
+         scores AS (SELECT s0.qid, s0.id,
+             CAST(s0.pd + s1.pd + s2.pd + s3.pd AS BIGINT) AS adist
+           FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
+             JOIN sc3 s3 USING (qid, id)
+             JOIN cand c ON c.qid = s0.qid AND c.id = s0.id),
          r AS (SELECT qid, id, adist,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
            FROM scores)

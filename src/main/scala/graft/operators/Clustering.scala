@@ -93,6 +93,57 @@ object Clustering {
       fin.getField("d").as("dist"))
   }
 
+  /** Exact integer squared L2 of a quantized vector column to a centroid
+    * literal. */
+  private def qdist(q: Column, c: Array[Long]): Column =
+    aggregate(zip_with(q, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Per-subspace PQ training artifacts: the corpus code table
+    * (sub, id, code) and the per-query lookup tables (qid, sub, code, pd)
+    * — pd the exact integer squared L2 from the query's subvector to that
+    * centroid. The LUTs are |queries|*m*k rows: broadcast-sized by
+    * construction. */
+  private def pqParts(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
+                      scale: Int): (DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val parts = (0 until m).map { s =>
+      val sliceCol = slice(col(vecCol), s * subDim + 1, subDim)
+      val cpts = quantized(corpus.select(col(idCol), sliceCol.as("v")),
+        idCol, "v", scale)
+      val cents = train(cpts, k, iters)
+      val codes = cpts.select(lit(s).as("sub"), col("id"),
+        nearest(cents, col("q")).getField("j").as("code"))
+      val qpts = quantized(queries.select(col(idCol), sliceCol.as("v")),
+        idCol, "v", scale)
+      val lut = qpts.select(col("id").as("qid"),
+          explode(array(cents.map { case (j, c) =>
+            struct(lit(j).as("code"), qdist(col("q"), c).as("pd"))
+          }: _*)).as("e"))
+        .select(col("qid"), lit(s).as("sub"),
+          col("e.code").as("code"), col("e.pd").as("pd"))
+      (codes, lut)
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Per-query top-kNN by summed PQ lookup distance over a candidate
+    * (sub, id, code, qid) table: broadcast-LUT join, (qid, id)-keyed
+    * partial-agg sum, per-query window. */
+  private def pqTopK(cands: DataFrame, kNN: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adist"), col("id"))
+    cands
+      .groupBy(col("qid"), col("id"))
+      .agg(sum("pd").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select(col("qid"), col("rank"), col("id").as("nid"), col("adist"))
+  }
+
   /** PQ asymmetric-distance ANN (the serving half of IVF-PQ): per
     * subspace, train centroids on the corpus, code every corpus vector,
     * and precompute each QUERY's distance to every centroid — an m*k-row
@@ -109,39 +160,59 @@ object Clustering {
   def annTopKPq(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, dim: Int, kNN: Int = 3, m: Int = 4,
                 k: Int = 16, iters: Int = 2, scale: Int = 1000): DataFrame = {
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val subDim = dim / m
-    val parts = (0 until m).map { s =>
-      val sliceCol = slice(col(vecCol), s * subDim + 1, subDim)
-      val cpts = quantized(corpus.select(col(idCol), sliceCol.as("v")),
-        idCol, "v", scale)
-      val cents = train(cpts, k, iters)
-      val codes = cpts.select(lit(s).as("sub"), col("id"),
-        nearest(cents, col("q")).getField("j").as("code"))
-      val qpts = quantized(queries.select(col(idCol), sliceCol.as("v")),
-        idCol, "v", scale)
-      val lut = qpts.select(col("id").as("qid"),
-          explode(array(cents.map { case (j, c) =>
-            val centLit = array(c.map(lit(_)): _*)
-            struct(lit(j).as("code"),
-              aggregate(zip_with(col("q"), centLit, (a, b) => (a - b) * (a - b)),
-                lit(0L), (acc, x) => acc + x).as("pd"))
-          }: _*)).as("e"))
-        .select(col("qid"), lit(s).as("sub"),
-          col("e.code").as("code"), col("e.pd").as("pd"))
-      (codes, lut)
-    }
-    val codes = parts.map(_._1).reduce(_ unionByName _)
-    val luts = parts.map(_._2).reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("adist"), col("id"))
-    codes.join(broadcast(luts), Seq("sub", "code"))
+    val (codes, luts) = pqParts(corpus, queries, idCol, vecCol, dim, m, k,
+      iters, scale)
+    pqTopK(codes.join(broadcast(luts), Seq("sub", "code"))
+      .filter(col("id") =!= col("qid")), kNN)
+  }
+
+  /** Combined IVF-PQ ANN — the full FAISS-style index architecture, both
+    * halves composed: a trained coarse quantizer (the deterministic
+    * integer Lloyd's over FULL vectors) restricts each query to its
+    * `nProbe` nearest cells, and only those cells' members are scored,
+    * via the PQ code/lookup-table machinery (never the raw vectors).
+    *
+    * Scale shape (the 100-TB serving path): corpus cell assignment is the
+    * k-means literal projection (join-free); the candidate restriction is
+    * ONE equi-join of the cell table against the broadcast (qid, cell)
+    * probe set; scoring joins candidates to codes on id and to the
+    * broadcast LUTs on (qid, sub, code), then the same partial-agg sum +
+    * per-query window as [[annTopKPq]]. Scored volume drops from |corpus|
+    * to ~|corpus| * nProbe / nCells per query, and the scored payload is
+    * m code bytes per vector, not dim floats. All distances exact
+    * integers; `nProbe = nCells` degenerates to exactly [[annTopKPq]]'s
+    * ranking (asserted in ClusteringSpec). Returns (qid, rank, nid,
+    * adist). */
+  def annTopKIvfPq(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, kNN: Int = 3, nCells: Int = 8,
+                   cIters: Int = 3, nProbe: Int = 2, m: Int = 4, k: Int = 16,
+                   iters: Int = 2, scale: Int = 1000): DataFrame = {
+    // coarse quantizer over the full vectors: corpus side assigns to its
+    // single nearest cell (literal projection, join-free)
+    val cpts = quantized(corpus, idCol, vecCol, scale)
+    val cents = train(cpts, nCells, cIters)
+    val cells = cpts.select(col("id"),
+      nearest(cents, col("q")).getField("j").as("cell"))
+    // query side probes its nProbe nearest cells (ties to the lowest cell
+    // id, the repo-wide determinism rule); the window is fine here because
+    // the query set is the small broadcast side
+    val qpts = quantized(queries, idCol, vecCol, scale)
+    val qcd = qpts.select(col("id").as("qid"),
+        explode(array(cents.map { case (j, c) =>
+          struct(lit(j).as("cell"), qdist(col("q"), c).as("d"))
+        }: _*)).as("e"))
+      .select(col("qid"), col("e.cell").as("cell"), col("e.d").as("d"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("d"), col("cell"))
+    val probes = qcd.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe).select(col("qid"), col("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
-      .groupBy(col("qid"), col("id"))
-      .agg(sum("pd").as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= kNN)
-      .select(col("qid"), col("rank"), col("id").as("nid"), col("adist"))
+      .select(col("qid"), col("id"))
+    val (codes, luts) = pqParts(corpus, queries, idCol, vecCol, dim, m, k,
+      iters, scale)
+    pqTopK(cand.join(codes, Seq("id"))
+      .join(broadcast(luts), Seq("qid", "sub", "code")), kNN)
   }
 
   /** Product quantization: split each vector into `m` equal subspaces, run

@@ -133,6 +133,47 @@ class ClusteringSpec extends AnyFunSuite {
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("annTopKIvfPq: probing all cells degenerates to the full PQ ranking") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 5).toFloat, (i % 3).toFloat, (i % 7).toFloat, (i % 2).toFloat)))
+    val corpus = df(rows)
+    val queries = df(rows.take(4))
+    val full = Clustering.annTopKPq(corpus, queries, "vec_id", "embedding",
+        dim = 4, kNN = 3, m = 2, k = 4, iters = 2)
+      .orderBy("qid", "rank").collect()
+    val ivfpq = Clustering.annTopKIvfPq(corpus, queries, "vec_id", "embedding",
+        dim = 4, kNN = 3, nCells = 4, cIters = 2, nProbe = 4, m = 2, k = 4,
+        iters = 2)
+      .orderBy("qid", "rank").collect()
+    assert(ivfpq.map(_.toSeq).toSeq == full.map(_.toSeq).toSeq,
+      "nProbe = nCells must reproduce the unfiltered PQ ranking exactly")
+  }
+
+  test("annTopKIvfPq: restricted probes return a subset of the probed cells") {
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 5).toFloat, (i % 3).toFloat, (i % 7).toFloat, (i % 2).toFloat)))
+    val corpus = df(rows)
+    val queries = df(rows.take(3))
+    val out = Clustering.annTopKIvfPq(corpus, queries, "vec_id", "embedding",
+        dim = 4, kNN = 3, nCells = 4, cIters = 2, nProbe = 1, m = 2, k = 4,
+        iters = 2)
+      .orderBy("qid", "rank").collect()
+    // every query still fills k slots (its own cell holds >= kNN members
+    // on this fixture), ranks are dense from 1, self excluded
+    assert(out.groupBy(_.getLong(0)).forall { case (_, rs) =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length) && rs.length <= 3
+    })
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    // neighbors must come from the query's probed cell
+    val cells = Clustering.kmeansAssign(corpus, "vec_id", "embedding",
+        k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- out)
+      assert(cells(r.getLong(2)) == cells(r.getLong(0)),
+        s"nProbe=1 neighbor outside the query's own cell: $r")
+  }
+
   test("assignment plan is scan + projection — no join, no cartesian") {
     val rows = (0L until 20L).map(i => (i, Seq(i.toFloat, (i * 3 % 5).toFloat)))
     val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
