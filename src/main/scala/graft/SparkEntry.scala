@@ -928,6 +928,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Weighted multinomial sampling with replacement: 200 draws with
+    // P(doc) proportional to token count — the temperature-weighted draw
+    // step of mixture sampling. Interval table from the two-phase prefix
+    // sum; draw lookup is the banded-range-join rewrite (bucket equi-join,
+    // never a theta join); every position is a seed-keyed md5 hash, so the
+    // sample is engine/run/partitioning-reproducible.
+    "q_weighted_sample" -> ((s, dir) => {
+      operators.Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+          size(split(col("text"), " ")).cast("long"), nDraws = 200, seed = 7L)
+        .orderBy("draw_idx")
+    }),
+
     // Deterministic stratified subsample by language: per-stratum hash
     // thresholds, nested samples for free — pure filter, zero shuffle.
     "q_stratified_sample" -> ((s, dir) => {
@@ -1957,6 +1969,21 @@ object SparkEntry {
          SELECT doc_id, lang FROM b
          WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 3000 ELSE 1000 END
          ORDER BY doc_id""",
+    "q_weighted_sample" ->
+      """WITH wts AS (SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+           FROM documents WHERE len(string_split(text, ' ')) > 0),
+         p AS (SELECT doc_id, w,
+             CAST(COALESCE(sum(w) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS lo
+           FROM wts),
+         t AS (SELECT CAST(max(lo + w) AS BIGINT) AS tot FROM p),
+         d AS (SELECT CAST(r.i AS BIGINT) AS draw_idx,
+             ('0x' || substr(md5('7_' || CAST(r.i AS VARCHAR)), 1, 15))::BIGINT % t.tot AS pos
+           FROM (SELECT unnest(range(200)) AS i) r, t)
+         SELECT d.draw_idx, p.doc_id, p.w
+         FROM d JOIN p ON d.pos >= p.lo AND d.pos < p.lo + p.w
+         ORDER BY draw_idx""",
     "q_flink_fns" ->
       """WITH src AS (SELECT o_orderkey,
            '{"a": "' || o_orderpriority || '"}' AS j,

@@ -29,27 +29,27 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Exclusive prefix sum of `nTokCol` in ascending `idCol` order, plus the
-    * context-window assignment for `contextLen`-token bins of the
-    * concatenated stream: first_bin/last_bin are the bins holding the
-    * document's first/last token, n_bins the span. */
-  def packTokenStream(docs: DataFrame, idCol: String, nTokCol: Column,
-                      contextLen: Int): DataFrame = {
+  /** Exclusive prefix sum of `valCol` in ascending `idCol` order — the
+    * two-phase distributed scan described above, reusable by anything that
+    * needs a global running total (packing bins, weighted-sampling
+    * intervals). Returns (doc_id, n, start) with `start` the sum of `n`
+    * over all lower-id rows. No single-reducer stage in the plan. */
+  def prefixSum(docs: DataFrame, idCol: String, valCol: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs
-      .select(col(idCol).as("doc_id"), nTokCol.cast("long").as("n_tok"))
+      .select(col(idCol).as("doc_id"), valCol.cast("long").as("n"))
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
-    // One row per partition: (pid, min doc_id, token total). Bounded by the
+    // One row per partition: (pid, min doc_id, value total). Bounded by the
     // partition count — manifest-scale bookkeeping, not a data collect.
     // orderBy("lo") sorts with the id column's own type ordering, so int,
     // long, and string doc ids all work — a driver-side getAs[Long] sort
     // would ClassCastException on anything but long.
     val partRows = base.groupBy("_pid")
-      .agg(min("doc_id").as("lo"), sum("n_tok").as("tot"))
+      .agg(min("doc_id").as("lo"), sum("n").as("tot"))
       .orderBy("lo")
       .collect()
     val offsets = partRows
@@ -61,10 +61,20 @@ object Packing {
     val offsetDf = offsetByPid.toSeq.toDF("_pid", "_offset")
     val within = Window.partitionBy("_pid").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val L = lit(contextLen.toLong)
     base.join(broadcast(offsetDf), Seq("_pid"))
-      .withColumn("start_tok",
-        coalesce(sum("n_tok").over(within), lit(0L)) + col("_offset"))
+      .withColumn("start",
+        coalesce(sum("n").over(within), lit(0L)) + col("_offset"))
+      .select("doc_id", "n", "start")
+  }
+
+  /** Exclusive prefix sum of `nTokCol` in ascending `idCol` order, plus the
+    * context-window assignment for `contextLen`-token bins of the
+    * concatenated stream: first_bin/last_bin are the bins holding the
+    * document's first/last token, n_bins the span. */
+  def packTokenStream(docs: DataFrame, idCol: String, nTokCol: Column,
+                      contextLen: Int): DataFrame = {
+    prefixSum(docs, idCol, nTokCol)
+      .select(col("doc_id"), col("n").as("n_tok"), col("start").as("start_tok"))
       .withColumn("first_bin", expr(s"start_tok div $contextLen"))
       .withColumn("last_bin",
         expr(s"(start_tok + n_tok - 1) div $contextLen"))

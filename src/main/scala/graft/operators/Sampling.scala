@@ -174,6 +174,53 @@ object Sampling {
       .drop("_h", "_rk")
   }
 
+  /** Weighted multinomial sampling WITH replacement: `nDraws` draws where
+    * P(doc) = weight / total — the temperature/quality-weighted document
+    * sampling step of a mixture pipeline (e.g. draws proportional to token
+    * count, or to an up-weighting score), where [[applyMixPlan]]'s
+    * keep/drop filtering is too coarse. Deterministic end to end: draw i
+    * lands at position stableHash(seed, i) mod totalWeight on the
+    * concatenated weight line, and the doc owning that interval wins — no
+    * RNG, reproducible across engines, runs, and input partitioning.
+    *
+    * Scale shape (100 TB): the interval table comes from
+    * [[Packing.prefixSum]] (two-phase distributed scan — no single-reducer
+    * window); the draw-to-interval lookup is the banded-range-join
+    * rewrite: positions bucket by `pos div bucketSize`, intervals explode
+    * over the (few) buckets they span — total explode volume is
+    * ~nBuckets + nDocs rows — and the match is a hash equi-join on the
+    * bucket id with the exact containment predicate filtered in-stage.
+    * Never a theta join, never a nested loop; the two crossJoins are
+    * 1-row total-weight broadcasts. Zero-weight rows are excluded (they
+    * own an empty interval). Returns (draw_idx, doc_id, w) — exactly one
+    * row per draw, because the intervals partition [0, total). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     nDraws: Int, seed: Long = 0L,
+                     nBuckets: Int = 1024): DataFrame = {
+    require(nDraws > 0 && nBuckets > 0, "need positive nDraws/nBuckets")
+    val spark = df.sparkSession
+    // (doc_id, w, lo): each positive-weight doc owns [lo, lo + w).
+    // Checkpointed — it feeds the 1-row total AND the lookup join.
+    val pref = Packing.prefixSum(df.filter(weightCol > lit(0L)), idCol, weightCol)
+      .select(col("doc_id"), col("n").as("w"), col("start").as("lo"))
+      .localCheckpoint()
+    val tot = pref.agg(max(col("lo") + col("w")).as("tot"))
+    val bSize = s"((tot + ${nBuckets - 1}) div $nBuckets)" // ceil(tot/nBuckets)
+    val draws = spark.range(nDraws).toDF("draw_idx")
+      .crossJoin(broadcast(tot))
+      .withColumn("pos", pmod(TextDedup.stableHash(
+        concat_ws("_", lit(seed), col("draw_idx").cast("string"))), col("tot")))
+      .withColumn("bkt", expr(s"pos div $bSize"))
+      .select("draw_idx", "pos", "bkt")
+    val spans = pref.crossJoin(broadcast(tot))
+      .withColumn("bkt", explode(sequence(
+        expr(s"lo div $bSize"), expr(s"(lo + w - 1) div $bSize"))))
+      .select(col("doc_id"), col("w"), col("lo"), col("bkt"))
+    draws.join(spans, Seq("bkt"))
+      .filter(col("pos") >= col("lo") && col("pos") < col("lo") + col("w"))
+      .select(col("draw_idx"), col("doc_id"), col("w"))
+  }
+
   /** Deterministic per-stratum subsample: keep a row iff its hash bucket
     * falls below `fractions(stratum) * 10000` (strata absent from the map
     * use `defaultFraction`). The kept subset for a stratum is a superset of

@@ -56,6 +56,45 @@ class PackingSessionizeSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: draws land per exact interval arithmetic; zero weights never drawn") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, if (i % 10 == 0) 0L else (i * 3) % 17 + 1))
+      .toDF("doc_id", "w")
+      .repartition(7) // scrambled placement; prefix sum must re-range-partition
+    val got = Sampling.weightedSample(docs, "doc_id", col("w"),
+        nDraws = 100, seed = 7L, nBuckets = 16)
+      .orderBy("draw_idx").collect()
+
+    // oracle by hand: intervals in doc_id order over positive weights
+    val wByDoc = (1L to 50L).map(i => i -> (if (i % 10 == 0) 0L else (i * 3) % 17 + 1))
+    val pos = wByDoc.filter(_._2 > 0)
+    val starts = pos.map(_._2).scanLeft(0L)(_ + _)
+    val intervals = pos.zip(starts).map { case ((id, w), lo) => (id, lo, lo + w) }
+    val total = starts.last
+    def md5Hash(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    val expected = (0L until 100L).map { i =>
+      val p = md5Hash(s"7_$i") % total
+      val doc = intervals.find { case (_, lo, hi) => p >= lo && p < hi }.get
+      (i, doc._1)
+    }
+    assert(got.length == 100, "exactly one row per draw")
+    got.zip(expected).foreach { case (r, (i, id)) =>
+      assert(r.getLong(0) == i && r.getLong(1) == id,
+        s"draw $i: got ${r.getLong(1)}, expected $id")
+    }
+    assert(got.forall(_.getLong(1) % 10 != 0), "zero-weight docs must never be drawn")
+
+    // deterministic under a different partitioning and bucket count
+    val again = Sampling.weightedSample(docs.repartition(3), "doc_id", col("w"),
+        nDraws = 100, seed = 7L, nBuckets = 5)
+      .orderBy("draw_idx").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("chunkTokens: boundary cases — short doc, exact fit, overlap tail") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

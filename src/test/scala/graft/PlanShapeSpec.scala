@@ -33,7 +33,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_lsh_recall", "q_curation_pipeline", "q_training_manifest",
     "q_repetition", "q_quality_full",
     "q_ann_topk", "q_ann_ivf",
-    "q_value_percentiles") // 1-row corpus-count cross, O(1) side
+    "q_value_percentiles", // 1-row corpus-count cross, O(1) side
+    "q_weighted_sample") // two 1-row total-weight crosses (Sampling.weightedSample)
 
   // The exact all-pairs cosine is DOCUMENTED as a small-input utility
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
