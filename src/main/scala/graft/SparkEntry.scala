@@ -356,6 +356,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ with the exact re-rank ("refine") stage — the SERVING form:
+    // ADC lookup distances order a top-30 candidate pool, which is then
+    // re-scored with the exact integer L2 (only 30 raw-vector fetches per
+    // query). On weakly-clustered embeddings ADC-only recall@3 is ~0.2 vs
+    // ~0.87 refined (ClusteringSpec bounds >= 0.7): ADC ranks candidates,
+    // refine picks neighbors.
+    "q_ann_ivfpq_refined" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.Clustering.annTopKIvfPq(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim = 64, refine = 30)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1640,28 +1653,21 @@ object SparkEntry {
          SELECT qid, rank, id AS nid, adist FROM r WHERE rank <= 3
          ORDER BY qid, rank""",
     "q_ann_ivfpq" ->
-      s"""WITH ${kmeansCteSub("iv", 8, 3, 64, 0)},
-         ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16)).mkString(",\n")},
-         qprobe AS (SELECT id AS qid, j FROM (
-             SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-             FROM d3iv WHERE id < 10) WHERE rn <= 2),
-         cand AS (SELECT p.qid, f.id FROM qprobe p JOIN finiv f ON f.j = p.j
-           WHERE f.id <> p.qid),
-         ${(0 until 4).map { s =>
-           s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
-                FROM ptss$s p JOIN cent1s$s c USING (pos)
-                WHERE p.id < 10 GROUP BY p.id, c.j),
-              sc$s AS (SELECT l.qid, f.id, l.pd FROM fins$s f JOIN lut$s l ON l.j = f.j)"""
-         }.mkString(",\n")},
-         scores AS (SELECT s0.qid, s0.id,
-             CAST(s0.pd + s1.pd + s2.pd + s3.pd AS BIGINT) AS adist
-           FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
-             JOIN sc3 s3 USING (qid, id)
-             JOIN cand c ON c.qid = s0.qid AND c.id = s0.id),
-         r AS (SELECT qid, id, adist,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
-           FROM scores)
+      s"""WITH $ivfPqCteChain
          SELECT qid, rank, id AS nid, adist FROM r WHERE rank <= 3
+         ORDER BY qid, rank""",
+    "q_ann_ivfpq_refined" ->
+      s"""WITH $ivfPqCteChain,
+         pool AS (SELECT qid, id FROM r WHERE rank <= 30),
+         re AS (SELECT pool.qid, pool.id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+           FROM pool JOIN ptsiv a ON a.id = pool.id
+                     JOIN ptsiv b ON b.id = pool.qid AND b.pos = a.pos
+           GROUP BY pool.qid, pool.id),
+         rr AS (SELECT qid, id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+           FROM re)
+         SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
          ORDER BY qid, rank""",
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
@@ -3039,6 +3045,35 @@ object SparkEntry {
 
   private def kmeansCte(k: Int, iters: Int, dim: Int): String =
     kmeansCteSub("", k, iters, dim, 0)
+
+  /** Shared IVF-PQ mirror (Clustering.annTopKIvfPq defaults): full-vector
+    * coarse k-means ("iv", final distances d3iv / assignment finiv), 4
+    * PQ subspace trainings, 2-cell query probes, candidate restriction,
+    * and the ADC score ranking `r` — q_ann_ivfpq reads r directly,
+    * q_ann_ivfpq_refined re-ranks r's top-30 pool with the exact integer
+    * L2 over ptsiv. */
+  private lazy val ivfPqCteChain: String =
+    s"""${kmeansCteSub("iv", 8, 3, 64, 0)},
+       ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16)).mkString(",\n")},
+       qprobe AS (SELECT id AS qid, j FROM (
+           SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+           FROM d3iv WHERE id < 10) WHERE rn <= 2),
+       cand AS (SELECT p.qid, f.id FROM qprobe p JOIN finiv f ON f.j = p.j
+         WHERE f.id <> p.qid),
+       ${(0 until 4).map { s =>
+         s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
+              FROM ptss$s p JOIN cent1s$s c USING (pos)
+              WHERE p.id < 10 GROUP BY p.id, c.j),
+            sc$s AS (SELECT l.qid, f.id, l.pd FROM fins$s f JOIN lut$s l ON l.j = f.j)"""
+       }.mkString(",\n")},
+       scores AS (SELECT s0.qid, s0.id,
+           CAST(s0.pd + s1.pd + s2.pd + s3.pd AS BIGINT) AS adist
+         FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
+           JOIN sc3 s3 USING (qid, id)
+           JOIN cand c ON c.qid = s0.qid AND c.id = s0.id),
+       r AS (SELECT qid, id, adist,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
+         FROM scores)"""
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */

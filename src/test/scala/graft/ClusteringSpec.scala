@@ -174,6 +174,36 @@ class ClusteringSpec extends AnyFunSuite {
         s"nProbe=1 neighbor outside the query's own cell: $r")
   }
 
+  test("refined IVF-PQ recall@3 >= 0.7 on the sf0.01 audit corpus; refine beats ADC-only") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val q = e.filter(col("vec_id") < 10)
+    // exact integer-L2 brute force (the metric PQ approximates), driver-side
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(v => math.floor(v * 1000).toLong).toArray))
+    val exact = rows.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum) }
+        .sortBy { case (nid, d) => (d, nid) }.take(3)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val refined = recall(Clustering.annTopKIvfPq(e, q, "vec_id", "embedding",
+      dim = 64, refine = 30))
+    assert(refined >= 0.7,
+      f"refined IVF-PQ recall@3 $refined%.3f below 0.7 — serving path unfit")
+    val adcOnly = recall(Clustering.annTopKIvfPq(e, q, "vec_id", "embedding",
+      dim = 64))
+    assert(refined > adcOnly,
+      f"refine ($refined%.3f) must beat ADC-only ranking ($adcOnly%.3f)")
+  }
+
   test("assignment plan is scan + projection — no join, no cartesian") {
     val rows = (0L until 20L).map(i => (i, Seq(i.toFloat, (i * 3 % 5).toFloat)))
     val assigned = Clustering.kmeansAssign(df(rows), "vec_id", "embedding",
