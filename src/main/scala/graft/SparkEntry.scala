@@ -369,6 +369,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ served from the PERSISTENT index (AnnIndexStore): codebooks
+    // trained once into an on-disk artifact, queries hit the stored
+    // cells/codes/vectors tables — the build/serve split a 100-TB ANN
+    // deployment requires. Training is deterministic, so results are
+    // bit-identical to the inline q_ann_ivfpq_refined (same oracle).
+    "q_ann_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.query(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", annIndexDir(s, dir), kNN = 3, nProbe = 2,
+          refine = 30)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1669,6 +1682,21 @@ object SparkEntry {
            FROM re)
          SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
          ORDER BY qid, rank""",
+    // Stored-index serving path: deterministic training makes the parquet
+    // round-trip bit-identical to the inline refined chain.
+    "q_ann_stored" ->
+      s"""WITH $ivfPqCteChain,
+         pool AS (SELECT qid, id FROM r WHERE rank <= 30),
+         re AS (SELECT pool.qid, pool.id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+           FROM pool JOIN ptsiv a ON a.id = pool.id
+                     JOIN ptsiv b ON b.id = pool.qid AND b.pos = a.pos
+           GROUP BY pool.qid, pool.id),
+         rr AS (SELECT qid, id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+           FROM re)
+         SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
+         ORDER BY qid, rank""",
     "q_embed_cosine_pairs" ->
       s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings)
          SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2825,6 +2853,20 @@ object SparkEntry {
     val root = s"/tmp/graft_cache/${new java.io.File(dir).getName}/$label"
     if (!operators.DedupIndex.exists(root))
       operators.DedupIndex.build(existing, "doc_id", "text", root)
+    root
+  }
+
+  /** On-disk AnnIndexStore for q_ann_stored, built once per sf dir — the
+    * trained ANN index is a maintained artifact like the DedupIndex: the
+    * bench times SERVING from the stored index, not the one-time codebook
+    * training (testdata immutable per TESTDATA.md; training deterministic
+    * in the corpus, so the cache cannot go stale). */
+  private def annIndexDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/ann_ivfpq_index"
+    if (!operators.AnnIndexStore.exists(root))
+      operators.AnnIndexStore.build(Tables.embeddings(s, dir),
+        "vec_id", "embedding", root, dim = 64)
     root
   }
 

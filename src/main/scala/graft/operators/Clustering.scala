@@ -31,7 +31,7 @@ object Clustering {
 
   /** Element-wise squared-L2 to each centroid literal; argmin with ties to
     * the lowest cluster index, via array_min over struct(dist, j). */
-  private def nearest(cents: Seq[(Int, Array[Long])], q: Column): Column = {
+  private[operators] def nearest(cents: Seq[(Int, Array[Long])], q: Column): Column = {
     val dists = cents.map { case (j, c) =>
       val centLit = array(c.map(lit(_)): _*)
       struct(
@@ -45,7 +45,7 @@ object Clustering {
   /** Quantized point table (id, q: array<long>) — floor(v * scale), the
     * exact-integer space every operator here works in. Checkpointed: it is
     * scanned once per training iteration. */
-  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+  private[operators] def quantized(df: DataFrame, idCol: String, vecCol: String,
                         scale: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol),
@@ -56,7 +56,7 @@ object Clustering {
     * `iters - 1` floor-div centroid updates. Returns the final centroids
     * as (cluster id, quantized vector) — k*dim longs of driver-side
     * bookkeeping per round, never a data collect. */
-  private def train(pts: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
+  private[operators] def train(pts: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
     var cents: Seq[(Int, Array[Long])] = pts.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
@@ -95,7 +95,7 @@ object Clustering {
 
   /** Exact integer squared L2 of a quantized vector column to a centroid
     * literal. */
-  private def qdist(q: Column, c: Array[Long]): Column =
+  private[operators] def qdist(q: Column, c: Array[Long]): Column =
     aggregate(zip_with(q, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
@@ -141,16 +141,23 @@ object Clustering {
     * decompressed. Returns (qid, rank, nid, dist) with `dist` EXACT. */
   private def refineTopK(pool: DataFrame, corpus: DataFrame,
                          queries: DataFrame, idCol: String, vecCol: String,
-                         kNN: Int, scale: Int): DataFrame = {
-    val cq = quantized(corpus, idCol, vecCol, scale)
-      .select(col("id"), col("q").as("nq"))
-    val qq = quantized(queries, idCol, vecCol, scale)
-      .select(col("id").as("qid"), col("q").as("qq"))
+                         kNN: Int, scale: Int): DataFrame =
+    refineTopKQuantized(pool,
+      quantized(corpus, idCol, vecCol, scale),
+      quantized(queries, idCol, vecCol, scale), kNN)
+
+  /** [[refineTopK]] over ALREADY-quantized (id, q) tables — the form the
+    * stored-index serving path ([[AnnIndexStore.query]]) uses, where the
+    * corpus side comes back from the index's flat-vector parquet instead
+    * of being re-quantized from raw floats. */
+  private[operators] def refineTopKQuantized(pool: DataFrame, cq: DataFrame,
+                                             qq: DataFrame, kNN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist"), col("id"))
     pool.select(col("qid"), col("nid").as("id"))
-      .join(cq, Seq("id"))
-      .join(broadcast(qq), Seq("qid"))
+      .join(cq.select(col("id"), col("q").as("nq")), Seq("id"))
+      .join(broadcast(qq.select(col("id").as("qid"), col("q").as("qq"))),
+        Seq("qid"))
       .withColumn("dist",
         aggregate(zip_with(col("qq"), col("nq"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x))
@@ -162,7 +169,7 @@ object Clustering {
   /** Per-query top-kNN by summed PQ lookup distance over a candidate
     * (sub, id, code, qid) table: broadcast-LUT join, (qid, id)-keyed
     * partial-agg sum, per-query window. */
-  private def pqTopK(cands: DataFrame, kNN: Int): DataFrame = {
+  private[operators] def pqTopK(cands: DataFrame, kNN: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("adist"), col("id"))
     cands

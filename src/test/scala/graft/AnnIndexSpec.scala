@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndexStore, Clustering}
+
+/** Persistent IVF-PQ index store: build/serve parity with the inline
+  * trainer, and the incremental append contract (code with stored
+  * codebooks, never retrain). */
+class AnnIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // 40 vectors in dim 8: two loose blobs plus per-id jitter, enough that
+  // cells and codes are non-trivial
+  private def corpusRows: Seq[(Long, Seq[Float])] =
+    (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, (0 until 8).map(d =>
+        base * (1.0f + d * 0.1f) + (i % 7) * 0.03f + d * (i % 3) * 0.01f))
+    }
+
+  test("stored-index serving is bit-identical to the inline IVF-PQ (refined and ADC)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpus = df(corpusRows)
+    val queries = corpus.filter(col("vec_id") < 5)
+    val dir = Files.createTempDirectory("annidx").toString
+    AnnIndexStore.build(corpus, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    assert(AnnIndexStore.exists(dir))
+
+    val stored = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank").collect()
+    val inline = Clustering.annTopKIvfPq(corpus, queries, "vec_id",
+      "embedding", dim = 8, kNN = 3, nCells = 4, nProbe = 2, m = 4, k = 8,
+      refine = 10).orderBy("qid", "rank").collect()
+    assert(stored.map(_.toSeq).toSeq == inline.map(_.toSeq).toSeq,
+      "stored refined serving diverged from inline training")
+
+    val storedAdc = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2).orderBy("qid", "rank").collect()
+    val inlineAdc = Clustering.annTopKIvfPq(corpus, queries, "vec_id",
+      "embedding", dim = 8, kNN = 3, nCells = 4, nProbe = 2, m = 4, k = 8)
+      .orderBy("qid", "rank").collect()
+    assert(storedAdc.map(_.toSeq).toSeq == inlineAdc.map(_.toSeq).toSeq,
+      "stored ADC serving diverged from inline training")
+  }
+
+  test("append codes new vectors with stored codebooks; a duplicate surfaces at rank 1, dist 0") {
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    // appended batch: new ids 100.. including an exact duplicate of vec 3
+    val dupOf3 = corpusRows.find(_._1 == 3L).get._2
+    val batch = df(Seq((100L, dupOf3), (101L, dupOf3.map(_ + 0.5f))))
+    AnnIndexStore.append(batch, "vec_id", "embedding", dir)
+
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() == 42 && vecs.select("id").distinct().count() == 42)
+    assert(spark.read.parquet(s"$dir/codes").count() == 42 * 4)
+
+    // query vec 3: its appended exact duplicate lands in the same coarse
+    // cell (identical vector => identical probe), so refine must return it
+    // first with exact distance 0
+    val top = AnnIndexStore.query(base.filter(col("vec_id") === 3),
+        "vec_id", "embedding", dir, kNN = 3, nProbe = 2, refine = 10)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(2) == 100L && top.head.getLong(3) == 0L,
+      s"appended duplicate not rank-1/dist-0: ${top.mkString(", ")}")
+  }
+}
