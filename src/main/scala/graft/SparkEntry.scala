@@ -1163,6 +1163,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Distributed BPE tokenizer training: 16 merge rounds over the
+    // frequency-weighted distinct-word dictionary (the corpus is scanned
+    // once); the merge table is the learned vocabulary artifact.
+    "q_bpe_train" -> ((s, dir) => {
+      operators.Bpe.train(Tables.documents(s, dir), "text", nMerges = 16)
+        .orderBy("step")
+    }),
+
+    // Apply the learned merges corpus-wide: per-doc char vs BPE token
+    // counts — the compression audit of the trained vocabulary (the 16
+    // merges ride along as replace literals; one corpus scan).
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val m = operators.Bpe.train(docs, "text", nMerges = 16)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.Bpe.encode(docs, "doc_id", "text", m).orderBy("doc_id")
+    }),
+
     // Perceptual image dedup: REAL decode -> grid dHash (8x7 = 56 bits,
     // resize-robust) over the synthetic gradient PNGs, then exact-dup
     // grouping on the hash. Gradient wrap positions depend on doc_id mod
@@ -2465,6 +2484,31 @@ object SparkEntry {
            CAST(sum(rarity) AS BIGINT) AS sum_rarity,
            CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_bpe_train" ->
+      s"""WITH ${bpeCtes(16)}
+         SELECT * FROM (${(0 until 16).map(i =>
+           s"SELECT CAST($i AS INT) AS step, l AS l_tok, r AS r_tok, c AS cnt FROM b$i")
+           .mkString(" UNION ALL ")})
+         ORDER BY step""",
+    "q_bpe_encode" ->
+      s"""WITH ${bpeCtes(16)},
+         enc AS (SELECT doc_id, word FROM (
+             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+             FROM documents)
+           WHERE regexp_matches(word, '^[a-z]+${"$"}')),
+         etok AS (SELECT doc_id, CAST(length(word) AS BIGINT) AS n_char,
+             CAST(len(string_split(trim(${(0 until 16).foldLeft(
+               "chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1)||chr(1)) || chr(1)") {
+             (acc, i) =>
+               s"""replace($acc,
+                  (SELECT chr(1)||l||chr(1)||chr(1)||r||chr(1) FROM b$i),
+                  (SELECT chr(1)||l||r||chr(1) FROM b$i))"""
+           }}, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_tok
+           FROM enc)
+         SELECT doc_id, CAST(sum(n_char) AS BIGINT) AS chars,
+           CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+           CAST(count(*) AS BIGINT) AS words
+         FROM etok GROUP BY doc_id ORDER BY doc_id""",
     "q_image_dhash" ->
       """WITH g AS (SELECT doc_id, doc_id % 256 AS g0 FROM documents),
          bits AS (SELECT doc_id,
@@ -3087,6 +3131,36 @@ object SparkEntry {
 
   private def kmeansCte(k: Int, iters: Int, dim: Int): String =
     kmeansCteSub("", k, iters, dim, 0)
+
+  /** BPE training mirror (Bpe.train semantics): frequency-weighted
+    * distinct-word dictionary, sentinel-encoded char tokens, then n merge
+    * rounds — pair counts (the bigram_lm unnest(range) idiom), the
+    * deterministic argmax b{i} (count desc, pair asc), and the
+    * boundary-preserving sentinel replace. CTEs referenced twice are
+    * MATERIALIZED (DuckDB-only syntax; plain inlining re-evaluates the
+    * tok chain exponentially). */
+  private def bpeCtes(n: Int): String = {
+    val base = s"""words AS MATERIALIZED (
+       SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+       WHERE regexp_matches(word, '^[a-z]+${"$"}') GROUP BY word),
+     tok0 AS MATERIALIZED (SELECT chr(1) ||
+         array_to_string(regexp_extract_all(word, '.'), chr(1)||chr(1)) ||
+         chr(1) AS tokstr, cnt FROM words)"""
+    val steps = (0 until n).map { i =>
+      s"""p$i AS (SELECT l, r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+           SELECT cnt, toks[pos] AS l, toks[pos+1] AS r FROM (
+             SELECT cnt, toks, unnest(range(1, len(toks))) AS pos FROM (
+               SELECT cnt, string_split(trim(tokstr, chr(1)), chr(1)||chr(1)) AS toks
+               FROM tok$i)))
+         GROUP BY l, r),
+       b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+       tok${i + 1} AS MATERIALIZED (SELECT replace(tokstr,
+           chr(1)||l||chr(1)||chr(1)||r||chr(1), chr(1)||l||r||chr(1)) AS tokstr, cnt
+         FROM tok$i, b$i)"""
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** Shared IVF-PQ mirror (Clustering.annTopKIvfPq defaults): full-vector
     * coarse k-means ("iv", final distances d3iv / assignment finiv), 4

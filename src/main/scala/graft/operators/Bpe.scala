@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) vocabulary training — the
+  * tokenizer-training stage of an LLM data pipeline (Sennrich et al. 2016;
+  * the GPT-2/Llama tokenizer family), restated in Spark's execution model.
+  *
+  * Like classic BPE trainers, the iterated state is the DISTINCT-WORD
+  * dictionary weighted by corpus frequency, not the corpus: the corpus is
+  * scanned ONCE to build (word, count), and every merge round runs over
+  * the dictionary (~|vocab| rows — millions at 100 TB, never the corpus
+  * rows themselves). Each round is one adjacent-pair explode + one
+  * map-side-combining partial-agg shuffle + a 1-row TakeOrdered collect
+  * (manifest-scale driver traffic, the [[Clustering]] discipline), then a
+  * pure codegen `replace` projection applies the winning merge; the
+  * dictionary is localCheckpoint'ed per round so round n never re-derives
+  * rounds 0..n-1.
+  *
+  * Determinism is designed in: the winning pair is (max count, then
+  * lexicographically smallest left, then right) under binary string
+  * compare — bit-reproducible across partitioning, runs, and engines,
+  * so the DuckDB oracle mirrors the merge table exactly (q_bpe_train).
+  *
+  * Token strings use a sentinel encoding: every token is wrapped in
+  * single U+0001 sentinels with DOUBLED sentinels between tokens
+  * (`<s>tok<s><s>tok<s> ... `), so one literal left-to-right
+  * `replace(<s>l<s><s>r<s> -> <s>lr<s>)` performs
+  * exactly the standard non-overlapping left-to-right BPE merge: each
+  * replacement consumes its own boundary sentinels only, leaving
+  * neighbouring pair boundaries intact ("a a a a" merges to [aa, aa], and
+  * "a a a" to [aa, a], matching reference BPE).
+  */
+object Bpe {
+
+  private val S = "\u0001"
+  private val SS = S + S
+  private val SSre = java.util.regex.Pattern.quote(SS)
+
+  /** (tokstr, cnt) dictionary: one row per distinct `[a-z]+` word of the
+    * lowercased corpus, sentinel-encoded at the character level. */
+  private def charDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(S),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), SS),
+          lit(S)).as("tokstr"),
+        col("cnt"))
+
+  /** The merge table after `nMerges` training rounds: (step, l_tok, r_tok,
+    * cnt) — the learned vocabulary artifact, in merge order (cnt is the
+    * weighted pair frequency that won the round). Stops early if no pair
+    * remains. */
+  def train(docs: DataFrame, textCol: String, nMerges: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var toks = charDict(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val tok = split(trim(col("tokstr"), S), SSre)
+      val best = toks
+        .select(col("cnt"),
+          explode(zip_with(slice(tok, lit(1), size(tok) - 1),
+            slice(tok, lit(2), size(tok) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((step, l, r, c))
+        toks = toks.withColumn("tokstr",
+            replace(col("tokstr"), lit(S + l + SS + r + S), lit(S + l + r + S)))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result().toDF("step", "l_tok", "r_tok", "cnt")
+  }
+
+  /** Apply a learned merge list to the corpus: per-doc BPE token count
+    * before (chars) and after the merges — the compression audit of a
+    * trained vocabulary. One corpus scan; the merge chain is `merges.size`
+    * stacked codegen `replace` projections (no join: the learned merges
+    * ride along as literals, like k-means centroids). */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val perWord = concat(lit(S),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), SS),
+      lit(S))
+    val merged = merges.foldLeft(perWord) { case (acc, (l, r)) =>
+      replace(acc, lit(S + l + SS + r + S), lit(S + l + r + S))
+    }
+    docs.select(col(idCol),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .select(col(idCol),
+        length(col("word")).cast("long").as("n_char"),
+        size(split(trim(merged, S), SSre)).cast("long").as("n_tok"))
+      .groupBy(idCol)
+      .agg(sum("n_char").as("chars"), sum("n_tok").as("bpe_tokens"),
+        count(lit(1)).as("words"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE training against hand-computed merges (the Sennrich et al. example
+  * corpus) and the sentinel encoding's left-to-right non-overlapping merge
+  * semantics. */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  // low x5, lower x2, newest x6, widest x3 — hand-derived merge order:
+  // (e,s)=9 ties (s,t)=9 -> lexicographically smaller left wins; then
+  // (es,t)=9; then (l,o)=7 ties (o,w)=7 -> (l,o); then (lo,w)=7.
+  private def sennrich = docs(
+    "low low low low low lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest")
+
+  test("merge order matches the hand-computed Sennrich corpus") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val got = Bpe.train(sennrich, "text", nMerges = 4).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("e", "s", 9L), ("es", "t", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"merges: ${got.mkString(", ")}")
+  }
+
+  test("encode applies merges corpus-wide with exact token counts") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val got = Bpe.encode(sennrich, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc0: low->1 tok x5, lower->[low,e,r] x2; doc1: newest->[n,e,w,est] x6;
+    // doc2: widest->[w,i,d,est] x3
+    assert(got.toSeq == Seq((0L, 25L, 11L, 7L), (1L, 36L, 24L, 6L),
+      (2L, 18L, 12L, 3L)), s"encode: ${got.mkString(", ")}")
+  }
+
+  test("merges are left-to-right non-overlapping: aaaa -> [aa,aa], aaa -> [aa,a]") {
+    val d = docs("aaaa aaa aaaa")
+    val first = Bpe.train(d, "text", nMerges = 1).collect()(0)
+    assert((first.getString(1), first.getString(2), first.getLong(3)) ==
+      ("a", "a", 8L))
+    val enc = Bpe.encode(d, "doc_id", "text", Seq(("a", "a"))).collect()(0)
+    // [aa,aa] + [aa,a] + [aa,aa] = 6 tokens from 11 chars, 3 words
+    assert((enc.getLong(1), enc.getLong(2), enc.getLong(3)) == (11L, 6L, 3L),
+      s"enc: $enc")
+  }
+
+  test("training is deterministic across runs") {
+    val a = Bpe.train(sennrich, "text", 4).collect().map(_.toSeq).toSeq
+    val b = Bpe.train(sennrich, "text", 4).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
