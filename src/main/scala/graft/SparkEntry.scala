@@ -1319,6 +1319,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // Temperature-scaled mixture plan (alpha = 1/2): weights derived from
+    // the data as floor(sqrt(avail_tok)) — correctly-rounded IEEE sqrt
+    // then exact integer arithmetic, so low-resource sources are
+    // upweighted deterministically (mT5/XLM-R temperature sampling).
+    "q_mix_temperature" -> ((s, dir) => {
+      operators.Sampling.temperatureMixPlan(Tables.documents(s, dir),
+          "source", "text", budgetTokens = 20000L)
+        .orderBy("source")
+    }),
+
     // Mix-plan execution: the deterministic hash sampler filters each
     // source at its plan fraction — plan broadcasts, corpus side is
     // projection + filter at scan speed.
@@ -2674,6 +2684,24 @@ object SparkEntry {
              WHEN 'src3' THEN 10 WHEN 'src4' THEN 5 ELSE 0 END AS BIGINT) AS weight
            FROM agg),
          p AS (SELECT *, (weight * 20000) // 100 AS target_tok FROM w)
+         SELECT source, n_docs, avail_tok, weight, target_tok,
+           least(avail_tok, target_tok) AS plan_tok,
+           CASE WHEN avail_tok > 0
+             THEN (least(avail_tok, target_tok) * 10000) // avail_tok
+             ELSE 0 END AS sample_bp,
+           avail_tok >= target_tok AS fillable
+         FROM p ORDER BY source""",
+    "q_mix_temperature" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS avail_tok
+                 FROM t GROUP BY source),
+         w AS (SELECT *,
+             CAST(floor(sqrt(CAST(avail_tok AS DOUBLE))) AS BIGINT) AS weight
+           FROM agg),
+         tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+         p AS (SELECT w.*, (weight * 20000) // wsum AS target_tok FROM w, tot)
          SELECT source, n_docs, avail_tok, weight, target_tok,
            least(avail_tok, target_tok) AS plan_tok,
            CASE WHEN avail_tok > 0

@@ -118,6 +118,41 @@ object Sampling {
       .drop("_num")
   }
 
+  /** Temperature-scaled mixture plan (mT5/XLM-R-style low-resource
+    * upweighting): instead of caller-supplied weights, each source's
+    * weight is avail_tok^(1/2) — temperature sampling with alpha = 1/2,
+    * which flattens the source distribution so small sources keep
+    * representation. The exponent is computed as floor(sqrt(avail_tok))
+    * — IEEE sqrt is correctly rounded in every engine, the bigint fits a
+    * double exactly below 2^53, and everything after the floor is exact
+    * integer arithmetic, so the plan is bit-reproducible across engines
+    * (the repo-wide oracle-parity rule; a float p_s^alpha share would
+    * depend on summation order).
+    *
+    * Scale shape: one partial-agg shuffle on source; the weight
+    * normalizer is a broadcast 1-row aggregate over the O(#sources)
+    * stats table (allowlisted cross); output columns follow [[mixPlan]]
+    * (sample_bp feeds [[applyMixPlan]]/[[stratifiedSample]] unchanged). */
+  def temperatureMixPlan(df: DataFrame, sourceCol: String, textCol: String,
+                         budgetTokens: Long): DataFrame = {
+    val stats = df
+      .select(col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tok"))
+      .withColumn("weight",
+        floor(sqrt(col("avail_tok").cast("double"))).cast("long"))
+    stats.crossJoin(broadcast(stats.agg(sum("weight").as("wsum"))))
+      .withColumn("target_tok",
+        expr(s"(weight * CAST($budgetTokens AS BIGINT)) div wsum"))
+      .withColumn("plan_tok", least(col("avail_tok"), col("target_tok")))
+      .withColumn("sample_bp",
+        when(col("avail_tok") > 0, expr("(plan_tok * 10000) div avail_tok"))
+          .otherwise(lit(0L)))
+      .withColumn("fillable", col("avail_tok") >= col("target_tok"))
+      .drop("wsum")
+  }
+
   /** Execute a [[mixPlan]]: keep each doc iff its hash bucket falls below
     * its source's `sample_bp`. The plan is O(#sources) so it broadcasts;
     * the corpus side is a pure projection + filter (scan-speed at 100 TB),
