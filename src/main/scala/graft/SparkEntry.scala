@@ -1104,6 +1104,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Repeated-span scrubbing: the ACTING form of q_substring_dedup —
+    // documents rewritten with every token covered by a cross-document
+    // repeated 5-gram deleted (boilerplate/license/template removal that
+    // keeps the unique remainder instead of dropping whole docs).
+    "q_boilerplate_scrub" -> ((s, dir) => {
+      TextDedup.removeRepeatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", n = 5, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
     // Canonical text normalization before hashing (lowercase, collapse
     // whitespace, trim) + the fingerprint of the normalized form — keeps
     // trivially-reformatted copies from escaping exact dedup.
@@ -2430,6 +2440,27 @@ object SparkEntry {
            CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
            floor(coalesce(n_covered, 0) * 10000 / len(toks)) / 10000 AS cover_ratio
          FROM t LEFT JOIN c2 USING (doc_id) ORDER BY doc_id""",
+    "q_boilerplate_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         p AS (SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos FROM t),
+         o AS (SELECT doc_id, pos,
+           ('0x' || substr(md5(array_to_string(toks[pos:pos+4], ' ')), 1, 15))::BIGINT
+             AS g FROM p),
+         rg AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         cv AS (SELECT DISTINCT doc_id, pos + unnest(range(5)) AS tp
+                FROM o SEMI JOIN rg USING (g)),
+         tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS tp, toks FROM t),
+         tk AS (SELECT doc_id, tp, toks[tp] AS t FROM tok),
+         kept AS (SELECT doc_id, tp, t FROM tk ANTI JOIN cv USING (doc_id, tp)),
+         rb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                  string_agg(t, ' ' ORDER BY tp) AS clean_text
+                FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS INT) AS n_tok,
+           CAST(CAST(len(toks) AS BIGINT) - coalesce(n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+         FROM t LEFT JOIN rb USING (doc_id) ORDER BY doc_id""",
     "q_normalize" ->
       """SELECT doc_id,
            CAST(length(text) AS INT) AS n_chars_raw,

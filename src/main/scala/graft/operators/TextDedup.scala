@@ -636,6 +636,58 @@ object TextDedup {
           .as("cover_ratio"))
   }
 
+  /** Cross-document repeated-span REMOVAL — the acting form of
+    * [[repeatedNgramCoverage]] (which only reports the ratio): rewrite
+    * each document with every token deleted whose position is covered by
+    * a token n-gram occurring in at least `minDocs` distinct documents
+    * (Lee et al. 2021 ExactSubstr discipline: delete the shared span,
+    * keep the remainder — boilerplate/license/template scrubbing without
+    * dropping whole documents).
+    *
+    * Scale shape: the gram table and repeated-gram filter are the same
+    * partial-agg shuffles as the coverage stats; covered positions are a
+    * distinct on (doc, token-pos); the rewrite is a position anti-join
+    * plus ONE per-doc aggregation whose state is bounded by document
+    * length (sorted (pos, token) structs rebuilt in-agg — no window, no
+    * global sort, so no task ever holds more than one document's
+    * tokens). Returns (id, n_tok, n_removed, clean_text) with surviving
+    * tokens re-joined in original order. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minDocs: Int = 2,
+                          oracleParity: Boolean = true): DataFrame = {
+    val base: Column => Column =
+      if (oracleParity) stableHash else c => xxhash64(c)
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        p => struct(p.as("pos"), base(concat_ws(" ", slice(toks, p, lit(n)))).as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
+    val occ = docs.select(col(idCol), explode(grams).as("o"))
+      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val repeatedGrams = occ.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("g")
+    val covered = occ.join(repeatedGrams, Seq("g"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (n - 1))).as("tp"))
+      .distinct()
+    val tokens = docs
+      .select(col(idCol), posexplode(toks).as(Seq("p0", "t")))
+      .select(col(idCol), (col("p0") + 1).as("tp"), col("t"))
+    val rebuilt = tokens.join(covered, Seq(idCol, "tp"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tp"), col("t")))),
+          x => x.getField("t")), " ").as("clean_text"))
+    docs.select(col(idCol), size(toks).as("n_tok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        (col("n_tok").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Content-defined chunking (CDC) dedup at token granularity — the
     * shift-robust complement to fixed n-gram coverage: a token is a chunk
     * BOUNDARY iff its hash ≡ 0 (mod `boundaryDiv`), so chunk borders move

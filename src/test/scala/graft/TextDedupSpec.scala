@@ -119,6 +119,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(4) <= r.getInt(1)))
   }
 
+  test("removeRepeatedSpans: shared 5-gram span deleted, unique remainder kept in order") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val boiler = "all rights reserved by the publisher" // 6 tokens → 2 5-grams
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler"),
+      (3L, "entirely unique text with no shared spans anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.removeRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    // the shared 6-token span is scrubbed from both carriers; the unique
+    // surroundings survive in original order
+    assert(out(0).getString(3) == "alpha beta gamma delta", s"got ${out(0)}")
+    assert(out(0).getLong(2) == 6L)
+    assert(out(1).getString(3) == "one two three")
+    assert(out(1).getLong(2) == 6L)
+    // a doc with no cross-doc gram is untouched
+    assert(out(2).getLong(2) == 0L &&
+      out(2).getString(3) == "entirely unique text with no shared spans anywhere at all")
+  }
+
   test("unigramSurprisal: rare-vocabulary docs score above boilerplate docs") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
