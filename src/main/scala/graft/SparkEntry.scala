@@ -670,6 +670,23 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     }),
 
+    // Z-order layout audit: Morton-interleave (user_id, floor(value)) and
+    // report each 4096-z-cell tile's row count and per-dimension extents.
+    // The bounded min/max boxes per contiguous z-tile ARE the pruning
+    // contract Layout.zorderWrite stamps into parquet file stats; the
+    // oracle mirrors the interleave arithmetic bit-for-bit.
+    "q_zorder_layout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("long").as("u"),
+        floor(col("value")).cast("long").as("v"))
+      ev.withColumn("z", operators.Layout.zValue(Seq(col("u"), col("v")), bits = 10))
+        .groupBy(shiftright(col("z"), 12).as("z_tile"))
+        .agg(count(lit(1)).as("n"),
+          min("u").as("min_u"), max("u").as("max_u"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("z_tile")
+    }),
+
     // Pivot: days x event-type count matrix through the DataFrame pivot
     // API (fixed value list, so the schema is static and the plan is one
     // aggregation — Spark rewrites it to conditional counts, the same
@@ -2115,6 +2132,14 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM e GROUP BY ROLLUP (event_type, d)
          ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_zorder_layout" ->
+      s"""WITH d AS (SELECT CAST(user_id AS BIGINT) AS u,
+           CAST(floor(value) AS BIGINT) AS v FROM events),
+         z AS (SELECT u, v,
+           ${operators.Layout.zValueSql(Seq("u", "v"), bits = 10)} AS z FROM d)
+         SELECT z // 4096 AS z_tile, CAST(count(*) AS BIGINT) AS n,
+           min(u) AS min_u, max(u) AS max_u, min(v) AS min_v, max(v) AS max_v
+         FROM z GROUP BY 1 ORDER BY z_tile""",
     "q_pivot_daily" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type
                     FROM events)
