@@ -277,6 +277,19 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Johnson–Lindenstrauss compression: 64-dim embeddings projected to 16
+    // exact-integer coordinates by a deterministic ±1 md5 sign matrix that
+    // rides the plan as literals — zero shuffle, zero joins; the narrow
+    // space is where 100-TB dedup/ANN/cluster passes should run. Long
+    // format (one row per coordinate) so the oracle hash covers every
+    // value.
+    "q_jl_project" -> ((s, dir) => {
+      Similarity.randomProject(Tables.embeddings(s, dir),
+          "vec_id", "embedding", dim = 64, outDim = 16)
+        .select(col("id").as("vec_id"), posexplode(col("proj")).as(Seq("j", "proj")))
+        .orderBy("vec_id", "j")
+    }),
+
     // Brute-force ANN: top-3 cosine neighbors for the first 10 vectors.
     "q_ann_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1776,6 +1789,18 @@ object SparkEntry {
          FROM cand JOIN v x ON x.vec_id = id1 JOIN v y ON y.vec_id = id2
          WHERE ${cosSql("x.e", "y.e")} > 0.4
          ORDER BY id1, id2""",
+    "q_jl_project" ->
+      """WITH s AS (SELECT i, j,
+           CASE WHEN ('0x' || substr(md5('1_' || i || '_' || j), 1, 15))::BIGINT
+                  % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         FROM range(64) t1(i), range(16) t2(j)),
+         e AS (SELECT vec_id, i,
+           CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000)
+             AS BIGINT) AS q
+         FROM embeddings, range(64) t(i))
+         SELECT vec_id, CAST(j AS INT) AS j,
+           CAST(sum(q * sgn) AS BIGINT) AS proj
+         FROM e JOIN s USING (i) GROUP BY vec_id, j ORDER BY vec_id, j""",
     "q_ann_topk" ->
       s"""WITH scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS nid,

@@ -265,4 +265,44 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"),
         (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
   }
+
+  /** Deterministic ±1 entry of the JL sign matrix: parity of the 60-bit
+    * md5 prefix of "seed_i_j" — the exact arithmetic a SQL engine
+    * reproduces as ('0x' || substr(md5(s), 1, 15))::BIGINT % 2. */
+  private[operators] def jlSign(seed: Int, i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${seed}_${i}_$j".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+  }
+
+  /** Johnson–Lindenstrauss random-sign projection: compress a
+    * dim-dimensional embedding to `outDim` coordinates p_j = Σ_i q(v_i) ·
+    * s_ij, with s a deterministic ±1 matrix (Achlioptas 2003: sign
+    * matrices satisfy the JL lemma with the same O(log n / ε²) target
+    * dimension as Gaussian ones) and q the repo's floor(v·scale) integer
+    * quantization — every coordinate is exact 64-bit integer arithmetic,
+    * bit-reproducible across engines. Squared distances are preserved in
+    * expectation up to the factor outDim (E‖Px−Py‖² = outDim·‖x−y‖²), so
+    * downstream consumers divide by outDim (or rescale thresholds) and
+    * run dedup/ANN/clustering in the compressed space at outDim/dim of
+    * the shuffle width — the 100-TB lever: project once at ingest, keep
+    * every later embedding pass narrow.
+    *
+    * Scale shape: the sign matrix rides the plan as dim×outDim literals
+    * (zero joins, zero broadcast); the projection itself is a pure
+    * per-row codegen fold — no shuffle at all. Returns (id, proj
+    * array<long> of length outDim). */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Int = 1,
+                    scale: Int = 1000): DataFrame = {
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * scale).cast("long"))
+    val projCols = (0 until outDim).map { j =>
+      val sj = array((0 until dim).map(i => lit(jlSign(seed, i, j))): _*)
+      aggregate(zip_with(q, sj, (x, s) => x * s), lit(0L), (a, x) => a + x)
+    }
+    df.select(col(idCol).cast("long").as("id"),
+      array(projCols: _*).as("proj"))
+  }
 }

@@ -221,6 +221,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(single.count() > 0)
   }
 
+  test("randomProject: JL distance preservation at 16 of 64 dims, deterministic by seed") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val proj = Similarity.randomProject(e, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val raw = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(v => math.floor(v * 1000).toLong))
+      .toMap
+    // E||Pa - Pb||^2 = outDim * ||a - b||^2 for a sign matrix; measure the
+    // per-pair ratio over a deterministic pair sample
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => val d = (x - y).toDouble; d * d }.sum
+    val ids = raw.keys.toSeq.sorted
+    val ratios = (0 until 300).map { t =>
+      val a = ids((t * 7919) % ids.size); val b = ids((t * 104729 + 17) % ids.size)
+      (a, b)
+    }.filter { case (a, b) => a != b }.map { case (a, b) =>
+      d2(proj(a), proj(b)) / (16.0 * d2(raw(a), raw(b)))
+    }
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.size / 2)
+    assert(median > 0.5 && median < 2.0, f"JL median distortion $median%.3f off")
+    val within = ratios.count(r => r > 0.2 && r < 5.0).toDouble / ratios.size
+    assert(within >= 0.9, f"only ${within * 100}%.0f%% of pairs within 5x distortion")
+    // deterministic: same seed reproduces bit-identically; a different seed
+    // yields a different (but equally valid) projection
+    val again = Similarity.randomProject(e, "vec_id", "embedding", 64, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == proj)
+    val other = Similarity.randomProject(e, "vec_id", "embedding", 64, 16, seed = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(other != proj)
+    // zero-shuffle plan: the projection is a pure per-row fold
+    val plan = Similarity.randomProject(e, "vec_id", "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"JL projection should not shuffle:\n$plan")
+  }
+
   test("annTopKLsh multi-probe recall@3 >= 0.7 on the sf0.01 audit corpus") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = Tables.embeddings(spark, "/root/testdata/sf0.01")
