@@ -930,6 +930,25 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.documents(s, dir), "text", 500)
     }),
 
+    // Count-min sketch audit: token frequencies estimated from a 3x16
+    // counter table (deliberately under-sized so collisions are visible),
+    // joined against the exact counts — n_est >= n_exact on every row is
+    // the sketch's guarantee; the overestimate column is the collision
+    // mass. At 100 TB the d*w-cell sketch replaces the full distinct-key
+    // aggregation and merges across shards by cell-wise addition.
+    "q_count_min" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = operators.Sketch.countMinBuild(tok, "token", d = 3, w = 16)
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      exact.join(
+          operators.Sketch.countMinEstimate(sk, tok, "token", d = 3, w = 16),
+          Seq("token"))
+        .select(col("token"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overest"))
+        .orderBy("token")
+    }),
+
     // Benchmark decontamination: flag corpus docs sharing any character
     // 8-gram with a (simulated) eval set — distinct-gram equi-join +
     // partial count, no pairwise document comparison.
@@ -2007,6 +2026,17 @@ object SparkEntry {
          SELECT token, CAST(count(*) AS BIGINT) AS n
          FROM t WHERE token <> '' GROUP BY token
          ORDER BY n DESC, token LIMIT 500""",
+    "q_count_min" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+         cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),
+         h AS (SELECT t, n, r,
+             ('0x' || substr(md5(r || '_' || t), 1, 15))::BIGINT % 16 AS b
+           FROM cnt, range(3) rr(r)),
+         sk AS (SELECT r, b, CAST(sum(n) AS BIGINT) AS c FROM h GROUP BY r, b),
+         est AS (SELECT t, n, min(c) AS e FROM h JOIN sk USING (r, b)
+                 GROUP BY t, n)
+         SELECT t AS token, n AS n_exact, e AS n_est, e - n AS overest
+         FROM est ORDER BY token""",
     "q_contamination" ->
       s"""WITH bg AS (
            SELECT DISTINCT g
