@@ -302,6 +302,39 @@ object SparkEntry {
     // init, 3 Lloyd's rounds, exact integer distances — every iteration is
     // one scan + one k*dim-row partial-agg shuffle, mirrored in DuckDB by
     // unrolled CTE rounds.
+    // Nearest-centroid (Rocchio) label propagation: class prototypes are
+    // floor-div integer means of the 80% train split (ONE partial-agg
+    // shuffle, #labels x dim rows); the 20% held-out split is scored
+    // against prototype literals — join-free, shuffle-free inference at
+    // scan speed, the shape that tags 100 TB of unlabeled docs from a
+    // handful of labeled exemplars.
+    "q_centroid_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val test = e.filter(col("vec_id") % 5 === 0)
+      operators.Clustering.nearestCentroidClassify(
+          e.filter(col("vec_id") % 5 =!= 0), test, "vec_id", "embedding", "label")
+        .join(test.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        .select(col("id").as("vec_id"), col("label"), col("pred"), col("dist"))
+        .orderBy("vec_id")
+    }),
+
+    // The classifier's confusion matrix on the held-out split — the
+    // accuracy audit that gates trusting propagated labels (the ANN-recall
+    // discipline applied to classification). On THIS corpus it reports
+    // chance-level accuracy (~0.1 for 10 labels): the synthetic labels are
+    // independent of embedding position, and the audit's job is exactly to
+    // surface that before anyone propagates them. ClusteringSpec shows the
+    // same classifier at 100% on separable blobs.
+    "q_centroid_confusion" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val test = e.filter(col("vec_id") % 5 === 0)
+      operators.Clustering.nearestCentroidClassify(
+          e.filter(col("vec_id") % 5 =!= 0), test, "vec_id", "embedding", "label")
+        .join(test.select(col("vec_id").as("id"), col("label")), Seq("id"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred")
+    }),
+
     "q_kmeans" -> ((s, dir) => {
       operators.Clustering.kmeansAssign(
           Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -1703,6 +1736,14 @@ object SparkEntry {
            FROM g)
          SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE n_after = 4
          ORDER BY doc_id, fp""",
+    "q_centroid_classify" ->
+      s"""WITH $centroidCte
+         SELECT vec_id, label, CAST(pred AS INT) AS pred, d AS dist
+         FROM cls ORDER BY vec_id""",
+    "q_centroid_confusion" ->
+      s"""WITH $centroidCte
+         SELECT label, CAST(pred AS INT) AS pred, CAST(count(*) AS BIGINT) AS n
+         FROM cls GROUP BY label, pred ORDER BY label, pred""",
     "q_kmeans" ->
       s"""WITH ${kmeansCte(8, 3, 64)}
          SELECT id AS vec_id, CAST(j AS INT) AS cluster, d AS dist
@@ -3270,6 +3311,26 @@ object SparkEntry {
 
   private def kmeansCte(k: Int, iters: Int, dim: Int): String =
     kmeansCteSub("", k, iters, dim, 0)
+
+  /** Nearest-centroid classifier mirror (Clustering.nearestCentroidClassify
+    * semantics): floor-div integer prototypes from the vec_id % 5 <> 0
+    * train split, exact integer squared L2 scoring of the held-out split,
+    * ties to the lowest label. Ends with cls(vec_id, label, pred, d). */
+  private def centroidCte: String =
+    """q AS (SELECT vec_id, label, CAST(t.i AS INT) AS pos,
+         CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000) AS BIGINT) AS qv
+       FROM embeddings, (SELECT unnest(range(64)) AS i) t),
+     ce AS (SELECT label AS lbl, pos,
+         CAST(floor(sum(qv) * 1.0 / count(*)) AS BIGINT) AS c
+       FROM q WHERE vec_id % 5 <> 0 GROUP BY label, pos),
+     sc AS (SELECT p.vec_id, p.label, c.lbl AS pred,
+         CAST(sum((p.qv - c.c) * (p.qv - c.c)) AS BIGINT) AS d
+       FROM q p JOIN ce c USING (pos) WHERE p.vec_id % 5 = 0
+       GROUP BY p.vec_id, p.label, c.lbl),
+     cls AS (SELECT vec_id, label, pred, d FROM (
+         SELECT vec_id, label, pred, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, pred) AS rn
+         FROM sc) WHERE rn = 1)"""
 
   /** BPE training mirror (Bpe.train semantics): frequency-weighted
     * distinct-word dictionary, sentinel-encoded char tokens, then n merge

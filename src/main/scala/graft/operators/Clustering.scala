@@ -310,4 +310,41 @@ object Clustering {
       .select(col("cluster"), col("n"), col("sum_dist"),
         (floor(col("sum_dist") * 100 / col("n")) / 100.0).as("mean_dist"),
         col("min_id"))
+
+  /** Nearest-centroid (Rocchio) classification: each class's prototype is
+    * the floor-div integer mean of its training vectors in quantized
+    * space; a test vector takes the label of the closest prototype by
+    * exact integer squared L2 (ties to the lowest label) — the embedding
+    * classifier for curation-time label propagation (domain/quality/topic
+    * tagging) when a handful of labeled exemplars must tag the whole
+    * corpus.
+    *
+    * Scale shape: training is ONE partial-agg shuffle producing
+    * #labels × dim rows (the same exchange as a Lloyd round); prototypes
+    * then ride the scoring plan as literals, so inference over the corpus
+    * is a join-free, shuffle-free projection at scan speed — exactly how
+    * 100 TB of unlabeled data wants to be tagged. Returns
+    * (id, pred, dist). */
+  def nearestCentroidClassify(train: DataFrame, test: DataFrame,
+                              idCol: String, vecCol: String, labelCol: String,
+                              scale: Int = 1000): DataFrame = {
+    val tr = train.select(col(labelCol).cast("int").as("lbl"),
+      transform(col(vecCol),
+        v => floor(v.cast("double") * scale).cast("long")).as("q"))
+    val sums = tr.select(col("lbl"), posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy("lbl", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+    val cents: Seq[(Int, Array[Long])] =
+      sums.groupBy(_.getInt(0)).toSeq.map { case (l, rows) =>
+        val c = new Array[Long](rows.length)
+        rows.foreach(r => c(r.getInt(1)) = Math.floorDiv(r.getLong(2), r.getLong(3)))
+        (l, c)
+      }.sortBy(_._1)
+    val pts = quantized(test, idCol, vecCol, scale)
+    val fin = nearest(cents, col("q"))
+    pts.select(col("id"),
+      fin.getField("j").as("pred"),
+      fin.getField("d").as("dist"))
+  }
 }

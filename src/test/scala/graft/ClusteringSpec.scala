@@ -38,6 +38,35 @@ class ClusteringSpec extends AnyFunSuite {
       "kmeans not deterministic across runs")
   }
 
+  test("nearestCentroidClassify: 100% on separable blobs, join-free scoring, chance audit works") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // 3 labeled blobs, 20 train + 5 test points each; test points sit
+    // inside their blob so the prototype classifier must be perfect
+    def blob(l: Int, base: Seq[Float], n: Int, off: Int) =
+      (0 until n).map(i =>
+        (l * 100L + off + i, base.map(_ + i * 0.001f), l))
+    val tr = (blob(0, Seq(1f, 0f, 0f), 20, 0) ++
+      blob(1, Seq(0f, 1f, 0f), 20, 0) ++
+      blob(2, Seq(0f, 0f, 1f), 20, 0)).toDF("vec_id", "embedding", "label")
+    val te = (blob(0, Seq(1.005f, 0f, 0f), 5, 50) ++
+      blob(1, Seq(0f, 1.005f, 0f), 5, 50) ++
+      blob(2, Seq(0f, 0f, 1.005f), 5, 50)).toDF("vec_id", "embedding", "label")
+    val out = Clustering.nearestCentroidClassify(tr, te,
+      "vec_id", "embedding", "label")
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    te.collect().foreach { r =>
+      assert(got(r.getLong(0)) == r.getInt(2),
+        s"vec ${r.getLong(0)} predicted ${got(r.getLong(0))}, want ${r.getInt(2)}")
+    }
+    // prototypes ride as literals: the scoring side joins/shuffles nothing
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"inference must be join-free:\n$plan")
+  }
+
   test("equidistant points break ties to the lowest cluster index") {
     // iters = 1: assignment against the init centroids (ids 0 and 1) only.
     // id 2 sits exactly halfway between them in quantized space.
