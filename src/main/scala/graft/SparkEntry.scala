@@ -716,6 +716,17 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     }),
 
+    // SCD2 temporal history: each user's event_type change stream collapsed
+    // into [valid_from, valid_to) validity intervals (open current run) —
+    // the full-lineage complement of the latest-by-key XREF surface. ONE
+    // hash exchange; both windows and the run-id sum share the per-key
+    // ordering.
+    "q_scd2_history" -> ((s, dir) => {
+      operators.Scd.scd2History(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "valid_from_us", "value")
+    }),
+
     // Z-order layout audit: Morton-interleave (user_id, floor(value)) and
     // report each 4096-z-cell tile's row count and per-dimension extents.
     // The bounded min/max boxes per contiguous z-tile ARE the pruning
@@ -2228,6 +2239,24 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM e GROUP BY ROLLUP (event_type, d)
          ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           event_type AS value FROM events),
+         r AS (SELECT *, CASE WHEN lag(value) OVER w IS NULL
+                 OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS chg
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         rr AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+                 ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS run
+                FROM r),
+         iv AS (SELECT user_id, run, value, min(ts_us) AS valid_from_us,
+                 CAST(count(*) AS BIGINT) AS n_events
+                FROM rr GROUP BY user_id, run, value),
+         fin AS (SELECT user_id, value, valid_from_us,
+                 lead(valid_from_us) OVER (PARTITION BY user_id
+                   ORDER BY valid_from_us) AS valid_to_us,
+                 n_events FROM iv)
+         SELECT user_id, value, valid_from_us, valid_to_us, n_events
+         FROM fin ORDER BY user_id, valid_from_us, value""",
     "q_zorder_layout" ->
       s"""WITH d AS (SELECT CAST(user_id AS BIGINT) AS u,
            CAST(floor(value) AS BIGINT) AS v FROM events),
