@@ -974,6 +974,15 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.documents(s, dir), "text", 500)
     }),
 
+    // PMI collocations: top adjacent word pairs by pointwise mutual
+    // information as exact floor-scaled integers (monotone log-free
+    // surrogate n_ab*N^2/(n_a*n_b*B)) — phrase discovery for tokenizer
+    // vocab seeding; TakeOrdered top-k, never a global window.
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(Tables.documents(s, dir), "text",
+        minCount = 5, topK = 100)
+    }),
+
     // Count-min sketch audit: token frequencies estimated from a 3x16
     // counter table (deliberately under-sized so collisions are visible),
     // joined against the exact counts — n_est >= n_exact on every row is
@@ -2078,6 +2087,21 @@ object SparkEntry {
          SELECT token, CAST(count(*) AS BIGINT) AS n
          FROM t WHERE token <> '' GROUP BY token
          ORDER BY n DESC, token LIMIT 500""",
+    "q_collocations" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         uni AS (SELECT unnest(ts) AS t FROM tk),
+         big AS (SELECT ts[p] AS w1, ts[p + 1] AS w2
+                 FROM (SELECT ts, unnest(range(1, len(ts))) AS p FROM tk)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM uni),
+         bb AS (SELECT CAST(count(*) AS BIGINT) AS B FROM big),
+         cu AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+         cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+                FROM big GROUP BY w1, w2 HAVING count(*) >= 5),
+         j AS (SELECT w1, w2, n_ab, a.c AS n_a, b.c AS n_b, N, B
+               FROM cb JOIN cu a ON a.t = w1 JOIN cu b ON b.t = w2, nn, bb)
+         SELECT w1, w2, n_ab, n_a, n_b,
+           (n_ab * N * N * 10000) // (n_a * n_b * B) AS pmi_bp
+         FROM j ORDER BY pmi_bp DESC, w1, w2 LIMIT 100""",
     "q_count_min" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
          cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY t),

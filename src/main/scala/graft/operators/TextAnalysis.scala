@@ -373,4 +373,49 @@ object TextAnalysis {
       regexp_count(t, lit(ssnPattern)).cast("long").as("n_ssns"),
       redacted.as("redacted"))
   }
+
+  /** PMI collocation mining: the corpus's top-k adjacent word pairs by
+    * pointwise mutual information — phrase discovery for tokenizer vocab
+    * seeding and multi-word-expression detection. PMI = log p(ab) /
+    * (p(a)·p(b)) is ranked WITHOUT logs or doubles: the monotone surrogate
+    * n_ab·N² / (n_a·n_b·B) is scored as exact floor-scaled basis points,
+    * so the ranking — and every tie — is bit-identical across engines
+    * (ties break on the word pair). An in-plan assert_true guard fails
+    * loudly when n_ab·N²·10⁴ approaches 2⁶³ (the DSIR parity-headroom
+    * discipline) instead of wrapping silently.
+    *
+    * Scale shape: bigram and unigram count tables are partial-agg
+    * shuffles over exploded tokens; the unigram table is |vocab| rows
+    * (broadcast at typical vocab sizes — swap to plain equi-joins beyond
+    * ~10⁷ types); totals are broadcast 1-row aggregates; final top-k is
+    * TakeOrdered, never a global window sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   topK: Int = 100): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val big = df.select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = df.select(explode(toks).as("t"))
+    val cu = uni.groupBy("t").agg(count(lit(1)).as("c"))
+    val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val joined = cb
+      .join(broadcast(cu.select(col("t").as("w1"), col("c").as("n_a"))), Seq("w1"))
+      .join(broadcast(cu.select(col("t").as("w2"), col("c").as("n_b"))), Seq("w2"))
+      .crossJoin(broadcast(uni.agg(count(lit(1)).as("N"))))
+      .crossJoin(broadcast(big.agg(count(lit(1)).as("B"))))
+    val guard = assert_true(
+      col("n_ab").cast("double") * col("N").cast("double") *
+        col("N").cast("double") < 9.2e14,
+      lit("collocation parity headroom exceeded: n_ab * N^2 * 10^4 must " +
+        "stay under 2^63 — pre-aggregate per shard or scale counts down"))
+    joined
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        (expr("(n_ab * N * N * 10000) div (n_a * n_b * B)") +
+          coalesce(guard.cast("long"), lit(0L))).as("pmi_bp"))
+      .orderBy(col("pmi_bp").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

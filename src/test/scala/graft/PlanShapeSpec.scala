@@ -35,7 +35,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ann_topk", "q_ann_ivf",
     "q_value_percentiles", // 1-row corpus-count cross, O(1) side
     "q_weighted_sample", // two 1-row total-weight crosses (Sampling.weightedSample)
-    "q_mix_temperature") // 1-row weight-normalizer cross over O(#sources) stats
+    "q_mix_temperature", // 1-row weight-normalizer cross over O(#sources) stats
+    "q_collocations") // two 1-row corpus-total crosses (N tokens, B bigrams)
 
   // The exact all-pairs cosine is DOCUMENTED as a small-input utility
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.

@@ -184,6 +184,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("mean_rarity") > out(0).getAs[Long]("mean_rarity"))
   }
 
+  test("collocations: bound pairs out-rank frequent-but-independent pairs; closed form") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, size, split}
+    import graft.operators.TextAnalysis
+    // "new york" only ever occurs as a pair; "the cat" / "the dog" mix freely
+    val docs = (1 to 10).map(i =>
+      (i.toLong, "new york " + (if (i % 2 == 0) "the cat " else "the dog ") * 3 + "the end"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5, topK = 10)
+      .collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    // exclusive pair ranks strictly above the promiscuous article pairs
+    assert(byPair(("new", "york")) > byPair(("the", "cat")),
+      s"PMI ordering wrong: $byPair")
+    assert(byPair(("new", "york")) > byPair(("the", "dog")))
+    // closed form: every "new" is followed by "york" -> p(ab) = p(a) = p(b)
+    // so the bp score is floor(N^2 * 1e4 / (n^2 * B/n_ab))... verify against
+    // the direct formula with the exact counts the corpus implies
+    val r = out.find(x => x.getString(0) == "new").get
+    val (nAb, nA, nB2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nAb == 10L && nA == 10L && nB2 == 10L)
+    val n = docs.select(explode(split(col("text"), " "))).count()
+    val b = out.head.getLong(2) // not B; recompute B exactly below
+    val totB = docs.select((size(split(col("text"), " ")) - 1).cast("long")).collect().map(_.getLong(0)).sum
+    assert(r.getLong(5) == nAb * n * n * 10000L / (nA * nB2 * totB))
+    assert(b > 0)
+  }
+
   test("incrementalDedup: verbatim copies match, fresh docs pass, one row per incoming doc") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
