@@ -716,6 +716,24 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     }),
 
+    // Snapshot diff: classify every key across two corpus versions as
+    // added/removed/changed/unchanged — the regression audit between
+    // pipeline runs. Each side reduces to (key, md5 fingerprint) BEFORE
+    // the single full-outer equi-join, so wide payloads never shuffle.
+    // v2 is derived deterministically: drop %17 keys, edit %13 texts,
+    // add %19 copies under new ids.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val v1 = Tables.documents(s, dir)
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2edit")))
+            .otherwise(col("text")))
+        .unionByName(v1.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      operators.Diff.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang", "source"))
+        .orderBy("doc_id")
+    }),
+
     // SCD2 temporal history: each user's event_type change stream collapsed
     // into [valid_from, valid_to) validity intervals (open current run) —
     // the full-lineage complement of the latest-by-key XREF surface. ONE
@@ -2263,6 +2281,30 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM e GROUP BY ROLLUP (event_type, d)
          ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_snapshot_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' v2edit' ELSE text END
+               AS text, lang, source
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source FROM documents
+           WHERE doc_id % 19 = 0),
+         o AS (SELECT doc_id, md5(coalesce(text, '') || chr(1) ||
+                 coalesce(lang, '') || chr(1) || coalesce(source, ''))
+                 AS old_fp FROM documents),
+         n AS (SELECT doc_id, md5(coalesce(text, '') || chr(1) ||
+                 coalesce(lang, '') || chr(1) || coalesce(source, ''))
+                 AS new_fp FROM v2),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp <> new_fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old_fp, new_fp
+         FROM j ORDER BY doc_id""",
     "q_scd2_history" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
            event_type AS value FROM events),
