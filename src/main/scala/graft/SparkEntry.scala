@@ -716,6 +716,16 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     }),
 
+    // Rolling z-score anomaly flags: each user's value stream tested
+    // against its own trailing 20-event window via the exact-integer
+    // restatement (n*x - S)^2 > k^2 * (n*Q - S^2) — reproducible outlier
+    // detection with one per-key bounded ROWS window.
+    "q_anomaly_zscore" -> ((s, dir) => {
+      operators.Anomaly.rollingZ(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "value", n = 20, k2 = 9)
+        .orderBy("user_id", "ts_us")
+    }),
+
     // Snapshot diff: classify every key across two corpus versions as
     // added/removed/changed/unchanged — the regression audit between
     // pipeline runs. Each side reduces to (key, md5 fingerprint) BEFORE
@@ -2281,6 +2291,20 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM e GROUP BY ROLLUP (event_type, d)
          ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         r AS (SELECT user_id, ts_us, cents,
+           sum(cents) OVER w AS s,
+           sum(cents * cents) OVER w AS q,
+           CAST(count(*) OVER w AS BIGINT) AS win_n
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT user_id, ts_us, cents, win_n,
+           win_n = 20 AND
+             (win_n * cents - s) * (win_n * cents - s) >
+               9 * (win_n * q - s * s) AS flag
+         FROM r ORDER BY user_id, ts_us""",
     "q_snapshot_diff" ->
       """WITH v2 AS (
            SELECT doc_id,
