@@ -830,6 +830,19 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    // Grouped form of the exact percentile report: p50/p90/p99 document
+    // token length PER SOURCE (the per-domain gate report). The group key
+    // threads through every two-phase stage, so all windows stay
+    // partitioned — no task sorts more than one group's share of one
+    // bucket.
+    "q_group_percentiles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+      operators.Percentiles.exactKthByGroup(d, "source", "v",
+          Seq(50, 90, 99), nBuckets = 64)
+        .orderBy("source", "pct")
+    }),
+
     // Sketch twin of the exact report — ONE aggregation pass over the raw
     // values (KLL/GK-style percentile_approx, error bounded by the
     // accuracy parameter), no histogram, no second phase: the cheapest
@@ -2404,6 +2417,19 @@ object SparkEntry {
          SELECT 99, min(value) FROM c CROSS JOIN n
          WHERE cum >= (99 * n + 99) // 100
          ORDER BY pct""",
+    "q_group_percentiles" ->
+      """WITH t AS (SELECT source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+         n AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM t
+               GROUP BY source),
+         r AS (SELECT source, v,
+           row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM t),
+         ps AS (SELECT unnest([50, 90, 99]) AS p),
+         sel AS (SELECT n.source, ps.p, (ps.p * n.n + 99) // 100 AS k
+                 FROM n, ps)
+         SELECT s.source, CAST(s.p AS BIGINT) AS pct, r.v AS value
+         FROM sel s JOIN r ON r.source = s.source AND r.rn = s.k
+         ORDER BY s.source, pct""",
     "q_salted_join" ->
       """WITH li AS (SELECT l_orderkey AS k,
            CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents

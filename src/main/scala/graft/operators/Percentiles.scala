@@ -82,4 +82,60 @@ object Percentiles {
     }
     arms.reduce(_.unionByName(_))
   }
+
+  /** Per-group exact percentiles — the grouped form of [[exactKth]]
+    * ("p50/p90/p99 document length per source", the per-domain gate
+    * report). Same two-phase selection with the group key threaded
+    * through every stage, so ALL windows are partitioned (per-group
+    * bucket-cumulative over ≤ nBuckets rows; in-bucket ordered selection
+    * per (group, bucket)) — no stage anywhere sorts more than one group's
+    * share of one bucket. Group stats ride a broadcast #groups-row
+    * table. Bucket boundaries only partition the search — the selected
+    * value is the exact k-th smallest regardless, so no floating-point
+    * bucket arithmetic can affect the result.
+    *
+    * Returns one row per (group, pct): (groupCol, pct, value). */
+  def exactKthByGroup(values: DataFrame, groupCol: String, valueCol: String,
+                      pcts: Seq[Int], nBuckets: Int = 1024): DataFrame = {
+    val g = col(groupCol)
+    val hist = values.groupBy(g, col(valueCol).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hist.groupBy(g)
+      .agg(min("value").as("vmin"), max("value").as("vmax"),
+        sum("cnt").as("n"))
+    val histB = hist.join(broadcast(stats), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(
+            floor((col("value") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / nBuckets)),
+            lit(nBuckets - 1L))))
+      .select(g, col("value"), col("cnt"), col("bucket"), col("n"))
+    val bcnt = histB.groupBy(g, col("bucket")).agg(sum("cnt").as("bc"))
+    val wb = Window.partitionBy(g).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bcum = bcnt.withColumn("cumb", sum("bc").over(wb))
+      .join(broadcast(stats.select(g, col("n"))), Seq(groupCol))
+    val wIn = Window.partitionBy(g, col("bucket")).orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val arms = pcts.map { p =>
+      val target = bcum
+        .withColumn("k", expr(s"($p * n + 99) div 100"))
+        .filter(col("cumb") >= col("k"))
+        .groupBy(g)
+        .agg(min_by(
+          struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
+            col("k")),
+          col("bucket")).as("t"))
+        .select(g, col("t.bucket").as("bucket"), col("t.cum_before"),
+          col("t.k"))
+      histB.select(g, col("value"), col("cnt"), col("bucket"))
+        .join(broadcast(target), Seq(groupCol, "bucket"))
+        .withColumn("cum_in", sum("cnt").over(wIn))
+        .filter(col("cum_in") >= col("k") - col("cum_before"))
+        .groupBy(g)
+        .agg(lit(p.toLong).as("pct"), min("value").as("value"))
+    }
+    arms.reduce(_.unionByName(_))
+  }
 }

@@ -61,6 +61,38 @@ class PercentilesSpec extends AnyFunSuite {
       naive(values, Seq(50, 90)))
   }
 
+  test("exactKthByGroup: per-group results match per-group naive; degenerate groups fine") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // three groups with different shapes: uniform, duplicate-heavy, singleton
+    val a = (1 to 97).map(i => ("a", ((i * 37) % 100 + 1).toDouble))
+    val b = (1 to 50).map(i => ("b", if (i < 45) 5.0 else i.toDouble))
+    val c = Seq(("c", 7.0))
+    val df = (a ++ b ++ c).toDF("g", "v")
+    val got = Percentiles.exactKthByGroup(df, "g", "v", Seq(50, 90, 99),
+        nBuckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((g, vs) <- Seq("a" -> a, "b" -> b, "c" -> c))
+      naive(vs.map(_._2), Seq(50, 90, 99)).foreach { case (p, want) =>
+        assert(got((g, p)) == want, s"group $g p$p: ${got((g, p))} != $want")
+      }
+    assert(got.size == 9)
+  }
+
+  test("exactKthByGroup: every window is partitioned (fully group-parallel plan)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val df = (1 to 100).map(i => (s"g${i % 3}", i.toDouble)).toDF("g", "v")
+    val plan = Percentiles.exactKthByGroup(df, "g", "v", Seq(50))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "plan traversal found no Window nodes at all")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "grouped percentiles must not contain ANY unpartitioned window")
+  }
+
   test("selection window is bucket-partitioned (no data-scale global window)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
