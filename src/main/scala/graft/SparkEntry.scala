@@ -716,6 +716,21 @@ object SparkEntry {
         .orderBy(col("event_type").asc_nulls_first, col("d").asc_nulls_first)
     }),
 
+    // Blocked fuzzy entity resolution: dirty strings (one deterministic
+    // char deletion) resolved back to canonical ids via pigeonhole
+    // prefix/suffix blocking + levenshtein verify — two hash equi-joins
+    // and one edit-distance call per candidate, never all-pairs.
+    "q_fuzzy_resolve" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("name"))
+      val dirty = base.select(col("doc_id").as("did"),
+        expr("concat(substring(name, 1, cast(doc_id % 32 as int)), " +
+          "substring(name, cast(doc_id % 32 as int) + 2, 32))").as("dname"))
+      operators.Fuzzy.resolveByEdit(dirty, "did", "dname",
+          base, "doc_id", "name")
+        .orderBy("l_id", "r_id")
+    }),
+
     // Rolling z-score anomaly flags: each user's value stream tested
     // against its own trailing 20-event window via the exact-integer
     // restatement (n*x - S)^2 > k^2 * (n*Q - S^2) — reproducible outlier
@@ -2304,6 +2319,25 @@ object SparkEntry {
            CAST(sum(cents) AS BIGINT) AS cents_sum
          FROM e GROUP BY ROLLUP (event_type, d)
          ORDER BY event_type ASC NULLS FIRST, d ASC NULLS FIRST""",
+    "q_fuzzy_resolve" ->
+      """WITH base AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS name
+                       FROM documents),
+         dirty AS (SELECT doc_id AS did,
+             substr(name, 1, CAST(doc_id % 32 AS INT)) ||
+               substr(name, CAST(doc_id % 32 AS INT) + 2) AS dname
+           FROM base),
+         lb AS (SELECT did, dname, unnest(['p' || substr(dname, 1, 4),
+                  's' || substr(dname, length(dname) - 3, 4)]) AS blk
+                FROM dirty),
+         rb AS (SELECT doc_id, name, unnest(['p' || substr(name, 1, 4),
+                  's' || substr(name, length(name) - 3, 4)]) AS blk
+                FROM base),
+         cand AS (SELECT DISTINCT did, dname, doc_id, name
+                  FROM lb JOIN rb USING (blk))
+         SELECT did AS l_id, doc_id AS r_id,
+           CAST(levenshtein(dname, name) AS INT) AS dist
+         FROM cand WHERE levenshtein(dname, name) <= 1
+         ORDER BY l_id, r_id""",
     "q_anomaly_zscore" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
            CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
