@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Anomaly
+import graft.streaming.StatefulAnomaly
+import graft.streaming.StatefulAnomaly.{AEvent, AFlag}
+
+/** The streaming anomaly detector must reproduce the batch rolling-z flags
+  * bit-identically: replaying the sf0.001 event table as time-ordered
+  * micro-batches (files landing one at a time, AvailableNow + shared
+  * checkpoint) emits the same (key, ts, cents, win_n, flag) rows as
+  * `Anomaly.rollingZ` — the integer z-algebra leaves no room for drift. */
+class StatefulAnomalySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("time-sliced replay emits exactly the batch flag table") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_anom").toString
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+
+    val expected = Anomaly.rollingZ(ev, "user_id", "ts", "event_id", "value",
+        n = 20, k2 = 9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+      .toSet
+    assert(expected.exists(_._5), "fixture must contain at least one flagged row")
+
+    val rows = ev.select(col("user_id").as("key"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .orderBy("ts_us", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val slices = rows.grouped((rows.length + 7) / 8).map(_.toSeq).toSeq
+
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Boolean)]
+    val schema = spark.createDataset(Seq.empty[AEvent]).schema
+    slices.foreach { slice =>
+      slice.toDF("key", "ts_us", "event_id", "cents")
+        .coalesce(1).write.mode("append").parquet(s"$work/in")
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in")
+        .as[AEvent]
+      val flags = StatefulAnomaly.detectStream(src, n = 20, k2 = 9)
+      val q = flags.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$work/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[AFlag], _: Long) =>
+          batch.collect().foreach { f =>
+            got += ((f.key, f.ts_us, f.cents, f.win_n, f.flag))
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    assert(got.toSet == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got.toSet -- expected).take(5)}")
+  }
+}
