@@ -1030,6 +1030,15 @@ object SparkEntry {
       TextAnalysis.topTokens(Tables.documents(s, dir), "text", 500)
     }),
 
+    // Compression-ratio quality band: per-doc deflate/raw basis points —
+    // the language-agnostic repetition/gibberish filter. Rows-only (no
+    // SQL engine mirrors deflate); behavioral contract spec-tested, like
+    // the other production-codec twins.
+    "q_compress_ratio" -> ((s, dir) => {
+      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // PMI collocations: top adjacent word pairs by pointwise mutual
     // information as exact floor-scaled integers (monotone log-free
     // surrogate n_ab*N^2/(n_a*n_b*B)) — phrase discovery for tokenizer

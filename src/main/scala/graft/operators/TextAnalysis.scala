@@ -374,6 +374,39 @@ object TextAnalysis {
       redacted.as("redacted"))
   }
 
+  /** Compression-ratio quality signal: per-document DEFLATE size over raw
+    * size (basis points). Highly repetitive or templated text compresses
+    * far below natural prose, and high-entropy gibberish barely compresses
+    * at all — the cheap, language-agnostic filter band (keep documents in
+    * a middle ratio band) used alongside the Gopher repetition rules.
+    *
+    * This is per-row JVM codec work with no Catalyst equivalent (the
+    * Multimodal precedent), so it runs as a deterministic Scala UDF —
+    * fixed level, default strategy — inside a zero-shuffle projection.
+    * No SQL engine mirrors deflate, so the query is a rows-only surface;
+    * the behavioral contract is spec-tested (repetitive < prose < random
+    * ordering, determinism, empty/null safety). */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+                       level: Int = 6): DataFrame = {
+    val deflatedLen = udf { (s: String) =>
+      if (s == null || s.isEmpty) 0L
+      else {
+        val d = new java.util.zip.Deflater(level, false)
+        d.setInput(s.getBytes("UTF-8")); d.finish()
+        val buf = new Array[Byte](8192)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end(); n
+      }
+    }
+    df.select(col(idCol),
+      octet_length(col(textCol)).cast("long").as("raw_bytes"),
+      deflatedLen(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio_bp",
+        when(col("raw_bytes") > 0,
+          expr("(deflate_bytes * 10000) div raw_bytes")).otherwise(lit(0L)))
+  }
+
   /** PMI collocation mining: the corpus's top-k adjacent word pairs by
     * pointwise mutual information — phrase discovery for tokenizer vocab
     * seeding and multi-word-expression detection. PMI = log p(ab) /

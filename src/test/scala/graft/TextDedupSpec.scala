@@ -184,6 +184,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("mean_rarity") > out(0).getAs[Long]("mean_rarity"))
   }
 
+  test("compressionRatio: repetitive < prose < random; deterministic; empty safe") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "spam spam spam " * 60),                                   // repetitive
+      (2L, ("the quick brown fox jumps over a lazy dog near the " +
+        "river bank while autumn leaves drift slowly downstream ") * 9), // prose-ish
+      (3L, Seq.fill(900)(rnd.nextPrintableChar()).mkString),           // high entropy
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) < out(2L) && out(2L) < out(3L),
+      s"ratio ordering must be repetitive < prose < random: $out")
+    assert(out(4L) == 0L)
+    // deterministic re-run
+    val again = TextAnalysis.compressionRatio(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == out)
+  }
+
   test("collocations: bound pairs out-rank frequent-but-independent pairs; closed form") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
