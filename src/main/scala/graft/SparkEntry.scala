@@ -1039,6 +1039,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Production twin of q_count_min: xxhash64 buckets instead of the md5
+    // parity hash — the hash IS the dominant cost of the parity sketch
+    // (one md5 per occurrence per row); rows-only like every xxhash twin.
+    "q_count_min_prod" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val sk = operators.Sketch.countMinBuild(tok, "token", d = 3, w = 16,
+        oracleParity = false)
+      val exact = tok.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      exact.join(
+          operators.Sketch.countMinEstimate(sk, tok, "token", d = 3, w = 16,
+            oracleParity = false),
+          Seq("token"))
+        .select(col("token"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overest"))
+        .orderBy("token")
+    }),
+
     // PMI collocations: top adjacent word pairs by pointwise mutual
     // information as exact floor-scaled integers (monotone log-free
     // surrogate n_ab*N^2/(n_a*n_b*B)) — phrase discovery for tokenizer

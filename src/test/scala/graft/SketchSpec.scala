@@ -39,6 +39,22 @@ class SketchSpec extends AnyFunSuite {
     assert(estBig == exact, s"w=4096 should be collision-free: $estBig vs $exact")
   }
 
+  test("countMin xxhash64 production path: same guarantees, deterministic") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val occ = occurrences
+    val exact = occ.groupBy("k").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = Sketch.countMinBuild(occ, "k", d = 3, w = 8, oracleParity = false)
+    val est = Sketch.countMinEstimate(sk, occ, "k", d = 3, w = 8,
+        oracleParity = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.forall { case (k, e) => e >= exact(k) })
+    val again = Sketch.countMinEstimate(sk, occ, "k", d = 3, w = 8,
+        oracleParity = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
+
   test("countMin: sketches merge by cell-wise addition (shard roll-up contract)") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
