@@ -731,6 +731,26 @@ object SparkEntry {
         .orderBy("l_id", "r_id")
     }),
 
+    // General edit-distance-2 resolution via PassJoin segment blocking
+    // (k+1 segments, position-tolerant probes, ONE equi-join). The oracle
+    // is the brute-force all-pairs levenshtein — hash equality therefore
+    // PROVES the blocking is exact (recall 1) on this corpus, while the
+    // Spark plan never goes quadratic.
+    "q_fuzzy_resolve2" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("name"))
+      val dirty = base
+        .select(col("doc_id"),
+          expr("concat(substring(name, 1, cast(doc_id % 32 as int)), " +
+            "substring(name, cast(doc_id % 32 as int) + 2, 32))").as("s1"))
+        .select(col("doc_id").as("did"),
+          expr("concat(substring(s1, 1, cast((doc_id * 7) % 31 as int)), " +
+            "substring(s1, cast((doc_id * 7) % 31 as int) + 2, 31))").as("dname"))
+      operators.Fuzzy.resolveByEditK(dirty, "did", "dname",
+          base, "doc_id", "name", maxDist = 2)
+        .orderBy("l_id", "r_id")
+    }),
+
     // Rolling z-score anomaly flags: each user's value stream tested
     // against its own trailing 20-event window via the exact-integer
     // restatement (n*x - S)^2 > k^2 * (n*Q - S^2) — reproducible outlier
@@ -2364,6 +2384,21 @@ object SparkEntry {
          SELECT did AS l_id, doc_id AS r_id,
            CAST(levenshtein(dname, name) AS INT) AS dist
          FROM cand WHERE levenshtein(dname, name) <= 1
+         ORDER BY l_id, r_id""",
+    "q_fuzzy_resolve2" ->
+      """WITH base AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS name
+                       FROM documents),
+         d1 AS (SELECT doc_id,
+             substr(name, 1, CAST(doc_id % 32 AS INT)) ||
+               substr(name, CAST(doc_id % 32 AS INT) + 2) AS s1
+           FROM base),
+         dirty AS (SELECT doc_id AS did,
+             substr(s1, 1, CAST((doc_id * 7) % 31 AS INT)) ||
+               substr(s1, CAST((doc_id * 7) % 31 AS INT) + 2) AS dname
+           FROM d1)
+         SELECT did AS l_id, b.doc_id AS r_id,
+           CAST(levenshtein(dname, name) AS INT) AS dist
+         FROM dirty, base b WHERE levenshtein(dname, name) <= 2
          ORDER BY l_id, r_id""",
     "q_anomaly_zscore" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

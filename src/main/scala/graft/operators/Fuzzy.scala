@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fuzzy string matching (entity resolution) as a BLOCKED edit-distance
@@ -53,6 +53,85 @@ object Fuzzy {
     val cand = blocks(left, leftId, leftStr, "l", Seq(0))
       .join(blocks(right, rightId, rightStr, "r", Seq(-1, 0, 1)), Seq("blk"))
       .select(col("l_id"), col("l_s"), col("r_id"), col("r_s"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("l_s"), col("r_s")))
+      .filter(col("dist") <= maxDist)
+      .select(col("l_id"), col("r_id"), col("dist"))
+  }
+
+  /** General edit-distance-k resolution via PassJoin segment blocking
+    * (Li, Deng, Feng 2011): every canonical string splits into k+1
+    * contiguous segments (pigeonhole: k edits cannot touch them all, so
+    * some segment survives VERBATIM in any string within distance k, its
+    * position shifted by at most k). The right side indexes its segments
+    * under (length, segment#, text); the left side probes every substring
+    * that could be a surviving segment — for each candidate right length
+    * within ±k and each segment, the substrings at the segment's position
+    * ±k. Candidates meet in ONE hash equi-join on the segment key —
+    * O((2k+1)²·(k+1)) probe keys per row, never all-pairs — and one
+    * levenshtein verifies each. The blocking is EXACT (recall 1): the
+    * oracle proves it by computing the brute-force all-pairs answer.
+    *
+    * Segmentation (0-based): base = L div (k+1), rem = L mod (k+1); the
+    * first `rem` segments carry base+1 chars; start_j = j·base +
+    * min(j, rem). Strings with length < k+1 fall back to length-band
+    * blocks (some segment would be empty). */
+  def resolveByEditK(left: DataFrame, leftId: String, leftStr: String,
+                     right: DataFrame, rightId: String, rightStr: String,
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val m = maxDist + 1 // segment count
+    def segLen(lr: Column, j: Int): Column =
+      (lr / m).cast("int") + when(lit(j) < lr % m, 1).otherwise(0)
+    def segStart(lr: Column, j: Int): Column = // 0-based
+      (lit(j) * (lr / m).cast("int") + least(lit(j), lr % m)).cast("int")
+
+    // right: one key per segment — (rightLen, segIdx, segText)
+    val rKeys = (0 until m).map { j =>
+      val lr = length(col(rightStr))
+      struct(lr.as("lr"), lit(j).as("j"),
+        col(rightStr).substr(segStart(lr, j) + 1, segLen(lr, j)).as("seg"),
+        (lr >= m).as("valid"))
+    }
+    val rb = right.select(col(rightId).as("r_id"), col(rightStr).as("r_s"),
+        explode(filter(array(rKeys: _*), x => x.getField("valid"))).as("k"))
+      .select(col("r_id"), col("r_s"), col("k.lr").as("lr"),
+        col("k.j").as("j"), col("k.seg").as("seg"))
+
+    // left: probe keys for every plausible (right length, segment, shift)
+    val ls = length(col(leftStr))
+    val lKeys = for {
+      dl <- -maxDist to maxDist
+      j <- 0 until m
+      d <- -maxDist to maxDist
+    } yield {
+      val lr = ls + dl
+      val p = segStart(lr, j) + d // 0-based probe position
+      struct(lr.as("lr"), lit(j).as("j"),
+        col(leftStr).substr(p + 1, segLen(lr, j)).as("seg"),
+        (lr >= m && p >= 0 && (p + segLen(lr, j)) <= ls).as("valid"))
+    }
+    val lb = left.select(col(leftId).as("l_id"), col(leftStr).as("l_s"),
+        explode(array_distinct(
+          filter(array(lKeys: _*), x => x.getField("valid")))).as("k"))
+      .select(col("l_id"), col("l_s"), col("k.lr").as("lr"),
+        col("k.j").as("j"), col("k.seg").as("seg"))
+
+    // short strings (length < m on either side): length-band fallback
+    val shortL = left.filter(length(col(leftStr)) < m + maxDist)
+      .select(col(leftId).as("l_id"), col(leftStr).as("l_s"),
+        explode(array((-maxDist to maxDist).map(d =>
+          (length(col(leftStr)) + d).cast("int")): _*)).as("lb"))
+    val shortR = right.filter(length(col(rightStr)) < m)
+      .select(col(rightId).as("r_id"), col(rightStr).as("r_s"),
+        length(col(rightStr)).cast("int").as("lb"))
+    val shortCand = shortL.join(shortR, Seq("lb"))
+      .select(col("l_id"), col("l_s"), col("r_id"), col("r_s"))
+
+    val cand = lb.join(rb, Seq("lr", "j", "seg"))
+      .select(col("l_id"), col("l_s"), col("r_id"), col("r_s"))
+      .unionByName(shortCand)
       .distinct()
     cand
       .withColumn("dist", levenshtein(col("l_s"), col("r_s")))

@@ -49,6 +49,52 @@ class FuzzySpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("resolveByEditK(2): equals brute-force all-pairs on a corpus of 0/1/2/3-edit variants") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val canon = (1 to 40).map(i => (i.toLong,
+      s"canonical-record-number-${i}00-with-some-tail"))
+    // dirty pool: exact copies, 1-edit, 2-edit, 3-edit (must NOT match),
+    // plus short strings exercising the length-band fallback
+    val dirty = canon.flatMap { case (i, s) =>
+      Seq((i * 10L, s),
+        (i * 10L + 1, s.patch(5, "", 1)),                 // 1 deletion
+        (i * 10L + 2, s.patch(3, "", 1).patch(10, "X", 0)), // del + ins = 2
+        (i * 10L + 3, "ZZ" + s.drop(1)))                  // sub+ins at front = 2
+    } ++ Seq((9001L, "ab"), (9002L, "abc"), (9003L, "zzzzzz"))
+    val canonAll = canon ++ Seq((501L, "abcd"))
+    val got = {
+      import graft.operators.Fuzzy
+      Fuzzy.resolveByEditK(dirty.toDF("id", "s"), "id", "s",
+          canonAll.toDF("id", "s"), "id", "s", maxDist = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    val brute = (for {
+      (di, ds) <- dirty
+      (ci, cs) <- canonAll
+      dist = {
+        // classic DP levenshtein
+        val dp = Array.tabulate(ds.length + 1)(identity)
+        for (y <- 1 to cs.length) {
+          var prev = dp(0); dp(0) = y
+          for (x <- 1 to ds.length) {
+            val cur = dp(x)
+            dp(x) = math.min(math.min(dp(x) + 1, dp(x - 1) + 1),
+              prev + (if (ds(x - 1) == cs(y - 1)) 0 else 1))
+            prev = cur
+          }
+        }
+        dp(ds.length)
+      }
+      if dist <= 2
+    } yield (di, ci, dist)).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    // the 3-edit variants ("ZZ"+drop(1) relative to OTHER canonicals etc.)
+    // prove the verify stage rejects over-distance candidates
+    assert(brute.exists(_._3 == 2) && brute.exists(_._3 == 0))
+  }
+
   test("plan is blocked equi-joins — no cartesian, no nested loop") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
