@@ -5,13 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Test-data table loaders.
   *
-  * The driver-generated `events.parquet` stores `ts` as parquet
-  * INT64 TIMESTAMP(NANOS) which Spark 4.x refuses to read as a
-  * timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as a raw long via
-  * `spark.sql.legacy.parquet.nanosAsLong` and convert with integer
-  * division (`div`, NOT `/` — double division would lose precision on
-  * 1.7e18-scale values) to microseconds, exactly matching DuckDB's
-  * nanos->micros truncation, so oracle comparisons line up.
+  * Earlier driver generations stored `events.ts` as parquet INT64
+  * TIMESTAMP(NANOS), which Spark 4.x refuses to read as a timestamp
+  * ([PARQUET_TYPE_ILLEGAL]); current generations store TIMESTAMP(MICROS,
+  * ntz) which reads natively as TIMESTAMP_NTZ. We enable
+  * `spark.sql.legacy.parquet.nanosAsLong` so the nanos form surfaces as
+  * a raw long, then dispatch on the read schema: a LONG `ts` is converted
+  * with integer division (`div`, NOT `/` — double division would lose
+  * precision on 1.7e18-scale values) to microseconds, exactly matching
+  * DuckDB's nanos->micros truncation; a TIMESTAMP_NTZ `ts` is cast to
+  * TimestampType (every session here pins spark.sql.session.timeZone=UTC,
+  * so the cast re-tags the same wall-clock micros as a UTC instant —
+  * bit-identical to what DuckDB's naive timestamp arithmetic sees).
+  * Either way the surfaced column is microsecond-precision TimestampType
+  * and oracle comparisons line up.
   */
 object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
@@ -22,8 +29,14 @@ object Tables {
   /** `events` with `ts` restored to TimestampType (microsecond precision). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
