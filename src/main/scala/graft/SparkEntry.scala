@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Sampling, Similarity, SttmOps, TextAnalysis, TextDedup}
+import graft.operators.{Propagate, Sampling, Similarity, SttmOps, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1005,6 +1005,33 @@ object SparkEntry {
     // (the canonical-document step: keep one representative per cluster).
     "q_dedup_clusters" -> ((s, dir) => {
       nearDupClusters(s, dir).orderBy("doc_id")
+    }),
+
+    // Quality propagation over the near-dup graph: 3 rounds of k-hop max
+    // inheritance — a doc's near-duplicates lift its quality signal (the
+    // duplicate-family pooling step between pairwise dedup and canonical
+    // selection). Integer basis-point score, so the result is bit-exact
+    // across engines; each round is one edge equi-join + per-vertex max.
+    "q_quality_propagate" -> ((s, dir) => {
+      Propagate.maxPropagate(
+          stopRatioBp(Tables.documents(s, dir)), "doc_id", "q_bp",
+          nearDupPairs(s, dir).select(col("id1"), col("id2")), iters = 3)
+        .withColumnRenamed("q_bp", "q_prop")
+        .join(stopRatioBp(Tables.documents(s, dir))
+          .withColumnRenamed("q_bp", "q_base"), Seq("doc_id"))
+        .select(col("doc_id"), col("q_base"), col("q_prop"))
+        .orderBy("doc_id")
+    }),
+
+    // Keep-best dedup retention: per near-dup cluster, keep the member
+    // with the HIGHEST quality score (ties -> smaller doc id) instead of
+    // the min-id canonical — the retention policy a curation pipeline
+    // actually wants. One window partitioned by cluster, never global.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      Propagate.keepBest(
+          nearDupClusters(s, dir), "doc_id", "cluster_id",
+          stopRatioBp(Tables.documents(s, dir)), "q_bp")
+        .orderBy("cluster_id")
     }),
 
     // Leakage-safe train/val/test split: the hash bucket comes from the
@@ -2609,6 +2636,41 @@ object SparkEntry {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+    // 3 unrolled rounds of k-hop max inheritance over the verified pair
+    // graph (mirrors Propagate.maxPropagate's per-round join+max exactly)
+    "q_quality_propagate" ->
+      s"""WITH $pairSigCte, $hybridPairsCtes,
+         eP AS (SELECT id1 AS a, id2 AS b FROM vp
+                UNION ALL SELECT id2, id1 FROM vp),
+         qt0 AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','and','of','to','in'))) AS BIGINT)
+               * 10000 // len(string_split(text, ' ')) AS s
+           FROM documents),
+         ${(1 to 3).map { i =>
+           val prev = if (i == 1) "qt0" else s"p${i - 1}"
+           s"""p$i AS (SELECT q.doc_id, greatest(q.s, coalesce(m.ms, q.s)) AS s
+              FROM $prev q LEFT JOIN
+                (SELECT e.a AS doc_id, max(x.s) AS ms
+                 FROM eP e JOIN $prev x ON x.doc_id = e.b GROUP BY e.a) m
+              USING (doc_id))"""
+         }.mkString(",\n")}
+         SELECT q.doc_id, q.s AS q_base, p3.s AS q_prop
+         FROM qt0 q JOIN p3 USING (doc_id) ORDER BY doc_id""",
+    // per-cluster argmax(quality, ties -> min doc id) canonical
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         qt0 AS (SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','and','of','to','in'))) AS BIGINT)
+               * 10000 // len(string_split(text, ' ')) AS q_bp
+           FROM documents),
+         rk AS (SELECT cl.cluster_id, cl.doc_id, q.q_bp,
+                  row_number() OVER (PARTITION BY cl.cluster_id
+                    ORDER BY q.q_bp DESC, cl.doc_id) AS rn
+                FROM cl JOIN qt0 q USING (doc_id))
+         SELECT cluster_id, doc_id, q_bp FROM rk WHERE rn = 1
+         ORDER BY cluster_id""",
     "q_leakage_safe_split" ->
       s"""WITH RECURSIVE $clusterCtes,
          b AS (SELECT doc_id, cluster_id,
@@ -3360,6 +3422,20 @@ object SparkEntry {
 
   private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame =
     TextDedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Integer quality score shared by the propagation/keep-best queries:
+    * stop-word ratio in basis points, `n_stop * 10000 div n_tok` — the
+    * integer twin of q_quality_score's stop_ratio, chosen so propagation
+    * stays in exact 64-bit arithmetic end-to-end. */
+  private def stopRatioBp(docs: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val toks = split(col("text"), " ")
+    docs
+      .withColumn("_nt", size(toks))
+      .withColumn("_ns", size(filter(toks, t => t.isin(stop.map(lit): _*))))
+      .select(col("doc_id"),
+        expr("CAST(_ns AS BIGINT) * 10000 div _nt").as("q_bp"))
+  }
 
   /** Register raw tables and execute the bundled JSON STTM pipeline
     * (view -> xref upsert -> fgac/quarantine) on `dir`. */

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Propagate, TextDedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Truth tables for score propagation over a similarity graph: the k-hop
+  * bound (round k lifts scores from exactly the k-hop neighborhood, no
+  * further), the diameter fixpoint (== per-connected-component max), and
+  * keep-best canonical selection (argmax score, ties to the smaller id). */
+class PropagateSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]").appName("propagate-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def scoresOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select(col("id"), col("s")).as[(Long, Long)].collect().toMap
+
+  test("maxPropagate: k-hop bound on a line graph 1-2-3-4") {
+    // score 100 sits at vertex 1; vertex v is v-1 hops away, so it must
+    // first read 100 after exactly v-1 rounds — earlier reads are a bug
+    // (propagating past the k-hop neighborhood), later reads mean a
+    // round was lost.
+    val scores = Seq((1L, 100L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("id", "s")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 0)) ==
+      Map(1L -> 100L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 1)) ==
+      Map(1L -> 100L, 2L -> 100L, 3L -> 1L, 4L -> 1L))
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 2)) ==
+      Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 1L))
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 3)) ==
+      Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L))
+  }
+
+  test("maxPropagate: isolated vertices keep their score; iters past the diameter are stable") {
+    val scores = Seq((1L, 10L), (2L, 50L), (3L, 20L), (4L, 5L), (5L, 99L),
+      (6L, 7L)).toDF("id", "s")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val want = Map(1L -> 50L, 2L -> 50L, 3L -> 50L, 4L -> 99L, 5L -> 99L, 6L -> 7L)
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 2)) == want)
+    assert(scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 8)) == want)
+  }
+
+  test("maxPropagate at the diameter == per-connected-component max (vs dedupClusters)") {
+    // 40 vertices, edges chain every pair (8k, 8k+1),(8k+1, 8k+2).. within
+    // blocks of 8 — components are the blocks, diameter 7.
+    val n = 40L
+    val docs = (0L until n).map(i => (i, s"d$i")).toDF("id", "t")
+    val pairs = (0L until n).filter(i => i % 8 != 7 && i + 1 < n)
+      .map(i => (i, i + 1)).toDF("id1", "id2")
+    val scores = (0L until n).map(i => (i, (i * 37 + 11) % 101)).toDF("id", "s")
+
+    val got = scoresOf(Propagate.maxPropagate(scores, "id", "s", pairs, 7))
+    val comp = TextDedup.dedupClusters(docs, "id", pairs)
+      .select(col("id"), col("cluster_id")).as[(Long, Long)].collect().toMap
+    val base = scores.as[(Long, Long)].collect().toMap
+    val compMax = base.groupBy { case (id, _) => comp(id) }
+      .map { case (c, m) => c -> m.values.max }
+    val want = base.keys.map(id => id -> compMax(comp(id))).toMap
+    assert(got == want)
+  }
+
+  test("keepBest: argmax score per cluster, ties broken by the smaller id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 0L), (5L, 3L))
+      .toDF("id", "q")
+    val got = Propagate.keepBest(clusters, "id", "cluster_id", scores, "q")
+      .select(col("cluster_id"), col("id"), col("q"))
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: docs 2 and 3 tie at q=9 -> doc 2 (smaller id) wins
+    assert(got == Set((1L, 2L, 9L), (4L, 4L, 0L), (5L, 5L, 3L)))
+  }
+}
