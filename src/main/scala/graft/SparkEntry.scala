@@ -1034,6 +1034,18 @@ object SparkEntry {
         .orderBy("cluster_id")
     }),
 
+    // Integer PageRank over the near-dup graph: 3 Pregel-shaped rounds of
+    // exact 64-bit rank flow — centrality triage for paraphrase families
+    // (which doc anchors each family). Floor-div recurrence means any SQL
+    // engine reproduces the ranks bit-for-bit; per round one |E| equi-join
+    // + map-side-combining inbox sum, never a global structure.
+    "q_pagerank" -> ((s, dir) => {
+      Propagate.pageRank(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          nearDupPairs(s, dir).select(col("id1"), col("id2")), iters = 3)
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe train/val/test split: the hash bucket comes from the
     // near-dup CLUSTER canonical, not the doc id, so a document and all
     // its near-duplicates land in the SAME split — the split discipline
@@ -2671,6 +2683,30 @@ object SparkEntry {
                 FROM cl JOIN qt0 q USING (doc_id))
          SELECT cluster_id, doc_id, q_bp FROM rk WHERE rn = 1
          ORDER BY cluster_id""",
+    // 3 unrolled integer-PageRank rounds over the verified pair graph
+    // (mirrors Propagate.pageRank's share/inbox floor-div recurrence)
+    "q_pagerank" ->
+      s"""WITH $pairSigCte, $hybridPairsCtes,
+         eP AS (SELECT id1 AS a, id2 AS b FROM vp
+                UNION ALL SELECT id2, id1 FROM vp),
+         pc AS (SELECT 1000000000000 // CAST(count(*) AS BIGINT) AS r0,
+                  ((10000 - 8500) * (1000000000000 // CAST(count(*) AS BIGINT)))
+                    // 10000 AS base
+                FROM documents),
+         dg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM eP GROUP BY a),
+         g0 AS (SELECT doc_id, (SELECT r0 FROM pc) AS r FROM documents),
+         ${(1 to 3).map { i =>
+           val prev = s"g${i - 1}"
+           s"""g$i AS (SELECT v.doc_id,
+                (SELECT base FROM pc)
+                  + (8500 * coalesce(m.s, 0)) // 10000 AS r
+              FROM documents v LEFT JOIN
+                (SELECT e.b AS doc_id, CAST(sum(x.r // g.d) AS BIGINT) AS s
+                 FROM eP e JOIN $prev x ON x.doc_id = e.a
+                   JOIN dg g ON g.a = e.a
+                 GROUP BY e.b) m ON m.doc_id = v.doc_id)"""
+         }.mkString(",\n")}
+         SELECT doc_id, r AS pr FROM g3 ORDER BY doc_id""",
     "q_leakage_safe_split" ->
       s"""WITH RECURSIVE $clusterCtes,
          b AS (SELECT doc_id, cluster_id,

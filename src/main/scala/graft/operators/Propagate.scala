@@ -61,6 +61,65 @@ object Propagate {
     cur.withColumnRenamed("_s", scoreCol)
   }
 
+  /** Deterministic integer PageRank over undirected `pairs(id1, id2)` —
+    * graph centrality for the similarity/link graph: which documents sit
+    * at the center of large paraphrase families (dedup triage priority),
+    * which entities anchor a cross-reference web. The float PageRank every
+    * engine ships is NOT reproducible across engines (summation order);
+    * this one restates the recurrence in exact 64-bit arithmetic so any
+    * SQL engine emits bit-identical ranks:
+    *
+    *   r0(v)   = scale div N
+    *   share(u)= r(u) div deg(u)
+    *   r'(v)   = base + (dampBp * sum over in-nbrs u of share(u)) div 10000
+    *   base    = ((10000 - dampBp) * (scale div N)) div 10000
+    *
+    * All floor divisions on non-negative longs, so Spark's `div` and
+    * DuckDB's `//` agree exactly. Headroom: the in-neighbor share sum is
+    * bounded by the total mass `scale`, so the widest intermediate is
+    * dampBp * scale — at the defaults 8.5e15, far under 2^63.
+    *
+    * Scale shape: per round, ONE |V|-row equi-join attaching (rank, degree)
+    * to each source vertex, ONE |E|-row equi-join + map-side-combining sum
+    * into per-vertex inboxes, and a left join back onto the vertex list —
+    * the textbook Pregel/GraphX iteration re-expressed as DataFrame joins,
+    * with `localCheckpoint` per round keeping lineage flat. Bounded
+    * `iters` is the production knob (ranks are wanted as a *signal*, not
+    * to convergence). Dangling vertices contribute nothing and keep the
+    * `base` floor; duplicate rows in `pairs` count as parallel edges.
+    */
+  def pageRank(vertices: DataFrame, idCol: String, pairs: DataFrame,
+               iters: Int, dampBp: Int = 8500,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampBp >= 0 && dampBp <= 10000, s"dampBp in [0,10000], got $dampBp")
+    val edges = pairs.select(col("id1").as("_a"), col("id2").as("_b"))
+      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
+      .localCheckpoint()
+    // n is a driver-side metadata scalar (like Clustering's k x dim
+    // centroid rows) — it parameterizes the constant base/init literals.
+    val n = vertices.select(col(idCol)).count()
+    require(n > 0, "pageRank needs at least one vertex")
+    val init = scale / n
+    val base = ((10000L - dampBp) * init) / 10000L
+    val deg = edges.groupBy(col("_a")).agg(count(lit(1)).as("_d"))
+      .localCheckpoint()
+    var cur = vertices.select(col(idCol)).withColumn("_r", lit(init))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val share = cur.join(deg, cur(idCol) === deg("_a"))
+        .select(col("_a"), expr("_r div _d").as("_share"))
+      val inbox = edges.join(share, Seq("_a"))
+        .groupBy(col("_b").as(idCol)).agg(sum(col("_share")).as("_s"))
+      cur = cur.join(inbox, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(base) +
+            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r"))
+        .localCheckpoint()
+    }
+    cur.withColumnRenamed("_r", "pr")
+  }
+
   /** Keep-best canonical selection: one representative per cluster, the
     * member with the HIGHEST integer score (ties broken by the smaller
     * id — fully deterministic). This is the dedup retention policy a

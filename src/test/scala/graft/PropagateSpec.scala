@@ -68,6 +68,38 @@ class PropagateSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select(col("id"), col("pr")).as[(Long, Long)].collect().toMap
+
+  test("pageRank: star center out-ranks leaves; leaves tie exactly") {
+    val vs = (0L to 4L).map(Tuple1(_)).toDF("id")
+    val pairs = (1L to 4L).map(l => (0L, l)).toDF("id1", "id2")
+    val got = ranksOf(Propagate.pageRank(vs, "id", pairs, iters = 3))
+    assert(got(0L) > got(1L))
+    assert((1L to 4L).map(got).toSet.size == 1)
+  }
+
+  test("pageRank: closed-form first round on a 2-vertex pair + isolated vertex") {
+    // scale=1000, N=4 -> init=250, base=(1500*250) div 10000 = 37.
+    // pair {1,2}: deg 1 each, share 250 -> r' = 37 + 8500*250 div 10000 = 249.
+    // isolated 3,4: r' = base = 37. Total mass only shrinks by floor loss.
+    val vs = (1L to 4L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val got = ranksOf(Propagate.pageRank(vs, "id", pairs, iters = 1,
+      dampBp = 8500, scale = 1000L))
+    assert(got == Map(1L -> 249L, 2L -> 249L, 3L -> 37L, 4L -> 37L))
+  }
+
+  test("pageRank: iters=0 is the uniform init; mass never exceeds scale") {
+    val vs = (1L to 7L).map(Tuple1(_)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val r0 = ranksOf(Propagate.pageRank(vs, "id", pairs, iters = 0))
+    assert(r0.values.toSet == Set(1000000000000L / 7))
+    val r4 = ranksOf(Propagate.pageRank(vs, "id", pairs, iters = 4))
+    assert(r4.values.sum <= 1000000000000L)
+    assert(r4.values.forall(_ > 0))
+  }
+
   test("keepBest: argmax score per cluster, ties broken by the smaller id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
       .toDF("id", "cluster_id")
