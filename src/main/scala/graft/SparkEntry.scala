@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Propagate, Sampling, Similarity, SttmOps, TextAnalysis, TextDedup}
+import graft.operators.{Propagate, Rank, Sampling, Similarity, SttmOps, TextAnalysis, TextDedup}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1494,6 +1494,23 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       TextAnalysis.bm25Rank(Tables.documents(s, dir), "doc_id", "text",
           Seq("spark", "window", "customer", "vector"), topK = 20)
+        .orderBy("rank")
+    }),
+
+    // Hybrid sparse+dense retrieval: RRF-fuse the BM25 term ranking with
+    // the brute-cosine neighbor ranking for query vector 0 (documents and
+    // embeddings share the 0..N-1 id domain). Integer scale div (k+rank)
+    // contributions make the fused ranking bit-exact across engines; the
+    // fusion itself is a unionAll + one keyed sum over two top-20 lists.
+    "q_hybrid_rank" -> ((s, dir) => {
+      val sparse = TextAnalysis.bm25Rank(Tables.documents(s, dir), "doc_id",
+          "text", Seq("spark", "window", "customer", "vector"), topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, dir)
+      val dense = Similarity.annTopK(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", 20)
+        .select(col("nid").as("doc_id"), col("rank"))
+      Rank.rrfFuse(Seq(sparse, dense), "doc_id", "rank", k = 60, topK = 20)
         .orderBy("rank")
     }),
 
@@ -3105,6 +3122,46 @@ object SparkEntry {
          r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
                  doc_id, score, dl FROM agg)
          SELECT rank, doc_id, score, dl FROM r WHERE rank <= 20 ORDER BY rank""",
+    // BM25 top-20 (same integer-rational CTEs as q_bm25) RRF-fused with
+    // the cosine top-20 for query vector 0: contribution 1e9 // (60+rank)
+    "q_hybrid_rank" ->
+      s"""WITH docs AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS dl,
+             string_split(text, ' ') AS w FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(dl) AS BIGINT) AS S
+                FROM docs),
+         tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(w) AS t FROM docs)
+                WHERE t IN ('spark', 'window', 'customer', 'vector')
+                GROUP BY doc_id, dl, t),
+         dft AS (SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM tf GROUP BY t),
+         sc AS (SELECT doc_id, dl,
+             (1000000 * (N - df + 1) * 22 * S * tf)
+               // ((df + 1) * (10 * S * tf + 3 * S + 9 * dl * N)) AS score_t
+           FROM tf JOIN dft USING (t) CROSS JOIN st),
+         agg AS (SELECT doc_id, CAST(sum(score_t) AS BIGINT) AS score
+                 FROM sc GROUP BY doc_id, dl),
+         bmr AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                   AS rank, doc_id FROM agg),
+         dscored AS (SELECT c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id = 0),
+         dr AS (SELECT CAST(row_number() OVER (ORDER BY sim DESC, nid) AS INT)
+                  AS rank, nid AS doc_id FROM dscored),
+         u AS (SELECT doc_id, 1000000000 // (60 + CAST(rank AS BIGINT)) AS c
+               FROM bmr WHERE rank <= 20
+               UNION ALL
+               SELECT doc_id, 1000000000 // (60 + CAST(rank AS BIGINT))
+               FROM dr WHERE rank <= 20),
+         f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+                 CAST(count(*) AS INT) AS n_lists
+               FROM u GROUP BY doc_id),
+         rk AS (SELECT CAST(row_number() OVER
+                  (ORDER BY rrf_score DESC, doc_id) AS INT) AS rank,
+                 doc_id, rrf_score, n_lists FROM f)
+         SELECT rank, doc_id, rrf_score, n_lists FROM rk
+         WHERE rank <= 20 ORDER BY rank""",
     "q_length_filter" ->
       """WITH l AS (SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tok FROM documents),

@@ -33,6 +33,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_lsh_recall", "q_curation_pipeline", "q_training_manifest",
     "q_repetition", "q_quality_full",
     "q_ann_topk", "q_ann_ivf",
+    "q_hybrid_rank", // bm25's 1-row corpus-stats cross + annTopK's O(#queries=1) broadcast scan
     "q_value_percentiles", // 1-row corpus-count cross, O(1) side
     "q_weighted_sample", // two 1-row total-weight crosses (Sampling.weightedSample)
     "q_mix_temperature", // 1-row weight-normalizer cross over O(#sources) stats
@@ -63,7 +64,11 @@ class PlanShapeSpec extends AnyFunSuite {
       ("final rank over the already-truncated top-K retrieval result " +
         "(TextAnalysis.bm25Rank: Window AFTER limit(topK)) — input <= 20 rows"),
     "q_bm25_prod" ->
-      ("same bounded bm25Rank ranking window as q_bm25 (prod scoring mode)"))
+      ("same bounded bm25Rank ranking window as q_bm25 (prod scoring mode)"),
+    "q_hybrid_rank" ->
+      ("fused-rank window over the already-truncated RRF result " +
+        "(Rank.rrfFuse: Window AFTER limit(topK)) — input <= 20 rows; the " +
+        "inner bm25Rank window is the allowlisted q_bm25 one"))
 
   test("no query plan contains a cartesian or unexplained nested-loop join") {
     spark.sparkContext.setLogLevel("ERROR")
