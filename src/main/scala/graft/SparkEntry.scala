@@ -1016,6 +1016,20 @@ object SparkEntry {
       nearDupClusters(s, dir).orderBy("doc_id")
     }),
 
+    // Dedup audit: the duplicate-family SIZE DISTRIBUTION — how many
+    // families of each size, and how much of the corpus they hold. The
+    // report that catches a pathological mega-cluster (template spam, a
+    // boilerplate explosion) before dedup silently deletes half a source.
+    // Two partial-agg shuffles over the cluster labels, nothing corpus-wide.
+    "q_cluster_sizes" -> ((s, dir) => {
+      nearDupClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("family_size"))
+        .groupBy("family_size")
+        .agg(count(lit(1)).as("n_families"),
+          sum(col("family_size")).as("n_docs"))
+        .orderBy("family_size")
+    }),
+
     // Quality propagation over the near-dup graph: 3 rounds of k-hop max
     // inheritance — a doc's near-duplicates lift its quality signal (the
     // duplicate-family pooling step between pairwise dedup and canonical
@@ -2674,6 +2688,14 @@ object SparkEntry {
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""",
+    // family-size histogram over the recursive-closure cluster labels
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         fs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS family_size
+                FROM cl GROUP BY cluster_id)
+         SELECT family_size, CAST(count(*) AS BIGINT) AS n_families,
+           CAST(sum(family_size) AS BIGINT) AS n_docs
+         FROM fs GROUP BY family_size ORDER BY family_size""",
     // 3 unrolled rounds of k-hop max inheritance over the verified pair
     // graph (mirrors Propagate.maxPropagate's per-round join+max exactly)
     "q_quality_propagate" ->
