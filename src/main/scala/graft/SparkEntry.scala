@@ -1069,6 +1069,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Seed-and-expand: personalized PageRank from a 10-doc trusted seed
+    // set (doc_id % 50 == 0) over the near-dup graph — rank flows only
+    // from the seeds, surfacing the docs most connected to the audited
+    // set; unreachable docs stay at 0. Same integer recurrence/plan shape
+    // as q_pagerank with teleport mass restricted to seeds.
+    "q_ppr_expand" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      Propagate.personalizedPageRank(docs, "doc_id",
+          docs.filter(col("doc_id") % 50 === 0),
+          nearDupPairs(s, dir).select(col("id1"), col("id2")), iters = 3)
+        .orderBy("doc_id")
+    }),
+
     // Leakage-safe train/val/test split: the hash bucket comes from the
     // near-dup CLUSTER canonical, not the doc id, so a document and all
     // its near-duplicates land in the SAME split — the split discipline
@@ -2755,6 +2768,31 @@ object SparkEntry {
                  GROUP BY e.b) m ON m.doc_id = v.doc_id)"""
          }.mkString(",\n")}
          SELECT doc_id, r AS pr FROM g3 ORDER BY doc_id""",
+    // personalized variant: teleport mass restricted to the seed set
+    "q_ppr_expand" ->
+      s"""WITH $pairSigCte, $hybridPairsCtes,
+         eP AS (SELECT id1 AS a, id2 AS b FROM vp
+                UNION ALL SELECT id2, id1 FROM vp),
+         sd AS (SELECT doc_id, CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END
+                  AS seed FROM documents),
+         pc AS (SELECT 1000000000000 // CAST(count(*) AS BIGINT) AS r0,
+                  ((10000 - 8500) * (1000000000000 // CAST(count(*) AS BIGINT)))
+                    // 10000 AS base
+                FROM sd WHERE seed = 1),
+         dg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM eP GROUP BY a),
+         h0 AS (SELECT doc_id, seed, seed * (SELECT r0 FROM pc) AS r FROM sd),
+         ${(1 to 3).map { i =>
+           val prev = s"h${i - 1}"
+           s"""h$i AS (SELECT v.doc_id, v.seed,
+                v.seed * (SELECT base FROM pc)
+                  + (8500 * coalesce(m.s, 0)) // 10000 AS r
+              FROM $prev v LEFT JOIN
+                (SELECT e.b AS doc_id, CAST(sum(x.r // g.d) AS BIGINT) AS s
+                 FROM eP e JOIN $prev x ON x.doc_id = e.a
+                   JOIN dg g ON g.a = e.a
+                 GROUP BY e.b) m ON m.doc_id = v.doc_id)"""
+         }.mkString(",\n")}
+         SELECT doc_id, r AS ppr FROM h3 ORDER BY doc_id""",
     "q_leakage_safe_split" ->
       s"""WITH RECURSIVE $clusterCtes,
          b AS (SELECT doc_id, cluster_id,

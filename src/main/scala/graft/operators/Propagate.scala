@@ -120,6 +120,53 @@ object Propagate {
     cur.withColumnRenamed("_r", "pr")
   }
 
+  /** Personalized (seeded) PageRank — the seed-and-expand curation move:
+    * start from a trusted seed set (hand-audited docs, a curated domain
+    * list) and let rank flow over the similarity graph to surface the
+    * documents most connected to the seeds. Same exact floor-div integer
+    * recurrence as [[pageRank]], with the teleport mass restricted to the
+    * seeds: r0(v) = scale div |S| for seeds else 0, and per round
+    * r'(v) = seedBase(v) + (dampBp * inboxSum(v)) div 10000 where
+    * seedBase is ((10000-dampBp) * (scale div |S|)) div 10000 on seeds
+    * and 0 elsewhere. Non-seed vertices are ranked purely by their
+    * (multi-hop) connectivity to the seed set; unreachable vertices stay
+    * at 0. Same per-round join shape and headroom as [[pageRank]].
+    */
+  def personalizedPageRank(vertices: DataFrame, idCol: String,
+                           seeds: DataFrame, pairs: DataFrame, iters: Int,
+                           dampBp: Int = 8500,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampBp >= 0 && dampBp <= 10000, s"dampBp in [0,10000], got $dampBp")
+    val edges = pairs.select(col("id1").as("_a"), col("id2").as("_b"))
+      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
+      .localCheckpoint()
+    val nSeeds = seeds.select(col(idCol)).distinct().count()
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
+    val init = scale / nSeeds
+    val base = ((10000L - dampBp) * init) / 10000L
+    val deg = edges.groupBy(col("_a")).agg(count(lit(1)).as("_d"))
+      .localCheckpoint()
+    // seed flag rides the score table so the per-round base is a column
+    val flagged = vertices.select(col(idCol))
+      .join(seeds.select(col(idCol)).distinct().withColumn("_seed", lit(1L)),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_seed"), lit(0L)).as("_seed"))
+    var cur = flagged.withColumn("_r", col("_seed") * init).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val share = cur.join(deg, cur(idCol) === deg("_a"))
+        .select(col("_a"), expr("_r div _d").as("_share"))
+      val inbox = edges.join(share, Seq("_a"))
+        .groupBy(col("_b").as(idCol)).agg(sum(col("_share")).as("_s"))
+      cur = cur.join(inbox, Seq(idCol), "left")
+        .select(col(idCol), col("_seed"),
+          (col("_seed") * base +
+            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r"))
+        .localCheckpoint()
+    }
+    cur.select(col(idCol), col("_r").as("ppr"))
+  }
+
   /** Keep-best canonical selection: one representative per cluster, the
     * member with the HIGHEST integer score (ties broken by the smaller
     * id — fully deterministic). This is the dedup retention policy a

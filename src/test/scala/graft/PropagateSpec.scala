@@ -100,6 +100,29 @@ class PropagateSpec extends AnyFunSuite {
     assert(r4.values.forall(_ > 0))
   }
 
+  test("personalizedPageRank: rank flows only from seeds; unreachable stays 0") {
+    // seed 1 in component {1,2,3}; component {4,5} and isolated 6 unseeded.
+    // scale=1000, |S|=1 -> init=1000, base=150.
+    val vs = (1L to 6L).map(Tuple1(_)).toDF("id")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val got = Propagate.personalizedPageRank(vs, "id", seeds, pairs,
+        iters = 2, dampBp = 8500, scale = 1000L)
+      .select(col("id"), col("ppr")).as[(Long, Long)].collect().toMap
+    assert(got(4L) == 0L && got(5L) == 0L && got(6L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    // round 1: r(1)=150 + .85*(1000 div 1... deg(1)=1, share to 2 only:
+    // r(2) = 850*1000 div 10000... check closed-form round 1 by hand:
+    // r0 = (1000, 0, 0); shares: 1->2: 1000 div 1 = 1000.
+    // r1(1)=150+0=150, r1(2)=0+8500*1000 div 10000=850, r1(3)=0.
+    // round 2: shares: 1: 150 div 1 -> inbox(2) += 150;
+    // 2: 850 div 2 = 425 -> inbox(1) += 425, inbox(3) += 425.
+    // r2(1)=150+(8500*425 div 10000)=150+361=511,
+    // r2(2)=0+(8500*150 div 10000)=127, r2(3)=361.
+    assert(got == Map(1L -> 511L, 2L -> 127L, 3L -> 361L,
+      4L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
   test("keepBest: argmax score per cluster, ties broken by the smaller id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
       .toDF("id", "cluster_id")
