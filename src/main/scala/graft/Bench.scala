@@ -85,7 +85,14 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"errors":$errJson}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cpus":$cpus,"errors":$errJson}"""
+    println(json)
+    // Also persist the full parsed record to a known path: the driver's
+    // BENCH_r{N}.json artifacts were truncating the stdout tail and losing
+    // the per-query map ("parsed": null in r5/r6) — a file survives verbatim.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

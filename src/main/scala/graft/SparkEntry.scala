@@ -3486,6 +3486,29 @@ object SparkEntry {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Per-path build locks: the on-disk artifact builders below (fixtures,
+  // dedup/ANN indexes, incr-stats store) are guarded by a filesystem
+  // existence check, which is not atomic — two threads dumping queries
+  // concurrently (graft.Verify runs a small pool) could both see "missing"
+  // and write the same path at once. One lock object per cache path makes
+  // check+build atomic without serializing unrelated builds.
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withPathLock[T](path: String)(body: => T): T =
+    pathLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+
+  /** Materialize the session-scoped shared intermediates (near-dup verified
+    * pairs + cluster labels) ONCE, serially, before a caller fans queries
+    * out across threads. Without this, concurrent first consumers of the
+    * memo can race `getOrElseUpdate` and each pay the full
+    * signature+LSH+verify build (TrieMap keeps one result but evaluates
+    * the by-name default in every racing thread). Verify calls this before
+    * its parallel dump; serial callers never need it. */
+  def warmShared(s: SparkSession, dir: String): Unit = {
+    nearDupPairs(s, dir)
+    nearDupClusters(s, dir)
+  }
+
   // Stable per-session identity: applicationId + the session object's
   // identity hash (sessionUUID is not exposed in this Spark build).
   private def sessionId(s: SparkSession): String =
@@ -3537,9 +3560,11 @@ object SparkEntry {
       make: DataFrame => DataFrame): DataFrame = {
     val path =
       s"/tmp/graft_cache/${new java.io.File(dir).getName}/fixtures/$kind"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
-      make(Tables.documents(s, dir).select(col("doc_id")))
-        .write.mode("overwrite").parquet(path)
+    withPathLock(path) {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/_SUCCESS")))
+        make(Tables.documents(s, dir).select(col("doc_id")))
+          .write.mode("overwrite").parquet(path)
+    }
     s.read.parquet(path)
   }
 
@@ -3553,8 +3578,10 @@ object SparkEntry {
   private def dedupIndexDir(s: SparkSession, dir: String, label: String)(
       existing: => DataFrame): String = {
     val root = s"/tmp/graft_cache/${new java.io.File(dir).getName}/$label"
-    if (!operators.DedupIndex.exists(root))
-      operators.DedupIndex.build(existing, "doc_id", "text", root)
+    withPathLock(root) {
+      if (!operators.DedupIndex.exists(root))
+        operators.DedupIndex.build(existing, "doc_id", "text", root)
+    }
     root
   }
 
@@ -3566,9 +3593,11 @@ object SparkEntry {
   private def annIndexDir(s: SparkSession, dir: String): String = {
     val root =
       s"/tmp/graft_cache/${new java.io.File(dir).getName}/ann_ivfpq_index"
-    if (!operators.AnnIndexStore.exists(root))
-      operators.AnnIndexStore.build(Tables.embeddings(s, dir),
-        "vec_id", "embedding", root, dim = 64)
+    withPathLock(root) {
+      if (!operators.AnnIndexStore.exists(root))
+        operators.AnnIndexStore.build(Tables.embeddings(s, dir),
+          "vec_id", "embedding", root, dim = 64)
+    }
     root
   }
 
@@ -3582,11 +3611,16 @@ object SparkEntry {
     * the production steady state (testdata immutable per TESTDATA.md). */
   private def incrStatsDir(s: SparkSession, dir: String): String = {
     val root = s"/tmp/graft_cache/${new java.io.File(dir).getName}/incr_stats"
-    if (!operators.IncrStats.exists(root)) {
-      val docs = Tables.documents(s, dir)
-      operators.IncrStats.build(docs.filter(col("doc_id") % 5 === 0), root)
-      (1 to 4).foreach(i =>
-        operators.IncrStats.append(docs.filter(col("doc_id") % 5 === i), root))
+    withPathLock(root) {
+      if (!operators.IncrStats.exists(root)) {
+        val docs = Tables.documents(s, dir)
+        operators.IncrStats.build(docs.filter(col("doc_id") % 5 === 0), root)
+        (1 to 4).foreach(i =>
+          operators.IncrStats.append(docs.filter(col("doc_id") % 5 === i), root))
+        // Marker AFTER the final append: a crash mid-composition must not
+        // leave a store that later sessions mistake for complete (ADVICE r6).
+        operators.IncrStats.markComplete(root)
+      }
     }
     root
   }

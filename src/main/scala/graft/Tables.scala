@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * a raw long, then dispatch on the read schema: a LONG `ts` is converted
   * with integer division (`div`, NOT `/` — double division would lose
   * precision on 1.7e18-scale values) to microseconds, exactly matching
-  * DuckDB's nanos->micros truncation; a TIMESTAMP_NTZ `ts` is cast to
-  * TimestampType (every session here pins spark.sql.session.timeZone=UTC,
-  * so the cast re-tags the same wall-clock micros as a UTC instant —
-  * bit-identical to what DuckDB's naive timestamp arithmetic sees).
-  * Either way the surfaced column is microsecond-precision TimestampType
-  * and oracle comparisons line up.
+  * DuckDB's nanos->micros truncation; a TIMESTAMP_NTZ `ts` is converted
+  * by taking its microsecond offset from the NTZ epoch (`timestampdiff`
+  * over two NTZ operands is pure wall-clock arithmetic) and re-tagging
+  * those micros as a UTC instant via `timestamp_micros`. That pipeline
+  * never consults spark.sql.session.timeZone — a plain
+  * `cast(ts as timestamp)` would, silently shifting every instant in a
+  * session that didn't pin UTC (ADVICE r6). Either way the surfaced
+  * column is microsecond-precision TimestampType holding the same
+  * wall-clock micros DuckDB's naive timestamp arithmetic sees.
   */
 object Tables {
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
@@ -34,7 +37,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        df.withColumn("ts", expr(
+          "timestamp_micros(timestampdiff(MICROSECOND, " +
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"))
       case _ => df
     }
   }

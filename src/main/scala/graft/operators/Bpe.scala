@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * map-side-combining partial-agg shuffle + a 1-row TakeOrdered collect
   * (manifest-scale driver traffic, the [[Clustering]] discipline), then a
   * pure codegen `replace` projection applies the winning merge; the
-  * dictionary is localCheckpoint'ed per round so round n never re-derives
+  * dictionary is materialized per round (Iterate.checkpoint: reliable
+  * checkpoint when a checkpoint dir is set) so round n never re-derives
   * rounds 0..n-1.
   *
   * Determinism is designed in: the winning pair is (max count, then
@@ -56,7 +57,7 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, nMerges: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var toks = charDict(docs, textCol).localCheckpoint()
+    var toks = Iterate.checkpoint(charDict(docs, textCol))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var step = 0
     var exhausted = false
@@ -76,9 +77,8 @@ object Bpe {
         val (l, r, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, l, r, c))
-        toks = toks.withColumn("tokstr",
-            replace(col("tokstr"), lit(S + l + SS + r + S), lit(S + l + r + S)))
-          .localCheckpoint()
+        toks = Iterate.checkpoint(toks.withColumn("tokstr",
+          replace(col("tokstr"), lit(S + l + SS + r + S), lit(S + l + r + S))))
         step += 1
       }
     }

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   *    simply drop out (mirrored exactly by the SQL oracle).
   *
   * Scale shape (100 TB): each iteration is ONE scan of the quantized
-  * vectors (localCheckpoint'ed once) + ONE map-side-combining shuffle of
+  * vectors (materialized once via Iterate.checkpoint) + ONE map-side-combining shuffle of
   * (cluster, pos) partial sums — k*dim rows total cross the wire, and the
   * centroid set collected to the driver is k*dim longs (manifest-scale,
   * like the snapshot-store bucket list, NOT a data collect). Assignment is
@@ -47,10 +47,10 @@ object Clustering {
     * scanned once per training iteration. */
   private[operators] def quantized(df: DataFrame, idCol: String, vecCol: String,
                         scale: Int): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+    Iterate.checkpoint(
+      df.select(col(idCol).cast("long").as("id"),
         transform(col(vecCol),
-          v => floor(v.cast("double") * scale).cast("long")).as("q"))
-      .localCheckpoint()
+          v => floor(v.cast("double") * scale).cast("long")).as("q")))
 
   /** Lloyd's training over a quantized point table: k-lowest-id init, then
     * `iters - 1` floor-div centroid updates. Returns the final centroids

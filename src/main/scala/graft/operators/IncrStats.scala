@@ -52,8 +52,17 @@ object IncrStats {
   def append(docs: DataFrame, dir: String): Unit =
     partial(docs).write.mode("append").parquet(s"$dir/partials")
 
+  /** Stamp the store as fully composed. A store is typically build() plus
+    * several append()s; checking `partials/_SUCCESS` would declare it
+    * complete after the FIRST write, so a crash mid-composition would
+    * leave a partial store that every later `exists` check silently
+    * reuses. Callers write this marker once the last append has landed,
+    * and `exists` trusts only the marker. */
+  def markComplete(dir: String): Unit =
+    Files.writeString(Paths.get(s"$dir/COMPLETE"), "complete\n")
+
   def exists(dir: String): Boolean =
-    Files.exists(Paths.get(s"$dir/partials/_SUCCESS"))
+    Files.exists(Paths.get(s"$dir/COMPLETE"))
 
   /** Merged per-source report from the stored partials: the same schema a
     * full-corpus aggregate would produce, plus the report-time stop-word

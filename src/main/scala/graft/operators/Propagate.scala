@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   * map-side-combining max aggregation over O(|E|) rows, then a left
   * join back onto the |V|-row score table — the same per-round cost as
   * [[graft.operators.TextDedup.dedupClusters]]'s hash-min CC, with the
-  * per-round `localCheckpoint` keeping lineage flat. All integer
+  * per-round [[Iterate.checkpoint]] keeping lineage flat (reliable
+  * checkpoint when a checkpoint dir is set — see [[Iterate]]). All integer
   * arithmetic, so any SQL engine reproduces the result bit-for-bit.
   *
   * Reference anchor: composes the dedup machinery the reference's XREF
@@ -44,19 +45,19 @@ object Propagate {
   def maxPropagate(scores: DataFrame, idCol: String, scoreCol: String,
                    pairs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val edges = pairs.select(col("id1").as("_a"), col("id2").as("_b"))
-      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
-      .distinct().localCheckpoint()
-    var cur = scores.select(col(idCol), col(scoreCol).cast("long").as("_s"))
-      .localCheckpoint()
+    val edges = Iterate.checkpoint(
+      pairs.select(col("id1").as("_a"), col("id2").as("_b"))
+        .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
+        .distinct())
+    var cur = Iterate.checkpoint(
+      scores.select(col(idCol), col(scoreCol).cast("long").as("_s")))
     for (_ <- 1 to iters) {
       val nbrMax = edges
         .join(cur.select(col(idCol).as("_b"), col("_s").as("_ns")), Seq("_b"))
         .groupBy(col("_a").as(idCol)).agg(max(col("_ns")).as("_nmax"))
-      cur = cur.join(nbrMax, Seq(idCol), "left")
+      cur = Iterate.checkpoint(cur.join(nbrMax, Seq(idCol), "left")
         .select(col(idCol),
-          greatest(col("_s"), coalesce(col("_nmax"), col("_s"))).as("_s"))
-        .localCheckpoint()
+          greatest(col("_s"), coalesce(col("_nmax"), col("_s"))).as("_s")))
     }
     cur.withColumnRenamed("_s", scoreCol)
   }
@@ -83,7 +84,7 @@ object Propagate {
     * to each source vertex, ONE |E|-row equi-join + map-side-combining sum
     * into per-vertex inboxes, and a left join back onto the vertex list —
     * the textbook Pregel/GraphX iteration re-expressed as DataFrame joins,
-    * with `localCheckpoint` per round keeping lineage flat. Bounded
+    * with [[Iterate.checkpoint]] per round keeping lineage flat. Bounded
     * `iters` is the production knob (ranks are wanted as a *signal*, not
     * to convergence). Dangling vertices contribute nothing and keep the
     * `base` floor; duplicate rows in `pairs` count as parallel edges.
@@ -93,29 +94,28 @@ object Propagate {
                scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampBp >= 0 && dampBp <= 10000, s"dampBp in [0,10000], got $dampBp")
-    val edges = pairs.select(col("id1").as("_a"), col("id2").as("_b"))
-      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
-      .localCheckpoint()
+    val edges = Iterate.checkpoint(
+      pairs.select(col("id1").as("_a"), col("id2").as("_b"))
+        .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b"))))
     // n is a driver-side metadata scalar (like Clustering's k x dim
     // centroid rows) — it parameterizes the constant base/init literals.
     val n = vertices.select(col(idCol)).count()
     require(n > 0, "pageRank needs at least one vertex")
     val init = scale / n
     val base = ((10000L - dampBp) * init) / 10000L
-    val deg = edges.groupBy(col("_a")).agg(count(lit(1)).as("_d"))
-      .localCheckpoint()
-    var cur = vertices.select(col(idCol)).withColumn("_r", lit(init))
-      .localCheckpoint()
+    val deg = Iterate.checkpoint(
+      edges.groupBy(col("_a")).agg(count(lit(1)).as("_d")))
+    var cur = Iterate.checkpoint(
+      vertices.select(col(idCol)).withColumn("_r", lit(init)))
     for (_ <- 1 to iters) {
       val share = cur.join(deg, cur(idCol) === deg("_a"))
         .select(col("_a"), expr("_r div _d").as("_share"))
       val inbox = edges.join(share, Seq("_a"))
         .groupBy(col("_b").as(idCol)).agg(sum(col("_share")).as("_s"))
-      cur = cur.join(inbox, Seq(idCol), "left")
+      cur = Iterate.checkpoint(cur.join(inbox, Seq(idCol), "left")
         .select(col(idCol),
           (lit(base) +
-            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r"))
-        .localCheckpoint()
+            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r")))
     }
     cur.withColumnRenamed("_r", "pr")
   }
@@ -128,7 +128,9 @@ object Propagate {
     * seeds: r0(v) = scale div |S| for seeds else 0, and per round
     * r'(v) = seedBase(v) + (dampBp * inboxSum(v)) div 10000 where
     * seedBase is ((10000-dampBp) * (scale div |S|)) div 10000 on seeds
-    * and 0 elsewhere. Non-seed vertices are ranked purely by their
+    * and 0 elsewhere; |S| counts the seeds actually present in
+    * `vertices` (absent seed ids carry no mass and must not dilute the
+    * teleport share of the real ones). Non-seed vertices are ranked purely by their
     * (multi-hop) connectivity to the seed set; unreachable vertices stay
     * at 0. Same per-round join shape and headroom as [[pageRank]].
     */
@@ -138,31 +140,35 @@ object Propagate {
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     require(dampBp >= 0 && dampBp <= 10000, s"dampBp in [0,10000], got $dampBp")
-    val edges = pairs.select(col("id1").as("_a"), col("id2").as("_b"))
-      .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b")))
-      .localCheckpoint()
-    val nSeeds = seeds.select(col(idCol)).distinct().count()
-    require(nSeeds > 0, "personalizedPageRank needs at least one seed")
-    val init = scale / nSeeds
-    val base = ((10000L - dampBp) * init) / 10000L
-    val deg = edges.groupBy(col("_a")).agg(count(lit(1)).as("_d"))
-      .localCheckpoint()
+    val edges = Iterate.checkpoint(
+      pairs.select(col("id1").as("_a"), col("id2").as("_b"))
+        .unionByName(pairs.select(col("id2").as("_a"), col("id1").as("_b"))))
+    val deg = Iterate.checkpoint(
+      edges.groupBy(col("_a")).agg(count(lit(1)).as("_d")))
     // seed flag rides the score table so the per-round base is a column
-    val flagged = vertices.select(col(idCol))
+    val flagged = Iterate.checkpoint(vertices.select(col(idCol))
       .join(seeds.select(col(idCol)).distinct().withColumn("_seed", lit(1L)),
         Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("_seed"), lit(0L)).as("_seed"))
-    var cur = flagged.withColumn("_r", col("_seed") * init).localCheckpoint()
+      .select(col(idCol), coalesce(col("_seed"), lit(0L)).as("_seed")))
+    // |S| counts seeds PRESENT IN `vertices` (the sum of the joined flag):
+    // a seed id absent from the vertex set carries no teleport mass, so
+    // counting raw seed rows would dilute init/base for the real seeds
+    // (ADVICE r6). Callers may pass seed lists that over-approximate.
+    val nSeeds = flagged.agg(sum(col("_seed"))).first().getLong(0)
+    require(nSeeds > 0, "personalizedPageRank needs at least one seed present in vertices")
+    val init = scale / nSeeds
+    val base = ((10000L - dampBp) * init) / 10000L
+    var cur = Iterate.checkpoint(
+      flagged.withColumn("_r", col("_seed") * init))
     for (_ <- 1 to iters) {
       val share = cur.join(deg, cur(idCol) === deg("_a"))
         .select(col("_a"), expr("_r div _d").as("_share"))
       val inbox = edges.join(share, Seq("_a"))
         .groupBy(col("_b").as(idCol)).agg(sum(col("_share")).as("_s"))
-      cur = cur.join(inbox, Seq(idCol), "left")
+      cur = Iterate.checkpoint(cur.join(inbox, Seq(idCol), "left")
         .select(col(idCol), col("_seed"),
           (col("_seed") * base +
-            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r"))
-        .localCheckpoint()
+            expr(s"($dampBp * coalesce(_s, 0L)) div 10000")).as("_r")))
     }
     cur.select(col(idCol), col("_r").as("ppr"))
   }

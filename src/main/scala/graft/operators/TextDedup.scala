@@ -495,26 +495,45 @@ object TextDedup {
     * singleton clusters labeled with their own id.
     *
     * Algorithm: iterative hash-min label propagation with pointer-edge
-    * contraction. Each round joins the edge set (similarity edges plus the
-    * current id->label pointers in both directions) against the label table
-    * and takes the per-node minimum; the pointer edges collapse chains, so
-    * convergence is O(log diameter) rounds, not O(diameter). Each round is
-    * one equi-join shuffle on doc id plus a map-side-combining min
-    * aggregation over exactly |V| + O(|E|) rows — at 100 TB this is the
-    * standard iterative-join CC (labels localCheckpoint'ed per round so
-    * lineage stays flat and each round reads materialized blocks).
+    * contraction, OVER THE EDGE SUBGRAPH ONLY. In a near-dup graph the
+    * overwhelming majority of documents have no edge at all; their label
+    * provably never changes (hash-min only lowers a label through an
+    * edge), so dragging the full |V|-row label table through every round
+    * — as the round-6 implementation did — multiplies each round's
+    * shuffle by corpus size for zero information. Instead the loop runs
+    * on vertices incident to at least one edge (|V'| ≈ the duplicate-rate
+    * fraction of the corpus), and singletons are re-attached at the end
+    * with ONE left join (cluster_id = own id). At 100 TB this is the
+    * difference between 20 shuffles of the corpus and 20 shuffles of the
+    * duplicate slice plus a single full-corpus equi-join.
+    *
+    * Within the loop, each round joins the edge set (similarity edges
+    * plus the current id->label pointers in both directions) against the
+    * label table and takes the per-node minimum; the pointer edges
+    * collapse chains Kiveris-style, so convergence is O(log diameter)
+    * rounds, not O(diameter). Each round is one equi-join shuffle plus a
+    * map-side-combining min aggregation over |V'| + O(|E|) rows, with
+    * per-round [[Iterate.checkpoint]] keeping lineage flat (reliable
+    * checkpoint when the session has a checkpoint dir — see [[Iterate]]).
     *
     * The fixpoint (min reachable id) is execution-order independent, so the
     * DuckDB oracle mirrors it exactly with a recursive-CTE transitive
     * closure. Returns (`idCol`, cluster_id) — one row per input doc.
+    *
+    * Precondition: every id in `pairs` must appear in `docs[idCol]` (true
+    * for every similarity-pair generator in this library — pairs are
+    * derived from the doc table itself).
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     maxRounds: Int = 20): DataFrame = {
-    val sym = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
-      .distinct().localCheckpoint()
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("lbl"))
-      .localCheckpoint()
+    val sym = Iterate.checkpoint(
+      pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .distinct())
+    // Both edge directions are present, so `a` alone covers every vertex
+    // incident to an edge.
+    var labels = Iterate.checkpoint(
+      sym.select(col("a").as("id")).distinct().withColumn("lbl", col("id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -530,11 +549,11 @@ object TextDedup {
       // label table, so convergence is read back with one cheap aggregation
       // over the just-materialized checkpoint blocks — not a second
       // join+count action per round.
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
-          (col("nmin") < col("lbl")).cast("int").as("chg"))
-        .localCheckpoint()
+      val next = Iterate.checkpoint(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"),
+            (col("nmin") < col("lbl")).cast("int").as("chg")))
       converged =
         next.agg(coalesce(max(col("chg")), lit(0)).as("c")).first().getInt(0) == 0
       labels = next.select(col("id"), col("lbl"))
@@ -548,7 +567,12 @@ object TextDedup {
       throw new IllegalStateException(
         s"dedupClusters: label propagation did not converge within " +
           s"$maxRounds rounds; refusing to return non-converged labels")
-    labels.select(col("id").as(idCol), col("lbl").as("cluster_id"))
+    // Singletons (no incident edge) never iterated: one equi-join attaches
+    // their own id as cluster label.
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"))
   }
 
   /** Benchmark-contamination detection — the decontamination pass every

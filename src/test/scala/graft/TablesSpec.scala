@@ -55,4 +55,27 @@ class TablesSpec extends AnyFunSuite {
     assert(loaded(a) == expect)
     assert(loaded(b) == expect)
   }
+
+  test("ntz conversion is independent of spark.sql.session.timeZone") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("tables_spec_tz").toString
+    val micros = Seq(1704067200000000L, 1704067207179575L)
+    // Write the NTZ fixture under the suite's pinned UTC session.
+    micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us, i.toLong, "view", 1.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .drop("us")
+      .write.parquet(s"$work/events.parquet")
+    // Load under a DIFFERENT session timezone: the surfaced instants must
+    // not shift (a plain NTZ->timestamp cast would move them by the UTC
+    // offset — the latent bug ADVICE r6 flagged).
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val got = Tables.events(spark, work)
+        .select(col("event_id"), unix_micros(col("ts")))
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == micros.zipWithIndex.map { case (us, i) => (i.toLong, us) })
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
 }
