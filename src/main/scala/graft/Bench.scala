@@ -49,8 +49,15 @@ object Bench {
     // Headline set only: audit queries (exact full-corpus ground-truth
     // passes, see SparkEntry.benchExclude) are correctness-gated at sf0.01
     // but not timed here.
+    // Dev-only subset filter (comma-separated names): lets a builder time
+    // one query's change without paying the full set. The driver never
+    // sets it, so round benches always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val benchQueries = SparkEntry.queries
       .filterNot { case (name, _) => SparkEntry.benchExclude.contains(name) }
+      .filter { case (name, _) => only.isEmpty || only(name) }
     benchQueries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }

@@ -843,6 +843,43 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // The STREAMING twin of q_range_pairs, run through the real
+    // watermarked stream-stream interval join: the event table is replayed
+    // as four file micro-batches (maxFilesPerTrigger=1 under an
+    // AvailableNow drain), the append-mode pair output lands in a parquet
+    // sink, and the result read back must equal the batch banded range
+    // join bit-for-bit — which the DuckDB oracle checks with the SAME
+    // mirror SQL as q_range_pairs. The watermark delay is set far past the
+    // event table's time span so no input is late-dropped regardless of
+    // file arrival order (drop semantics under tight delays are pinned
+    // separately by StreamingRangeJoinSpec).
+    "q_stream_range_join" -> ((s, dir) => {
+      val work =
+        java.nio.file.Files.createTempDirectory("graft_srj_q").toString
+      Tables.events(s, dir)
+        .select(col("user_id").as("k0"), col("ts"), col("event_id").as("id0"))
+        .repartition(4)
+        .write.parquet(s"$work/in")
+      val src = s.readStream
+        .schema(s.read.parquet(s"$work/in").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in")
+      val joined = streaming.StreamingRangeJoin.withinWindowPairsStream(
+        src, "k0", "ts", "id0", windowSec = 7200L, delaySec = 315360000L)
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/_cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$work/out")
+        .select(col("k"), col("id1"), unix_micros(col("ts1")).as("ts1"),
+          col("id2"), unix_micros(col("ts2")).as("ts2"))
+        .orderBy("id1", "id2")
+    }),
+
     // As-of join: for each purchase, the latest click by the same user at
     // or before purchase time — the time-series enrichment join, encoded
     // as UNION + one per-key ordered window (linear, sessionization plan
@@ -2567,6 +2604,17 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
     "q_range_pairs" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+                    FROM events)
+         SELECT a.k, a.event_id AS id1, a.us AS ts1,
+           b.event_id AS id2, b.us AS ts2
+         FROM e a JOIN e b ON a.k = b.k
+           AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+           AND b.us - a.us <= 7200000000
+         ORDER BY id1, id2""",
+    // identical mirror to q_range_pairs: the streaming replay must emit
+    // exactly the batch pair set
+    "q_stream_range_join" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
                     FROM events)
          SELECT a.k, a.event_id AS id1, a.us AS ts1,

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 
 /** Persistent near-dup corpus index — the maintained artifact behind
   * [[TextDedup.incrementalDedupAgainst]] and the streaming near-dup gate.
@@ -15,52 +15,90 @@ import org.apache.spark.sql.functions.col
   * simplest durable form of that: two append-only parquet tables under one
   * root,
   *
-  *   `<dir>/shingles`  (id, sh)           — sorted distinct 3-gram hashes
-  *   `<dir>/bands`     (id, band, bucket) — 4 banded minhash rows per doc
+  *   `<dir>/shingles`           (id, sh)           — sorted 3-gram hashes
+  *   `<dir>/bands/pfx=<p>/...`  (id, band, bucket) — 4 banded rows per doc
   *
   * written once at corpus build ([[build]]) and extended per accepted batch
   * ([[append]]) with ONE signature pass over the batch — the existing
-  * corpus is never re-read to update its own index. [[matchBatch]] then
-  * runs the incremental-dedup match purely against the stored tables; its
-  * per-batch plan semi-joins the band index down to the buckets the batch
-  * touches before any shuffle, so batch cost tracks the batch, not the
-  * corpus (IncrIndexSpec times this at two corpus sizes).
+  * corpus is never re-read to update its own index.
+  *
+  * FILE-LEVEL PRUNING: the bands table is laid out in `nPfx` directory
+  * partitions keyed by `pfx = pmod(hash(bucket), nPfx)` — the path-based
+  * equivalent of `bucketBy(bucket)` (which Spark only supports through a
+  * metastore table). [[matchBatch]] first computes the batch's band
+  * signature, collects its distinct pfx values (a metadata-scale collect,
+  * bounded by nPfx, like [[graft.streaming.SnapshotStore]]'s touched-bucket
+  * list), and reads ONLY those partitions: Catalyst's static partition
+  * pruning skips every file of an untouched pfx, so stored-side scan bytes
+  * track the buckets the batch touches, not corpus size
+  * ([[graft.IncrIndexSpec]] asserts the scanned-file count). The exact
+  * (band, bucket) semi-join inside [[TextDedup.incrementalDedupPrepared]]
+  * then prunes within the surviving partitions; pfx pruning is a strict
+  * superset filter of that semi-join, so match results are bit-identical
+  * with or without it.
+  *
+  * LAYOUT MANIFEST: `nPfx` is part of the on-disk layout, so it is
+  * persisted to `<dir>/_META` when the store is created and the PERSISTED
+  * value wins thereafter (same discipline as SnapshotStore's bucket
+  * count — appending with a different constructor value would scatter the
+  * same bucket across different pfx partitions and quietly break pruning).
+  * `_META` is written AFTER the initial data lands, so it doubles as the
+  * build-completion marker: a crash mid-build leaves no `_META` and
+  * [[exists]] reports the store absent.
   *
   * Production hardening note: appends are atomic per parquet task file but
-  * there is no manifest generation/rollback here — pair with
-  * [[graft.streaming.SnapshotStore]]'s manifest discipline if readers race
-  * writers. A cluster deployment would also `bucketBy(bucket)` the bands
-  * table so the per-batch semi-join prunes at the file level.
+  * there is no manifest generation/rollback for DATA files — pair with
+  * [[graft.streaming.SnapshotStore]]'s generation discipline if readers
+  * race writers.
   */
 object DedupIndex {
 
+  val DefaultPfx = 64
+
+  private def metaPath(dir: String) = Paths.get(s"$dir/_META")
+
+  private def pfxOf(nPfx: Int) = pmod(hash(col("bucket")), lit(nPfx))
+
+  /** The persisted partition-prefix count of an existing store. */
+  def numPfx(dir: String): Int =
+    Files.readString(metaPath(dir)).trim.stripPrefix("nPfx=").toInt
+
   /** Create (overwrite) the index for `docs` under `dir`. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-            oracleParity: Boolean = true): Unit =
-    write(docs, idCol, textCol, dir, "overwrite", oracleParity)
+            oracleParity: Boolean = true, nPfx: Int = DefaultPfx): Unit = {
+    require(nPfx > 0, s"nPfx must be positive, got $nPfx")
+    write(docs, idCol, textCol, dir, "overwrite", oracleParity, nPfx)
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(metaPath(dir), s"nPfx=$nPfx")
+  }
 
   /** Extend the index with an accepted batch — one signature pass over the
-    * batch only. Ids must be new (disjoint from the stored corpus). */
+    * batch only. Ids must be new (disjoint from the stored corpus). The
+    * batch's band rows land in the layout's existing pfx partitions. */
   def append(docs: DataFrame, idCol: String, textCol: String, dir: String,
              oracleParity: Boolean = true): Unit =
-    write(docs, idCol, textCol, dir, "append", oracleParity)
+    write(docs, idCol, textCol, dir, "append", oracleParity, numPfx(dir))
 
   private def write(docs: DataFrame, idCol: String, textCol: String,
-                    dir: String, mode: String, oracleParity: Boolean): Unit = {
+                    dir: String, mode: String, oracleParity: Boolean,
+                    nPfx: Int): Unit = {
     val sh = TextDedup.sortedShingleHashes(docs, idCol, textCol,
       oracleParity = oracleParity)
     sh.write.mode(mode).parquet(s"$dir/shingles")
     TextDedup.bandedFromShingles(sh, idCol)
-      .write.mode(mode).parquet(s"$dir/bands")
+      .withColumn("pfx", pfxOf(nPfx))
+      .write.mode(mode).partitionBy("pfx").parquet(s"$dir/bands")
   }
 
   def exists(dir: String): Boolean =
-    Files.exists(Paths.get(s"$dir/bands/_SUCCESS")) &&
+    Files.exists(metaPath(dir)) &&
+      Files.exists(Paths.get(s"$dir/bands/_SUCCESS")) &&
       Files.exists(Paths.get(s"$dir/shingles/_SUCCESS"))
 
   def shingles(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/shingles")
 
+  /** The stored band index, pfx partition column included. */
   def bands(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/bands")
 
@@ -68,15 +106,26 @@ object DedupIndex {
     * incoming doc, (new_id, match_id, jac, is_dup) — exactly
     * [[TextDedup.incrementalDedup]]'s contract, with the existing side
     * read from parquet instead of recomputed. The incoming frame is the
-    * only side hashed. */
+    * only side hashed; the stored bands read is pruned to the pfx
+    * partitions the batch's buckets hash into (see class doc). */
   def matchBatch(incoming: DataFrame, idCol: String, textCol: String,
                  dir: String, minJaccard: Double = 0.6,
                  maxBucket: Int = 4096,
                  oracleParity: Boolean = true): DataFrame = {
     val spark = incoming.sparkSession
-    TextDedup.incrementalDedupAgainst(
+    val shI = TextDedup.sortedShingleHashes(incoming, idCol, textCol,
+      oracleParity = oracleParity)
+    val bi = TextDedup.bandedFromShingles(shI, idCol)
+    val nPfx = numPfx(dir)
+    // Metadata-scale collect: at most nPfx small ints, off a band frame
+    // bandedFromShingles already materialized.
+    val touched = bi.select(pfxOf(nPfx).as("pfx")).distinct()
+      .collect().map(_.getInt(0))
+    val be = bands(spark, dir)
+      .filter(col("pfx").isin(touched.map(Integer.valueOf): _*))
+      .select(col(idCol), col("band"), col("bucket"))
+    TextDedup.incrementalDedupPrepared(
       shingles(spark, dir).select(col(idCol), col("sh")),
-      bands(spark, dir).select(col(idCol), col("band"), col("bucket")),
-      incoming, idCol, textCol, minJaccard, maxBucket, oracleParity)
+      be, incoming, shI, bi, idCol, minJaccard, maxBucket)
   }
 }

@@ -24,16 +24,25 @@ import org.apache.spark.sql.functions._
 object Fuzzy {
 
   /** Resolve each left (dirty) string to right (canonical) strings within
-    * edit distance `maxDist` (currently 1 — the pigeonhole blocking above
-    * is exact only for one edit). Returns (left id, right id, dist).
-    * Strings shorter than 2·blockLen fall back to length-keyed blocks;
-    * since one indel shifts the length by one, the right side emits keys
-    * for lengths L−1, L, L+1 so cross-length matches still meet (exact,
-    * still an equi-join; short-string blocks are small by nature). */
+    * edit distance `maxDist`. Returns (left id, right id, dist).
+    *
+    * maxDist = 1 runs the cheap 2-block prefix/suffix path below (two
+    * probe keys per row); maxDist > 1 delegates to the general PassJoin
+    * segmenting of [[resolveByEditK]] (same contract, same exact recall),
+    * so this entry point serves any k while k = 1 keeps its lighter plan.
+    *
+    * For the k = 1 path, strings shorter than 2·blockLen fall back to
+    * length-keyed blocks; since one indel shifts the length by one, the
+    * right side emits keys for lengths L−1, L, L+1 so cross-length
+    * matches still meet (exact, still an equi-join; short-string blocks
+    * are small by nature). */
   def resolveByEdit(left: DataFrame, leftId: String, leftStr: String,
                     right: DataFrame, rightId: String, rightStr: String,
                     blockLen: Int = 4, maxDist: Int = 1): DataFrame = {
-    require(maxDist == 1, "prefix/suffix pigeonhole blocking is exact for maxDist = 1 only")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    if (maxDist > 1)
+      return resolveByEditK(left, leftId, leftStr, right, rightId, rightStr,
+        maxDist)
     def blocks(df: DataFrame, id: String, s: String, side: String,
                lenKeys: Seq[Int]) = {
       // at length == 2*blockLen BOTH key families are emitted, so a

@@ -329,9 +329,24 @@ object TextDedup {
                               idCol: String, textCol: String,
                               minJaccard: Double = 0.6, maxBucket: Int = 4096,
                               oracleParity: Boolean = true): DataFrame = {
-    graft.functions.ArrayFunctions.register(incoming.sparkSession)
     val shI = sortedShingleHashes(incoming, idCol, textCol, oracleParity = oracleParity)
     val bi = bandedFromShingles(shI, idCol)
+    incrementalDedupPrepared(shE, be, incoming, shI, bi, idCol,
+      minJaccard, maxBucket)
+  }
+
+  /** [[incrementalDedupAgainst]] with the INCOMING side's signature also
+    * precomputed — `shI`/`bi` must be `sortedShingleHashes`/
+    * `bandedFromShingles` of `incoming`. Exists so callers that need the
+    * batch's band set for their own pruning (DedupIndex.matchBatch derives
+    * the touched partition-prefix list from it before reading the stored
+    * index) don't pay the signature pass twice. */
+  def incrementalDedupPrepared(shE: DataFrame, be: DataFrame,
+                               incoming: DataFrame,
+                               shI: DataFrame, bi: DataFrame, idCol: String,
+                               minJaccard: Double = 0.6,
+                               maxBucket: Int = 4096): DataFrame = {
+    graft.functions.ArrayFunctions.register(incoming.sparkSession)
     // Every downstream stage only cares about buckets the BATCH touches:
     // an existing doc sharing no band bucket with any incoming doc can
     // never become a candidate, so the stored index is semi-joined down to

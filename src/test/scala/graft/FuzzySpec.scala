@@ -49,6 +49,21 @@ class FuzzySpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("resolveByEdit(maxDist=2) delegates to the PassJoin path") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val canon = Seq(1L -> "warehouse-catalog")
+    val dirty = Seq(
+      10L -> "warehouse-catalog",  // dist 0
+      11L -> "wErehouse-cAtalog",  // dist 2 — unreachable at k=1
+      12L -> "wErehOuse-cAtalog")  // dist 3 — out of range at k=2
+    val got = Fuzzy.resolveByEdit(
+        dirty.toDF("id", "s"), "id", "s",
+        canon.toDF("id", "s"), "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1L, 0), (11L, 1L, 2)), s"got $got")
+  }
+
   test("resolveByEditK(2): equals brute-force all-pairs on a corpus of 0/1/2/3-edit variants") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

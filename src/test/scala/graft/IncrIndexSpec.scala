@@ -90,6 +90,42 @@ class IncrIndexSpec extends AnyFunSuite {
         "appended index")
   }
 
+  test("matchBatch prunes the stored bands scan to touched pfx partitions") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = Files.createTempDirectory("graft_didx_prune").toString
+    DedupIndex.build(existing, "doc_id", "text", dir, nPfx = 16)
+    val bandFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/bands"))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    // One incoming doc touches at most 4 band buckets, i.e. at most 4 of
+    // the 16 pfx partitions — the stored-bands scan must plan to read only
+    // those partitions' files, not the whole index (this is the file-level
+    // pruning that keeps per-batch scan bytes flat as the corpus grows).
+    val batch = docs.filter(col("doc_id") === 7L)
+    val out = DedupIndex.matchBatch(batch, "doc_id", "text", dir)
+    val scans = out.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("bands"))
+      => f
+    }
+    assert(scans.nonEmpty, "no stored-bands file scan found in the plan")
+    val maxScanned = scans.map(_.selectedPartitions.totalNumberOfFiles).max
+    assert(maxScanned < bandFiles,
+      s"bands scan reads all $bandFiles files — pfx pruning is not happening")
+    assert(maxScanned <= bandFiles / 2,
+      s"bands scan reads $maxScanned of $bandFiles files; expected at most " +
+        "~4/16 of the partitions' files")
+    // and the pruned match must still find the doc's stored twin
+    val row = out.filter(col("new_id") === 7L).collect().head
+    assert(row.getBoolean(3), "pruned match lost the known duplicate")
+  }
+
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
