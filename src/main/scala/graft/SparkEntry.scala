@@ -854,16 +854,24 @@ object SparkEntry {
     // file arrival order (drop semantics under tight delays are pinned
     // separately by StreamingRangeJoinSpec).
     "q_stream_range_join" -> ((s, dir) => {
-      val work =
-        java.nio.file.Files.createTempDirectory("graft_srj_q").toString
-      Tables.events(s, dir)
-        .select(col("user_id").as("k0"), col("ts"), col("event_id").as("id0"))
-        .repartition(4)
-        .write.parquet(s"$work/in")
+      // Replay input is a per-sf-dir cached fixture (same discipline as
+      // the multimodal fixtures): the bench times the streaming replay —
+      // the operator under test — not a per-invocation fixture write.
+      val in = s"/tmp/graft_cache/${new java.io.File(dir).getName}/srj_in"
+      withPathLock(in) {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$in/_SUCCESS")))
+          Tables.events(s, dir)
+            .select(col("user_id").as("k0"), col("ts"),
+              col("event_id").as("id0"))
+            .repartition(4)
+            .write.mode("overwrite").parquet(in)
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_srj_q")
       val src = s.readStream
-        .schema(s.read.parquet(s"$work/in").schema)
+        .schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$work/in")
+        .parquet(in)
       val joined = streaming.StreamingRangeJoin.withinWindowPairsStream(
         src, "k0", "ts", "id0", windowSec = 7200L, delaySec = 315360000L)
       val q = joined.writeStream
@@ -874,10 +882,20 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$work/out")
+      // localCheckpoint pulls the (small) pair table into block-manager
+      // blocks so the per-invocation sink + streaming checkpoint dirs can
+      // be deleted immediately instead of accumulating under /tmp.
+      val res = s.read.parquet(s"$work/out")
         .select(col("k"), col("id1"), unix_micros(col("ts1")).as("ts1"),
           col("id2"), unix_micros(col("ts2")).as("ts2"))
         .orderBy("id1", "id2")
+        .localCheckpoint()
+      // delete children before parents
+      val walk = java.nio.file.Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+      res
     }),
 
     // As-of join: for each purchase, the latest click by the same user at
@@ -1841,6 +1859,20 @@ object SparkEntry {
     })
   )
 
+  /** One mirror for both the batch banded range join (q_range_pairs) and
+    * its streaming replay (q_stream_range_join): DuckDB's quadratic
+    * theta-join over same-user events within the 2-hour window. Shared so
+    * an edit to the window bound or tie rule can never de-sync the two. */
+  private val rangePairsMirrorSql =
+    """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+                  FROM events)
+       SELECT a.k, a.event_id AS id1, a.us AS ts1,
+         b.event_id AS id2, b.us AS ts2
+       FROM e a JOIN e b ON a.k = b.k
+         AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+         AND b.us - a.us <= 7200000000
+       ORDER BY id1, id2"""
+
   def oracleSql: Map[String, String] = Map(
     "q_view_parse_json" ->
       """SELECT event_id, user_id,
@@ -2603,26 +2635,10 @@ object SparkEntry {
            CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
          FROM e GROUP BY d ORDER BY d""",
-    "q_range_pairs" ->
-      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
-                    FROM events)
-         SELECT a.k, a.event_id AS id1, a.us AS ts1,
-           b.event_id AS id2, b.us AS ts2
-         FROM e a JOIN e b ON a.k = b.k
-           AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
-           AND b.us - a.us <= 7200000000
-         ORDER BY id1, id2""",
-    // identical mirror to q_range_pairs: the streaming replay must emit
-    // exactly the batch pair set
-    "q_stream_range_join" ->
-      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
-                    FROM events)
-         SELECT a.k, a.event_id AS id1, a.us AS ts1,
-           b.event_id AS id2, b.us AS ts2
-         FROM e a JOIN e b ON a.k = b.k
-           AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
-           AND b.us - a.us <= 7200000000
-         ORDER BY id1, id2""",
+    "q_range_pairs" -> rangePairsMirrorSql,
+    // the SAME mirror checks the streaming replay: it must emit exactly
+    // the batch pair set (one shared constant so the two can't de-sync)
+    "q_stream_range_join" -> rangePairsMirrorSql,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
                     FROM events WHERE event_type = 'purchase'),

@@ -118,5 +118,9 @@ object Verify {
       s"[verify] done: ${names.size - failed.size}/${names.size} ok" +
         (if (failed.isEmpty) "" else s"; failed: ${failed.toArray.mkString(",")}"))
     spark.stop()
+    // A failed dump must be loud at the process level too (Bench already
+    // exits 1 on errors): per-query dirs for the successes are on disk
+    // either way, so a gating driver still has everything checkable.
+    if (!failed.isEmpty) sys.exit(1)
   }
 }

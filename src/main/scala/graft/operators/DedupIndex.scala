@@ -29,9 +29,11 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * signature, collects its distinct pfx values (a metadata-scale collect,
   * bounded by nPfx, like [[graft.streaming.SnapshotStore]]'s touched-bucket
   * list), and reads ONLY those partitions: Catalyst's static partition
-  * pruning skips every file of an untouched pfx, so stored-side scan bytes
-  * track the buckets the batch touches, not corpus size
-  * ([[graft.IncrIndexSpec]] asserts the scanned-file count). The exact
+  * pruning skips every file of an untouched pfx, cutting the stored-side
+  * scan to the touched fraction of the index (≈ touched/nPfx of its
+  * files; each partition still grows with the corpus, so size nPfx for
+  * the target scale — [[graft.IncrIndexSpec]] asserts the scanned-file
+  * count tracks the touched partitions). The exact
   * (band, bucket) semi-join inside [[TextDedup.incrementalDedupPrepared]]
   * then prunes within the surviving partitions; pfx pruning is a strict
   * superset filter of that semi-join, so match results are bit-identical
@@ -67,6 +69,12 @@ object DedupIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
             oracleParity: Boolean = true, nPfx: Int = DefaultPfx): Unit = {
     require(nPfx > 0, s"nPfx must be positive, got $nPfx")
+    // REBUILD window: when overwriting an existing store, drop its _META
+    // before touching data. A crash between the shingles overwrite and the
+    // bands overwrite would otherwise leave new shingles + old bands under
+    // a still-present completion marker — exists() true, silently wrong
+    // matches. With _META gone first, any partial rebuild reads as absent.
+    Files.deleteIfExists(metaPath(dir))
     write(docs, idCol, textCol, dir, "overwrite", oracleParity, nPfx)
     Files.createDirectories(Paths.get(dir))
     Files.writeString(metaPath(dir), s"nPfx=$nPfx")

@@ -30,6 +30,9 @@ object Fuzzy {
     * probe keys per row); maxDist > 1 delegates to the general PassJoin
     * segmenting of [[resolveByEditK]] (same contract, same exact recall),
     * so this entry point serves any k while k = 1 keeps its lighter plan.
+    * `blockLen` tunes only the k = 1 path — the PassJoin path derives its
+    * segment lengths from string length and k, so the parameter is
+    * ignored when delegating.
     *
     * For the k = 1 path, strings shorter than 2·blockLen fall back to
     * length-keyed blocks; since one indel shifts the length by one, the

@@ -31,8 +31,26 @@ object Iterate {
 
   /** Materialize `df` eagerly and cut its lineage: reliable
     * `checkpoint()` when the session has a checkpoint dir configured,
-    * `localCheckpoint()` otherwise. */
+    * `localCheckpoint()` otherwise.
+    *
+    * Reliable mode wraps the checkpoint in persist()/unpersist():
+    * Spark's reliable checkpoint runs a SECOND job to write the files
+    * after the eager count computes them, and without a persisted copy
+    * that write job recomputes the whole plan — doubling every round's
+    * cost. With the persist, the count caches partitions and the write
+    * job reads the cache; the cache is dropped as soon as the files are
+    * down (the returned frame scans the checkpoint files, not the cache).
+    *
+    * Housekeeping note for long loops: checkpoint files of superseded
+    * rounds are reclaimed by Spark's ContextCleaner only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false) — set it in cluster deployments, or accept a bounded
+    * rounds × |state| footprint under the checkpoint dir for the
+    * application's lifetime. */
   def checkpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint()
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint()
 }

@@ -154,7 +154,11 @@ object Propagate {
     // a seed id absent from the vertex set carries no teleport mass, so
     // counting raw seed rows would dilute init/base for the real seeds
     // (ADVICE r6). Callers may pass seed lists that over-approximate.
-    val nSeeds = flagged.agg(sum(col("_seed"))).first().getLong(0)
+    // coalesce: sum over ZERO rows (empty vertex table) is null — unboxing
+    // it would NPE; fold to 0 so both degenerate inputs (empty vertices,
+    // seeds disjoint from vertices) hit the clear require below instead.
+    val nSeeds =
+      flagged.agg(coalesce(sum(col("_seed")), lit(0L))).first().getLong(0)
     require(nSeeds > 0, "personalizedPageRank needs at least one seed present in vertices")
     val init = scale / nSeeds
     val base = ((10000L - dampBp) * init) / 10000L
