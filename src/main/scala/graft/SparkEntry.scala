@@ -868,7 +868,19 @@ object SparkEntry {
             .write.mode("overwrite").parquet(in)
       }
       val work = java.nio.file.Files.createTempDirectory("graft_srj_q")
-      val src = s.readStream
+      // The streaming query runs in a CLONED session (shared SparkContext,
+      // private SQLConf) with a low shuffle-partition count: the state
+      // store materializes shuffle-partition stores PER SIDE PER BATCH
+      // (2 sides x 5 batches here), so at the session default of 32 this
+      // ~25k-row-per-batch replay paid ~320 state-store commits of pure
+      // fixed cost — the commit overhead, not the join, dominated
+      // (measured 18.3 s -> ~5 s at sf0.1 with 8 partitions). Cloning
+      // instead of mutating `s.conf` keeps the setting invisible to the
+      // other queries Verify plans concurrently. The partition count is
+      // a per-deployment knob: size it to batch volume, not corpus size.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val src = s2.readStream
         .schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(in)
