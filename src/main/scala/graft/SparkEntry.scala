@@ -297,6 +297,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining (contrastive-training curation): for each
+    // anchor, the 3 most-similar corpus vectors strictly BELOW the
+    // semantic-dup threshold (0.4 — the q_semantic_dedup band). At or
+    // above the band a "negative" is really an unlabeled positive; far
+    // below it carries no gradient. One corpus scan per query batch,
+    // band filter ahead of the rank window.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 3, 0.4)
+        .orderBy("qid", "rank")
+    }),
+
     // Deterministic integer k-means over the embedding corpus (semantic
     // clustering for curation/mix balancing): quantized vectors, k-lowest-id
     // init, 3 Lloyd's rounds, exact integer distances — every iteration is
@@ -2167,6 +2180,19 @@ object SparkEntry {
            SELECT qid, nid, sim, row_number() OVER
              (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
            FROM scored)
+         SELECT qid, CAST(rank AS INT) AS rank, nid,
+           floor(sim * 1000000) / 1000000 AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_hard_negatives" ->
+      s"""WITH scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ${cosSql("q.embedding", "c.embedding")} AS sim
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM scored WHERE sim < 0.4)
          SELECT qid, CAST(rank AS INT) AS rank, nid,
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",

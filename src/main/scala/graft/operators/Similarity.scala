@@ -59,6 +59,30 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training: for
+    * each query row, the `k` most-similar corpus rows whose cosine stays
+    * strictly BELOW `negCeil` — the band that makes informative negatives.
+    * Anything at or above `negCeil` is a near-duplicate of the anchor
+    * (use the same threshold as the semantic-dedup pass), and sampling it
+    * as a negative would push a true positive apart — the classic false
+    * negative that poisons contrastive batches; anything far below is too
+    * easy to carry gradient. Same plan as [[annTopK]] — corpus scan x
+    * broadcast query batch, band filter in-stage ahead of the per-query
+    * rank window — so mining cost per training batch is one corpus scan
+    * regardless of corpus size. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, negCeil: Double): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol)
+      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
+      .filter(col("sim") < negCeil)
+    topK(scored, k)
+  }
+
   /** Random-hyperplane LSH sign bits (deterministic integer pseudo-planes:
     * plane(j,d) = ((1103515245*j + 12345*d + 42) mod 1001) - 500, exactly
     * reproducible in SQL). Returns the bucket id from `nBits` sign bits.

@@ -33,6 +33,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_lsh_recall", "q_curation_pipeline", "q_training_manifest",
     "q_repetition", "q_quality_full",
     "q_ann_topk", "q_ann_ivf",
+    "q_hard_negatives", // annTopK-shaped O(#queries=10)-row broadcast scan
     "q_hybrid_rank", // bm25's 1-row corpus-stats cross + annTopK's O(#queries=1) broadcast scan
     "q_value_percentiles", // 1-row corpus-count cross, O(1) side
     "q_weighted_sample", // two 1-row total-weight crosses (Sampling.weightedSample)

@@ -65,6 +65,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: duplicate band excluded, hard band ranked, brute-force parity") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f)),  // anchor
+      (1L, Array(10.0f, 0.1f)), // near-dup of the anchor (cos ~ 0.99995)
+      (2L, Array(1.0f, 1.0f)),  // cos ~ 0.7071 — hardest valid negative
+      (3L, Array(1.0f, 2.0f)),  // cos ~ 0.4472
+      (4L, Array(0.0f, 1.0f))) // cos = 0 — easy negative
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(df, df.filter($"vec_id" === 0L),
+        "vec_id", "embedding", k = 3, negCeil = 0.9)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    // the near-dup (cos above the ceiling) must NOT appear as a negative;
+    // the remaining corpus ranks by similarity
+    assert(got.toSeq == Seq((1, 2L), (2, 3L), (3, 4L)))
+
+    // real-corpus invariants: one group per query, every sim below the band
+    val e = embeddings
+    val neg = Similarity.hardNegatives(e, e.filter($"vec_id" < 10),
+      "vec_id", "embedding", k = 3, negCeil = 0.4)
+    val sims = neg.agg(max($"sim"), countDistinct($"qid")).head()
+    assert(sims.getDouble(0) < 0.4)
+    assert(sims.getLong(1) == 10L)
+  }
+
   test("lshCandidatePairs: bucket cap drops over-full buckets deterministically") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
