@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.AnnIndexStore
+
+/** Online ANN serving — the streaming leg of the maintained IVF-PQ index
+  * ([[graft.operators.AnnIndexStore]]): a live feed of query vectors is
+  * answered per micro-batch FROM THE STORED INDEX (codebooks trained once
+  * offline, serving never retrains) and the answers append to a result
+  * log. This completes the batch/stream twin set — ingest dedup
+  * ([[StreamingDedup]]), sessionization, anomaly flags, the interval join
+  * — with the retrieval surface: the same stored artifact answers both
+  * the one-shot batch sweep (q_ann_stored) and the live query feed.
+  *
+  * Scale shape per micro-batch: coarse/PQ centroids are manifest-scale
+  * collects, the batch's probe set and LUTs broadcast, and candidate
+  * restriction is one equi-join of the stored cells table against the
+  * broadcast probes — cost tracks the BATCH (queries x probed cells),
+  * never the corpus. Index maintenance stays a separate writer's job
+  * (`AnnIndexStore.append` per accepted ingest batch); readers see the
+  * store grow between micro-batches, exactly like the dedup gate.
+  */
+object StreamingAnn {
+
+  /** Answer one micro-batch of query vectors from the stored index — the
+    * `foreachBatch` body (and deliberately just a name for
+    * [[AnnIndexStore.query]]: per-query answers do not depend on how the
+    * feed is batched, which is what makes replay == batch provable). */
+  def answerBatch(batch: DataFrame, idCol: String, vecCol: String,
+                  indexDir: String, kNN: Int = 3, nProbe: Int = 2,
+                  refine: Int = 0): DataFrame =
+    AnnIndexStore.query(batch, idCol, vecCol, indexDir, kNN, nProbe, refine)
+
+  /** Drive a streaming feed of query vectors against the stored index,
+    * appending each micro-batch's (qid, rank, nid, dist) answers to
+    * `outDir` as parquet. Because the index is static per micro-batch and
+    * answers are per-query independent, the appended log over any batching
+    * of the feed equals the one-shot batch answer over the union of the
+    * batches — [[graft.StreamingAnnSpec]] pins this bit-for-bit.
+    *
+    * Delivery note (standard foreachBatch caveat): a micro-batch retried
+    * after a sink-side crash can append its answers twice; downstream
+    * readers wanting exactly-once should dedup on (qid, rank) or write to
+    * a batchId-keyed path instead. */
+  def serveStream(queryStream: DataFrame, idCol: String, vecCol: String,
+                  indexDir: String, outDir: String, checkpointDir: String,
+                  kNN: Int = 3, nProbe: Int = 2, refine: Int = 0,
+                  trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    queryStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        answerBatch(batch, idCol, vecCol, indexDir, kNN, nProbe, refine)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+}

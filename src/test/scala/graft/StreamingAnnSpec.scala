@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AnnIndexStore
+import graft.streaming.StreamingAnn
+
+/** Online ANN serving: a query-vector feed replayed in micro-batches
+  * against the STORED IVF-PQ index must produce exactly the one-shot
+  * batch answer — batching the feed cannot change any (qid, rank, nid,
+  * dist) row, because serving is per-query independent and the index is
+  * static. */
+class StreamingAnnSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("streamed micro-batch serving == one-shot batch serving, bit-for-bit") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft_sann_idx").toString
+    AnnIndexStore.build(corpus, "vec_id", "embedding", idxDir, dim = 64)
+
+    val queryRows = corpus.filter(col("vec_id") < 9)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    // ground truth: ONE batch answer over the whole query set
+    val batchAns = AnnIndexStore.query(
+        queryRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idxDir, kNN = 3, nProbe = 2, refine = 10)
+      .collect().map(_.toSeq).toSet
+    assert(batchAns.size == 9 * 3, s"expected 27 answer rows, got ${batchAns.size}")
+
+    // replay the same queries as 3 file micro-batches through serveStream
+    val work = Files.createTempDirectory("graft_sann").toString
+    queryRows.grouped(3).foreach { slice =>
+      slice.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$work/in")
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+    val q = StreamingAnn.serveStream(src, "vec_id", "embedding", idxDir,
+      s"$work/out", s"$work/_cp", kNN = 3, nProbe = 2, refine = 10,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$work/out").collect().map(_.toSeq)
+    assert(streamed.length == streamed.toSet.size, "an answer row was appended twice")
+    assert(streamed.toSet == batchAns,
+      s"missing=${batchAns -- streamed.toSet} extra=${streamed.toSet -- batchAns}")
+  }
+}
