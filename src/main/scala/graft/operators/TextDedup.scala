@@ -120,10 +120,20 @@ object TextDedup {
       }
     val a = bands.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val b = bands.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    // Dedup rides an id1-ONLY exchange instead of distinct()'s (id1, id2)
+    // exchange: every copy of a pair shares id1, so hash-partitioning by
+    // id1 already co-locates duplicates, and the (id1, id2) aggregation
+    // runs exchange-free on top (subset partitioning satisfies the
+    // aggregate's clustering). The payoff is double — the dedup shuffle
+    // keys on one column, and the verify join every consumer runs next is
+    // BY id1, so it reuses this exact partitioning instead of exchanging
+    // the pair table again (measured at sf0.1: ~5 s off the 16M-raw-pair
+    // chain; candidates/verified counts identical).
     val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-      .distinct()
+      .repartition(col("id1"))
+      .dropDuplicates()
     (pairs, hotMembers)
   }
 
@@ -223,12 +233,7 @@ object TextDedup {
     // for the shipped number). Cost: 8 extra min-aggregates in the same
     // partial-agg shuffle + 2x band rows — still one corpus hash pass.
     val sh = sortedShingleHashes(docs, idCol, textCol, oracleParity = oracleParity)
-    val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
-    val mins = (0 until 16).map { i =>
-      val a = 2L * i + 1; val b = i.toLong * i + 1
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = signatureFromShingles(sh, idCol, k = 16)
     val (cand, hotMembers) =
       lshCandidatesAndHotMembers(sig, idCol, k = 16, r = 2,
         maxBucket = maxBucket)
@@ -304,18 +309,32 @@ object TextDedup {
     * bands of 2, same coefficients as [[minHashSignature]]. */
   def bandedFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val k = 8; val r = 2
-    val hashed = sh.select(col(idCol), explode(col("sh")).as("h"))
-    val mins = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = i.toLong * i + 1
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    val sig = hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = signatureFromShingles(sh, idCol, k)
     val bandCols = (0 until k / r).map { band =>
       concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
     }
     sig.select(col(idCol),
         posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
       .localCheckpoint()
+  }
+
+  /** k perturbed-min signatures (mh0..mh{k-1}) computed DIRECTLY over the
+    * (already distinct, `% P`-reduced) shingle-hash arrays of a
+    * [[sortedShingleHashes]] table — a zero-shuffle projection. The min of
+    * (a_i*h + b_i) mod p over an array equals the min over its exploded
+    * rows, so this replaces the explode -> |docs x grams|-row groupBy
+    * exchange the signature pass used to pay (measured at sf0.1: the
+    * candidate stage drops ~2x, see BASELINE.md round 7) while producing
+    * bit-identical signatures — stored [[DedupIndex]] band rows remain
+    * valid. Docs with EMPTY shingle arrays are excluded, exactly like the
+    * explode form (no rows -> no group); without the filter an empty array
+    * would yield null mins and join every other empty doc. */
+  def signatureFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      array_min(transform(col("sh"), h => (h * a + b) % P)).as(s"mh$i")
+    }
+    sh.filter(size(col("sh")) > 0).select(col(idCol) +: mins: _*)
   }
 
   /** [[incrementalDedup]] against a PRECOMPUTED existing side — `shE` the

@@ -43,16 +43,11 @@ object Probe {
     val sh = t("shingleHashes+checkpoint") {
       TextDedup.sortedShingleHashes(docs, "doc_id", "text")
     }
-    val hashed = sh.select(col("doc_id"), explode(col("sh")).as("h"))
-    val P = 2147483647L
-    val mins = (0 until 16).map { i =>
-      val a = 2L * i + 1; val b = i.toLong * i + 1
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    val sig = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val sig = TextDedup.signatureFromShingles(sh, "doc_id", k = 16)
+    t("sig only (zero-shuffle projection)") { sig.count() }
     val (cand, hot) = TextDedup.lshCandidatesAndHotMembers(sig, "doc_id",
       k = 16, r = 2, maxBucket = 4096)
-    val nc = t("sig+bands+candidates") { cand.count() }
+    val nc = t("bands+candidates (id1-exchange dedup)") { cand.count() }
     println(s"  candidates: $nc, hotMembers empty: ${hot.isEmpty}")
     val t1 = sh.toDF("id1", "sh1"); val t2 = sh.toDF("id2", "sh2")
     val nv = t("verify") {
