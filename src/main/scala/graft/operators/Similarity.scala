@@ -126,12 +126,17 @@ object Similarity {
     val banded = if (materialize) banded0.localCheckpoint() else banded0
     val a = banded.select(col("id").as("id1"), col("tab"), col("bucket"))
     val b = banded.select(col("id").as("id2"), col("tab"), col("bucket"))
-    // distinct on bare (id1, id2) BEFORE rejoining vectors: the dedup shuffle
-    // carries two longs per row, not two embedding arrays.
+    // Dedup on bare (id1, id2) BEFORE rejoining vectors (the dedup shuffle
+    // carries two longs per row, not two embedding arrays), riding an
+    // id1-ONLY exchange: all copies of a pair share id1, so the subset
+    // partitioning both satisfies the dedup aggregation exchange-free and
+    // is reused verbatim by the id1 vector re-join below (same discipline
+    // as TextDedup.lshCandidatesAndHotMembers, measured there at sf0.1).
     val cand = a.join(b, Seq("tab", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-      .distinct()
+      .repartition(col("id1"))
+      .dropDuplicates()
     val x = v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val y = v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     cand.join(x, Seq("id1")).join(y, Seq("id2"))
