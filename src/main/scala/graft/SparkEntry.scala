@@ -1660,6 +1660,17 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // Tokenizer-coverage audit: per-source OOV rate (integer basis
+    // points) under the same top-20 vocabulary q_tokenize applies — the
+    // fit report read before committing a vocab corpus-wide. The small
+    // vocab keeps OOV non-vacuous on the synthetic corpus.
+    "q_oov_rate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      TextAnalysis.oovRate(d, "source", "text",
+          TextAnalysis.vocabIds(d, "text", 20))
+        .orderBy("source")
+    }),
+
     // Semantic dedup over embeddings: cosine-LSH candidate pairs (the
     // equi-join scale path, no nested loop) -> connected components ->
     // canonical = min vec_id per cluster. The embedding-space twin of the
@@ -3370,6 +3381,20 @@ object SparkEntry {
          e AS (SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS token FROM tk)
          SELECT e.doc_id, e.pos, CAST(coalesce(v.token_id, 0) AS INT) AS token_id
          FROM e LEFT JOIN v USING (token) ORDER BY doc_id, pos""",
+    "q_oov_rate" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t
+               WHERE token <> '' GROUP BY token),
+         v AS (SELECT token FROM (SELECT * FROM c ORDER BY n DESC, token LIMIT 20)),
+         toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+         f AS (SELECT source,
+                 CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END AS oov
+               FROM toks WHERE token <> '')
+         SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) * 10000 // count(*) AS BIGINT) AS oov_bp
+         FROM f GROUP BY source ORDER BY source""",
     "q_semantic_dedup" ->
       s"""WITH RECURSIVE v AS (SELECT vec_id, embedding AS e FROM embeddings),
          b AS (

@@ -193,6 +193,28 @@ object TextAnalysis {
         coalesce(col("token_id"), lit(0)).as("token_id"))
   }
 
+  /** Tokenizer-coverage audit: per-group token totals, out-of-vocabulary
+    * counts and the OOV rate in integer basis points under a FIXED
+    * vocabulary — the "does this tokenizer fit that source" report read
+    * before committing a vocab corpus-wide (a source whose oov_bp spikes
+    * is about to be shredded into byte-fallback garbage). Empty tokens
+    * are excluded, matching [[topTokens]]'s counting. Integer floor-div
+    * rate so the report is bit-identical across engines.
+    *
+    * Scale: one explode + broadcast vocab join + one partial-agg shuffle
+    * on the group key — corpus rows never shuffle. */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+              vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(groupCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    toks.join(broadcast(vocab.select("token", "token_id")), Seq("token"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 div n_tok"))
+  }
+
   /** Per-document keyword extraction: the `k` most frequent non-stopword
     * tokens of each document, ranked by count descending with the token
     * text as a deterministic tie-break. One explode + hash aggregation

@@ -218,6 +218,24 @@ class PackingSessionizeSpec extends AnyFunSuite {
     assert(got == Seq(1, 1, 1, 2, 2, 3, 0))
   }
 
+  test("oovRate: per-group basis points, empty tokens excluded, full-coverage group at 0") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "b b b a"),        // fully in-vocab under top-2 {b, a}
+      (2L, "s2", "b  x y z"),       // double space -> empty token excluded
+      (3L, "s2", "a a"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.oovRate(docs, "source", "text",
+        TextAnalysis.vocabIds(docs, "text", 2))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // vocab: b=4, a=3 -> {b, a}. s1: 4 tokens 0 oov; s2: b,x,y,z,a,a =
+    // 6 tokens (the empty token from the double space never counts),
+    // 3 oov -> 5000 bp
+    assert(got.toSeq == Seq(("s1", 4L, 0L, 0L), ("s2", 6L, 3L, 5000L)))
+  }
+
   test("shardStats: shards partition the corpus; totals add up; deterministic") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
