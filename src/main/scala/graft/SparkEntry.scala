@@ -1366,6 +1366,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Perceptual audio dedup: real WAV decode -> 16-bit amplitude-envelope
+    // hash (the audio twin of q_image_dhash — volume-scaling invariant,
+    // resampling robust) with exact-dup family grouping. The sawtooth
+    // fixture's phase is doc_id mod 512, so distinct docs genuinely
+    // collide (same waveform => same envelope) and the mirror recomputes
+    // every bucket energy from the closed form.
+    "q_audio_fingerprint" -> ((s, dir) => {
+      val withWav = fixtureTable(s, dir, "wav")(
+        graft.multimodal.Multimodal.withSyntheticWav(_, "doc_id"))
+      val h = graft.multimodal.Multimodal.audioEnvelopeHash(
+        withWav, "wav", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+      h.withColumn("canonical", min("doc_id").over(w))
+        .withColumn("n_same", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     // REAL video container metadata, oracle-verified: synthesize a valid
     // ISO BMFF (mp4) container per doc, walk its box tree with the real
     // byte-level parser (ftyp -> moov -> mvhd), and emit timescale/duration.
@@ -2464,6 +2481,22 @@ object SparkEntry {
                    i -> abs((abs(doc_id) + i) % 512 - 256) * 128), (a, b) -> a + b) AS DOUBLE)
                  / (32768.0 * 256) * 1000000) / 1000000 AS mean_abs
          FROM documents ORDER BY doc_id""",
+    "q_audio_fingerprint" ->
+      """WITH e AS (
+           SELECT doc_id, CAST(i * 17 // 256 AS INT) AS b,
+             CAST(sum(abs((abs(doc_id) + i) % 512 - 256) * 128) AS BIGINT) AS en
+           FROM documents, range(256) t(i)
+           GROUP BY doc_id, CAST(i * 17 // 256 AS INT)),
+         bits AS (
+           SELECT a.doc_id,
+             CASE WHEN n.en > a.en THEN (1::BIGINT << a.b) ELSE 0 END AS bit
+           FROM e a JOIN e n ON n.doc_id = a.doc_id AND n.b = a.b + 1),
+         h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS ahash
+               FROM bits GROUP BY doc_id)
+         SELECT doc_id, ahash,
+           min(doc_id) OVER (PARTITION BY ahash) AS canonical,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+         FROM h ORDER BY doc_id""",
     "q_video_meta" ->
       """SELECT doc_id,
            CAST(1000 AS INT) AS v_timescale,

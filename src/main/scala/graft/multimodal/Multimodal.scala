@@ -291,6 +291,37 @@ object Multimodal {
       (p.samples.length.toLong, p.sampleRate.toInt,
         if (p.samples.isEmpty) 0.0 else s / (32768.0 * p.samples.length))
     }
+
+    /** Amplitude-envelope perceptual hash — the audio twin of the image
+      * dHash: the sample stream splits into `nBuckets` duration-relative
+      * spans (sample i lands in bucket i*nBuckets/n, floor), each span's
+      * energy is the exact long sum of |sample|, and bit b of the hash is
+      * set iff energy(b+1) > energy(b). Like the dHash's gradient bits,
+      * the comparisons are invariant to volume scaling (any positive gain
+      * preserves every `>`) and robust to resampling (spans are fractions
+      * of the clip, not fixed sample counts) — so re-encoded / re-leveled
+      * copies of one recording collide while different material does not.
+      * nBuckets = 17 -> a 16-bit hash; group on it for exact-dup families,
+      * band it (imageDHash-style) for a hamming near-dup prefilter.
+      * Streams shorter than nBuckets samples hash to 0 (no stable
+      * envelope exists at sub-bucket lengths). */
+    def envelopeHash(p: Pcm, nBuckets: Int = 17): Long = {
+      val n = p.samples.length
+      if (n < nBuckets) return 0L
+      val e = new Array[Long](nBuckets)
+      var i = 0
+      while (i < n) {
+        e((i.toLong * nBuckets / n).toInt) += math.abs(p.samples(i).toInt)
+        i += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < nBuckets - 1) {
+        if (e(b + 1) > e(b)) h |= (1L << b)
+        b += 1
+      }
+      h
+    }
   }
 
   // ---- real: AVI video frame decode (RIFF walk + JDK image codecs) ------
@@ -700,6 +731,29 @@ object Multimodal {
         AudioDecoder.decode(bytes).map(AudioDecoder.stats) match {
           case Some((n, sr, m)) => Row(r.get(idIdx), n, sr, m)
           case None => Row(r.get(idIdx), null, null, null)
+        }
+      }
+    }
+  }
+
+  /** Perceptual audio fingerprint: decode -> 16-bit amplitude-envelope
+    * hash ([[AudioDecoder.envelopeHash]]) — the audio-dedup key (group on
+    * it for re-leveled/re-encoded copies of one recording; band it for a
+    * hamming near-dup prefilter, exactly like [[imageDHash]]). Null for
+    * non-audio or corrupt payloads. */
+  def audioEnvelopeHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("ahash", LongType, nullable = true)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        AudioDecoder.decode(bytes).map(AudioDecoder.envelopeHash(_)) match {
+          case Some(h) => Row(r.get(idIdx), h)
+          case None => Row(r.get(idIdx), null)
         }
       }
     }

@@ -255,6 +255,39 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(feats.forall(_ == 0f), s"stub leaked into wav path: $feats")
   }
 
+  test("audio envelopeHash: volume-invariant, structure-sensitive, short-stream zero") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // rising envelope: |amplitude| grows along the clip
+    val rising = Array.tabulate[Short](340)(i => (i * 30).toShort)
+    val pcmOf = (s: Array[Short]) =>
+      Multimodal.AudioDecoder.decode(Multimodal.AudioDecoder.encodeWav(s, 8000f)).get
+    val h0 = Multimodal.AudioDecoder.envelopeHash(pcmOf(rising))
+    // monotone rising envelope sets every comparison bit (16 ones)
+    assert(h0 == (1L << 16) - 1, s"rising envelope hash $h0")
+    // volume scaling (half gain) preserves every energy comparison
+    val quiet = rising.map(s => (s / 2).toShort)
+    assert(Multimodal.AudioDecoder.envelopeHash(pcmOf(quiet)) == h0)
+    // different structure (falling envelope) flips the bits
+    val falling = rising.reverse
+    assert(Multimodal.AudioDecoder.envelopeHash(pcmOf(falling)) == 0L)
+    // resampling robustness: same shape at half the samples, same hash
+    val risingHalf = Array.tabulate[Short](170)(i => (i * 60).toShort)
+    assert(Multimodal.AudioDecoder.envelopeHash(pcmOf(risingHalf)) == h0)
+    // below nBuckets samples there is no stable envelope
+    assert(Multimodal.AudioDecoder.envelopeHash(pcmOf(rising.take(16))) == 0L)
+
+    // DataFrame surface: dup family groups on the hash, junk decodes null
+    val df = Seq((1L, Multimodal.AudioDecoder.encodeWav(rising, 8000f)),
+        (2L, Multimodal.AudioDecoder.encodeWav(quiet, 8000f)),
+        (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.audioEnvelopeHash(df, "payload", "id")
+      .orderBy("id").collect()
+    assert(rows(0).getLong(1) == h0 && rows(1).getLong(1) == h0)
+    assert(rows(2).isNullAt(1))
+  }
+
   test("multimodal: REAL pixel decode via ImageIO — stats, grid features, resize") {
     spark.sparkContext.setLogLevel("ERROR")
     import java.awt.image.BufferedImage
