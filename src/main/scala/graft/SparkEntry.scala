@@ -1413,6 +1413,18 @@ object SparkEntry {
         .orderBy("doc_id", "frame_index")
     }),
 
+    // Video-dedup fingerprints: real AVI frame decode -> per-frame dHash
+    // (the video member of the image/audio/video perceptual-dedup trio).
+    // Clips re-encoded or resized hash to the same sequence; the mirror
+    // recomputes every gradient bit from the synthetic frames' closed
+    // form, including the dHash's 9x8 grid resampling.
+    "q_video_dhash" -> ((s, dir) => {
+      val withAvi = fixtureTable(s, dir, "avi")(
+        graft.multimodal.Multimodal.withSyntheticAvi(_, "doc_id"))
+      graft.multimodal.Multimodal.videoFrameDHash(withAvi, "avi", "doc_id")
+        .orderBy("doc_id", "frame_index")
+    }),
+
     // REAL animated-GIF frame decode (the GIF twin of q_video_frames):
     // per-doc 4-frame animation on a fixed 256-gray palette — palette
     // encoding is lossless, so the real ImageIO sequence-write ->
@@ -2512,6 +2524,16 @@ object SparkEntry {
                  / (255.0 * 64) * 1000000) / 1000000 AS mean_lum
          FROM documents CROSS JOIN (SELECT unnest(range(4)) AS f)
          ORDER BY doc_id, frame_index""",
+    "q_video_dhash" ->
+      """WITH g AS (SELECT doc_id, abs(doc_id) % 256 AS g0 FROM documents),
+         bits AS (SELECT doc_id, f,
+             CASE WHEN (g0 + 17 * f + ((y * 8) // 7) * 8 + (((x + 1) * 8) // 9)) % 256
+                     > (g0 + 17 * f + ((y * 8) // 7) * 8 + ((x * 8) // 9)) % 256
+                  THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END AS bit
+           FROM g, range(4) t0(f), range(7) t1(y), range(8) t2(x))
+         SELECT doc_id, CAST(f AS INT) AS frame_index,
+           CAST(sum(bit) AS BIGINT) AS dhash
+         FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_index""",
     "q_gif_frames" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_index,
            CAST(8 AS INT) AS f_width, CAST(8 AS INT) AS f_height,

@@ -878,6 +878,35 @@ object Multimodal {
     }
   }
 
+  /** Per-frame perceptual hash: real frame decode (AVI or animated GIF) ->
+    * [[ImageDecoder.dHash]] per frame — the video-dedup key sequence.
+    * Re-encoded / resized copies of one clip produce the same hash
+    * sequence (dHash is resize-robust and brightness-shift invariant per
+    * frame); compare sequences with an equi-join on (frame_index, dhash)
+    * or band the per-clip hash set for near-dup candidates, exactly like
+    * [[imageDHash]] families. Non-decodable payloads emit no rows. */
+  def videoFrameDHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val inSchema = df.schema
+    val binIdx = inSchema.fieldIndex(binCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(
+      inSchema(idIdx),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    withMappedPartitions(df, outSchema) { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        animationFrames(bytes) match {
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (img, i) =>
+              Row(r.get(idIdx), i, ImageDecoder.dHash(img))
+            }
+          case None => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Deterministic synthetic animated-GIF column: `nFrames` frames on the
     * fixed 256-gray palette, frame f's pixel at raster position p holding
     * gray (id + 11*f + p) mod 256 — the GIF twin of [[withSyntheticAvi]].

@@ -402,6 +402,38 @@ class ConnectorAndMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.AviCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("videoFrameDHash: container-independent fingerprint (AVI == GIF of the same frames)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import java.awt.image.BufferedImage
+    import spark.implicits._
+    // gray frames on the GIF's own 256-gray palette so BOTH containers
+    // round-trip losslessly — the fingerprint must then be identical
+    def grayFrame(seed: Int): BufferedImage = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_BYTE_INDEXED,
+        Multimodal.GifCodec.grayPalette)
+      var p = 0
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = (seed + 3 * p) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g); p += 1
+      }
+      img
+    }
+    val frames = (0 until 3).map(f => grayFrame(f * 41 + 7))
+    val avi = Multimodal.AviCodec.encodeAvi(frames, fps = 5)
+    val gif = Multimodal.GifCodec.encodeAnimatedGif(frames, delayCs = 10)
+    val df = Seq((1L, avi), (2L, gif), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val rows = Multimodal.videoFrameDHash(df, "payload", "id")
+      .orderBy("id", "frame_index").collect()
+    assert(rows.length == 6, "junk payload must emit no rows")
+    val aviSeq = rows.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(2))).toSeq
+    val gifSeq = rows.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(aviSeq == gifSeq, s"container changed the fingerprint: $aviSeq vs $gifSeq")
+    // the per-frame hashes match the direct in-memory dHash of the frames
+    assert(aviSeq == frames.indices.map(f =>
+      (f, Multimodal.ImageDecoder.dHash(frames(f)))))
+  }
+
   test("multimodal: REAL animated-GIF decode — lossless indexed round trip, frame sampling") {
     spark.sparkContext.setLogLevel("ERROR")
     import java.awt.image.BufferedImage
