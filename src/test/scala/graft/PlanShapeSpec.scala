@@ -61,6 +61,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_tokenize" ->
       ("dense-id ranking over the already-truncated top-k vocabulary " +
         "(TextAnalysis.vocabIds: Window AFTER limit(k)) — input <= k rows"),
+    "q_oov_rate" ->
+      ("the same bounded vocabIds ranking window as q_tokenize (the audit " +
+        "shares the vocab build) — input <= k(=20) rows"),
     "q_bm25" ->
       ("final rank over the already-truncated top-K retrieval result " +
         "(TextAnalysis.bm25Rank: Window AFTER limit(topK)) — input <= 20 rows"),
