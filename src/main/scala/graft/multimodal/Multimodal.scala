@@ -303,11 +303,15 @@ object Multimodal {
       * copies of one recording collide while different material does not.
       * nBuckets = 17 -> a 16-bit hash; group on it for exact-dup families,
       * band it (imageDHash-style) for a hamming near-dup prefilter.
-      * Streams shorter than nBuckets samples hash to 0 (no stable
-      * envelope exists at sub-bucket lengths). */
-    def envelopeHash(p: Pcm, nBuckets: Int = 17): Long = {
+      * Streams shorter than nBuckets samples return None: no stable
+      * envelope exists at sub-bucket lengths, and a sentinel VALUE (0L)
+      * would collide with legitimately hash-0 audio (constant loudness,
+      * fade-outs), silently merging unrelated recordings into one dedup
+      * family — sub-bucket streams must land outside the family grouping
+      * exactly like undecodable payloads. */
+    def envelopeHash(p: Pcm, nBuckets: Int = 17): Option[Long] = {
       val n = p.samples.length
-      if (n < nBuckets) return 0L
+      if (n < nBuckets) return None
       val e = new Array[Long](nBuckets)
       var i = 0
       while (i < n) {
@@ -320,7 +324,7 @@ object Multimodal {
         if (e(b + 1) > e(b)) h |= (1L << b)
         b += 1
       }
-      h
+      Some(h)
     }
   }
 
@@ -740,7 +744,8 @@ object Multimodal {
     * hash ([[AudioDecoder.envelopeHash]]) — the audio-dedup key (group on
     * it for re-leveled/re-encoded copies of one recording; band it for a
     * hamming near-dup prefilter, exactly like [[imageDHash]]). Null for
-    * non-audio or corrupt payloads. */
+    * non-audio / corrupt payloads AND for sub-bucket-length streams (see
+    * [[AudioDecoder.envelopeHash]] — a null never joins a family). */
   def audioEnvelopeHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
     val inSchema = df.schema
     val binIdx = inSchema.fieldIndex(binCol)
@@ -751,7 +756,7 @@ object Multimodal {
     withMappedPartitions(df, outSchema) { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        AudioDecoder.decode(bytes).map(AudioDecoder.envelopeHash(_)) match {
+        AudioDecoder.decode(bytes).flatMap(AudioDecoder.envelopeHash(_)) match {
           case Some(h) => Row(r.get(idIdx), h)
           case None => Row(r.get(idIdx), null)
         }

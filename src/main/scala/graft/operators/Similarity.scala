@@ -45,19 +45,26 @@ object Similarity {
       .select(col("id1"), col("id2"), (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
   }
 
-  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
-    * of `corpus` (excluding identical ids). Rank ties broken by neighbor id. */
-  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int): DataFrame = {
+  /** Shared brute-force scoring plan: every (query, corpus) cosine as
+    * (qid, nid, sim) — corpus scan x broadcast query batch, self-matches
+    * excluded. The single place the [[annTopK]]/[[hardNegatives]] plan
+    * lives, so a fix to it cannot silently diverge between them. */
+  private def scoredPairs(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String): DataFrame = {
     val c = prepared(corpus, idCol, vecCol)
       .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
     val q = prepared(queries, idCol, vecCol)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = c.crossJoin(broadcast(q))
+    c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
-    topK(scored, k)
   }
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k nearest rows
+    * of `corpus` (excluding identical ids). Rank ties broken by neighbor id. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int): DataFrame =
+    topK(scoredPairs(corpus, queries, idCol, vecCol), k)
 
   /** Hard-negative mining for contrastive / embedding-model training: for
     * each query row, the `k` most-similar corpus rows whose cosine stays
@@ -71,17 +78,9 @@ object Similarity {
     * rank window — so mining cost per training batch is one corpus scan
     * regardless of corpus size. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, k: Int, negCeil: Double): DataFrame = {
-    val c = prepared(corpus, idCol, vecCol)
-      .select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nn"))
-    val q = prepared(queries, idCol, vecCol)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", sim(col("qv"), col("qn"), col("nv"), col("nn")))
-      .filter(col("sim") < negCeil)
-    topK(scored, k)
-  }
+                    vecCol: String, k: Int, negCeil: Double): DataFrame =
+    topK(scoredPairs(corpus, queries, idCol, vecCol)
+      .filter(col("sim") < negCeil), k)
 
   /** Random-hyperplane LSH sign bits (deterministic integer pseudo-planes:
     * plane(j,d) = ((1103515245*j + 12345*d + 42) mod 1001) - 500, exactly
@@ -126,17 +125,19 @@ object Similarity {
     val banded = if (materialize) banded0.localCheckpoint() else banded0
     val a = banded.select(col("id").as("id1"), col("tab"), col("bucket"))
     val b = banded.select(col("id").as("id2"), col("tab"), col("bucket"))
-    // Dedup on bare (id1, id2) BEFORE rejoining vectors (the dedup shuffle
-    // carries two longs per row, not two embedding arrays), riding an
-    // id1-ONLY exchange: all copies of a pair share id1, so the subset
-    // partitioning both satisfies the dedup aggregation exchange-free and
-    // is reused verbatim by the id1 vector re-join below (same discipline
-    // as TextDedup.lshCandidatesAndHotMembers, measured there at sf0.1).
+    // distinct on bare (id1, id2) BEFORE rejoining vectors: the dedup shuffle
+    // carries two longs per row, not two embedding arrays. Deliberately NOT
+    // the id1-only dedup exchange TextDedup.lshCandidatesAndHotMembers uses:
+    // that trick is safe there because the maxBucket cap bounds any single
+    // id's pair fan-out, while THIS path has no bucket cap and only
+    // 2^nBits buckets per table — a hot bucket would concentrate its whole
+    // raw (pre-dedup) pair list on one id1 partition, losing distinct()'s
+    // map-side partial dedup exactly where skew is worst. Measured as
+    // noise-neutral at sf0.1; kept on the skew-safe form.
     val cand = a.join(b, Seq("tab", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"))
-      .repartition(col("id1"))
-      .dropDuplicates()
+      .distinct()
     val x = v.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val y = v.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
     cand.join(x, Seq("id1")).join(y, Seq("id2"))
