@@ -103,6 +103,50 @@ object DedupIndex {
       Files.exists(Paths.get(s"$dir/bands/_SUCCESS")) &&
       Files.exists(Paths.get(s"$dir/shingles/_SUCCESS"))
 
+  /** Compact the store in place: every [[append]] adds its own task files
+    * to each touched pfx partition, so after N batches a partition holds
+    * O(N) small files and [[matchBatch]]'s pruned read degrades from
+    * "few files per touched pfx" to "N files per touched pfx" — the
+    * classic small-file decay of any append-only table. Compaction
+    * rewrites the bands table to ~one file per pfx partition and the
+    * shingles table to `shingleFiles` files (size it to the target file
+    * size at the deployment's corpus scale), preserving rows and layout
+    * exactly — match results are bit-identical before and after
+    * ([[graft.IncrIndexSpec]] asserts both the equality and the file
+    * counts).
+    *
+    * Crash discipline = [[build]]'s rebuild window: `_META` is dropped
+    * before any data move and restored only after both swaps complete, so
+    * a crash mid-compaction leaves the store reading as ABSENT (rebuild
+    * required) rather than silently half-compacted. Readers racing the
+    * compaction need the SnapshotStore generation discipline (class doc). */
+  def compact(spark: SparkSession, dir: String, shingleFiles: Int = 8): Unit = {
+    require(exists(dir), s"no complete DedupIndex at $dir")
+    val nPfx = numPfx(dir)
+    // Rewrite into sibling tmp dirs first — the store stays intact until
+    // both rewrites are fully materialized.
+    bands(spark, dir)
+      .repartition(col("pfx"))
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$dir/bands_tmp")
+    shingles(spark, dir)
+      .repartition(shingleFiles)
+      .write.mode("overwrite").parquet(s"$dir/shingles_tmp")
+    Files.deleteIfExists(metaPath(dir)) // store now reads as absent
+    def swap(name: String): Unit = {
+      val cur = Paths.get(s"$dir/$name"); val old = Paths.get(s"$dir/${name}_old")
+      Files.move(cur, old)
+      Files.move(Paths.get(s"$dir/${name}_tmp"), cur)
+      // delete children before parents
+      val walk = Files.walk(old)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+    swap("bands")
+    swap("shingles")
+    Files.writeString(metaPath(dir), s"nPfx=$nPfx")
+  }
+
   def shingles(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/shingles")
 

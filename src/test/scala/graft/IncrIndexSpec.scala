@@ -126,6 +126,45 @@ class IncrIndexSpec extends AnyFunSuite {
     assert(row.getBoolean(3), "pruned match lost the known duplicate")
   }
 
+  test("compact: shrinks the small-file count, match results bit-identical") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft_didx_cpt").toString
+    // build + 3 appends: every append adds its own task files per touched
+    // pfx partition — the small-file decay compaction exists to reverse
+    DedupIndex.build(docs.filter(col("doc_id") % 5 === 1), "doc_id", "text",
+      dir, nPfx = 16)
+    (2 to 4).foreach(i => DedupIndex.append(
+      docs.filter(col("doc_id") % 5 === i), "doc_id", "text", dir))
+    def files(sub: String): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/$sub"))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    val bandsBefore = files("bands"); val shBefore = files("shingles")
+
+    DedupIndex.compact(spark, dir, shingleFiles = 2)
+
+    assert(DedupIndex.exists(dir), "compaction must restore the completion marker")
+    assert(DedupIndex.numPfx(dir) == 16, "compaction must preserve the layout")
+    val bandsAfter = files("bands"); val shAfter = files("shingles")
+    assert(bandsAfter < bandsBefore,
+      s"bands files $bandsBefore -> $bandsAfter: compaction did not consolidate")
+    assert(bandsAfter <= 16, s"expected ~one file per pfx partition, got $bandsAfter")
+    assert(shAfter == 2 && shAfter < shBefore,
+      s"shingles files $shBefore -> $shAfter")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/bands_old")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/bands_tmp")),
+      "compaction left stray swap directories")
+    val after = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    assert(after.length == before.length && after.sameElements(before),
+      "compaction changed match results")
+  }
+
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
