@@ -110,6 +110,38 @@ object AnnIndexStore {
       .forall(t => Files.exists(Paths.get(s"$dir/$t/_SUCCESS"))) &&
       Files.exists(Paths.get(s"$dir/meta.json"))
 
+  /** Compact the appendable tables (cells/codes/vectors) in place: every
+    * [[append]] adds its own task files, so a frequently-fed index decays
+    * into per-batch small files and serving's candidate/code/vector reads
+    * pay per-file open cost — the same decay [[DedupIndex.compact]]
+    * reverses for the dedup store, with the same crash discipline:
+    * `meta.json` (the completion marker serving requires) is dropped
+    * before any data move and restored only after all swaps, so a crash
+    * mid-compaction reads as an absent index rather than a torn one.
+    * Codebooks (coarse/pqcents) are single-file by construction and are
+    * not touched; rows are preserved exactly, so served answers are
+    * bit-identical before and after ([[graft.AnnIndexSpec]]). */
+  def compact(spark: SparkSession, dir: String, filesPerTable: Int = 4): Unit = {
+    require(exists(dir), s"no complete AnnIndexStore at $dir")
+    val metaJson = Files.readString(Paths.get(s"$dir/meta.json"))
+    val tables = Seq("cells", "codes", "vectors")
+    tables.foreach { t =>
+      spark.read.parquet(s"$dir/$t").repartition(filesPerTable)
+        .write.mode("overwrite").parquet(s"$dir/${t}_tmp")
+    }
+    Files.deleteIfExists(Paths.get(s"$dir/meta.json")) // index reads absent
+    tables.foreach { t =>
+      val cur = Paths.get(s"$dir/$t"); val old = Paths.get(s"$dir/${t}_old")
+      Files.move(cur, old)
+      Files.move(Paths.get(s"$dir/${t}_tmp"), cur)
+      val walk = Files.walk(old)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
+    Files.writeString(Paths.get(s"$dir/meta.json"), metaJson)
+  }
+
   /** Serve top-kNN neighbors for `queries` from the stored index: probe
     * the `nProbe` nearest coarse cells, ADC-score only those cells'
     * members from the stored codes, and (refine > 0, recommended — see

@@ -2,17 +2,19 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Index-maintenance entry point: compact a [[graft.operators.DedupIndex]]
-  * store in place (reverse append-only small-file decay; see
-  * `DedupIndex.compact` for the crash discipline). The job a deployment
+/** Index-maintenance entry point: compact a maintained index store in
+  * place (reverse append-only small-file decay; see `DedupIndex.compact` /
+  * `AnnIndexStore.compact` for the crash discipline). The job a deployment
   * schedules after every N ingest batches.
   *
-  * Usage: `runMain graft.tools.IndexMaintain <indexDir> [shingleFiles]` */
+  * Usage: `runMain graft.tools.IndexMaintain <indexDir> [files]`
+  * — the store kind is auto-detected (`_META` = DedupIndex, `meta.json` =
+  * AnnIndexStore); `files` sizes the rewritten shingles / per-table file
+  * count (default 8 / 4). */
 object IndexMaintain {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: IndexMaintain <indexDir> [shingleFiles]")
+    require(args.nonEmpty, "usage: IndexMaintain <indexDir> [files]")
     val dir = args(0)
-    val shingleFiles = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,8 +23,15 @@ object IndexMaintain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.operators.DedupIndex.compact(spark, dir, shingleFiles)
-    println(s"COMPACTED $dir nPfx=${graft.operators.DedupIndex.numPfx(dir)}")
+    if (graft.operators.DedupIndex.exists(dir)) {
+      graft.operators.DedupIndex.compact(spark, dir,
+        args.lift(1).map(_.toInt).getOrElse(8))
+      println(s"COMPACTED $dir nPfx=${graft.operators.DedupIndex.numPfx(dir)}")
+    } else if (graft.operators.AnnIndexStore.exists(dir)) {
+      graft.operators.AnnIndexStore.compact(spark, dir,
+        args.lift(1).map(_.toInt).getOrElse(4))
+      println(s"COMPACTED $dir (ann ivf-pq store)")
+    } else sys.error(s"no complete DedupIndex or AnnIndexStore at $dir")
     spark.stop()
   }
 }

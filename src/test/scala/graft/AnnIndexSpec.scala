@@ -80,4 +80,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(top.head.getLong(2) == 100L && top.head.getLong(3) == 0L,
       s"appended duplicate not rank-1/dist-0: ${top.mkString(", ")}")
   }
+
+  test("compact consolidates appended small files; served answers bit-identical") {
+    import scala.jdk.CollectionConverters._
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_cpt").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    // three appends -> three generations of task files per appendable table
+    (0 until 3).foreach { g =>
+      AnnIndexStore.append(
+        df(corpusRows.take(3).map { case (id, v) =>
+          (1000L + 10 * g + id, v.map(_ + 0.01f * (g + 1))) }),
+        "vec_id", "embedding", dir)
+    }
+    def files(t: String): Int = {
+      val s = Files.walk(java.nio.file.Paths.get(s"$dir/$t"))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val queries = base.filter(col("vec_id") < 5)
+    val before = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    val (cB, dB, vB) = (files("cells"), files("codes"), files("vectors"))
+
+    AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+
+    assert(AnnIndexStore.exists(dir), "compaction must restore meta.json")
+    assert(files("cells") == 2 && files("codes") == 2 && files("vectors") == 2,
+      s"expected 2 files per table, got ${files("cells")}/${files("codes")}/${files("vectors")}")
+    assert(files("cells") < cB && files("codes") < dB && files("vectors") < vB,
+      s"no consolidation: $cB/$dB/$vB before")
+    val after = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction changed served answers")
+  }
 }
