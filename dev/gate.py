@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""In-repo correctness gate record (VERDICT r07 "Next round" #1b): runs the
+full local gate — graft.Verify dump at sf0.01, the DuckDB oracle compare
+(dev/check.py), and graft.Bench's correctness fingerprint pass — and writes
+one merged JSON record to commit as CORRECTNESS_local_r{N}.json, so the
+round's correctness signal never again depends solely on the driver's
+artifact collection.
+
+Usage: python3 dev/gate.py <outRecord.json> [sfDir] [verifyOutDir]
+Run `sbt compile` first (reads target/scala-2.13/classes directly).
+"""
+import json, os, subprocess, sys, tempfile
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+out_record = sys.argv[1]
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+vout = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(prefix="verify_")
+
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+java = ["java"] + [a for p in ADD_OPENS for a in ("--add-opens", f"{p}=ALL-UNNAMED")] + [
+    "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC", "-Xmx8g",
+    "-cp",
+    f"{repo}/target/scala-2.13/classes:{repo}/src/main/resources:/opt/spark/jars/*",
+]
+
+print(f"[gate] Verify -> {vout}", flush=True)
+verify_rc = subprocess.call(java + ["graft.Verify", sfdir, vout], cwd=repo)
+
+print("[gate] DuckDB oracle compare", flush=True)
+with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+    check_json = f.name
+check_rc = subprocess.call(
+    [sys.executable, f"{repo}/dev/check.py", "--json", check_json, sfdir, vout])
+oracle = json.load(open(check_json))
+
+print("[gate] Bench correctness fingerprints", flush=True)
+with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+    fp_json = f.name
+env = dict(os.environ,
+           SPARK_GRAFT_BENCH_RUNS="0",
+           SPARK_GRAFT_SF_DIR=sfdir,
+           SPARK_GRAFT_CORRECTNESS_SF_DIR=sfdir,
+           SPARK_GRAFT_CORRECTNESS_OUT=fp_json,
+           SPARK_GRAFT_BENCH_OUT=os.devnull)
+fp_rc = subprocess.call(java + ["graft.Bench"], cwd=repo, env=env)
+fingerprints = json.load(open(fp_json)) if os.path.getsize(fp_json) else {}
+
+record = {
+    "sf": sfdir,
+    "verify_rc": verify_rc,
+    "check_rc": check_rc,
+    "fingerprint_rc": fp_rc,
+    "oracle": oracle,
+    "fingerprints": fingerprints,
+}
+with open(out_record, "w") as f:
+    json.dump(record, f, indent=1)
+ok = oracle.get("n_pass", 0)
+tot = oracle.get("n_oracle", 0)
+print(f"[gate] record -> {out_record}: oracle {ok}/{tot}, "
+      f"rc verify={verify_rc} check={check_rc} fp={fp_rc}")
+sys.exit(0 if (verify_rc == 0 and check_rc == 0 and fp_rc == 0) else 1)

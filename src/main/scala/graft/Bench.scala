@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main. Runs the full `SparkEntry.queries` set N times
   * (default 3, override via SPARK_GRAFT_BENCH_RUNS) after a JVM warmup
@@ -21,6 +21,83 @@ import org.apache.spark.sql.SparkSession
   * rows to the driver.
   */
 object Bench {
+
+  /** Order-independent content fingerprint of a result frame, computed
+    * DISTRIBUTED (no collect): every column cast to string (nulls mapped to
+    * a sentinel no cast produces), columns in sorted-name order, each row
+    * reduced to a 60-bit md5-prefix hash, and the row hashes combined with
+    * the commutative pair (sum, xor) plus the row count. Two frames agree
+    * on (rows, hash) iff they hold the same multiset of stringified rows —
+    * the same contract as the driver's sort-columns-then-hash compare, so
+    * a summary printed by one run is directly comparable with the record
+    * committed by a previous one ([[correctnessSummary]]'s consumer). */
+  def resultFingerprint(df: DataFrame): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    val cols = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("NULL")))
+    val rowHash = conv(substring(md5(concat_ws("", cols: _*)), 1, 15), 16, 10)
+      .cast("long")
+    // sum rides a decimal(30,0) accumulator (60-bit row hashes would
+    // overflow an ANSI int64 sum after a handful of rows) and is folded
+    // back to 60 bits for a compact hex rendering.
+    val agg = df.select(rowHash.as("h"))
+      .agg(count(lit(1)).as("n"),
+        pmod(sum(col("h").cast("decimal(20,0)")),
+          lit(BigDecimal(1L << 60))).cast("long").as("s"),
+        expr("bit_xor(h)").as("x"))
+      .first()
+    val n = agg.getLong(0)
+    val s = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val x = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+    (n, f"$s%016x:$x%016x")
+  }
+
+  /** The round's correctness signal, routed through the one channel that
+    * has provably survived the driver boundary two rounds running: this
+    * process's stdout (VERDICT r07 — the driver's separate Verify leg
+    * returned `{}` twice while the bench stdout tail carried its full
+    * per-query map intact). Runs EVERY registered query (bench exclusions
+    * included) against the correctness-scale dir and emits one
+    * `CORRECTNESS_SUMMARY: {...}` line holding per-query row counts and
+    * order-independent content fingerprints, plus the same JSON as a file.
+    * The fingerprints match `dev/gate.py`'s committed in-repo record
+    * (CORRECTNESS_local_r*.json), so a tail-only artifact still proves
+    * which queries ran and what they produced. */
+  def correctnessSummary(spark: SparkSession, cDir: String,
+                         par: Int): (String, Boolean) = {
+    SparkEntry.resetMemos(spark)
+    SparkEntry.warmShared(spark, cDir)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val anyFail = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futures = names.map { name =>
+      scala.concurrent.Future {
+        val entry =
+          try {
+            val (n, h) = resultFingerprint(SparkEntry.queries(name)(spark, cDir))
+            s"""{"rows":$n,"hash":"$h"}"""
+          } catch {
+            case e: Throwable =>
+              anyFail.set(true)
+              s"""{"error":"${jsonEscape(
+                s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")}"}"""
+          }
+        results.put(name, entry)
+        System.err.println(s"[correctness] $name -> $entry")
+      }
+    }
+    import scala.concurrent.duration.Duration
+    scala.concurrent.Await.ready(
+      scala.concurrent.Future.sequence(futures), Duration.Inf)
+    pool.shutdown()
+    val qs = names.map(n => s"\"$n\":${results.get(n)}").mkString("{", ",", "}")
+    (s"""{"sf":"${jsonEscape(cDir)}","n_queries":${names.size},"queries":$qs}""",
+      anyFail.get())
+  }
+
   private def jsonEscape(s: String): String =
     s.flatMap {
       case '"'           => "\\\""
@@ -36,7 +113,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // 0 skips the timing leg entirely (dev/gate.py uses it to produce the
+    // committed correctness fingerprint record without paying a bench).
+    val runs = math.max(0, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -58,7 +137,7 @@ object Bench {
     val benchQueries = SparkEntry.queries
       .filterNot { case (name, _) => SparkEntry.benchExclude.contains(name) }
       .filter { case (name, _) => only.isEmpty || only(name) }
-    benchQueries.headOption.foreach { case (_, fn) =>
+    if (runs > 0) benchQueries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
     }
@@ -78,7 +157,7 @@ object Bench {
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }.toMap
     }
-    val names = benchQueries.keys.toSeq
+    val names = if (runs > 0) benchQueries.keys.toSeq else Seq.empty
     val medians: Seq[(String, Double)] = names.map { name =>
       val samples = perRun.flatMap(_.get(name).flatten)
       // Any failed run marks the query failed — a throwing query must not
@@ -100,7 +179,33 @@ object Bench {
     // the per-query map ("parsed": null in r5/r6) — a file survives verbatim.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+
+    // Correctness leg (VERDICT r07 "Next round" #1): the driver's separate
+    // Verify artifact has come back `{}` two rounds running while THIS
+    // process's stdout tail survived intact — so the full per-query
+    // correctness signal now also rides here. Runs at the correctness scale
+    // (the sibling sf0.01 dir by convention, overridable) over ALL
+    // registered queries, bench exclusions included. Disable only via
+    // SPARK_GRAFT_BENCH_CORRECTNESS=0 (dev subset runs skip it too — a
+    // partial bench shouldn't masquerade as a full correctness record).
+    val doCorrectness =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_CORRECTNESS", "1") != "0" && only.isEmpty
+    var corrFailed = false
+    if (doCorrectness) {
+      val cDir = sys.env.getOrElse("SPARK_GRAFT_CORRECTNESS_SF_DIR", {
+        val sibling = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.01")
+        if (java.nio.file.Files.isDirectory(sibling)) sibling.toString else sfDir
+      })
+      val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+      val (summary, failed) = correctnessSummary(spark, cDir, par)
+      corrFailed = failed
+      println(s"CORRECTNESS_SUMMARY: $summary")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_CORRECTNESS_OUT", "correctness_summary.json")),
+        summary + "\n")
+    }
     spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    if (errors.nonEmpty || corrFailed) sys.exit(1)
   }
 }
