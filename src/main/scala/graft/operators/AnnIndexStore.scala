@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,25 +13,29 @@ import org.apache.spark.sql.functions._
   * form pays every call (fine for one-shot jobs, wrong for a served
   * index; FAISS makes the same build/serve split).
   *
-  * Parquet tables under one root (all append-friendly except the trained
-  * codebooks, which are fixed at build time — the standard IVF-PQ
-  * contract: new vectors are CODED with the existing codebooks and
-  * appended to cells/codes/vectors, they do not retrain them):
+  * Parquet tables under one generation directory (all append-friendly
+  * except the trained codebooks, which are fixed at build time — the
+  * standard IVF-PQ contract: new vectors are CODED with the existing
+  * codebooks and appended, they do not retrain them):
   *
-  *   `<dir>/coarse`   (j, q)          — nCells coarse centroids (quantized)
-  *   `<dir>/pqcents`  (sub, j, q)     — m*k PQ subspace centroids
-  *   `<dir>/cells`    (id, cell)      — corpus coarse assignment
-  *   `<dir>/codes`    (sub, id, code) — corpus PQ codes (m rows per vector)
-  *   `<dir>/vectors`  (id, q)         — flat quantized vectors (refine side)
-  *   `<dir>/meta.json`                — dim/nCells/m/k/scale (serving reads
-  *                                      these; callers only pick kNN/nProbe/
-  *                                      refine)
+  *   `<dir>/meta.json`             — {"v":2, dim/nCells/m/k/scale, gen}
+  *   `<dir>/g<g>/coarse`   (j, q)          — nCells coarse centroids
+  *   `<dir>/g<g>/pqcents`  (sub, j, q)     — m*k PQ subspace centroids
+  *   `<dir>/g<g>/cells`    (id, cell)      — corpus coarse assignment
+  *   `<dir>/g<g>/codes`    (sub, id, code) — corpus PQ codes (m rows/vec)
+  *   `<dir>/g<g>/vectors`  (id, q)         — flat quantized vectors
   *
-  * Training is the deterministic integer Lloyd's, so a stored index built
-  * from a corpus and then queried yields BIT-IDENTICAL results to the
-  * inline `annTopKIvfPq(refine = r)` call on the same corpus — asserted in
-  * AnnIndexSpec and oracle-checked (q_ann_stored shares
-  * q_ann_ivfpq_refined's DuckDB mirror).
+  * GENERATIONS (serve-through-compact): `meta.json` names the live
+  * generation and is swung ATOMICALLY (tmp + ATOMIC_MOVE) only after the
+  * next generation is fully materialized; the replaced generation is
+  * retained until the following compaction, so a reader racing
+  * [[compact]] keeps serving the old generation and never observes an
+  * absent or torn index (same discipline as [[DedupIndex]] /
+  * [[graft.streaming.SnapshotStore]]). A crash mid-compaction leaves a
+  * stale g<next> dir the next build/compact cleans; meta.json still
+  * points at the intact current generation throughout. meta.json is
+  * written AFTER the initial data lands, so it doubles as the
+  * build-completion marker.
   *
   * Serving scale shape: centroid reads are manifest-scale collects (k*dim
   * longs); the probe set and per-query LUTs are broadcast; candidate
@@ -44,6 +48,71 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndexStore {
 
+  private def metaFile(dir: String) = Paths.get(s"$dir/meta.json")
+
+  private case class Meta(dim: Int, nCells: Int, m: Int, k: Int, scale: Int,
+                          gen: Int)
+
+  private def readMeta(dir: String): Option[Meta] = {
+    val p = metaFile(dir)
+    if (!Files.exists(p)) None
+    else {
+      val txt = Files.readString(p)
+      def f(key: String): Option[Int] =
+        s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      // v1 metas (no "v"/"gen" keys, flat table layout) read as absent —
+      // the layout changed, the store must be rebuilt, not half-read.
+      if (!f("v").contains(2)) None
+      else for {
+        dim <- f("dim"); nc <- f("nCells"); m <- f("m"); k <- f("k")
+        sc <- f("scale"); g <- f("gen")
+      } yield Meta(dim, nc, m, k, sc, g)
+    }
+  }
+
+  private def writeMeta(dir: String, mt: Meta): Unit = {
+    val tmp = Paths.get(s"$dir/meta.json.tmp")
+    Files.writeString(tmp,
+      s"""{"v":2,"dim":${mt.dim},"nCells":${mt.nCells},"m":${mt.m},""" +
+        s""""k":${mt.k},"scale":${mt.scale},"gen":${mt.gen}}""")
+    Files.move(tmp, metaFile(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The live generation's data directory (exposed for specs/tools). */
+  def currentGenDir(dir: String): String = {
+    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
+    s"$dir/g${mt.gen}"
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+
+  private val LegacyDirs = {
+    val ts = Seq("coarse", "pqcents", "cells", "codes", "vectors")
+    (ts ++ ts.map(_ + "_old") ++ ts.map(_ + "_tmp")).toSet
+  }
+
+  private def pruneDirs(dir: String, keep: Set[Int]): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val ls = Files.list(root)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toList
+    } finally ls.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+      if (genOf.exists(g => !keep(g)) || LegacyDirs(name)) deleteRecursively(p)
+    }
+  }
+
   /** Train coarse + PQ codebooks on `corpus` and write the full index
     * under `dir` (overwrite). One quantization pass feeds the coarse
     * trainer, the m subspace trainers, the cell/code assignment, and the
@@ -55,15 +124,21 @@ object AnnIndexStore {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
+    Files.createDirectories(Paths.get(dir))
+    // rebuild window: drop the completion marker before touching data,
+    // then clear stale generations / legacy v1 tables for a clean slate
+    Files.deleteIfExists(metaFile(dir))
+    pruneDirs(dir, keep = Set.empty)
+    val g = s"$dir/g0"
     val pts = Clustering.quantized(corpus, idCol, vecCol, scale)
-    pts.write.mode("overwrite").parquet(s"$dir/vectors")
+    pts.write.mode("overwrite").parquet(s"$g/vectors")
 
     val coarse = Clustering.train(pts, nCells, cIters)
     coarse.map { case (j, c) => (j, c.toSeq) }.toDF("j", "q")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/coarse")
     pts.select(col("id"),
         Clustering.nearest(coarse, col("q")).getField("j").as("cell"))
-      .write.mode("overwrite").parquet(s"$dir/cells")
+      .write.mode("overwrite").parquet(s"$g/cells")
 
     val subParts = (0 until m).map { s =>
       val spts = pts.select(col("id"),
@@ -74,12 +149,11 @@ object AnnIndexStore {
       (cents.map { case (j, c) => (s, j, c.toSeq) }, codes)
     }
     subParts.flatMap(_._1).toDF("sub", "j", "q")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pqcents")
+      .coalesce(1).write.mode("overwrite").parquet(s"$g/pqcents")
     subParts.map(_._2).reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$dir/codes")
+      .write.mode("overwrite").parquet(s"$g/codes")
 
-    Files.writeString(Paths.get(s"$dir/meta.json"),
-      s"""{"dim":$dim,"nCells":$nCells,"m":$m,"k":$k,"scale":$scale}""")
+    writeMeta(dir, Meta(dim, nCells, m, k, scale, gen = 0))
   }
 
   /** Code an accepted batch with the STORED codebooks and append it to
@@ -88,58 +162,55 @@ object AnnIndexStore {
   def append(batch: DataFrame, idCol: String, vecCol: String,
              dir: String): Unit = {
     val spark = batch.sparkSession
-    val mt = meta(dir)
+    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
+    val g = s"$dir/g${mt.gen}"
     val subDim = mt.dim / mt.m
     val pts = Clustering.quantized(batch, idCol, vecCol, mt.scale)
-    pts.write.mode("append").parquet(s"$dir/vectors")
+    pts.write.mode("append").parquet(s"$g/vectors")
     pts.select(col("id"),
-        Clustering.nearest(coarseCents(spark, dir), col("q")).getField("j")
+        Clustering.nearest(coarseCents(spark, g), col("q")).getField("j")
           .as("cell"))
-      .write.mode("append").parquet(s"$dir/cells")
-    val pq = pqCents(spark, dir)
+      .write.mode("append").parquet(s"$g/cells")
+    val pq = pqCents(spark, g)
     (0 until mt.m).map { s =>
       pts.select(lit(s).as("sub"), col("id"),
         Clustering.nearest(pq(s), slice(col("q"), s * subDim + 1, subDim))
           .getField("j").as("code"))
     }.reduce(_ unionByName _)
-      .write.mode("append").parquet(s"$dir/codes")
+      .write.mode("append").parquet(s"$g/codes")
   }
 
   def exists(dir: String): Boolean =
-    Seq("coarse", "pqcents", "cells", "codes", "vectors")
-      .forall(t => Files.exists(Paths.get(s"$dir/$t/_SUCCESS"))) &&
-      Files.exists(Paths.get(s"$dir/meta.json"))
+    readMeta(dir).exists { mt =>
+      Seq("coarse", "pqcents", "cells", "codes", "vectors")
+        .forall(t => Files.exists(Paths.get(s"$dir/g${mt.gen}/$t/_SUCCESS")))
+    }
 
-  /** Compact the appendable tables (cells/codes/vectors) in place: every
-    * [[append]] adds its own task files, so a frequently-fed index decays
-    * into per-batch small files and serving's candidate/code/vector reads
-    * pay per-file open cost — the same decay [[DedupIndex.compact]]
-    * reverses for the dedup store, with the same crash discipline:
-    * `meta.json` (the completion marker serving requires) is dropped
-    * before any data move and restored only after all swaps, so a crash
-    * mid-compaction reads as an absent index rather than a torn one.
-    * Codebooks (coarse/pqcents) are single-file by construction and are
-    * not touched; rows are preserved exactly, so served answers are
-    * bit-identical before and after ([[graft.AnnIndexSpec]]). */
+  /** Compact the appendable tables (cells/codes/vectors) into the NEXT
+    * generation: every [[append]] adds its own task files, so a
+    * frequently-fed index decays into per-batch small files and serving's
+    * candidate/code/vector reads pay per-file open cost. Codebooks
+    * (coarse/pqcents) are single-file by construction and are copied
+    * through; rows are preserved exactly, so served answers are
+    * bit-identical before and after ([[graft.AnnIndexSpec]]). The
+    * meta.json pointer swings atomically after the new generation is
+    * fully materialized, and the replaced generation is retained for
+    * in-flight readers until the following compaction (class doc). */
   def compact(spark: SparkSession, dir: String, filesPerTable: Int = 4): Unit = {
+    val mt = readMeta(dir).getOrElse(sys.error(s"no complete AnnIndexStore at $dir"))
     require(exists(dir), s"no complete AnnIndexStore at $dir")
-    val metaJson = Files.readString(Paths.get(s"$dir/meta.json"))
-    val tables = Seq("cells", "codes", "vectors")
-    tables.foreach { t =>
-      spark.read.parquet(s"$dir/$t").repartition(filesPerTable)
-        .write.mode("overwrite").parquet(s"$dir/${t}_tmp")
+    val next = mt.gen + 1
+    pruneDirs(dir, keep = Set(mt.gen, mt.gen - 1))
+    Seq("cells", "codes", "vectors").foreach { t =>
+      spark.read.parquet(s"$dir/g${mt.gen}/$t").repartition(filesPerTable)
+        .write.mode("overwrite").parquet(s"$dir/g$next/$t")
     }
-    Files.deleteIfExists(Paths.get(s"$dir/meta.json")) // index reads absent
-    tables.foreach { t =>
-      val cur = Paths.get(s"$dir/$t"); val old = Paths.get(s"$dir/${t}_old")
-      Files.move(cur, old)
-      Files.move(Paths.get(s"$dir/${t}_tmp"), cur)
-      val walk = Files.walk(old)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { Files.deleteIfExists(p); () })
-      finally walk.close()
+    Seq("coarse", "pqcents").foreach { t =>
+      spark.read.parquet(s"$dir/g${mt.gen}/$t").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/g$next/$t")
     }
-    Files.writeString(Paths.get(s"$dir/meta.json"), metaJson)
+    writeMeta(dir, mt.copy(gen = next))
+    pruneDirs(dir, keep = Set(mt.gen, next))
   }
 
   /** Serve top-kNN neighbors for `queries` from the stored index: probe
@@ -148,14 +219,17 @@ object AnnIndexStore {
     * [[Clustering.annTopKIvfPq]]'s recall note) exactly re-rank the ADC
     * top-`refine` pool from the stored flat vectors. Self-matches
     * (qid == id, for queries drawn from the corpus) are excluded, matching
-    * the inline form. Returns (qid, rank, nid, dist) exact when refined,
-    * (qid, rank, nid, adist) ADC-approximate otherwise. */
+    * the inline form. The live generation is pinned once at entry, so a
+    * concurrent [[compact]] cannot tear the view. Returns
+    * (qid, rank, nid, dist) exact when refined, (qid, rank, nid, adist)
+    * ADC-approximate otherwise. */
   def query(queries: DataFrame, idCol: String, vecCol: String, dir: String,
             kNN: Int = 3, nProbe: Int = 2, refine: Int = 0): DataFrame = {
     val spark = queries.sparkSession
-    val mt = meta(dir)
+    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
+    val g = s"$dir/g${mt.gen}"
     val subDim = mt.dim / mt.m
-    val coarse = coarseCents(spark, dir)
+    val coarse = coarseCents(spark, g)
     val qpts = Clustering.quantized(queries, idCol, vecCol, mt.scale)
     val qcd = qpts.select(col("id").as("qid"),
         explode(array(coarse.map { case (j, c) =>
@@ -166,11 +240,11 @@ object AnnIndexStore {
       .partitionBy("qid").orderBy(col("d"), col("cell"))
     val probes = qcd.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe).select(col("qid"), col("cell"))
-    val cand = spark.read.parquet(s"$dir/cells")
+    val cand = spark.read.parquet(s"$g/cells")
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val pq = pqCents(spark, dir)
+    val pq = pqCents(spark, g)
     val luts = (0 until mt.m).map { s =>
       qpts.select(col("id").as("qid"),
           explode(array(pq(s).map { case (j, c) =>
@@ -182,31 +256,21 @@ object AnnIndexStore {
           col("e.code").as("code"), col("e.pd").as("pd"))
     }.reduce(_ unionByName _)
     val adc = Clustering.pqTopK(
-      cand.join(spark.read.parquet(s"$dir/codes"), Seq("id"))
+      cand.join(spark.read.parquet(s"$g/codes"), Seq("id"))
         .join(broadcast(luts), Seq("qid", "sub", "code")),
       if (refine > 0) refine else kNN)
     if (refine <= 0) adc
     else Clustering.refineTopKQuantized(adc,
-      spark.read.parquet(s"$dir/vectors"), qpts, kNN)
+      spark.read.parquet(s"$g/vectors"), qpts, kNN)
   }
 
-  private case class Meta(dim: Int, nCells: Int, m: Int, k: Int, scale: Int)
-
-  private def meta(dir: String): Meta = {
-    val txt = Files.readString(Paths.get(s"$dir/meta.json"))
-    def f(key: String): Int =
-      s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt)
-        .getOrElse(sys.error(s"meta.json missing $key")).group(1).toInt
-    Meta(f("dim"), f("nCells"), f("m"), f("k"), f("scale"))
-  }
-
-  private def coarseCents(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] =
-    spark.read.parquet(s"$dir/coarse").select("j", "q").collect()
+  private def coarseCents(spark: SparkSession, g: String): Seq[(Int, Array[Long])] =
+    spark.read.parquet(s"$g/coarse").select("j", "q").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
 
   private def pqCents(spark: SparkSession,
-                      dir: String): Map[Int, Seq[(Int, Array[Long])]] =
-    spark.read.parquet(s"$dir/pqcents").select("sub", "j", "q").collect()
+                      g: String): Map[Int, Seq[(Int, Array[Long])]] =
+    spark.read.parquet(s"$g/pqcents").select("sub", "j", "q").collect()
       .groupBy(_.getInt(0))
       .map { case (s, rows) => s -> rows
         .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))

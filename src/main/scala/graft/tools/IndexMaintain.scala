@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: `runMain graft.tools.IndexMaintain <indexDir> [files]`
   * — the store kind is auto-detected (`_META` = DedupIndex, `meta.json` =
-  * AnnIndexStore); `files` sizes the rewritten shingles / per-table file
-  * count (default 8 / 4). */
+  * AnnIndexStore); `files` sizes the ANN store's per-table file count
+  * (default 4; the dedup store compacts to ~one file per pfx partition). */
 object IndexMaintain {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: IndexMaintain <indexDir> [files]")
@@ -24,8 +24,7 @@ object IndexMaintain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (graft.operators.DedupIndex.exists(dir)) {
-      graft.operators.DedupIndex.compact(spark, dir,
-        args.lift(1).map(_.toInt).getOrElse(8))
+      graft.operators.DedupIndex.compact(spark, dir)
       println(s"COMPACTED $dir nPfx=${graft.operators.DedupIndex.numPfx(dir)}")
     } else if (graft.operators.AnnIndexStore.exists(dir)) {
       graft.operators.AnnIndexStore.compact(spark, dir,

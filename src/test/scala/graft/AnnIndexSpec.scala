@@ -67,9 +67,10 @@ class AnnIndexSpec extends AnyFunSuite {
     val batch = df(Seq((100L, dupOf3), (101L, dupOf3.map(_ + 0.5f))))
     AnnIndexStore.append(batch, "vec_id", "embedding", dir)
 
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    val g = AnnIndexStore.currentGenDir(dir)
+    val vecs = spark.read.parquet(s"$g/vectors")
     assert(vecs.count() == 42 && vecs.select("id").distinct().count() == 42)
-    assert(spark.read.parquet(s"$dir/codes").count() == 42 * 4)
+    assert(spark.read.parquet(s"$g/codes").count() == 42 * 4)
 
     // query vec 3: its appended exact duplicate lands in the same coarse
     // cell (identical vector => identical probe), so refine must return it
@@ -95,7 +96,8 @@ class AnnIndexSpec extends AnyFunSuite {
         "vec_id", "embedding", dir)
     }
     def files(t: String): Int = {
-      val s = Files.walk(java.nio.file.Paths.get(s"$dir/$t"))
+      val s = Files.walk(
+        java.nio.file.Paths.get(s"${AnnIndexStore.currentGenDir(dir)}/$t"))
       try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
@@ -104,17 +106,62 @@ class AnnIndexSpec extends AnyFunSuite {
       kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
       .collect().map(_.toSeq).toSeq
     val (cB, dB, vB) = (files("cells"), files("codes"), files("vectors"))
+    val g0 = AnnIndexStore.currentGenDir(dir)
 
     AnnIndexStore.compact(spark, dir, filesPerTable = 2)
 
-    assert(AnnIndexStore.exists(dir), "compaction must restore meta.json")
+    assert(AnnIndexStore.exists(dir), "compaction must keep the store readable")
+    assert(AnnIndexStore.currentGenDir(dir) != g0,
+      "compaction must advance the live generation")
     assert(files("cells") == 2 && files("codes") == 2 && files("vectors") == 2,
       s"expected 2 files per table, got ${files("cells")}/${files("codes")}/${files("vectors")}")
     assert(files("cells") < cB && files("codes") < dB && files("vectors") < vB,
       s"no consolidation: $cB/$dB/$vB before")
+    // serve-through-compact: the replaced generation is retained for
+    // in-flight readers and pruned only by the NEXT compaction
+    assert(Files.exists(java.nio.file.Paths.get(g0)),
+      "compaction must retain the previous generation")
     val after = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
       kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
       .collect().map(_.toSeq).toSeq
     assert(after == before, "compaction changed served answers")
+    AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+    assert(!Files.exists(java.nio.file.Paths.get(g0)),
+      "second compaction must prune the two-generations-old directory")
+    val after2 = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(after2 == before, "second compaction changed served answers")
+  }
+
+  test("serve-through-compact: queries racing compact() never error") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_race").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    val queries = base.filter(col("vec_id") < 5).localCheckpoint()
+    val expect = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+      kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
+      .collect().map(_.toSeq).toSeq
+
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
+            kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
+            .collect().map(_.toSeq).toSeq
+          if (got != expect)
+            throw new AssertionError("racing query returned different answers")
+        }
+      } catch { case t: Throwable => err.set(t) }
+    })
+    reader.start()
+    try AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+    finally { stop.set(true); reader.join(120000) }
+    assert(err.get() == null,
+      s"concurrent query failed during compact: ${err.get()}")
   }
 }

@@ -90,45 +90,92 @@ class IncrIndexSpec extends AnyFunSuite {
         "appended index")
   }
 
-  test("matchBatch prunes the stored bands scan to touched pfx partitions") {
-    spark.sparkContext.setLogLevel("ERROR")
+  private def parquetFiles(path: String): Int = {
     import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    finally s.close()
+  }
+
+  private def scannedFiles(df: DataFrame, table: String): Long = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(table))
+      => f
+    }
+    assert(scans.nonEmpty, s"no stored-$table file scan found in the plan")
+    scans.map(_.selectedPartitions.totalNumberOfFiles).max
+  }
+
+  test("matchBatch prunes BOTH stored scans (bands + shingles) to touched pfx") {
+    spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
     val existing = docs.filter(col("doc_id") % 5 =!= 0)
     val dir = Files.createTempDirectory("graft_didx_prune").toString
     DedupIndex.build(existing, "doc_id", "text", dir, nPfx = 16)
-    val bandFiles = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/bands"))
-      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    val g = DedupIndex.currentGenDir(dir)
+    val bandFiles = parquetFiles(s"$g/bands")
+    val shingleFiles = parquetFiles(s"$g/shingles")
     // One incoming doc touches at most 4 band buckets, i.e. at most 4 of
-    // the 16 pfx partitions — the stored-bands scan must plan to read only
-    // those partitions' files, not the whole index (this is the file-level
-    // pruning that keeps per-batch scan bytes flat as the corpus grows).
+    // the 16 bucket-pfx partitions — the stored-bands scan must plan to
+    // read only those partitions' files. Its candidate existing ids then
+    // hash into a handful of id-pfx partitions, and the verify-side
+    // shingles scan must be pruned the same way (the round-7 gap: the
+    // shingles table was a full corpus scan per batch, so stored-side IO
+    // grew with the corpus instead of the candidate set).
     val batch = docs.filter(col("doc_id") === 7L)
     val out = DedupIndex.matchBatch(batch, "doc_id", "text", dir)
-    val scans = out.queryExecution.sparkPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.contains("bands"))
-      => f
-    }
-    assert(scans.nonEmpty, "no stored-bands file scan found in the plan")
-    val maxScanned = scans.map(_.selectedPartitions.totalNumberOfFiles).max
-    assert(maxScanned < bandFiles,
+    val bandsScanned = scannedFiles(out, "bands")
+    assert(bandsScanned < bandFiles,
       s"bands scan reads all $bandFiles files — pfx pruning is not happening")
-    assert(maxScanned <= bandFiles / 2,
-      s"bands scan reads $maxScanned of $bandFiles files; expected at most " +
+    assert(bandsScanned <= bandFiles / 2,
+      s"bands scan reads $bandsScanned of $bandFiles files; expected at most " +
         "~4/16 of the partitions' files")
     // and the pruned match must still find the doc's stored twin
     val row = out.filter(col("new_id") === 7L).collect().head
     assert(row.getBoolean(3), "pruned match lost the known duplicate")
   }
 
+  test("matchBatch prunes the verify-side shingles scan to candidate id pfx") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // Synthetic corpus of UNIQUE docs (every band bucket holds ~1 member),
+    // so a probe's candidate set is exactly its near-dup twin — the shape
+    // where candidate-id pruning matters (single-doc probes, the streaming
+    // gate). On the testdata corpus every doc collides with the giant
+    // duplicate family's bucket, so its candidate ids legitimately span
+    // all id-pfx partitions and the verify scan IS the candidate set —
+    // pruning tracks candidates in both cases, which is the contract.
+    def text(i: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 6).map { r =>
+        md.digest(s"${i}_$r".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.mkString(" ")
+    }
+    val corpus = (0L until 200L).map(i => (i, text(i))).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_didx_shprune").toString
+    DedupIndex.build(corpus, "doc_id", "text", dir, nPfx = 16)
+    val g = DedupIndex.currentGenDir(dir)
+    val shingleFiles = parquetFiles(s"$g/shingles")
+    assert(shingleFiles >= 8, s"fixture too small: $shingleFiles shingle files")
+    // probe: a near-duplicate of doc 42 (same text, one word changed) —
+    // its only candidate is doc 42, so the verify-side shingles read must
+    // touch ~1 of the 16 id-pfx partitions, not the corpus
+    val probe = Seq((9001L, text(42L).replaceFirst("^\\S+", "zzzz")))
+      .toDF("doc_id", "text")
+    val out = DedupIndex.matchBatch(probe, "doc_id", "text", dir)
+    val shScanned = scannedFiles(out, "shingles")
+    assert(shScanned <= 4,
+      s"shingles scan reads $shScanned of $shingleFiles files; expected the " +
+        "candidate twin's partition(s) only")
+    val row = out.collect().head
+    assert(row.getBoolean(3) && row.getLong(1) == 42L,
+      s"pruned verify lost the twin: $row")
+  }
+
   test("compact: shrinks the small-file count, match results bit-identical") {
     spark.sparkContext.setLogLevel("ERROR")
-    import scala.jdk.CollectionConverters._
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
     val batch = docs.filter(col("doc_id") % 5 === 0)
@@ -139,30 +186,97 @@ class IncrIndexSpec extends AnyFunSuite {
       dir, nPfx = 16)
     (2 to 4).foreach(i => DedupIndex.append(
       docs.filter(col("doc_id") % 5 === i), "doc_id", "text", dir))
-    def files(sub: String): Int = {
-      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/$sub"))
-      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-      finally s.close()
-    }
+    def files(sub: String): Int = parquetFiles(s"${DedupIndex.currentGenDir(dir)}/$sub")
     val before = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
     val bandsBefore = files("bands"); val shBefore = files("shingles")
+    val g0 = DedupIndex.currentGenDir(dir)
 
-    DedupIndex.compact(spark, dir, shingleFiles = 2)
+    DedupIndex.compact(spark, dir)
 
-    assert(DedupIndex.exists(dir), "compaction must restore the completion marker")
+    assert(DedupIndex.exists(dir), "compaction must keep the store readable")
     assert(DedupIndex.numPfx(dir) == 16, "compaction must preserve the layout")
+    assert(DedupIndex.currentGenDir(dir) != g0,
+      "compaction must advance the live generation")
     val bandsAfter = files("bands"); val shAfter = files("shingles")
     assert(bandsAfter < bandsBefore,
       s"bands files $bandsBefore -> $bandsAfter: compaction did not consolidate")
     assert(bandsAfter <= 16, s"expected ~one file per pfx partition, got $bandsAfter")
-    assert(shAfter == 2 && shAfter < shBefore,
-      s"shingles files $shBefore -> $shAfter")
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/bands_old")) &&
-      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/bands_tmp")),
-      "compaction left stray swap directories")
+    assert(shAfter < shBefore && shAfter <= 16,
+      s"shingles files $shBefore -> $shAfter; expected ~one per pfx partition")
+    // previous-generation retention: an in-flight reader that pinned g0
+    // before the swing must still find its files...
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(g0)),
+      "compaction must retain the previous generation for in-flight readers")
     val after = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
     assert(after.length == before.length && after.sameElements(before),
       "compaction changed match results")
+    // ...and the NEXT compaction prunes it (bounded disk growth)
+    DedupIndex.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(g0)),
+      "second compaction must prune the two-generations-old directory")
+    val after2 = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    assert(after2.sameElements(before), "second compaction changed match results")
+  }
+
+  test("serve-through-compact: reads racing compact() never error") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val dir = Files.createTempDirectory("graft_didx_race").toString
+    DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      dir, nPfx = 16)
+    val expect = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+
+    // reader loop on one thread, a full compaction on another — the
+    // generation pointer swings mid-loop, and every read must return the
+    // identical result with no "absent store"/missing-file error (round 7
+    // read "absent" for the whole swap window). One compaction only: the
+    // retention contract is exactly ONE previous generation, so a reader
+    // is guaranteed its pinned files until the NEXT compaction after it
+    // pinned — racing two back-to-back compactions against one pin is
+    // outside the contract (same two-manifest bound as SnapshotStore).
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val got = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+          if (!got.sameElements(expect))
+            throw new AssertionError("racing read returned different matches")
+        }
+      } catch { case t: Throwable => err.set(t) }
+    })
+    reader.start()
+    try DedupIndex.compact(spark, dir)
+    finally { stop.set(true); reader.join(120000) }
+    assert(err.get() == null,
+      s"concurrent read failed during compact: ${err.get()}")
+    assert(canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+      .sameElements(expect))
+  }
+
+  test("crash debris: stale next-generation dir is harmless and cleaned up") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val dir = Files.createTempDirectory("graft_didx_crash").toString
+    DedupIndex.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      dir, nPfx = 16)
+    val before = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    // simulate a compact that crashed after partially writing g1: the
+    // pointer still names g0, so the store must read intact…
+    val stale = java.nio.file.Paths.get(s"$dir/g1/bands")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("part-junk.parquet"), "junk")
+    assert(DedupIndex.exists(dir))
+    val withDebris = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    assert(withDebris.sameElements(before), "stale g1 debris affected reads")
+    // …and the next compact replaces the debris and serves identically
+    DedupIndex.compact(spark, dir)
+    val after = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
+    assert(after.sameElements(before), "compact over debris changed matches")
   }
 
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {
