@@ -705,6 +705,18 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // Maintained near-dup pair GRAPH (the stored artifact cluster/
+    // propagation consumers read): built from the 3/4 corpus slice, grown
+    // by one appended batch (doc_id % 4 == 3) — cross edges from the
+    // stored index's matchBatchPairs + the batch's internal self-join
+    // edges. The oracle recomputes the identical union from scratch in
+    // DuckDB, so a hash match proves the incremental composition neither
+    // loses nor duplicates an edge.
+    "q_pair_store" -> ((s, dir) => {
+      operators.PairStore.pairs(s, pairStoreIncrDir(s, dir))
+        .orderBy("id1", "id2")
+    }),
+
     // Incrementally-maintained corpus stats: the per-source report read
     // from a parquet store of mergeable partials (5 ingested batches, each
     // folded in at batch cost — the corpus is never rescanned). Raw sums
@@ -2603,6 +2615,23 @@ object SparkEntry {
     "q_incr_dedup" ->
       incrDedupOracle("WHERE doc_id % 5 = 0", "WHERE doc_id % 5 <> 0",
         "d.doc_id % 5 = 0"),
+    // pair-store mirror: hybrid self-join pairs per slice (vpa over the
+    // 3/4 build corpus, vpb over the appended batch) UNION the cross-side
+    // verified all-pairs set (vf, the same CTE chain the incr-dedup
+    // mirrors reduce to best-match) — recomputed from scratch, so the
+    // compare proves the stored incremental composition is exact
+    "q_pair_store" ->
+      s"""WITH ${pairSigCteFor("a", "WHERE doc_id % 4 <> 3")},
+         ${hybridPairsCtesFor("a")},
+         ${pairSigCteFor("b", "WHERE doc_id % 4 = 3")},
+         ${hybridPairsCtesFor("b")},
+         ${crossVerifiedCtes("WHERE doc_id % 4 = 3", "WHERE doc_id % 4 <> 3")},
+         allp AS (
+           SELECT id1, id2, jac FROM vpa
+           UNION SELECT id1, id2, jac FROM vpb
+           UNION SELECT least(new_id, old_id) AS id1,
+             greatest(new_id, old_id) AS id2, jac FROM vf)
+         SELECT id1, id2, jac FROM allp ORDER BY id1, id2""",
     "q_fuzzy_decontam" ->
       incrDedupOracle("WHERE source <> 'src0'", "WHERE source = 'src0'",
         "d.source <> 'src0'"),
@@ -3815,8 +3844,56 @@ object SparkEntry {
     dedupIndexDir(s, dir, "eval_src0_index")(
       Tables.documents(s, dir).filter(col("source") === "src0"))
 
+  /** On-disk PairStore over the full corpus — the maintained pair-graph
+    * artifact (VERDICT r07 #3): the verified near-dup pair set is built
+    * ONCE per sf dir and every consumer session (clusters, propagation,
+    * PageRank, keep-best, curation pipeline) reads the stored parquet
+    * instead of recomputing the corpus-wide signature+LSH+verify self-join
+    * (~16 s/session at sf0.1; a corpus-scale job per consumer at 100 TB).
+    * Same maintained-artifact rationale as the dedup/ANN index fixtures —
+    * in production the graph grows per ingestion batch via
+    * PairStore.append (q_pair_store proves that composition), while
+    * testdata is immutable so the cache cannot go stale. The stored set
+    * is exactly nearDuplicatePairs(full corpus), so every consumer oracle
+    * is unchanged. */
+  private def pairStoreDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/near_dup_pairs"
+    withPathLock(root) {
+      if (!operators.PairStore.exists(root))
+        operators.PairStore.build(Tables.documents(s, dir), "doc_id", "text",
+          root)
+    }
+    root
+  }
+
+  /** Incrementally-composed PairStore fixture for q_pair_store: built
+    * from the 3/4 corpus slice, grown by ONE appended batch (doc_id % 4
+    * == 3) — the build+append sequence is the per-ingestion-batch
+    * production discipline, and the oracle recomputes the same union from
+    * scratch. The sentinel is written only after the full sequence, so a
+    * crash mid-composition rebuilds rather than serving a half-grown
+    * graph (the incrStatsDir discipline). */
+  private def pairStoreIncrDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/pair_store_incr"
+    withPathLock(root) {
+      val done = java.nio.file.Paths.get(s"$root/_FIXTURE_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        val docs = Tables.documents(s, dir)
+        operators.PairStore.build(docs.filter(col("doc_id") % 4 =!= 3),
+          "doc_id", "text", root)
+        operators.PairStore.append(docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", root)
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    }
+    root
+  }
+
   private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"pairs:$dir")(nearDupPairsUncached(s, dir).localCheckpoint())
+    memo(s, s"pairs:$dir")(
+      operators.PairStore.pairs(s, pairStoreDir(s, dir)))
 
   /** Cluster labels shared by q_dedup_clusters and q_curation_pipeline —
     * the iterative CC fixpoint is itself checkpointed per round, so the
@@ -3825,9 +3902,6 @@ object SparkEntry {
     memo(s, s"clusters:$dir")(TextDedup.dedupClusters(
       Tables.documents(s, dir), "doc_id",
       nearDupPairs(s, dir).select(col("id1"), col("id2"))))
-
-  private def nearDupPairsUncached(s: SparkSession, dir: String): DataFrame =
-    TextDedup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text")
 
   /** Integer quality score shared by the propagation/keep-best queries:
     * stop-word ratio in basis points, `n_stop * 10000 div n_tok` — the
@@ -3906,12 +3980,12 @@ object SparkEntry {
 
   /** Minhash signature CTE `sig` (mirrors TextDedup.minHashSignature:
     * 60-bit md5-prefix hash mod 2^31-1, 8 odd-coefficient perturbations). */
-  /** Cross-side incremental-dedup mirror, parameterized by the two corpus
-    * slices (see q_incr_dedup / q_fuzzy_decontam). `finalPred` re-selects
-    * the incoming slice for the one-row-per-incoming-doc left join. */
-  private def incrDedupOracle(whereIn: String, whereEx: String,
-                              finalPred: String): String =
-    s"""WITH ${shingleSigCteNamed("i", whereIn)},
+  /** CTE chain ending in the cross-side verified ALL-pairs set
+    * `vf(new_id, old_id, jac)` — the shared core of the incremental-dedup
+    * mirrors (q_incr_dedup / q_fuzzy_decontam reduce it to best-match
+    * rows; the pair-store mirror unions it whole). */
+  private def crossVerifiedCtes(whereIn: String, whereEx: String): String =
+    s"""${shingleSigCteNamed("i", whereIn)},
          ${shingleSigCteNamed("e", whereEx)},
          ${bandsCteNamed("i")},
          ${bandsCteNamed("e")},
@@ -3954,7 +4028,14 @@ object SparkEntry {
                 FROM acand JOIN vshi x ON x.doc_id = new_id
                   JOIN vshe y ON y.doc_id = old_id
                 WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6),
+                        / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6)"""
+
+  /** Cross-side incremental-dedup mirror, parameterized by the two corpus
+    * slices (see q_incr_dedup / q_fuzzy_decontam). `finalPred` re-selects
+    * the incoming slice for the one-row-per-incoming-doc left join. */
+  private def incrDedupOracle(whereIn: String, whereEx: String,
+                              finalPred: String): String =
+    s"""WITH ${crossVerifiedCtes(whereIn, whereEx)},
          best AS (SELECT new_id, old_id AS match_id, jac FROM (
                     SELECT new_id, old_id, jac, row_number() OVER
                       (PARTITION BY new_id ORDER BY jac DESC, old_id) AS rn
@@ -3980,21 +4061,25 @@ object SparkEntry {
   private val minhashCte: String = minhashCteFor("")
 
   /** Opener for the hybrid pair mirrors: the distinct 3-gram hash LIST
-    * `sh3` (the verify side) plus the minhash signature `sig` derived from
-    * THAT SAME hash set — mirrors nearDuplicatePairs' single-hash-pass
-    * design (same perturbation coefficients as minHashSignature). */
-  private lazy val pairSigCte: String = {
+    * `sh3$sfx` (the verify side) plus the minhash signature `sig$sfx`
+    * derived from THAT SAME hash set — mirrors nearDuplicatePairs'
+    * single-hash-pass design (same perturbation coefficients as
+    * minHashSignature). `where` restricts the corpus slice (the
+    * pair-store mirror opens one chain per slice). */
+  private def pairSigCteFor(sfx: String, where: String): String = {
     val mins = (0 until 16).map { i =>
       val a = 2 * i + 1; val b = i * i + 1
       s"min((h * $a + $b) % 2147483647) AS mh$i"
     }.mkString(", ")
-    s"""sh3 AS (SELECT doc_id,
+    s"""sh3$sfx AS (SELECT doc_id,
           list_distinct(list_transform(${shinglesSql("text", 3)},
             s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)) AS sh
-          FROM documents),
-        hs3 AS (SELECT doc_id, unnest(sh) AS h FROM sh3),
-        sig AS (SELECT doc_id, $mins FROM hs3 GROUP BY doc_id)"""
+          FROM documents $where),
+        hs3$sfx AS (SELECT doc_id, unnest(sh) AS h FROM sh3$sfx),
+        sig$sfx AS (SELECT doc_id, $mins FROM hs3$sfx GROUP BY doc_id)"""
   }
+
+  private lazy val pairSigCte: String = pairSigCteFor("", "")
 
   /** Unrolled deterministic k-means rounds ending in CTE `fin$sfx(id, j, d)`
     * (mirrors Clustering.kmeansAssign: floor(v*1000) integer quantization,
@@ -4157,51 +4242,55 @@ object SparkEntry {
             (p, q) -> p + q) > 0 THEN ${1L << j} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
-  /** CTE chain from `sig` to the hybrid verified near-dup pair set `vp`
-    * (id1, id2, jac) — the DuckDB mirror of TextDedup.nearDuplicatePairs:
-    * LSH candidates enumerated from buckets within the 4096 enumeration
-    * ceiling (`fb`/`lcand`) UNIONed with an exact prefix-filtered
-    * similarity join over the member docs of over-ceiling buckets
-    * (`hotm`/`hpre`/`hcand`), all exact-verified at >= 0.6.
-    * Assumes `sh3` and `sig` (pairSigCte) are already open. */
-  private lazy val hybridPairsCtes: String = {
+  /** CTE chain from `sig$sfx` to the hybrid verified near-dup pair set
+    * `vp$sfx` (id1, id2, jac) — the DuckDB mirror of
+    * TextDedup.nearDuplicatePairs: LSH candidates enumerated from buckets
+    * within the 4096 enumeration ceiling (`fb`/`lcand`) UNIONed with an
+    * exact prefix-filtered similarity join over the member docs of
+    * over-ceiling buckets (`hotm`/`hpre`/`hcand`), all exact-verified at
+    * >= 0.6. Assumes `sh3$sfx` and `sig$sfx` (pairSigCteFor) are already
+    * open; every internal name carries the suffix so per-slice chains can
+    * coexist in one WITH (the pair-store mirror). */
+  private def hybridPairsCtesFor(x: String): String = {
     val arms = (0 until 8).map { b =>
-      s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sig"
+      s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sig$x"
     }.mkString("\n         UNION ALL ")
-    s"""bands AS (
+    s"""bands$x AS (
          $arms),
-       bcnt AS (SELECT band, bucket, count(*) AS c
-                FROM bands GROUP BY band, bucket),
-       fb AS (SELECT bands.* FROM bands JOIN bcnt USING (band, bucket)
-              WHERE bcnt.c <= 4096),
-       hotm AS (SELECT DISTINCT doc_id FROM bands JOIN bcnt USING (band, bucket)
-                WHERE bcnt.c > 4096),
-       lcand AS (
+       bcnt$x AS (SELECT band, bucket, count(*) AS c
+                FROM bands$x GROUP BY band, bucket),
+       fb$x AS (SELECT bands$x.* FROM bands$x JOIN bcnt$x USING (band, bucket)
+              WHERE bcnt$x.c <= 4096),
+       hotm$x AS (SELECT DISTINCT doc_id FROM bands$x JOIN bcnt$x USING (band, bucket)
+                WHERE bcnt$x.c > 4096),
+       lcand$x AS (
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM fb a JOIN fb b
+         FROM fb$x a JOIN fb$x b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       hsh AS (SELECT sh3.* FROM sh3 JOIN hotm USING (doc_id)),
-       htok AS (SELECT doc_id, unnest(sh) AS tok FROM hsh),
-       hdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
-               FROM htok GROUP BY tok),
-       hord AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
-                FROM htok t JOIN hdf d ON d.tok = t.tok GROUP BY t.doc_id),
-       hpre AS (SELECT doc_id,
+       hsh$x AS (SELECT sh3$x.* FROM sh3$x JOIN hotm$x USING (doc_id)),
+       htok$x AS (SELECT doc_id, unnest(sh) AS tok FROM hsh$x),
+       hdf$x AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+               FROM htok$x GROUP BY tok),
+       hord$x AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
+                FROM htok$x t JOIN hdf$x d ON d.tok = t.tok GROUP BY t.doc_id),
+       hpre$x AS (SELECT doc_id,
                   unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
-                FROM hord),
-       hcand AS (
+                FROM hord$x),
+       hcand$x AS (
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         FROM hpre a JOIN hpre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-       acand AS (SELECT id1, id2 FROM lcand
-                 UNION SELECT id1, id2 FROM hcand),
-       vp AS (
+         FROM hpre$x a JOIN hpre$x b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       acand$x AS (SELECT id1, id2 FROM lcand$x
+                 UNION SELECT id1, id2 FROM hcand$x),
+       vp$x AS (
          SELECT id1, id2,
            floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
-         FROM acand JOIN sh3 x ON x.doc_id = id1 JOIN sh3 y ON y.doc_id = id2
+         FROM acand$x JOIN sh3$x x ON x.doc_id = id1 JOIN sh3$x y ON y.doc_id = id2
          WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6)"""
   }
+
+  private lazy val hybridPairsCtes: String = hybridPairsCtesFor("")
 
   /** Shared CTE chain for the dedup-cluster oracles: minhash signature ->
     * hybrid verified pairs `vp` -> symmetric edges -> recursive transitive

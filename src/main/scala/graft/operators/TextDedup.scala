@@ -365,7 +365,37 @@ object TextDedup {
                                shI: DataFrame, bi: DataFrame, idCol: String,
                                minJaccard: Double = 0.6,
                                maxBucket: Int = 4096): DataFrame = {
-    graft.functions.ArrayFunctions.register(incoming.sparkSession)
+    val verified = incrementalVerifiedPairs(shE, be, shI, bi, idCol,
+      minJaccard, maxBucket)
+    val best = verified.groupBy(col("new_id"))
+      .agg(max_by(struct(col("old_id").as("match_id"), col("jac")),
+        struct(col("jac"), (-col("old_id")).as("neg"))).as("m"))
+      .select(col("new_id"), col("m.match_id").as("match_id"),
+        col("m.jac").as("jac"))
+    incoming.select(col(idCol).as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id"),
+        coalesce(col("jac"), lit(0.0)).as("jac"),
+        col("match_id").isNotNull.as("is_dup"))
+  }
+
+  /** The cross-side verified pair set of the incremental discipline —
+    * EVERY (incoming, existing) pair clearing `minJaccard`, not just each
+    * incoming doc's best match: (new_id, old_id, jac). This is the
+    * append increment of a maintained pair-graph artifact
+    * ([[PairStore]]): per ingestion batch the stored graph grows by
+    * exactly these cross edges plus the batch's internal
+    * [[nearDuplicatePairs]] edges, so downstream cluster/propagation
+    * consumers read a stored table instead of recomputing the
+    * corpus-wide self-join per session. Candidate generation, the
+    * combined bucket ceiling, and the hot-member exact recovery are
+    * identical to [[incrementalDedupPrepared]] (which reduces this set
+    * to best-match rows). */
+  def incrementalVerifiedPairs(shE: DataFrame, be: DataFrame,
+                               shI: DataFrame, bi: DataFrame, idCol: String,
+                               minJaccard: Double = 0.6,
+                               maxBucket: Int = 4096): DataFrame = {
+    graft.functions.ArrayFunctions.register(shI.sparkSession)
     // Every downstream stage only cares about buckets the BATCH touches:
     // an existing doc sharing no band bucket with any incoming doc can
     // never become a candidate, so the stored index is semi-joined down to
@@ -417,7 +447,7 @@ object TextDedup {
           .select(col("new_id"), col("old_id"))
         lshCand.unionByName(hotCand).distinct()
       }
-    val verified = cand
+    cand
       .join(shI.toDF("new_id", "sh1"), Seq("new_id"))
       .join(shE.toDF("old_id", "sh2"), Seq("old_id"))
       // same size-ratio prefilter as nearDuplicatePairs: two O(1) length
@@ -426,16 +456,7 @@ object TextDedup {
         size(col("sh2")).cast("double") >= size(col("sh1")) * minJaccard)
       .withColumn("jac", jaccardFromSortedShingles(col("sh1"), col("sh2")))
       .filter(col("jac") >= minJaccard)
-    val best = verified.groupBy(col("new_id"))
-      .agg(max_by(struct(col("old_id").as("match_id"), col("jac")),
-        struct(col("jac"), (-col("old_id")).as("neg"))).as("m"))
-      .select(col("new_id"), col("m.match_id").as("match_id"),
-        col("m.jac").as("jac"))
-    incoming.select(col(idCol).as("new_id"))
-      .join(best, Seq("new_id"), "left")
-      .select(col("new_id"), col("match_id"),
-        coalesce(col("jac"), lit(0.0)).as("jac"),
-        col("match_id").isNotNull.as("is_dup"))
+      .select(col("new_id"), col("old_id"), col("jac"))
   }
 
   /** (id, sorted distinct n-gram-hash array) per doc, localCheckpoint'ed —

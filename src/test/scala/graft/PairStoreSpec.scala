@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{PairStore, TextDedup}
+
+/** Maintained near-dup pair graph: a build + N appends stores exactly the
+  * union of per-slice self-join pairs and cross-slice verified pairs —
+  * nothing lost, nothing duplicated — so graph consumers can read the
+  * stored table instead of recomputing the corpus self-join per session. */
+class PairStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def canon(df: DataFrame): Seq[(Long, Long, Double)] = df
+    .select(col("id1").cast("long"), col("id2").cast("long"), col("jac"))
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    .sortBy(identity).toSeq
+
+  test("build + two appends == the recomputed incremental pair union") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val a = docs.filter(col("doc_id") % 4 <= 1)
+    val b1 = docs.filter(col("doc_id") % 4 === 2)
+    val b2 = docs.filter(col("doc_id") % 4 === 3)
+    val dir = Files.createTempDirectory("graft_pairs").toString
+
+    PairStore.build(a, "doc_id", "text", dir)
+    PairStore.append(b1, "doc_id", "text", dir)
+    PairStore.append(b2, "doc_id", "text", dir)
+    val stored = canon(PairStore.pairs(spark, dir))
+
+    // independent recompute, WITHOUT the store's pruned reads: per-slice
+    // self-joins plus cross-side verified pairs against in-session sides
+    def cross(existing: DataFrame, batch: DataFrame): DataFrame = {
+      val shE = TextDedup.sortedShingleHashes(existing, "doc_id", "text")
+      val shI = TextDedup.sortedShingleHashes(batch, "doc_id", "text")
+      TextDedup.incrementalVerifiedPairs(
+          shE, TextDedup.bandedFromShingles(shE, "doc_id"),
+          shI, TextDedup.bandedFromShingles(shI, "doc_id"), "doc_id")
+        .select(least(col("new_id"), col("old_id")).as("id1"),
+          greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
+    }
+    def self(slice: DataFrame): DataFrame =
+      TextDedup.nearDuplicatePairs(slice, "doc_id", "text")
+    val expected = canon(
+      self(a).unionByName(cross(a, b1)).unionByName(self(b1))
+        .unionByName(cross(a.unionByName(b1), b2)).unionByName(self(b2)))
+
+    assert(stored.nonEmpty, "fixture produced no pairs")
+    assert(stored == expected,
+      s"stored ${stored.length} pairs != recomputed ${expected.length}")
+    // graph invariants: normalized orientation, no duplicate edges
+    assert(stored.forall { case (i, j, _) => i < j })
+    assert(stored.map(p => (p._1, p._2)).distinct.length == stored.length,
+      "duplicate edges in the stored graph")
+  }
+
+  test("completion marker: a store is absent until build lands, present after") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_pairs_meta").toString
+    assert(!PairStore.exists(dir))
+    intercept[IllegalArgumentException] {
+      PairStore.append(docs.limit(5), "doc_id", "text", dir)
+    }
+    PairStore.build(docs.filter(col("doc_id") % 4 <= 1), "doc_id", "text", dir)
+    assert(PairStore.exists(dir))
+  }
+}
