@@ -441,6 +441,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Hard-negative mining served from the STORED IVF-PQ index — the
+    // scale path for q_hard_negatives' brute corpus scan: probe 2 cells,
+    // ADC-rank to a 30-candidate pool, exactly re-rank, and keep the 3
+    // nearest candidates whose exact quantized-L2 distance exceeds the
+    // near-dup floor (1,300,000 ≈ the audit corpus's top-3 median — at or
+    // below it a "negative" is an unlabeled positive). Per-anchor-batch
+    // cost tracks probed cells, never the corpus.
+    "q_hard_negatives_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.hardNegatives(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", annIndexDir(s, dir), k = 3,
+          negFloor = 1300000L, nProbe = 2, refine = 30)
+        .orderBy("qid", "rank")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2185,6 +2200,21 @@ object SparkEntry {
          rr AS (SELECT qid, id, dist,
              CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
            FROM re)
+         SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
+         ORDER BY qid, rank""",
+    // stored hard negatives: the refined pool band-filtered on the exact
+    // distance (> 1,300,000) BEFORE the rank window
+    "q_hard_negatives_stored" ->
+      s"""WITH $ivfPqCteChain,
+         pool AS (SELECT qid, id FROM r WHERE rank <= 30),
+         re AS (SELECT pool.qid, pool.id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+           FROM pool JOIN ptsiv a ON a.id = pool.id
+                     JOIN ptsiv b ON b.id = pool.qid AND b.pos = a.pos
+           GROUP BY pool.qid, pool.id),
+         rr AS (SELECT qid, id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS INT) AS rank
+           FROM re WHERE dist > 1300000)
          SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
          ORDER BY qid, rank""",
     "q_embed_cosine_pairs" ->

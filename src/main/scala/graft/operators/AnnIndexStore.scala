@@ -225,6 +225,44 @@ object AnnIndexStore {
     * ADC-approximate otherwise. */
   def query(queries: DataFrame, idCol: String, vecCol: String, dir: String,
             kNN: Int = 3, nProbe: Int = 2, refine: Int = 0): DataFrame = {
+    val (adc, qpts, g) = adcPool(queries, idCol, vecCol, dir,
+      if (refine > 0) refine else kNN, nProbe)
+    if (refine <= 0) adc
+    else Clustering.refineTopKQuantized(adc,
+      queries.sparkSession.read.parquet(s"$g/vectors"), qpts, kNN)
+  }
+
+  /** Hard-negative mining served FROM THE STORED INDEX — the scale path
+    * for [[Similarity.hardNegatives]]'s brute corpus scan (VERDICT r07
+    * #5): per anchor, the `k` nearest stored vectors whose EXACT refined
+    * distance is strictly ABOVE `negFloor`. Anything at or below the
+    * floor is a near-duplicate of the anchor (use the same threshold as
+    * the semantic-dedup pass) and would poison a contrastive batch as a
+    * false negative; the nearest survivors above it carry the gradient.
+    * Serving cost is the standard probe shape — nProbe cells' members
+    * ADC-scored, top-`refine` pool exactly re-ranked — so per-anchor-batch
+    * cost tracks probed-cell population, never the corpus. Candidates are
+    * limited to the probed cells and ADC pool exactly as in [[query]]
+    * (same recall knobs; with nProbe = nCells and refine >= corpus the
+    * result is bit-identical to the brute band-filtered scan, asserted in
+    * [[graft.AnnIndexSpec]]). Returns (qid, rank, nid, dist). */
+  def hardNegatives(queries: DataFrame, idCol: String, vecCol: String,
+                    dir: String, k: Int, negFloor: Long, nProbe: Int = 2,
+                    refine: Int = 30): DataFrame = {
+    require(refine > 0, "hardNegatives needs an exact refine pool (> 0): " +
+      "the band boundary must be judged on exact distances")
+    val (adc, qpts, g) = adcPool(queries, idCol, vecCol, dir, refine, nProbe)
+    Clustering.refineTopKQuantized(adc,
+      queries.sparkSession.read.parquet(s"$g/vectors"), qpts, k,
+      minDist = negFloor)
+  }
+
+  /** Shared serving front half: probe the nProbe nearest coarse cells and
+    * ADC-rank the probed cells' members to a `poolSize` candidate pool.
+    * Returns (adc pool, quantized queries, pinned generation dir). */
+  private def adcPool(queries: DataFrame, idCol: String, vecCol: String,
+                      dir: String, poolSize: Int, nProbe: Int)
+      : (DataFrame, DataFrame, String) = {
     val spark = queries.sparkSession
     val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
     val g = s"$dir/g${mt.gen}"
@@ -258,10 +296,8 @@ object AnnIndexStore {
     val adc = Clustering.pqTopK(
       cand.join(spark.read.parquet(s"$g/codes"), Seq("id"))
         .join(broadcast(luts), Seq("qid", "sub", "code")),
-      if (refine > 0) refine else kNN)
-    if (refine <= 0) adc
-    else Clustering.refineTopKQuantized(adc,
-      spark.read.parquet(s"$g/vectors"), qpts, kNN)
+      poolSize)
+    (adc, qpts, g)
   }
 
   private def coarseCents(spark: SparkSession, g: String): Seq[(Int, Array[Long])] =

@@ -149,18 +149,28 @@ object Clustering {
   /** [[refineTopK]] over ALREADY-quantized (id, q) tables — the form the
     * stored-index serving path ([[AnnIndexStore.query]]) uses, where the
     * corpus side comes back from the index's flat-vector parquet instead
-    * of being re-quantized from raw floats. */
+    * of being re-quantized from raw floats.
+    *
+    * `minDist >= 0` turns the re-rank into a hard-negative band select
+    * ([[AnnIndexStore.hardNegatives]]): candidates at exact distance
+    * <= minDist are EXCLUDED before the rank window — they are
+    * near-duplicates of the anchor (unlabeled positives in a contrastive
+    * batch), and the k nearest survivors are the informative negatives.
+    * The filter runs on the exact distance, so the band boundary is
+    * never blurred by PQ quantization error. */
   private[operators] def refineTopKQuantized(pool: DataFrame, cq: DataFrame,
-                                             qq: DataFrame, kNN: Int): DataFrame = {
+                                             qq: DataFrame, kNN: Int,
+                                             minDist: Long = -1L): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist"), col("id"))
-    pool.select(col("qid"), col("nid").as("id"))
+    val scored = pool.select(col("qid"), col("nid").as("id"))
       .join(cq.select(col("id"), col("q").as("nq")), Seq("id"))
       .join(broadcast(qq.select(col("id").as("qid"), col("q").as("qq"))),
         Seq("qid"))
       .withColumn("dist",
         aggregate(zip_with(col("qq"), col("nq"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x))
+    (if (minDist >= 0) scored.filter(col("dist") > minDist) else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)
       .select(col("qid"), col("rank"), col("id").as("nid"), col("dist"))

@@ -134,6 +134,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(after2 == before, "second compaction changed served answers")
   }
 
+  test("stored hard negatives == brute band-filtered scan at full probe/refine") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_hn").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    val queries = base.filter(col("vec_id") < 5)
+    // brute ground truth: exact quantized-L2 over the full corpus, band
+    // filter dist > floor, nearest 3 survivors per anchor
+    val q = base.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1000).toLong)))
+    val negFloor = 2000000L
+    val brute = (for {
+      (qid, qv) <- q.filter(_._1 < 5)
+      (nid, nv) <- q if nid != qid
+      dist = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+      if dist > negFloor
+    } yield (qid, nid, dist))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, nid, d), i) => (qid, i + 1, nid, d) }
+      }.sortBy(r => (r._1, r._2))
+    // nProbe = nCells and refine >= corpus: the served path degenerates to
+    // the exact scan, so the band select must match the brute answer
+    val served = AnnIndexStore.hardNegatives(queries, "vec_id", "embedding",
+        dir, k = 3, negFloor = negFloor, nProbe = 4, refine = 100)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(brute.nonEmpty && served == brute,
+      s"stored hard negatives diverged: served=${served.take(5)} " +
+        s"brute=${brute.take(5)}")
+    // and no near-duplicate (dist <= floor) ever surfaces as a negative
+    assert(served.forall(_._4 > negFloor))
+  }
+
   test("serve-through-compact: queries racing compact() never error") {
     spark.sparkContext.setLogLevel("ERROR")
     val base = df(corpusRows)
