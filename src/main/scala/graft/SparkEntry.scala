@@ -908,8 +908,11 @@ object SparkEntry {
             .write.mode("overwrite").parquet(in)
       }
       val work = java.nio.file.Files.createTempDirectory("graft_srj_q")
-      // The streaming query runs in a CLONED session (shared SparkContext,
-      // private SQLConf) with a low shuffle-partition count: the state
+      // The streaming query runs in a FRESH session (shared SparkContext,
+      // private SQLConf rebuilt from builder/SparkConf defaults —
+      // newSession() does NOT inherit runtime s.conf.set values; use
+      // cloneSession() if one is ever needed here) with a low
+      // shuffle-partition count: the state
       // store materializes shuffle-partition stores PER SIDE PER BATCH
       // (2 sides x 5 batches here), so at the session default of 32 this
       // ~25k-row-per-batch replay paid ~320 state-store commits of pure

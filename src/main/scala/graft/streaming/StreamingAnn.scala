@@ -33,16 +33,21 @@ object StreamingAnn {
     AnnIndexStore.query(batch, idCol, vecCol, indexDir, kNN, nProbe, refine)
 
   /** Drive a streaming feed of query vectors against the stored index,
-    * appending each micro-batch's (qid, rank, nid, dist) answers to
+    * writing each micro-batch's (qid, rank, nid, dist) answers under
     * `outDir` as parquet. Because the index is static per micro-batch and
-    * answers are per-query independent, the appended log over any batching
+    * answers are per-query independent, the answer log over any batching
     * of the feed equals the one-shot batch answer over the union of the
     * batches — [[graft.StreamingAnnSpec]] pins this bit-for-bit.
     *
-    * Delivery note (standard foreachBatch caveat): a micro-batch retried
-    * after a sink-side crash can append its answers twice; downstream
-    * readers wanting exactly-once should dedup on (qid, rank) or write to
-    * a batchId-keyed path instead. */
+    * Delivery: EFFECTIVELY EXACTLY ONCE. Each micro-batch writes to its
+    * own batchId-keyed subdirectory (`<outDir>/batch=<id>`) in overwrite
+    * mode, so a micro-batch retried after a sink-side crash replaces its
+    * own half-written output instead of double-appending rows — the
+    * standard idempotent-foreachBatch discipline; the batchId is stable
+    * across retries because it comes from the streaming checkpoint. Read
+    * the log with [[answers]] (plain `spark.read.parquet(outDir)` also
+    * works — the partition-style dir name surfaces as an extra `batch`
+    * column, which answers() drops). */
   def serveStream(queryStream: DataFrame, idCol: String, vecCol: String,
                   indexDir: String, outDir: String, checkpointDir: String,
                   kNN: Int = 3, nProbe: Int = 2, refine: Int = 0,
@@ -51,10 +56,16 @@ object StreamingAnn {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         answerBatch(batch, idCol, vecCol, indexDir, kNN, nProbe, refine)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .start()
+
+  /** The served answer log (qid, rank, nid, dist/adist) across all
+    * micro-batches, with the batchId partition column dropped. */
+  def answers(spark: org.apache.spark.sql.SparkSession,
+              outDir: String): DataFrame =
+    spark.read.parquet(outDir).drop("batch")
 }

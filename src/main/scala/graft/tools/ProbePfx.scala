@@ -1,6 +1,17 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Measure-don't-guess probe for DedupIndex's file-level pruning: per
+  * single-doc batch, the planned file counts of the stored bands and
+  * shingles scans (vs the store's totals) and whether the match still
+  * finds the doc's twin. Round-8 finding recorded here: on the synthetic
+  * corpus every doc collides with the giant duplicate family's band
+  * bucket, so candidate-id pruning of the verify-side shingles scan only
+  * bites for docs with small candidate sets (the streaming-gate shape) —
+  * which is the contract: the pruned scan tracks CANDIDATES, and when the
+  * candidates span the corpus the read is the verification input itself,
+  * not waste. IncrIndexSpec pins both regimes. */
 object ProbePfx {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -74,4 +74,38 @@ class IterateSpec extends AnyFunSuite {
     val reliable = withCheckpointDir(_ => run())
     assert(local == reliable)
   }
+
+  test("full curation chain under a real checkpoint dir: identical output, files land") {
+    // The 100-TB durability claim exercised as a PIPELINE, not per
+    // operator: near-dup pairs -> connected-component clusters ->
+    // PageRank over the similarity graph, the chain q_curation_pipeline
+    // composes, run once in local mode and once with a configured
+    // checkpoint dir (the cluster deployment posture). Every iterative
+    // round must route its materialization through the dir, and the
+    // composed outputs must be bit-identical across modes.
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    def run(): (Map[Long, Long], Map[Long, Long]) = {
+      val pairs = TextDedup.nearDuplicatePairs(docs, "doc_id", "text")
+        .select("id1", "id2")
+      val clusters = TextDedup.dedupClusters(docs, "doc_id", pairs)
+      val pr = Propagate.pageRank(docs.select("doc_id"), "doc_id", pairs,
+        iters = 3)
+      (clusters.as[(Long, Long)].collect().toMap,
+        pr.as[(Long, Long)].collect().toMap)
+    }
+    val (localClusters, localPr) = run()
+    assert(localClusters.exists { case (id, c) => id != c },
+      "fixture has no non-trivial cluster")
+    val (reliable, ckptFiles) = withCheckpointDir { dir =>
+      val r = run()
+      (r, java.nio.file.Files.walk(dir).count())
+    }
+    assert(reliable._1 == localClusters,
+      "cluster labels diverged between local and reliable checkpoint modes")
+    assert(reliable._2 == localPr,
+      "PageRank diverged between local and reliable checkpoint modes")
+    assert(ckptFiles > 1, "no checkpoint files landed under the configured dir")
+  }
 }

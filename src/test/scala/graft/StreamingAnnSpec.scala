@@ -54,9 +54,22 @@ class StreamingAnnSpec extends AnyFunSuite {
       trigger = Trigger.AvailableNow())
     q.awaitTermination()
 
-    val streamed = spark.read.parquet(s"$work/out").collect().map(_.toSeq)
+    val streamed = StreamingAnn.answers(spark, s"$work/out")
+      .collect().map(_.toSeq)
     assert(streamed.length == streamed.toSet.size, "an answer row was appended twice")
     assert(streamed.toSet == batchAns,
       s"missing=${batchAns -- streamed.toSet} extra=${streamed.toSet -- batchAns}")
+
+    // effectively-exactly-once: re-running a batch's sink action (the
+    // retry-after-crash shape) must REPLACE its batchId-keyed output, not
+    // double-append — the log is unchanged row-for-row
+    val oneBatch = queryRows.take(3).toDF("vec_id", "embedding")
+    StreamingAnn.answerBatch(oneBatch, "vec_id", "embedding", idxDir,
+        kNN = 3, nProbe = 2, refine = 10)
+      .write.mode("overwrite").parquet(s"$work/out/batch=0")
+    val retried = StreamingAnn.answers(spark, s"$work/out")
+      .collect().map(_.toSeq)
+    assert(retried.toSet == batchAns && retried.length == streamed.length,
+      "a retried micro-batch changed the served answer log")
   }
 }
