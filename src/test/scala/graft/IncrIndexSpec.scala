@@ -126,7 +126,11 @@ class IncrIndexSpec extends AnyFunSuite {
     // grew with the corpus instead of the candidate set).
     val batch = docs.filter(col("doc_id") === 7L)
     val out = DedupIndex.matchBatch(batch, "doc_id", "text", dir)
-    val bandsScanned = scannedFiles(out, "bands")
+    // The band slice is checkpointed for reuse (4 consumers), which erases
+    // its file scan from the final plan — the pruned-file evidence is the
+    // diagnostic DedupIndex records at capture time.
+    val bandsScanned = DedupIndex.lastPrunedBandFiles.get()
+    assert(bandsScanned >= 0, "no stored-bands scan was recorded")
     assert(bandsScanned < bandFiles,
       s"bands scan reads all $bandFiles files — pfx pruning is not happening")
     assert(bandsScanned <= bandFiles / 2,
