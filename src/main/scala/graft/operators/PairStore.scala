@@ -84,6 +84,27 @@ object PairStore {
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
   }
 
+  /** [[append]] for a GATED batch — one whose ids are already known to
+    * have no stored match at or above `minJaccard` (the near-dup ingest
+    * gate's survivors: [[graft.streaming.StreamingDedup.gateAndMaintainPairs]]
+    * derives them from the very matchBatchPairs result whose emptiness
+    * this method banks on). The cross-edge pass is provably a no-op for
+    * such a batch — every cross pair the incremental discipline would
+    * find was found by the gate and disqualified its doc — so only the
+    * batch's internal self-join edges are appended and the index
+    * extended, saving the second per-batch signature pass. Feeding an
+    * UNGATED batch here loses its cross edges; use [[append]]. */
+  def appendGated(batch: DataFrame, idCol: String, textCol: String,
+                  dir: String, minJaccard: Double = 0.6,
+                  maxBucket: Int = 4096,
+                  oracleParity: Boolean = true): Unit = {
+    require(exists(dir), s"no complete PairStore at $dir")
+    TextDedup.nearDuplicatePairs(batch, idCol, textCol, minJaccard,
+        maxBucket, oracleParity)
+      .write.mode("append").parquet(s"$dir/pairs")
+    DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
+  }
+
   /** The stored pair graph: (id1, id2, jac), id1 < id2, exact floored
     * trigram Jaccard >= the build/append threshold. */
   def pairs(spark: SparkSession, dir: String): DataFrame =

@@ -54,6 +54,36 @@ object StreamingDedup {
     keep(batch, idCol, graft.operators.DedupIndex
       .matchBatch(batch, idCol, textCol, indexDir))
 
+  /** The maintenance-closed form of the index-backed gate — the full
+    * production ingest loop in one foreachBatch body: match the micro-
+    * batch against a [[graft.operators.PairStore]]'s embedded index ONCE
+    * (all verified cross pairs), drop every doc with a stored match, then
+    * grow the store with the survivors — their internal self-join edges
+    * plus the index append ([[graft.operators.PairStore.appendGated]];
+    * the survivors' cross edges are provably empty because the same match
+    * result that would produce them is what disqualified their docs).
+    * After N micro-batches the store equals the batch-mode sequential
+    * composition gate-then-append exactly — [[graft.PairStoreSpec]]
+    * asserts the stored graph and survivor sets bit-identical. Returns
+    * the surviving rows (already appended; the caller sinks them). */
+  def gateAndMaintainPairs(storeDir: String, batch: DataFrame, idCol: String,
+                           textCol: String,
+                           minJaccard: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cross = graft.operators.DedupIndex.matchBatchPairs(
+      batch, idCol, textCol, s"$storeDir/index", minJaccard)
+    // localCheckpoint: survivors feed both the append below and the
+    // caller's sink; without it the match (and its pruned store reads)
+    // would re-run per consumer.
+    val survivors = batch.join(
+        cross.select(col("new_id").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    graft.operators.PairStore.appendGated(survivors, idCol, textCol,
+      storeDir, minJaccard)
+    survivors
+  }
+
   private def keep(batch: DataFrame, idCol: String,
                    verdict: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col

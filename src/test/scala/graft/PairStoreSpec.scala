@@ -64,6 +64,61 @@ class PairStoreSpec extends AnyFunSuite {
       "duplicate edges in the stored graph")
   }
 
+  test("gate-and-maintain over micro-batches == batch-mode gate-then-full-append") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // reference: per batch, gate via the best-match verdict and run the
+    // FULL append (cross pass included) on the survivors
+    val refDir = Files.createTempDirectory("graft_pairs_ref").toString
+    PairStore.build(seed, "doc_id", "text", refDir)
+    val refSurvivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    incoming.grouped((incoming.size + 2) / 3).foreach { slice =>
+      val batch = slice.toDF("doc_id", "text")
+      val kept = graft.streaming.StreamingDedup.nearDupGate(
+          s"$refDir/index", batch, "doc_id", "text")
+        .localCheckpoint()
+      refSurvivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+      PairStore.append(kept, "doc_id", "text", refDir)
+    }
+
+    // gated path: one match per batch, survivors appended via appendGated
+    // (cross pass skipped — provably empty for gated survivors)
+    val gatDir = Files.createTempDirectory("graft_pairs_gat").toString
+    PairStore.build(seed, "doc_id", "text", gatDir)
+    val gatSurvivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    incoming.grouped((incoming.size + 2) / 3).foreach { slice =>
+      val kept = graft.streaming.StreamingDedup.gateAndMaintainPairs(
+        gatDir, slice.toDF("doc_id", "text"), "doc_id", "text")
+      gatSurvivors ++= kept.select("doc_id").collect().map(_.getLong(0))
+    }
+
+    assert(gatSurvivors.toSet == refSurvivors.toSet,
+      "gate-and-maintain accepted a different survivor set")
+    assert(refSurvivors.size < incoming.size,
+      "fixture should drop at least one incoming doc")
+    val refPairs = canon(PairStore.pairs(spark, refDir))
+    val gatPairs = canon(PairStore.pairs(spark, gatDir))
+    assert(refPairs == gatPairs,
+      s"stored graphs diverged: ref=${refPairs.length} gated=${gatPairs.length}")
+    // and later batches must be gated against EARLIER survivors too: a
+    // verbatim copy of a batch-1 survivor under a fresh id must drop
+    val copied = gatSurvivors.headOption.map { id =>
+      val txt = docs.filter(col("doc_id") === id).select("text")
+        .collect().head.getString(0)
+      graft.streaming.StreamingDedup.gateAndMaintainPairs(
+          gatDir, Seq((id + 1000000L, txt)).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .count()
+    }
+    assert(copied.contains(0L), "a copy of an accepted doc slipped the gate")
+  }
+
   test("completion marker: a store is absent until build lands, present after") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
