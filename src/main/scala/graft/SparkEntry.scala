@@ -3912,7 +3912,10 @@ object SparkEntry {
       s"/tmp/graft_cache/${new java.io.File(dir).getName}/pair_store_incr"
     withPathLock(root) {
       val done = java.nio.file.Paths.get(s"$root/_FIXTURE_DONE")
-      if (!java.nio.file.Files.exists(done)) {
+      // the store's own marker is re-validated too: a layout change can
+      // orphan the sentinel while the store reads absent (or unreadable)
+      if (!java.nio.file.Files.exists(done) || !operators.PairStore.exists(root)) {
+        java.nio.file.Files.deleteIfExists(done)
         val docs = Tables.documents(s, dir)
         operators.PairStore.build(docs.filter(col("doc_id") % 4 =!= 3),
           "doc_id", "text", root)

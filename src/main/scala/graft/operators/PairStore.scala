@@ -16,9 +16,17 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   *
   * Layout under one root:
   *
-  *   `<dir>/pairs`   (id1, id2, jac), id1 < id2 — append-only parquet
-  *   `<dir>/index`   an embedded [[DedupIndex]] of every doc stored so far
-  *   `<dir>/_META`   completion marker (written after build's data lands)
+  *   `<dir>/_META`          "v2 gen=<g>" pointer / completion marker
+  *   `<dir>/g<g>/pairs`     (id1, id2, jac), id1 < id2 — append-only parquet
+  *   `<dir>/index`          an embedded [[DedupIndex]] of every doc so far
+  *                          (generation-managed by its own _META)
+  *
+  * GENERATIONS (serve-through-compact, the [[DedupIndex]] discipline):
+  * `_META` names the live pairs generation and swings atomically; a
+  * [[compact]] rewrites the accumulated per-append task files into the
+  * next generation (and compacts the embedded index), retaining the
+  * replaced generation for in-flight readers until the following
+  * compaction.
   *
   * INCREMENTAL DISCIPLINE: [[build]] writes the corpus self-join pairs
   * ([[TextDedup.nearDuplicatePairs]] — capped LSH + hot-bucket exact
@@ -42,9 +50,53 @@ object PairStore {
 
   private def metaPath(dir: String) = Paths.get(s"$dir/_META")
 
+  private def readGen(dir: String): Option[Int] = {
+    val p = metaPath(dir)
+    if (!Files.exists(p)) None
+    else """^v2 gen=(\d+)$""".r
+      .findFirstMatchIn(Files.readString(p).trim).map(_.group(1).toInt)
+  }
+
+  private def writeMeta(dir: String, gen: Int): Unit = {
+    val tmp = Paths.get(s"$dir/_META.tmp")
+    Files.writeString(tmp, s"v2 gen=$gen")
+    Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The live pairs generation directory (exposed for specs/tools). */
+  def currentGenDir(dir: String): String = {
+    val g = readGen(dir).getOrElse(sys.error(s"no PairStore _META at $dir"))
+    s"$dir/g$g"
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+
+  private def pruneDirs(dir: String, keep: Set[Int]): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val ls = Files.list(root)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toList
+    } finally ls.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+      // legacy v1 layout kept a flat `pairs` dir at the root
+      if (genOf.exists(g => !keep(g)) || name == "pairs") deleteRecursively(p)
+    }
+  }
+
   def exists(dir: String): Boolean =
-    Files.exists(metaPath(dir)) &&
-      Files.exists(Paths.get(s"$dir/pairs/_SUCCESS")) &&
+    readGen(dir).exists(g =>
+      Files.exists(Paths.get(s"$dir/g$g/pairs/_SUCCESS"))) &&
       DedupIndex.exists(s"$dir/index")
 
   /** Create (overwrite) the pair graph for `docs` under `dir`: the corpus
@@ -54,17 +106,16 @@ object PairStore {
             oracleParity: Boolean = true): Unit = {
     Files.createDirectories(Paths.get(dir))
     // rebuild window: marker dropped before any data is touched, so a
-    // crash mid-build reads as absent (same discipline as DedupIndex)
+    // crash mid-build reads as absent (same discipline as DedupIndex);
+    // stale generations / legacy layouts cleared for a clean slate
     Files.deleteIfExists(metaPath(dir))
+    pruneDirs(dir, keep = Set.empty)
     DedupIndex.build(docs, idCol, textCol, s"$dir/index",
       oracleParity = oracleParity)
     TextDedup.nearDuplicatePairs(docs, idCol, textCol, minJaccard, maxBucket,
         oracleParity)
-      .write.mode("overwrite").parquet(s"$dir/pairs")
-    val tmp = Paths.get(s"$dir/_META.tmp")
-    Files.writeString(tmp, "v1")
-    Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+      .write.mode("overwrite").parquet(s"$dir/g0/pairs")
+    writeMeta(dir, 0)
   }
 
   /** Grow the graph by one accepted batch (ids disjoint from the stored
@@ -80,7 +131,8 @@ object PairStore {
         greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
     val internal = TextDedup.nearDuplicatePairs(batch, idCol, textCol,
       minJaccard, maxBucket, oracleParity)
-    cross.unionByName(internal).write.mode("append").parquet(s"$dir/pairs")
+    cross.unionByName(internal).write.mode("append")
+      .parquet(s"${currentGenDir(dir)}/pairs")
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
   }
 
@@ -101,12 +153,32 @@ object PairStore {
     require(exists(dir), s"no complete PairStore at $dir")
     TextDedup.nearDuplicatePairs(batch, idCol, textCol, minJaccard,
         maxBucket, oracleParity)
-      .write.mode("append").parquet(s"$dir/pairs")
+      .write.mode("append").parquet(s"${currentGenDir(dir)}/pairs")
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
+  }
+
+  /** Compact the store: consolidate the pairs table's accumulated
+    * per-append task files into the NEXT generation (~`pairFiles` files)
+    * and compact the embedded [[DedupIndex]] (its own generation
+    * discipline). The pairs pointer swings atomically after the new
+    * generation is fully materialized; the replaced generation is
+    * retained for in-flight readers until the following compaction. Edges
+    * are preserved exactly — [[graft.PairStoreSpec]] asserts the stored
+    * graph bit-identical before and after. */
+  def compact(spark: SparkSession, dir: String, pairFiles: Int = 4): Unit = {
+    val g = readGen(dir).getOrElse(sys.error(s"no complete PairStore at $dir"))
+    require(exists(dir), s"no complete PairStore at $dir")
+    val next = g + 1
+    pruneDirs(dir, keep = Set(g, g - 1))
+    spark.read.parquet(s"$dir/g$g/pairs").repartition(pairFiles)
+      .write.mode("overwrite").parquet(s"$dir/g$next/pairs")
+    writeMeta(dir, next)
+    pruneDirs(dir, keep = Set(g, next))
+    DedupIndex.compact(spark, s"$dir/index")
   }
 
   /** The stored pair graph: (id1, id2, jac), id1 < id2, exact floored
     * trigram Jaccard >= the build/append threshold. */
   def pairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/pairs")
+    spark.read.parquet(s"${currentGenDir(dir)}/pairs")
 }

@@ -30,7 +30,11 @@ object IndexMaintain {
       graft.operators.AnnIndexStore.compact(spark, dir,
         args.lift(1).map(_.toInt).getOrElse(4))
       println(s"COMPACTED $dir (ann ivf-pq store)")
-    } else sys.error(s"no complete DedupIndex or AnnIndexStore at $dir")
+    } else if (graft.operators.PairStore.exists(dir)) {
+      graft.operators.PairStore.compact(spark, dir,
+        args.lift(1).map(_.toInt).getOrElse(4))
+      println(s"COMPACTED $dir (pair graph + embedded index)")
+    } else sys.error(s"no complete DedupIndex, AnnIndexStore or PairStore at $dir")
     spark.stop()
   }
 }

@@ -119,6 +119,44 @@ class PairStoreSpec extends AnyFunSuite {
     assert(copied.contains(0L), "a copy of an accepted doc slipped the gate")
   }
 
+  test("compact: consolidates pair files, graph bit-identical, serve-through") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("graft_pairs_cpt").toString
+    PairStore.build(docs.filter(col("doc_id") % 4 <= 1), "doc_id", "text", dir)
+    PairStore.append(docs.filter(col("doc_id") % 4 === 2), "doc_id", "text", dir)
+    PairStore.append(docs.filter(col("doc_id") % 4 === 3), "doc_id", "text", dir)
+    def pairFiles: Int = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.walk(
+        java.nio.file.Paths.get(s"${PairStore.currentGenDir(dir)}/pairs"))
+      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val before = canon(PairStore.pairs(spark, dir))
+    val filesBefore = pairFiles
+    val g0 = PairStore.currentGenDir(dir)
+
+    PairStore.compact(spark, dir, pairFiles = 2)
+
+    assert(PairStore.exists(dir), "compaction must keep the store readable")
+    assert(PairStore.currentGenDir(dir) != g0,
+      "compaction must advance the live generation")
+    assert(pairFiles == 2 && pairFiles < filesBefore,
+      s"pairs files $filesBefore -> $pairFiles: no consolidation")
+    assert(Files.exists(java.nio.file.Paths.get(g0)),
+      "compaction must retain the previous generation for in-flight readers")
+    assert(canon(PairStore.pairs(spark, dir)) == before,
+      "compaction changed the stored graph")
+    // appends keep working against the compacted store and land in the
+    // live generation; a second compaction prunes the oldest one
+    PairStore.compact(spark, dir, pairFiles = 2)
+    assert(!Files.exists(java.nio.file.Paths.get(g0)),
+      "second compaction must prune the two-generations-old directory")
+    assert(canon(PairStore.pairs(spark, dir)) == before)
+  }
+
   test("completion marker: a store is absent until build lands, present after") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
