@@ -456,6 +456,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Embedding near-dup ingest gate from the STORED index — the vector
+    // twin of q_incr_dedup: an incoming vector batch (vec_id % 20 == 0)
+    // matched against the stored slice's IVF-PQ index; a vector whose
+    // nearest stored neighbor sits within the semantic-dup radius
+    // (1,350,000 ≈ the nearest-neighbor median, so the verdict splits the
+    // batch) is flagged with its match. Per-batch cost is the probe shape
+    // — nProbe cells ADC-scored, refine pool exactly re-ranked — never a
+    // corpus scan.
+    "q_ann_gate" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.matchBatchVectors(
+          e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
+          annGateIndexDir(s, dir), dupFloor = 1350000L, nProbe = 2,
+          refine = 30)
+        .orderBy("new_id")
+    }),
+
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
     "q_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -2205,6 +2222,11 @@ object SparkEntry {
            FROM re)
          SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
          ORDER BY qid, rank""",
+    // embedding near-dup gate: the IVF-PQ chain retrained over the stored
+    // corpus slice only, OUT-OF-CORPUS query vectors probed against it
+    // (their own pts/LUT CTEs), refined best match thresholded at the
+    // semantic-dup radius
+    "q_ann_gate" -> annGateOracle,
     // stored hard negatives: the refined pool band-filtered on the exact
     // distance (> 1,300,000) BEFORE the rank window
     "q_hard_negatives_stored" ->
@@ -3849,6 +3871,21 @@ object SparkEntry {
     dedupIndexDir(s, dir, "incr_dedup_index")(
       Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
 
+  /** On-disk AnnIndexStore over the vec_id % 20 != 0 corpus slice — the
+    * stored side of the embedding near-dup ingest gate (q_ann_gate), so
+    * the timed cost is the per-batch match, not the one-time training. */
+  private def annGateIndexDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/ann_gate_index"
+    withPathLock(root) {
+      if (!operators.AnnIndexStore.exists(root))
+        operators.AnnIndexStore.build(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 20 =!= 0),
+          "vec_id", "embedding", root, dim = 64)
+    }
+    root
+  }
+
   /** On-disk IncrStats store for q_incr_stats, built once per sf dir from
     * 5 simulated ingest batches (doc_id mod 5) — a maintained artifact
     * like the DedupIndex: the bench times the report-from-partials read,
@@ -4124,7 +4161,7 @@ object SparkEntry {
     * at embedding offset `off` — sfx/off > 0 give the per-subspace chains
     * of the PQ mirror. */
   private def kmeansCteSub(sfx: String, k: Int, iters: Int, dim: Int,
-                           off: Int): String = {
+                           off: Int, where: String = ""): String = {
     def dist(r: Int) =
       s"""d$r$sfx AS (SELECT p.id, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS d
            FROM pts$sfx p JOIN cent${r - 1}$sfx c USING (pos) GROUP BY p.id, c.j)"""
@@ -4140,7 +4177,7 @@ object SparkEntry {
     s"""pts$sfx AS (
          SELECT vec_id AS id, CAST(t.i AS INT) AS pos,
            CAST(floor(CAST(embedding[t.i + 1 + $off] AS DOUBLE) * 1000) AS BIGINT) AS q
-         FROM embeddings, (SELECT unnest(range($dim)) AS i) t),
+         FROM embeddings, (SELECT unnest(range($dim)) AS i) t $where),
        init$sfx AS (
          SELECT id, row_number() OVER (ORDER BY id) - 1 AS j
          FROM (SELECT DISTINCT id FROM pts$sfx ORDER BY id LIMIT $k)),
@@ -4234,6 +4271,59 @@ object SparkEntry {
        r AS (SELECT qid, id, adist,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS INT) AS rank
          FROM scores)"""
+
+  /** Mirror of AnnIndexStore.matchBatchVectors over the sliced fixture:
+    * the IVF-PQ training chain runs over the STORED corpus slice only
+    * (vec_id % 20 <> 0), the incoming batch gets its own quantized-point
+    * CTEs (out-of-corpus queries — their cells come from distance to the
+    * trained centroids, not a membership row), and the refined best match
+    * is thresholded at the semantic-dup radius. */
+  private lazy val annGateOracle: String = {
+    val cw = "WHERE vec_id % 20 <> 0"
+    def qpts(sfx: String, dim: Int, off: Int) =
+      s"""qpts$sfx AS (
+           SELECT vec_id AS id, CAST(t.i AS INT) AS pos,
+             CAST(floor(CAST(embedding[t.i + 1 + $off] AS DOUBLE) * 1000) AS BIGINT) AS q
+           FROM embeddings, (SELECT unnest(range($dim)) AS i) t
+           WHERE vec_id % 20 = 0)"""
+    s"""WITH ${kmeansCteSub("iv", 8, 3, 64, 0, cw)},
+       ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16, cw)).mkString(",\n")},
+       ${qpts("iv", 64, 0)},
+       ${(0 until 4).map(s => qpts(s"s$s", 16, s * 16)).mkString(",\n")},
+       dq AS (SELECT q.id, c.j, CAST(sum((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS d
+              FROM qptsiv q JOIN cent2iv c USING (pos) GROUP BY q.id, c.j),
+       qprobe AS (SELECT id AS qid, j FROM (
+           SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
+           FROM dq) WHERE rn <= 2),
+       cand AS (SELECT p.qid, f.id FROM qprobe p JOIN finiv f ON f.j = p.j),
+       ${(0 until 4).map { s =>
+         s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
+              FROM qptss$s p JOIN cent1s$s c USING (pos) GROUP BY p.id, c.j),
+            sc$s AS (SELECT l.qid, f.id, l.pd FROM fins$s f JOIN lut$s l ON l.j = f.j)"""
+       }.mkString(",\n")},
+       scores AS (SELECT s0.qid, s0.id,
+           CAST(s0.pd + s1.pd + s2.pd + s3.pd AS BIGINT) AS adist
+         FROM sc0 s0 JOIN sc1 s1 USING (qid, id) JOIN sc2 s2 USING (qid, id)
+           JOIN sc3 s3 USING (qid, id)
+           JOIN cand c ON c.qid = s0.qid AND c.id = s0.id),
+       pool AS (SELECT qid, id FROM (
+           SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
+           FROM scores) WHERE rank <= 30),
+       re AS (SELECT pool.qid, pool.id,
+           CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+         FROM pool JOIN ptsiv a ON a.id = pool.id
+                   JOIN qptsiv b ON b.id = pool.qid AND b.pos = a.pos
+         GROUP BY pool.qid, pool.id),
+       best AS (SELECT qid, id, dist FROM (
+           SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
+           FROM re) WHERE rn = 1 AND dist <= 1350000)
+       SELECT e.vec_id AS new_id, best.id AS match_id,
+         CAST(coalesce(best.dist, -1) AS BIGINT) AS dist,
+         best.id IS NOT NULL AS is_dup
+       FROM embeddings e LEFT JOIN best ON best.qid = e.vec_id
+       WHERE e.vec_id % 20 = 0
+       ORDER BY new_id"""
+  }
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */

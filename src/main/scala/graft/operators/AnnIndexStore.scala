@@ -257,6 +257,35 @@ object AnnIndexStore {
       minDist = negFloor)
   }
 
+  /** Per-vector near-duplicate verdict against the stored index — the
+    * embedding twin of [[DedupIndex.matchBatch]]: one row per incoming
+    * vector, (new_id, match_id, dist, is_dup), where match_id/dist name
+    * the NEAREST stored vector by exact quantized L2 (from the refined
+    * pool) iff that distance is at or below `dupFloor` — the semantic-dup
+    * radius — and null/-1/false otherwise. Incoming ids must be disjoint
+    * from the stored corpus. Serving cost is the standard probe shape
+    * (nProbe cells ADC-scored, top-`refine` exactly re-ranked), so the
+    * per-batch cost tracks probed cells, never the corpus; recall of the
+    * verdict inherits the probe/pool knobs exactly like [[query]].
+    * [[graft.streaming.StreamingAnn.gateAndMaintainVectors]] is the
+    * ingest-loop composition (gate + append survivors). */
+  def matchBatchVectors(batch: DataFrame, idCol: String, vecCol: String,
+                        dir: String, dupFloor: Long, nProbe: Int = 2,
+                        refine: Int = 30): DataFrame = {
+    require(refine > 0, "matchBatchVectors needs an exact refine pool (> 0)")
+    val (adc, qpts, g) = adcPool(batch, idCol, vecCol, dir, refine, nProbe)
+    val best = Clustering.refineTopKQuantized(adc,
+        batch.sparkSession.read.parquet(s"$g/vectors"), qpts, kNN = 1)
+      .filter(col("dist") <= dupFloor)
+      .select(col("qid").as("new_id"), col("nid").as("match_id"),
+        col("dist"))
+    batch.select(col(idCol).cast("long").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("match_id").isNotNull.as("is_dup"))
+  }
+
   /** Shared serving front half: probe the nProbe nearest coarse cells and
     * ADC-rank the probed cells' members to a `poolSize` candidate pool.
     * Returns (adc pool, quantized queries, pinned generation dir). */

@@ -68,4 +68,33 @@ object StreamingAnn {
   def answers(spark: org.apache.spark.sql.SparkSession,
               outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
+
+  /** Embedding near-dup ingest gate, maintenance-closed — the vector twin
+    * of [[StreamingDedup.gateAndMaintainPairs]]: per micro-batch, match
+    * the batch against the stored IVF-PQ index
+    * ([[AnnIndexStore.matchBatchVectors]]), drop every vector whose
+    * nearest stored neighbor sits within the semantic-dup radius
+    * `dupFloor`, and append the survivors to the index (coded with the
+    * STORED codebooks — never retrained) so the next micro-batch screens
+    * against them too. Returns the surviving rows for the caller's sink.
+    * [[graft.StreamingAnnSpec]] asserts streamed micro-batches accept
+    * exactly the batch-mode sequential survivors and that a copy of an
+    * accepted vector is rejected by a later batch. */
+  def gateAndMaintainVectors(indexDir: String, batch: DataFrame,
+                             idCol: String, vecCol: String, dupFloor: Long,
+                             nProbe: Int = 2, refine: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val verdict = AnnIndexStore.matchBatchVectors(batch, idCol, vecCol,
+      indexDir, dupFloor, nProbe, refine)
+    // localCheckpoint: survivors feed both the index append and the
+    // caller's sink; without it the match would re-run per consumer.
+    val survivors = batch.join(
+        verdict.filter(!col("is_dup"))
+          .select(col("new_id").cast("long").as(idCol)),
+        Seq(idCol), "left_semi")
+      .localCheckpoint()
+    if (!survivors.isEmpty)
+      AnnIndexStore.append(survivors, idCol, vecCol, indexDir)
+    survivors
+  }
 }

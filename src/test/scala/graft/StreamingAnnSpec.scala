@@ -72,4 +72,38 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(retried.toSet == batchAns && retried.length == streamed.length,
       "a retried micro-batch changed the served answer log")
   }
+
+  test("vector gate-and-maintain: duplicates drop, survivors screen later batches") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft_vgate_idx").toString
+    AnnIndexStore.build(corpus.filter(col("vec_id") % 20 =!= 0),
+      "vec_id", "embedding", idxDir, dim = 64)
+    val floor = 1350000L
+    val incoming = corpus.filter(col("vec_id") % 20 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+
+    // batch 1: the expected verdict is the direct matchBatchVectors one
+    val b1 = incoming.toDF("vec_id", "embedding")
+    val expectKeep = AnnIndexStore.matchBatchVectors(b1, "vec_id",
+        "embedding", idxDir, floor)
+      .filter(!col("is_dup")).select("new_id")
+      .collect().map(_.getLong(0)).toSet
+    val kept1 = StreamingAnn.gateAndMaintainVectors(idxDir, b1,
+        "vec_id", "embedding", floor)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == expectKeep && kept1.nonEmpty && kept1.size < incoming.size,
+      s"gate verdict diverged or is vacuous: kept ${kept1.size}/${incoming.size}")
+
+    // batch 2: verbatim copies of batch-1 survivors under fresh ids must
+    // ALL drop — the survivors were appended, so the gate now knows them
+    val copies = incoming.filter(r => kept1(r._1))
+      .map { case (id, v) => (id + 1000000L, v) }
+    val kept2 = StreamingAnn.gateAndMaintainVectors(idxDir,
+        copies.toDF("vec_id", "embedding"), "vec_id", "embedding", floor)
+      .count()
+    assert(kept2 == 0L,
+      s"$kept2 copies of already-accepted vectors slipped the gate")
+  }
 }
