@@ -468,9 +468,30 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       operators.AnnIndexStore.matchBatchVectors(
           e.filter(col("vec_id") % 20 === 0), "vec_id", "embedding",
-          annGateIndexDir(s, dir), dupFloor = 1350000L, nProbe = 2,
-          refine = 30)
+          annGateIndexDir(s, dir), dupFloor = 1350000L, nProbe = 6,
+          refine = 100)
         .orderBy("new_id")
+    }),
+
+    // Recall audit of the vector gate (the q_lsh_recall / q_ann_recall
+    // discipline applied to the newest approximate path): ground truth is
+    // the exact full-slice scan with the same radius; every gate dup
+    // carries an exact distance, so found ⊆ true and recall = found/true
+    // — the number to check before trusting the probe/pool knobs on a new
+    // corpus.
+    "q_ann_gate_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val batch = e.filter(col("vec_id") % 20 === 0)
+      val gate = operators.AnnIndexStore.matchBatchVectors(batch, "vec_id",
+        "embedding", annGateIndexDir(s, dir), dupFloor = 1350000L,
+        nProbe = 6, refine = 100)
+      val truth = operators.AnnIndexStore.matchBatchVectorsExact(batch,
+        "vec_id", "embedding", e.filter(col("vec_id") % 20 =!= 0), 1350000L)
+      truth.filter(col("is_dup")).agg(count(lit(1)).as("n_true"))
+        .crossJoin(gate.filter(col("is_dup")).agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          (floor(col("n_found").cast("double") / col("n_true") * 10000) /
+            10000.0).as("recall"))
     }),
 
     // LSH-bucketed ANN (sign-bit hyperplane buckets; the 100-TB scale path).
@@ -2227,6 +2248,20 @@ object SparkEntry {
     // (their own pts/LUT CTEs), refined best match thresholded at the
     // semantic-dup radius
     "q_ann_gate" -> annGateOracle,
+    // gate recall audit: exact full-slice dists from the same ptsiv/qptsiv
+    // CTEs the gate chain already opens; gate-found ⊆ exact-found
+    "q_ann_gate_recall" ->
+      s"""WITH $annGateCtes,
+         exd AS (SELECT b.id AS qid, a.id AS nid,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+           FROM ptsiv a JOIN qptsiv b ON b.pos = a.pos
+           GROUP BY b.id, a.id),
+         ext AS (SELECT qid FROM exd GROUP BY qid HAVING min(dist) <= 1350000),
+         n AS (SELECT CAST((SELECT count(*) FROM ext) AS BIGINT) AS n_true,
+                      CAST((SELECT count(*) FROM best) AS BIGINT) AS n_found)
+         SELECT n_true, n_found,
+           floor(CAST(n_found AS DOUBLE) / n_true * 10000) / 10000 AS recall
+         FROM n""",
     // stored hard negatives: the refined pool band-filtered on the exact
     // distance (> 1,300,000) BEFORE the rank window
     "q_hard_negatives_stored" ->
@@ -3802,7 +3837,7 @@ object SparkEntry {
     * timing it alongside the headline queries would misstate the
     * pipeline's cost. Excluded queries remain in `queries`/`oracleSql`
     * and are oracle-checked at sf0.01 by the correctness gate. */
-  val benchExclude: Set[String] = Set("q_lsh_recall")
+  val benchExclude: Set[String] = Set("q_lsh_recall", "q_ann_gate_recall")
 
   /** Drop this session's memoized intermediates so the next query rebuilds
     * them from source. Used by `graft.Bench` between timing runs so every
@@ -4278,7 +4313,18 @@ object SparkEntry {
     * CTEs (out-of-corpus queries — their cells come from distance to the
     * trained centroids, not a membership row), and the refined best match
     * is thresholded at the semantic-dup radius. */
-  private lazy val annGateOracle: String = {
+  private lazy val annGateOracle: String =
+    s"""WITH $annGateCtes
+       SELECT e.vec_id AS new_id, best.id AS match_id,
+         CAST(coalesce(best.dist, -1) AS BIGINT) AS dist,
+         best.id IS NOT NULL AS is_dup
+       FROM embeddings e LEFT JOIN best ON best.qid = e.vec_id
+       WHERE e.vec_id % 20 = 0
+       ORDER BY new_id"""
+
+  /** CTE chain ending in the gate's thresholded best match `best(qid, id,
+    * dist)` — shared by the gate mirror and its recall audit. */
+  private lazy val annGateCtes: String = {
     val cw = "WHERE vec_id % 20 <> 0"
     def qpts(sfx: String, dim: Int, off: Int) =
       s"""qpts$sfx AS (
@@ -4286,7 +4332,7 @@ object SparkEntry {
              CAST(floor(CAST(embedding[t.i + 1 + $off] AS DOUBLE) * 1000) AS BIGINT) AS q
            FROM embeddings, (SELECT unnest(range($dim)) AS i) t
            WHERE vec_id % 20 = 0)"""
-    s"""WITH ${kmeansCteSub("iv", 8, 3, 64, 0, cw)},
+    s"""${kmeansCteSub("iv", 8, 3, 64, 0, cw)},
        ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16, cw)).mkString(",\n")},
        ${qpts("iv", 64, 0)},
        ${(0 until 4).map(s => qpts(s"s$s", 16, s * 16)).mkString(",\n")},
@@ -4294,7 +4340,7 @@ object SparkEntry {
               FROM qptsiv q JOIN cent2iv c USING (pos) GROUP BY q.id, c.j),
        qprobe AS (SELECT id AS qid, j FROM (
            SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY d, j) AS rn
-           FROM dq) WHERE rn <= 2),
+           FROM dq) WHERE rn <= 6),
        cand AS (SELECT p.qid, f.id FROM qprobe p JOIN finiv f ON f.j = p.j),
        ${(0 until 4).map { s =>
          s"""lut$s AS (SELECT p.id AS qid, c.j, CAST(sum((p.q - c.c) * (p.q - c.c)) AS BIGINT) AS pd
@@ -4308,7 +4354,7 @@ object SparkEntry {
            JOIN cand c ON c.qid = s0.qid AND c.id = s0.id),
        pool AS (SELECT qid, id FROM (
            SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rank
-           FROM scores) WHERE rank <= 30),
+           FROM scores) WHERE rank <= 100),
        re AS (SELECT pool.qid, pool.id,
            CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
          FROM pool JOIN ptsiv a ON a.id = pool.id
@@ -4316,13 +4362,7 @@ object SparkEntry {
          GROUP BY pool.qid, pool.id),
        best AS (SELECT qid, id, dist FROM (
            SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
-           FROM re) WHERE rn = 1 AND dist <= 1350000)
-       SELECT e.vec_id AS new_id, best.id AS match_id,
-         CAST(coalesce(best.dist, -1) AS BIGINT) AS dist,
-         best.id IS NOT NULL AS is_dup
-       FROM embeddings e LEFT JOIN best ON best.qid = e.vec_id
-       WHERE e.vec_id % 20 = 0
-       ORDER BY new_id"""
+           FROM re) WHERE rn = 1 AND dist <= 1350000)"""
   }
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float

@@ -268,10 +268,20 @@ object AnnIndexStore {
     * per-batch cost tracks probed cells, never the corpus; recall of the
     * verdict inherits the probe/pool knobs exactly like [[query]].
     * [[graft.streaming.StreamingAnn.gateAndMaintainVectors]] is the
-    * ingest-loop composition (gate + append survivors). */
+    * ingest-loop composition (gate + append survivors).
+    *
+    * DEFAULTS sized for recall, and measured (tools/GateFloorProbe,
+    * shipped as the q_ann_gate_recall audit): at a radius set to the
+    * MEDIAN nearest-neighbor distance — the adversarial regime, where
+    * half the "dups" are barely distinguishable from non-dups — recall is
+    * POOL-bound, not probe-bound (refine=30 caps at ~0.5 even probing all
+    * cells; nProbe=6/refine=100 measures 0.875 at sf0.01). A production
+    * semantic-dup radius sits well inside the NN distribution (true dups
+    * are near-copies), where the ADC gap is easy; re-run the audit when
+    * changing corpus or radius. */
   def matchBatchVectors(batch: DataFrame, idCol: String, vecCol: String,
-                        dir: String, dupFloor: Long, nProbe: Int = 2,
-                        refine: Int = 30): DataFrame = {
+                        dir: String, dupFloor: Long, nProbe: Int = 6,
+                        refine: Int = 100): DataFrame = {
     require(refine > 0, "matchBatchVectors needs an exact refine pool (> 0)")
     val (adc, qpts, g) = adcPool(batch, idCol, vecCol, dir, refine, nProbe)
     val best = Clustering.refineTopKQuantized(adc,
@@ -279,6 +289,37 @@ object AnnIndexStore {
       .filter(col("dist") <= dupFloor)
       .select(col("qid").as("new_id"), col("nid").as("match_id"),
         col("dist"))
+    batch.select(col(idCol).cast("long").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"), col("match_id"),
+        coalesce(col("dist"), lit(-1L)).as("dist"),
+        col("match_id").isNotNull.as("is_dup"))
+  }
+
+  /** EXACT brute-force twin of [[matchBatchVectors]] — the ground-truth
+    * side of the gate's recall audit (q_ann_gate_recall): every incoming
+    * vector scored against the FULL `corpus` frame (quantized L2, one
+    * corpus scan x broadcast batch, min_by partial aggregation), same
+    * verdict contract. A gate "dup" carries an exact distance <= floor,
+    * so gate-found ⊆ exact-found and recall = found/true — the number to
+    * check before trusting the probe/pool knobs at a new scale. */
+  def matchBatchVectorsExact(batch: DataFrame, idCol: String, vecCol: String,
+                             corpus: DataFrame, dupFloor: Long,
+                             scale: Int = 1000): DataFrame = {
+    val b = Clustering.quantized(batch, idCol, vecCol, scale)
+      .select(col("id").as("qid"), col("q").as("qq"))
+    val c = Clustering.quantized(corpus, idCol, vecCol, scale)
+      .select(col("id").as("nid"), col("q").as("nq"))
+    val best = c.crossJoin(broadcast(b))
+      .withColumn("dist",
+        aggregate(zip_with(col("qq"), col("nq"), (a, x) => (a - x) * (a - x)),
+          lit(0L), (acc, x) => acc + x))
+      .groupBy("qid")
+      .agg(min_by(struct(col("nid").as("match_id"), col("dist")),
+        struct(col("dist"), col("nid"))).as("m"))
+      .select(col("qid").as("new_id"), col("m.match_id").as("match_id"),
+        col("m.dist").as("dist"))
+      .filter(col("dist") <= dupFloor)
     batch.select(col(idCol).cast("long").as("new_id"))
       .join(best, Seq("new_id"), "left")
       .select(col("new_id"), col("match_id"),

@@ -82,7 +82,7 @@ object StreamingAnn {
     * accepted vector is rejected by a later batch. */
   def gateAndMaintainVectors(indexDir: String, batch: DataFrame,
                              idCol: String, vecCol: String, dupFloor: Long,
-                             nProbe: Int = 2, refine: Int = 30): DataFrame = {
+                             nProbe: Int = 6, refine: Int = 100): DataFrame = {
     import org.apache.spark.sql.functions.col
     val verdict = AnnIndexStore.matchBatchVectors(batch, idCol, vecCol,
       indexDir, dupFloor, nProbe, refine)
