@@ -238,6 +238,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The join SimHash exists for: exact Hamming-3 near-dup pairs over
+    // the signatures — identical signatures collapse to their lowest-id
+    // representative (the value-equality cliques q_simhash's grouping
+    // already covers; a raw segment join would go quadratic in the giant
+    // duplicate family), then pigeonhole banding (4 disjoint 15-bit
+    // segments; 3 flipped bits cannot touch all 4) turns the candidate
+    // space into a segment equi-join with zero recall loss, verified by
+    // the codegen bit_count. The oracle is the brute all-pairs Hamming
+    // join over distinct signatures — hash equality therefore PROVES the
+    // banding is exact on this corpus.
+    "q_simhash_neardup" -> ((s, dir) => {
+      operators.TextDedup.hammingNearDupPairs(
+          TextDedup.simHashSignature(Tables.documents(s, dir), "doc_id", "text"),
+          "doc_id", "simhash", maxHamming = 3)
+        .orderBy("id1", "id2")
+    }),
+
     // Character trigram Jaccard similarity between consecutive documents,
     // over md5-hashed shingles: each doc's sorted distinct hash array is
     // built ONCE, and the per-pair score is the codegen merge walk
@@ -2123,6 +2140,26 @@ object SparkEntry {
          SELECT doc_id,
            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // brute all-pairs Hamming mirror over distinct signatures — proves
+    // the Spark side's pigeonhole banding loses no pair
+    "q_simhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+         bits AS (
+           SELECT doc_id, b, sum(2 * ((h >> b) & 1) - 1) AS s
+           FROM tok, (SELECT unnest(generate_series(0, 59)) AS b)
+           GROUP BY doc_id, b),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS h
+           FROM bits GROUP BY doc_id),
+         reps AS (SELECT h, min(doc_id) AS rid FROM sig GROUP BY h)
+         SELECT a.rid AS id1, b.rid AS id2,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM reps a JOIN reps b ON a.rid < b.rid
+         WHERE bit_count(xor(a.h, b.h)) <= 3
+         ORDER BY id1, id2""",
     "q_ngram_jaccard" ->
       s"""WITH s AS (SELECT doc_id,
            list_distinct(list_transform(${shinglesSql("text", 3)},

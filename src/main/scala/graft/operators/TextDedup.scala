@@ -160,6 +160,63 @@ object TextDedup {
         }.reduce(_ + _).as("simhash"))
   }
 
+  /** EXACT Hamming near-duplicate pairs over a precomputed bit-signature
+    * column ([[simHashSignature]], [[graft.multimodal.Multimodal]]'s image
+    * dHash, per-frame video dHash) — the join SimHash exists for, which
+    * the signature operator alone does not provide: all signature pairs
+    * within Hamming distance `maxHamming`, WITHOUT the O(n^2) cartesian.
+    *
+    * Two-stage shape, both stages exact:
+    *
+    *  1. COLLAPSE identical signatures to their lowest-id representative.
+    *     Identical content is the dominant real-world skew (the synthetic
+    *     corpus's giant duplicate family shares one simhash; a segment
+    *     equi-join over raw rows would go quadratic in family size for
+    *     pairs a value-equality groupBy already implies). Hamming-0-
+    *     by-value cliques are therefore REPRESENTED, not enumerated —
+    *     exact-duplicate grouping by signature value is the existing
+    *     q_simhash / q_fingerprint discipline.
+    *  2. PIGEONHOLE BANDING over the distinct signatures: split the
+    *     `bits`-wide signature into maxHamming+1 disjoint segments; two
+    *     signatures within Hamming maxHamming must agree EXACTLY on at
+    *     least one segment (k flipped bits cannot touch all k+1
+    *     segments), so a segment equi-join loses no qualifying pair.
+    *     Survivors verify with the codegen `bit_count(xor)` — exact, not
+    *     approximate.
+    *
+    * Returns (id1, id2, hamming) over representatives, id1 < id2,
+    * 1 <= hamming <= maxHamming (0 cannot occur between DISTINCT
+    * signatures). Candidate volume tracks near-collision structure among
+    * distinct signatures; a residual hot segment there means many
+    * almost-identical distinct signatures — exactly the pairs the join
+    * exists to find. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+    require(maxHamming >= 0 && bits > maxHamming,
+      s"need bits > maxHamming, got bits=$bits maxHamming=$maxHamming")
+    val reps = sigs.groupBy(col(hashCol).as("h"))
+      .agg(min(col(idCol)).as("rid"))
+    val nSeg = maxHamming + 1
+    val segW = bits / nSeg
+    val segCols = (0 until nSeg).map { i =>
+      val lo = i * segW
+      val w = if (i == nSeg - 1) bits - lo else segW
+      struct(lit(i).as("seg"),
+        shiftright(col("h"), lo).bitwiseAND(lit((1L << w) - 1)).as("key"))
+    }
+    val banded = reps
+      .select(col("rid"), col("h"), explode(array(segCols: _*)).as("b"))
+      .select(col("rid"), col("h"), col("b.seg").as("seg"), col("b.key").as("key"))
+    val a = banded.toDF("id1", "h1", "seg", "key")
+    val b = banded.toDF("id2", "h2", "seg", "key")
+    a.join(b, Seq("seg", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr(s"bit_count(h1 ^ h2)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Jaccard over two precomputed distinct-shingle arrays, truncated to 4
     * decimals with floor (bit-identical to the DuckDB mirror). When scoring
     * many pairs, compute shingle arrays once per document BEFORE the join —

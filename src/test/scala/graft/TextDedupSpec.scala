@@ -269,4 +269,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(capped.map(r => (r.getLong(0), r.getBoolean(3))).toSeq ==
       out.map(r => (r.getLong(0), r.getBoolean(3))).toSeq)
   }
+
+  test("hammingNearDupPairs == brute force; identical sigs collapse to reps") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // deterministic signatures with engineered structure: a base value,
+    // 1/2/3/4-bit flips of it, a far value, and EXACT copies (ids 100+)
+    // that must collapse into their lowest-id representative
+    val base = 0x0ABCDEF012345L
+    val rows = Seq(
+      1L -> base,
+      2L -> (base ^ (1L << 3)),                                  // ham 1
+      3L -> (base ^ (1L << 17) ^ (1L << 44)),                    // ham 2
+      4L -> (base ^ (1L << 5) ^ (1L << 25) ^ (1L << 59)),        // ham 3
+      5L -> (base ^ (1L << 1) ^ (1L << 2) ^ (1L << 40) ^ (1L << 41)), // ham 4
+      6L -> 0x0123123412345L,
+      100L -> base, 101L -> base,                                // copies of 1
+      102L -> (base ^ (1L << 3)))                                // copy of 2
+    def brute(k: Int): Set[(Long, Long, Int)] = {
+      val reps = rows.groupBy(_._2).map { case (h, rs) => (rs.map(_._1).min, h) }.toSeq
+      (for {
+        (i1, h1) <- reps; (i2, h2) <- reps if i1 < i2
+        d = java.lang.Long.bitCount(h1 ^ h2) if d <= k
+      } yield (i1, i2, d)).toSet
+    }
+    for (k <- Seq(1, 2, 3, 4, 6)) { // incl. k=6: 60 % 7 != 0 segment split
+      val got = TextDedup.hammingNearDupPairs(
+          rows.toDF("id", "sig"), "id", "sig", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(k), s"k=$k: got $got expected ${brute(k)}")
+    }
+    // ham-3 radius: exactly the 1..3-flip family around rep 1 plus the
+    // disjoint-flip pair (2,3) at distance 1+2; the engineered copies
+    // never surface under their own ids (collapsed into reps 1 and 2)
+    val p3 = TextDedup.hammingNearDupPairs(
+        rows.toDF("id", "sig"), "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)),
+      s"unexpected ham-3 set $p3")
+    assert(!p3.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "a collapsed copy surfaced under its own id")
+  }
 }
