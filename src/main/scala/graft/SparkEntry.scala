@@ -238,6 +238,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Partial-overlap / containment detection via shared winnowing
+    // fingerprints (the MOSS use-case whole-doc Jaccard misses: a short
+    // doc embedded in a long one). Boilerplate fingerprints above the
+    // doc-frequency cap never reach the join (the giant dup family's fps
+    // all exceed it — those pairs belong to the near-dup ops), and the
+    // containment floor keeps the output at the actionable head
+    // (measured: ~90k incidental low-containment pairs vs ~25 at >= 0.5).
+    "q_winnow_overlap" -> ((s, dir) => {
+      operators.TextDedup.fingerprintOverlapPairs(
+          Tables.documents(s, dir), "doc_id", "text",
+          minContainment = 0.25)
+        .orderBy("id1", "id2")
+    }),
+
     // The join SimHash exists for: exact Hamming-3 near-dup pairs over
     // the signatures — identical signatures collapse to their lowest-id
     // representative (the value-equality cliques q_simhash's grouping
@@ -2140,6 +2154,41 @@ object SparkEntry {
          SELECT doc_id,
            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // winnow-fingerprint overlap mirror: same fps CTE as q_winnow_fp,
+    // doc-frequency cap, fp equi-join, min-side containment
+    "q_winnow_overlap" ->
+      """WITH pos AS (
+           SELECT doc_id, text,
+             unnest(range(greatest(length(text) - 8, 0) + 1)) AS p
+           FROM documents),
+         g AS (
+           SELECT doc_id, p,
+             ('0x' || substr(md5(substring(text, p + 1, 8)), 1, 15))::BIGINT
+               % 2147483647 AS h
+           FROM pos),
+         w AS (
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+             count(*) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_after
+           FROM g),
+         fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM w WHERE n_after = 4),
+         sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+                   FROM fps GROUP BY doc_id),
+         ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 64),
+         kept AS (SELECT fps.* FROM fps JOIN ok USING (fp)),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                 CAST(count(*) AS BIGINT) AS n_shared
+               FROM kept a JOIN kept b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2)
+         SELECT id1, id2, n_shared,
+           (n_shared * 10000 // least(s1.nfp, s2.nfp)) / 10000.0 AS containment
+         FROM p JOIN sizes s1 ON s1.doc_id = id1
+                JOIN sizes s2 ON s2.doc_id = id2
+         WHERE (n_shared * 10000 // least(s1.nfp, s2.nfp)) / 10000.0 >= 0.25
+         ORDER BY id1, id2""",
     // brute all-pairs Hamming mirror over distinct signatures — proves
     // the Spark side's pigeonhole banding loses no pair
     "q_simhash_neardup" ->

@@ -310,4 +310,28 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!p3.exists(p => p._1 >= 100L || p._2 >= 100L),
       "a collapsed copy surfaced under its own id")
   }
+
+  test("fingerprintOverlapPairs: an embedded document surfaces at high containment") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def block(seed: String, n: Int): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until n).map(i => md.digest(s"${seed}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).mkString(" ")
+    }
+    val host = block("host", 20)                 // ~660 chars
+    val chunk = host.substring(132, 396)         // embedded span of host
+    val other = block("other", 8)
+    val docs = Seq((1L, host), (2L, chunk), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextDedup.fingerprintOverlapPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // the chunk shares nearly all of ITS fingerprints with the host —
+    // symmetric whole-doc Jaccard would score this pair low, containment
+    // must score it high; the unrelated doc never pairs with either
+    assert(pairs.contains((1L, 2L)), s"embedded chunk not detected: $pairs")
+    assert(pairs((1L, 2L)) >= 0.8,
+      s"containment ${pairs((1L, 2L))} too low for an embedded span")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc produced an overlap pair")
+  }
 }
