@@ -38,7 +38,10 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_value_percentiles", // 1-row corpus-count cross, O(1) side
     "q_weighted_sample", // two 1-row total-weight crosses (Sampling.weightedSample)
     "q_mix_temperature", // 1-row weight-normalizer cross over O(#sources) stats
-    "q_collocations") // two 1-row corpus-total crosses (N tokens, B bigrams)
+    "q_collocations", // two 1-row corpus-total crosses (N tokens, B bigrams)
+    "q_ann_gate_recall") // 1-row n_true x 1-row n_found audit cross; the
+    // exact side is also a broadcast batch (O(25) rows) scan — the
+    // documented ground-truth audit shape, bench-excluded like q_lsh_recall
 
   // The exact all-pairs cosine is DOCUMENTED as a small-input utility
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
