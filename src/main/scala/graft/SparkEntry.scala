@@ -1524,6 +1524,24 @@ object SparkEntry {
         .orderBy("doc_id", "frame_index")
     }),
 
+    // Perceptual video near-dup pairs: the Hamming join applied to the
+    // REAL-decoded first-frame dHash (56-bit, 8x7 gradient grid) —
+    // multimodal composition of q_video_dhash and the pigeonhole-banded
+    // exact Hamming join. Identical frame hashes collapse to their
+    // lowest-id representative; radius 1 keeps the synthetic gradient
+    // corpus's structure non-trivial (49 of 1225 possible rep pairs).
+    "q_video_neardup" -> ((s, dir) => {
+      val withAvi = fixtureTable(s, dir, "avi")(
+        graft.multimodal.Multimodal.withSyntheticAvi(_, "doc_id"))
+      val f0 = graft.multimodal.Multimodal
+        .videoFrameDHash(withAvi, "avi", "doc_id")
+        .filter(col("frame_index") === 0)
+        .select(col("doc_id"), col("dhash"))
+      operators.TextDedup.hammingNearDupPairs(f0, "doc_id", "dhash",
+          maxHamming = 1, bits = 56)
+        .orderBy("id1", "id2")
+    }),
+
     // REAL animated-GIF frame decode (the GIF twin of q_video_frames):
     // per-doc 4-frame animation on a fixed 256-gray palette — palette
     // encoding is lossless, so the real ImageIO sequence-write ->
@@ -2722,6 +2740,23 @@ object SparkEntry {
          SELECT doc_id, CAST(f AS INT) AS frame_index,
            CAST(sum(bit) AS BIGINT) AS dhash
          FROM bits GROUP BY doc_id, f ORDER BY doc_id, frame_index""",
+    // frame-0 dHash mirror (the q_video_dhash closed form at f=0) ->
+    // representative collapse -> brute Hamming-1 pairs
+    "q_video_neardup" ->
+      """WITH g AS (SELECT doc_id, abs(doc_id) % 256 AS g0 FROM documents),
+         bits AS (SELECT doc_id,
+             CASE WHEN (g0 + ((y * 8) // 7) * 8 + (((x + 1) * 8) // 9)) % 256
+                     > (g0 + ((y * 8) // 7) * 8 + ((x * 8) // 9)) % 256
+                  THEN (1::BIGINT << (y * 8 + x)) ELSE 0 END AS bit
+           FROM g, range(7) t1(y), range(8) t2(x)),
+         h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS h
+               FROM bits GROUP BY doc_id),
+         reps AS (SELECT h, min(doc_id) AS rid FROM h GROUP BY h)
+         SELECT a.rid AS id1, b.rid AS id2,
+           CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+         FROM reps a JOIN reps b ON a.rid < b.rid
+         WHERE bit_count(xor(a.h, b.h)) <= 1
+         ORDER BY id1, id2""",
     "q_gif_frames" ->
       """SELECT doc_id, CAST(f AS INT) AS frame_index,
            CAST(8 AS INT) AS f_width, CAST(8 AS INT) AS f_height,
