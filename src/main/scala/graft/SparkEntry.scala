@@ -504,6 +504,23 @@ object SparkEntry {
         .orderBy("new_id")
     }),
 
+    // SEMANTIC decontamination — the third leg of the decontamination
+    // triad (exact n-grams: q_contamination; fuzzy Jaccard vs the stored
+    // eval text index: q_fuzzy_decontam; embeddings: this): every corpus
+    // vector probed against the STORED eval-slice ANN index, flagged with
+    // its nearest eval item when the exact refined distance sits within
+    // the semantic radius — paraphrased eval contamination that shares no
+    // n-gram surface. The eval registry is indexed once; the corpus sweep
+    // pays one probe pass per vector against the small index.
+    "q_semantic_decontam" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.matchBatchVectors(
+          e.filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          annEvalIndexDir(s, dir), dupFloor = 1350000L, nProbe = 6,
+          refine = 100)
+        .orderBy("new_id")
+    }),
+
     // Recall audit of the vector gate (the q_lsh_recall / q_ann_recall
     // discipline applied to the newest approximate path): ground truth is
     // the exact full-slice scan with the same radius; every gate dup
@@ -2352,6 +2369,16 @@ object SparkEntry {
     // (their own pts/LUT CTEs), refined best match thresholded at the
     // semantic-dup radius
     "q_ann_gate" -> annGateOracle,
+    // semantic decontamination: the gate chain with the slices swapped —
+    // the IVF-PQ trains on the EVAL slice, the corpus probes it
+    "q_semantic_decontam" ->
+      s"""WITH ${annGateCtesFor("vec_id % 20 = 0", "vec_id % 20 <> 0")}
+         SELECT e.vec_id AS new_id, best.id AS match_id,
+           CAST(coalesce(best.dist, -1) AS BIGINT) AS dist,
+           best.id IS NOT NULL AS is_dup
+         FROM embeddings e LEFT JOIN best ON best.qid = e.vec_id
+         WHERE e.vec_id % 20 <> 0
+         ORDER BY new_id""",
     // gate recall audit: exact full-slice dists from the same ptsiv/qptsiv
     // CTEs the gate chain already opens; gate-found ⊆ exact-found
     "q_ann_gate_recall" ->
@@ -4042,6 +4069,22 @@ object SparkEntry {
     root
   }
 
+  /** Stored ANN index of the held-out EVAL slice (vec_id % 20 == 0) —
+    * the embedding twin of evalSliceIndexDir: the eval registry is
+    * indexed once and every corpus sweep (q_semantic_decontam) pays only
+    * its own probe pass against it. */
+  private def annEvalIndexDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/ann_eval_index"
+    withPathLock(root) {
+      if (!operators.AnnIndexStore.exists(root))
+        operators.AnnIndexStore.build(
+          Tables.embeddings(s, dir).filter(col("vec_id") % 20 === 0),
+          "vec_id", "embedding", root, dim = 64)
+    }
+    root
+  }
+
   /** On-disk IncrStats store for q_incr_stats, built once per sf dir from
     * 5 simulated ingest batches (doc_id mod 5) — a maintained artifact
     * like the DedupIndex: the bench times the report-from-partials read,
@@ -4444,15 +4487,19 @@ object SparkEntry {
        ORDER BY new_id"""
 
   /** CTE chain ending in the gate's thresholded best match `best(qid, id,
-    * dist)` — shared by the gate mirror and its recall audit. */
-  private lazy val annGateCtes: String = {
-    val cw = "WHERE vec_id % 20 <> 0"
+    * dist)` — shared by the gate mirror, its recall audit, and (with the
+    * slices swapped) the semantic-decontamination mirror. `corpusPred` /
+    * `queryPred` are SQL predicates naming the STORED slice (the IVF-PQ
+    * chain trains on it) and the incoming slice (own out-of-corpus
+    * point/LUT CTEs). */
+  private def annGateCtesFor(corpusPred: String, queryPred: String): String = {
+    val cw = s"WHERE $corpusPred"
     def qpts(sfx: String, dim: Int, off: Int) =
       s"""qpts$sfx AS (
            SELECT vec_id AS id, CAST(t.i AS INT) AS pos,
              CAST(floor(CAST(embedding[t.i + 1 + $off] AS DOUBLE) * 1000) AS BIGINT) AS q
            FROM embeddings, (SELECT unnest(range($dim)) AS i) t
-           WHERE vec_id % 20 = 0)"""
+           WHERE $queryPred)"""
     s"""${kmeansCteSub("iv", 8, 3, 64, 0, cw)},
        ${(0 until 4).map(s => kmeansCteSub(s"s$s", 16, 2, 16, s * 16, cw)).mkString(",\n")},
        ${qpts("iv", 64, 0)},
@@ -4485,6 +4532,9 @@ object SparkEntry {
            SELECT qid, id, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rn
            FROM re) WHERE rn = 1 AND dist <= 1350000)"""
   }
+
+  private lazy val annGateCtes: String =
+    annGateCtesFor("vec_id % 20 <> 0", "vec_id % 20 = 0")
 
   /** Ordered double-precision cosine (mirrors Similarity.cosine: float
     * widens exactly, left-to-right list_reduce == Spark aggregate). */
