@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -13,29 +12,23 @@ import org.apache.spark.sql.functions._
   * form pays every call (fine for one-shot jobs, wrong for a served
   * index; FAISS makes the same build/serve split).
   *
-  * Parquet tables under one generation directory (all append-friendly
-  * except the trained codebooks, which are fixed at build time — the
-  * standard IVF-PQ contract: new vectors are CODED with the existing
-  * codebooks and appended, they do not retrain them):
+  * Parquet tables under the [[GenStore]] segment-manifest layout (v3):
   *
-  *   `<dir>/meta.json`             — {"v":2, dim/nCells/m/k/scale, gen}
-  *   `<dir>/g<g>/coarse`   (j, q)          — nCells coarse centroids
-  *   `<dir>/g<g>/pqcents`  (sub, j, q)     — m*k PQ subspace centroids
-  *   `<dir>/g<g>/cells`    (id, cell)      — corpus coarse assignment
-  *   `<dir>/g<g>/codes`    (sub, id, code) — corpus PQ codes (m rows/vec)
-  *   `<dir>/g<g>/vectors`  (id, q)         — flat quantized vectors
+  *   `<dir>/_META`                `v3 gen=<g> segs=<...> dim=… nCells=… m=… k=… scale=…`
+  *   `<dir>/g<g>/base/coarse`     (j, q)          — nCells coarse centroids
+  *   `<dir>/g<g>/base/pqcents`    (sub, j, q)     — m*k PQ subspace centroids
+  *   `<dir>/g<g>/<seg>/cells`     (id, cell)      — coarse assignment
+  *   `<dir>/g<g>/<seg>/codes`     (sub, id, code) — PQ codes (m rows/vec)
+  *   `<dir>/g<g>/<seg>/vectors`   (id, q)         — flat quantized vectors
   *
-  * GENERATIONS (serve-through-compact): `meta.json` names the live
-  * generation and is swung ATOMICALLY (tmp + ATOMIC_MOVE) only after the
-  * next generation is fully materialized; the replaced generation is
-  * retained until the following compaction, so a reader racing
-  * [[compact]] keeps serving the old generation and never observes an
-  * absent or torn index (same discipline as [[DedupIndex]] /
-  * [[graft.streaming.SnapshotStore]]). A crash mid-compaction leaves a
-  * stale g<next> dir the next build/compact cleans; meta.json still
-  * points at the intact current generation throughout. meta.json is
-  * written AFTER the initial data lands, so it doubles as the
-  * build-completion marker.
+  * The codebooks live only in the `base` segment — they are fixed at
+  * build time (the standard IVF-PQ contract: new vectors are CODED with
+  * the existing codebooks and appended, they do not retrain them) and are
+  * copied through compaction. The appendable tables (cells/codes/vectors)
+  * get one SEGMENT per accepted batch: atomic (a crash leaves an
+  * uncommitted directory no reader sees), idempotent when keyed by a
+  * streaming batchId, and safe against a racing [[compact]] (the manifest
+  * CAS) — the shared [[GenStore]] contract.
   *
   * Serving scale shape: centroid reads are manifest-scale collects (k*dim
   * longs); the probe set and per-query LUTs are broadcast; candidate
@@ -48,70 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndexStore {
 
-  private def metaFile(dir: String) = Paths.get(s"$dir/meta.json")
+  private val Tables = Seq("coarse", "pqcents", "cells", "codes", "vectors")
+  private val AppendTables = Seq("cells", "codes", "vectors")
 
-  private case class Meta(dim: Int, nCells: Int, m: Int, k: Int, scale: Int,
-                          gen: Int)
-
-  private def readMeta(dir: String): Option[Meta] = {
-    val p = metaFile(dir)
-    if (!Files.exists(p)) None
-    else {
-      val txt = Files.readString(p)
-      def f(key: String): Option[Int] =
-        s""""$key":(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
-      // v1 metas (no "v"/"gen" keys, flat table layout) read as absent —
-      // the layout changed, the store must be rebuilt, not half-read.
-      if (!f("v").contains(2)) None
-      else for {
-        dim <- f("dim"); nc <- f("nCells"); m <- f("m"); k <- f("k")
-        sc <- f("scale"); g <- f("gen")
-      } yield Meta(dim, nc, m, k, sc, g)
-    }
-  }
-
-  private def writeMeta(dir: String, mt: Meta): Unit = {
-    val tmp = Paths.get(s"$dir/meta.json.tmp")
-    Files.writeString(tmp,
-      s"""{"v":2,"dim":${mt.dim},"nCells":${mt.nCells},"m":${mt.m},""" +
-        s""""k":${mt.k},"scale":${mt.scale},"gen":${mt.gen}}""")
-    Files.move(tmp, metaFile(dir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  // pre-v3 layouts at the store root: flat tables, swap debris, meta.json
+  private val Legacy =
+    (Tables ++ Tables.map(_ + "_old") ++ Tables.map(_ + "_tmp"))
+      .toSet + "meta.json" + "meta.json.tmp"
 
   /** The live generation's data directory (exposed for specs/tools). */
-  def currentGenDir(dir: String): String = {
-    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
-    s"$dir/g${mt.gen}"
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(q => { Files.deleteIfExists(q); () })
-      finally walk.close()
-    }
-
-  private val LegacyDirs = {
-    val ts = Seq("coarse", "pqcents", "cells", "codes", "vectors")
-    (ts ++ ts.map(_ + "_old") ++ ts.map(_ + "_tmp")).toSet
-  }
-
-  private def pruneDirs(dir: String, keep: Set[Int]): Unit = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return
-    val ls = Files.list(root)
-    val entries = try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala.toList
-    } finally ls.close()
-    entries.foreach { p =>
-      val name = p.getFileName.toString
-      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-      if (genOf.exists(g => !keep(g)) || LegacyDirs(name)) deleteRecursively(p)
-    }
-  }
+  def currentGenDir(dir: String): String =
+    GenStore.readOrFail(dir, "AnnIndexStore").genDir(dir)
 
   /** Train coarse + PQ codebooks on `corpus` and write the full index
     * under `dir` (overwrite). One quantization pass feeds the coarse
@@ -124,12 +64,12 @@ object AnnIndexStore {
     val spark = corpus.sparkSession
     import spark.implicits._
     val subDim = dim / m
-    Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // rebuild window: drop the completion marker before touching data,
-    // then clear stale generations / legacy v1 tables for a clean slate
-    Files.deleteIfExists(metaFile(dir))
-    pruneDirs(dir, keep = Set.empty)
-    val g = s"$dir/g0"
+    // then clear stale generations / legacy layouts for a clean slate
+    GenStore.clearMeta(dir)
+    GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
+    val g = s"$dir/g0/${GenStore.BaseSeg}"
     val pts = Clustering.quantized(corpus, idCol, vecCol, scale)
     pts.write.mode("overwrite").parquet(s"$g/vectors")
 
@@ -153,65 +93,86 @@ object AnnIndexStore {
     subParts.map(_._2).reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$g/codes")
 
-    writeMeta(dir, Meta(dim, nCells, m, k, scale, gen = 0))
+    GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg),
+      Map("dim" -> dim, "nCells" -> nCells, "m" -> m, "k" -> k,
+        "scale" -> scale)))
   }
 
   /** Code an accepted batch with the STORED codebooks and append it to
-    * cells/codes/vectors — the incremental-index contract: new ids must be
-    * disjoint from the stored corpus; codebooks are never retrained. */
-  def append(batch: DataFrame, idCol: String, vecCol: String,
-             dir: String): Unit = {
+    * cells/codes/vectors as one atomic SEGMENT — the incremental-index
+    * contract: new ids must be disjoint from the stored corpus; codebooks
+    * are never retrained. With `batchId` set (the streaming gate), a
+    * retried micro-batch whose append already committed is skipped. */
+  def append(batch: DataFrame, idCol: String, vecCol: String, dir: String,
+             batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
-    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
-    val g = s"$dir/g${mt.gen}"
-    val subDim = mt.dim / mt.m
-    val pts = Clustering.quantized(batch, idCol, vecCol, mt.scale)
-    pts.write.mode("append").parquet(s"$g/vectors")
-    pts.select(col("id"),
-        Clustering.nearest(coarseCents(spark, g), col("q")).getField("j")
-          .as("cell"))
-      .write.mode("append").parquet(s"$g/cells")
-    val pq = pqCents(spark, g)
-    (0 until mt.m).map { s =>
-      pts.select(lit(s).as("sub"), col("id"),
-        Clustering.nearest(pq(s), slice(col("q"), s * subDim + 1, subDim))
-          .getField("j").as("code"))
-    }.reduce(_ unionByName _)
-      .write.mode("append").parquet(s"$g/codes")
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    GenStore.appendSeg(dir, "AnnIndexStore", seg) { (st, segDir) =>
+      val base = s"${st.genDir(dir)}/${GenStore.BaseSeg}"
+      val subDim = st.props("dim") / st.props("m")
+      val pts = Clustering.quantized(batch, idCol, vecCol, st.props("scale"))
+      pts.write.mode("overwrite").parquet(s"$segDir/vectors")
+      pts.select(col("id"),
+          Clustering.nearest(coarseCents(spark, base), col("q")).getField("j")
+            .as("cell"))
+        .write.mode("overwrite").parquet(s"$segDir/cells")
+      val pq = pqCents(spark, base)
+      (0 until st.props("m")).map { s =>
+        pts.select(lit(s).as("sub"), col("id"),
+          Clustering.nearest(pq(s), slice(col("q"), s * subDim + 1, subDim))
+            .getField("j").as("code"))
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$segDir/codes")
+    }
+    ()
+  }
+
+  /** Whether a batchId-keyed [[append]] has committed (replay detection). */
+  def batchApplied(dir: String, batchId: Long): Boolean =
+    GenStore.batchApplied(dir, batchId)
+
+  /** The vector ids a batchId-keyed append committed — the survivor set a
+    * retried, already-applied gate micro-batch must reproduce without
+    * re-matching (the store now CONTAINS the batch, so a re-match would
+    * self-suppress every survivor). */
+  def batchVecIds(spark: SparkSession, dir: String, batchId: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val st = GenStore.readOrFail(dir, "AnnIndexStore")
+    val t = s"${st.genDir(dir)}/${GenStore.batchSeg(batchId)}/cells"
+    if (!GenStore.hasData(t)) // zero-survivor batch: empty, schema-less seg
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType))))
+    else spark.read.parquet(t).select(col("id")).distinct()
   }
 
   def exists(dir: String): Boolean =
-    readMeta(dir).exists { mt =>
-      Seq("coarse", "pqcents", "cells", "codes", "vectors")
-        .forall(t => Files.exists(Paths.get(s"$dir/g${mt.gen}/$t/_SUCCESS")))
+    GenStore.read(dir).exists { st =>
+      Tables.forall(t => GenStore.tableComplete(dir, st, t)) &&
+        AppendTables.forall(t =>
+          GenStore.tableComplete(dir, st, t, required = st.segs.toSet))
     }
 
   /** Compact the appendable tables (cells/codes/vectors) into the NEXT
-    * generation: every [[append]] adds its own task files, so a
-    * frequently-fed index decays into per-batch small files and serving's
-    * candidate/code/vector reads pay per-file open cost. Codebooks
-    * (coarse/pqcents) are single-file by construction and are copied
-    * through; rows are preserved exactly, so served answers are
-    * bit-identical before and after ([[graft.AnnIndexSpec]]). The
-    * meta.json pointer swings atomically after the new generation is
-    * fully materialized, and the replaced generation is retained for
-    * in-flight readers until the following compaction (class doc). */
-  def compact(spark: SparkSession, dir: String, filesPerTable: Int = 4): Unit = {
-    val mt = readMeta(dir).getOrElse(sys.error(s"no complete AnnIndexStore at $dir"))
-    require(exists(dir), s"no complete AnnIndexStore at $dir")
-    val next = mt.gen + 1
-    pruneDirs(dir, keep = Set(mt.gen, mt.gen - 1))
-    Seq("cells", "codes", "vectors").foreach { t =>
-      spark.read.parquet(s"$dir/g${mt.gen}/$t").repartition(filesPerTable)
-        .write.mode("overwrite").parquet(s"$dir/g$next/$t")
+    * generation's base segment: every [[append]] adds its own segment, so
+    * a frequently-fed index decays into per-batch small files and
+    * serving's candidate/code/vector reads pay per-file open cost.
+    * Codebooks (coarse/pqcents) are single-file by construction and are
+    * copied through; rows are preserved exactly, so served answers are
+    * bit-identical before and after ([[graft.AnnIndexSpec]]).
+    * Serve-through-compact and the append-race CAS are
+    * [[GenStore.compact]]'s contract. */
+  def compact(spark: SparkSession, dir: String, filesPerTable: Int = 4): Unit =
+    GenStore.compact(dir, "complete AnnIndexStore", Legacy) { (st, base) =>
+      require(exists(dir), s"no complete AnnIndexStore at $dir")
+      AppendTables.foreach { t =>
+        GenStore.readTable(spark, dir, st, t).repartition(filesPerTable)
+          .write.mode("overwrite").parquet(s"$base/$t")
+      }
+      Seq("coarse", "pqcents").foreach { t =>
+        spark.read.parquet(s"${st.genDir(dir)}/${GenStore.BaseSeg}/$t")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/$t")
+      }
     }
-    Seq("coarse", "pqcents").foreach { t =>
-      spark.read.parquet(s"$dir/g${mt.gen}/$t").coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/g$next/$t")
-    }
-    writeMeta(dir, mt.copy(gen = next))
-    pruneDirs(dir, keep = Set(mt.gen, next))
-  }
 
   /** Serve top-kNN neighbors for `queries` from the stored index: probe
     * the `nProbe` nearest coarse cells, ADC-score only those cells'
@@ -219,17 +180,16 @@ object AnnIndexStore {
     * [[Clustering.annTopKIvfPq]]'s recall note) exactly re-rank the ADC
     * top-`refine` pool from the stored flat vectors. Self-matches
     * (qid == id, for queries drawn from the corpus) are excluded, matching
-    * the inline form. The live generation is pinned once at entry, so a
+    * the inline form. The live manifest is pinned once at entry, so a
     * concurrent [[compact]] cannot tear the view. Returns
     * (qid, rank, nid, dist) exact when refined, (qid, rank, nid, adist)
     * ADC-approximate otherwise. */
   def query(queries: DataFrame, idCol: String, vecCol: String, dir: String,
             kNN: Int = 3, nProbe: Int = 2, refine: Int = 0): DataFrame = {
-    val (adc, qpts, g) = adcPool(queries, idCol, vecCol, dir,
+    val (adc, qpts, vecs) = adcPool(queries, idCol, vecCol, dir,
       if (refine > 0) refine else kNN, nProbe)
     if (refine <= 0) adc
-    else Clustering.refineTopKQuantized(adc,
-      queries.sparkSession.read.parquet(s"$g/vectors"), qpts, kNN)
+    else Clustering.refineTopKQuantized(adc, vecs, qpts, kNN)
   }
 
   /** Hard-negative mining served FROM THE STORED INDEX — the scale path
@@ -251,10 +211,8 @@ object AnnIndexStore {
                     refine: Int = 30): DataFrame = {
     require(refine > 0, "hardNegatives needs an exact refine pool (> 0): " +
       "the band boundary must be judged on exact distances")
-    val (adc, qpts, g) = adcPool(queries, idCol, vecCol, dir, refine, nProbe)
-    Clustering.refineTopKQuantized(adc,
-      queries.sparkSession.read.parquet(s"$g/vectors"), qpts, k,
-      minDist = negFloor)
+    val (adc, qpts, vecs) = adcPool(queries, idCol, vecCol, dir, refine, nProbe)
+    Clustering.refineTopKQuantized(adc, vecs, qpts, k, minDist = negFloor)
   }
 
   /** Per-vector near-duplicate verdict against the stored index — the
@@ -283,9 +241,8 @@ object AnnIndexStore {
                         dir: String, dupFloor: Long, nProbe: Int = 6,
                         refine: Int = 100): DataFrame = {
     require(refine > 0, "matchBatchVectors needs an exact refine pool (> 0)")
-    val (adc, qpts, g) = adcPool(batch, idCol, vecCol, dir, refine, nProbe)
-    val best = Clustering.refineTopKQuantized(adc,
-        batch.sparkSession.read.parquet(s"$g/vectors"), qpts, kNN = 1)
+    val (adc, qpts, vecs) = adcPool(batch, idCol, vecCol, dir, refine, nProbe)
+    val best = Clustering.refineTopKQuantized(adc, vecs, qpts, kNN = 1)
       .filter(col("dist") <= dupFloor)
       .select(col("qid").as("new_id"), col("nid").as("match_id"),
         col("dist"))
@@ -300,8 +257,11 @@ object AnnIndexStore {
     * side of the gate's recall audit (q_ann_gate_recall): every incoming
     * vector scored against the FULL `corpus` frame (quantized L2, one
     * corpus scan x broadcast batch, min_by partial aggregation), same
-    * verdict contract. A gate "dup" carries an exact distance <= floor,
-    * so gate-found ⊆ exact-found and recall = found/true — the number to
+    * verdict contract. Self-pairs (corpus id == batch id) are excluded,
+    * matching the gate's own guard, so a batch that overlaps the corpus
+    * frame audits its true neighbors instead of matching itself at
+    * distance 0. A gate "dup" carries an exact distance <= floor, so
+    * gate-found ⊆ exact-found and recall = found/true — the number to
     * check before trusting the probe/pool knobs at a new scale. */
   def matchBatchVectorsExact(batch: DataFrame, idCol: String, vecCol: String,
                              corpus: DataFrame, dupFloor: Long,
@@ -311,6 +271,7 @@ object AnnIndexStore {
     val c = Clustering.quantized(corpus, idCol, vecCol, scale)
       .select(col("id").as("nid"), col("q").as("nq"))
     val best = c.crossJoin(broadcast(b))
+      .filter(col("nid") =!= col("qid"))
       .withColumn("dist",
         aggregate(zip_with(col("qq"), col("nq"), (a, x) => (a - x) * (a - x)),
           lit(0L), (acc, x) => acc + x))
@@ -329,16 +290,16 @@ object AnnIndexStore {
 
   /** Shared serving front half: probe the nProbe nearest coarse cells and
     * ADC-rank the probed cells' members to a `poolSize` candidate pool.
-    * Returns (adc pool, quantized queries, pinned generation dir). */
+    * Returns (adc pool, quantized queries, pinned stored-vectors frame). */
   private def adcPool(queries: DataFrame, idCol: String, vecCol: String,
                       dir: String, poolSize: Int, nProbe: Int)
-      : (DataFrame, DataFrame, String) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = queries.sparkSession
-    val mt = readMeta(dir).getOrElse(sys.error(s"no AnnIndexStore at $dir"))
-    val g = s"$dir/g${mt.gen}"
-    val subDim = mt.dim / mt.m
-    val coarse = coarseCents(spark, g)
-    val qpts = Clustering.quantized(queries, idCol, vecCol, mt.scale)
+    val st = GenStore.readOrFail(dir, "AnnIndexStore")
+    val base = s"${st.genDir(dir)}/${GenStore.BaseSeg}"
+    val subDim = st.props("dim") / st.props("m")
+    val coarse = coarseCents(spark, base)
+    val qpts = Clustering.quantized(queries, idCol, vecCol, st.props("scale"))
     val qcd = qpts.select(col("id").as("qid"),
         explode(array(coarse.map { case (j, c) =>
           struct(lit(j).as("cell"), Clustering.qdist(col("q"), c).as("d"))
@@ -348,12 +309,12 @@ object AnnIndexStore {
       .partitionBy("qid").orderBy(col("d"), col("cell"))
     val probes = qcd.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nProbe).select(col("qid"), col("cell"))
-    val cand = spark.read.parquet(s"$g/cells")
+    val cand = GenStore.readTable(spark, dir, st, "cells")
       .join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val pq = pqCents(spark, g)
-    val luts = (0 until mt.m).map { s =>
+    val pq = pqCents(spark, base)
+    val luts = (0 until st.props("m")).map { s =>
       qpts.select(col("id").as("qid"),
           explode(array(pq(s).map { case (j, c) =>
             struct(lit(j).as("code"),
@@ -364,19 +325,19 @@ object AnnIndexStore {
           col("e.code").as("code"), col("e.pd").as("pd"))
     }.reduce(_ unionByName _)
     val adc = Clustering.pqTopK(
-      cand.join(spark.read.parquet(s"$g/codes"), Seq("id"))
+      cand.join(GenStore.readTable(spark, dir, st, "codes"), Seq("id"))
         .join(broadcast(luts), Seq("qid", "sub", "code")),
       poolSize)
-    (adc, qpts, g)
+    (adc, qpts, GenStore.readTable(spark, dir, st, "vectors"))
   }
 
-  private def coarseCents(spark: SparkSession, g: String): Seq[(Int, Array[Long])] =
-    spark.read.parquet(s"$g/coarse").select("j", "q").collect()
+  private def coarseCents(spark: SparkSession, base: String): Seq[(Int, Array[Long])] =
+    spark.read.parquet(s"$base/coarse").select("j", "q").collect()
       .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq
 
   private def pqCents(spark: SparkSession,
-                      g: String): Map[Int, Seq[(Int, Array[Long])]] =
-    spark.read.parquet(s"$g/pqcents").select("sub", "j", "q").collect()
+                      base: String): Map[Int, Seq[(Int, Array[Long])]] =
+    spark.read.parquet(s"$base/pqcents").select("sub", "j", "q").collect()
       .groupBy(_.getInt(0))
       .map { case (s, rows) => s -> rows
         .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))

@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
 
@@ -11,16 +10,22 @@ import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
   * must be a STORED table appended per ingestion batch, not a per-batch
   * recompute (the reference's XREF tables apply the same incremental-
   * snapshot discipline to keyed upserts —
-  * resources/architecture/sttm-requirements.md:115-134). Layout (v2):
+  * resources/architecture/sttm-requirements.md:115-134). Layout (v3, the
+  * [[GenStore]] segment manifest):
   *
-  *   `<dir>/_META`                        — "v2 nPfx=<n> gen=<g>" pointer
-  *   `<dir>/g<g>/shingles/pfx=<p>/...`    (id, sh)  pfx = hash(id) mod nPfx
-  *   `<dir>/g<g>/bands/pfx=<p>/...`       (id, band, bucket)
-  *                                        pfx = hash(bucket) mod nPfx
+  *   `<dir>/_META`                             `v3 gen=<g> segs=<...> nPfx=<n>`
+  *   `<dir>/g<g>/<seg>/shingles/pfx=<p>/...`   (id, sh)  pfx = hash(id) mod nPfx
+  *   `<dir>/g<g>/<seg>/bands/pfx=<p>/...`      (id, band, bucket)
+  *                                             pfx = hash(bucket) mod nPfx
   *
-  * written once at corpus build ([[build]]) and extended per accepted batch
-  * ([[append]]) with ONE signature pass over the batch — the existing
-  * corpus is never re-read to update its own index.
+  * written once at corpus build ([[build]] → the `base` segment) and
+  * extended per accepted batch ([[append]] → one segment per batch) with
+  * ONE signature pass over the batch — the existing corpus is never
+  * re-read to update its own index. Appends are atomic (a crash leaves an
+  * uncommitted segment no reader sees) and, when keyed by a streaming
+  * batchId, idempotent under micro-batch retries; compaction serves
+  * through the swing and cannot drop a racing append — all [[GenStore]]
+  * machinery, shared with the other maintained stores.
   *
   * FILE-LEVEL PRUNING, both tables: the directory-partition layout is the
   * path-based equivalent of `bucketBy` (which Spark only supports through
@@ -30,10 +35,11 @@ import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
   * collects the distinct id-pfx values of the candidate existing ids that
   * survive the band semi-join (second metadata-scale collect) and reads
   * ONLY those shingles partitions for verification. Catalyst's static
-  * partition pruning skips every file of an untouched pfx, so BOTH
-  * stored-side scans are cut to the touched fraction of the index — the
+  * partition pruning skips every file of an untouched pfx — per SEGMENT;
+  * the pushed filters reach each leg of the segment union — so BOTH
+  * stored-side scans are cut to the touched fraction of the index (the
   * round-7 gap was exactly the verify-side shingles table still being a
-  * full corpus scan per batch. The verify-side cut tracks the CANDIDATE
+  * full corpus scan per batch). The verify-side cut tracks the CANDIDATE
   * set: a single-doc probe (the streaming gate) with a small dup family
   * reads ~1 partition; a batch whose probes hit a corpus-dominating hot
   * bucket legitimately reads most partitions, because those rows are the
@@ -44,17 +50,6 @@ import org.apache.spark.sql.functions.{broadcast, col, hash, lit, pmod}
   * equi-join), so match results are bit-identical with or without it
   * ([[graft.IncrIndexSpec]] asserts both scans' file counts AND the
   * equality).
-  *
-  * GENERATIONS (serve-through-compact): `_META` names the live generation
-  * directory and is swung ATOMICALLY (tmp + ATOMIC_MOVE), the
-  * [[graft.streaming.SnapshotStore]] manifest discipline. [[compact]]
-  * rewrites the next generation fully before the swing and retains the
-  * previous generation for in-flight readers (pruned at the NEXT
-  * compaction), so readers racing a compaction keep serving the old
-  * generation and never observe an absent or torn store — round 7 took
-  * the store "absent" mid-swap instead. A crash mid-compaction leaves a
-  * stale g<next> directory that the next build/compact overwrites; `_META`
-  * still points at the intact current generation throughout.
   *
   * `nPfx` is part of the on-disk layout, so the PERSISTED value wins over
   * any constructor argument thereafter (appending with a different value
@@ -75,159 +70,120 @@ object DedupIndex {
   private[graft] val lastPrunedBandFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
-  private def metaPath(dir: String) = Paths.get(s"$dir/_META")
-
   private def bandPfx(nPfx: Int): Column = pmod(hash(col("bucket")), lit(nPfx))
   private def idPfx(idCol: String, nPfx: Int): Column =
     pmod(hash(col(idCol)), lit(nPfx))
 
-  private[operators] case class Meta(nPfx: Int, gen: Int)
-
-  private def readMeta(dir: String): Option[Meta] = {
-    val p = metaPath(dir)
-    if (!Files.exists(p)) None
-    else {
-      val txt = Files.readString(p).trim
-      // v1 stores ("nPfx=<n>", flat layout) read as absent: the layout
-      // changed (generations + partitioned shingles), so they must be
-      // rebuilt, not half-read.
-      val m = """^v2 nPfx=(\d+) gen=(\d+)$""".r.findFirstMatchIn(txt)
-      m.map(g => Meta(g.group(1).toInt, g.group(2).toInt))
-    }
-  }
-
-  private def writeMeta(dir: String, m: Meta): Unit = {
-    val tmp = Paths.get(s"$dir/_META.tmp")
-    Files.writeString(tmp, s"v2 nPfx=${m.nPfx} gen=${m.gen}")
-    Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  // pre-v3 layouts at the store root: flat v1 tables, v2 swap debris
+  private val Legacy =
+    Set("bands", "shingles", "bands_old", "shingles_old", "bands_tmp",
+      "shingles_tmp")
 
   /** The persisted partition-prefix count of an existing store. */
   def numPfx(dir: String): Int =
-    readMeta(dir).getOrElse(sys.error(s"no DedupIndex _META at $dir")).nPfx
+    GenStore.readOrFail(dir, "DedupIndex").props("nPfx")
 
   /** The live generation's data directory (exposed for specs/tools that
     * inspect the physical layout; queries should use [[bands]]/
     * [[shingles]]/[[matchBatch]]). */
-  def currentGenDir(dir: String): String = {
-    val m = readMeta(dir).getOrElse(sys.error(s"no DedupIndex _META at $dir"))
-    s"$dir/g${m.gen}"
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(q => { Files.deleteIfExists(q); () })
-      finally walk.close()
-    }
-
-  /** Drop generation dirs (and legacy v1 leftovers) whose gen is not in
-    * `keep` — build's clean-slate and compact's previous-generation
-    * retention both route through here. */
-  private def pruneDirs(dir: String, keep: Set[Int]): Unit = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return
-    val ls = Files.list(root)
-    val entries = try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala.toList
-    } finally ls.close()
-    entries.foreach { p =>
-      val name = p.getFileName.toString
-      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-      val legacy = Set("bands", "shingles", "bands_old", "shingles_old",
-        "bands_tmp", "shingles_tmp")(name)
-      if (genOf.exists(g => !keep(g)) || legacy) deleteRecursively(p)
-    }
-  }
+  def currentGenDir(dir: String): String =
+    GenStore.readOrFail(dir, "DedupIndex").genDir(dir)
 
   /** Create (overwrite) the index for `docs` under `dir`. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
             oracleParity: Boolean = true, nPfx: Int = DefaultPfx): Unit = {
     require(nPfx > 0, s"nPfx must be positive, got $nPfx")
-    Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // REBUILD window: drop _META before touching data so a crash mid-build
     // reads as absent, never as a half-rebuilt store; then clear every
     // stale generation (crashed compacts, old layouts) for a clean slate.
-    Files.deleteIfExists(metaPath(dir))
-    pruneDirs(dir, keep = Set.empty)
-    write(docs, idCol, textCol, s"$dir/g0", "overwrite", oracleParity, nPfx)
-    writeMeta(dir, Meta(nPfx, 0))
+    GenStore.clearMeta(dir)
+    GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
+    write(docs, idCol, textCol, s"$dir/g0/${GenStore.BaseSeg}", oracleParity,
+      nPfx)
+    GenStore.init(dir,
+      GenStore.State(0, Vector(GenStore.BaseSeg), Map("nPfx" -> nPfx)))
   }
 
   /** Extend the index with an accepted batch — one signature pass over the
-    * batch only. Ids must be new (disjoint from the stored corpus). The
-    * batch's rows land in the live generation's existing pfx partitions. */
+    * batch only, written as one SEGMENT and committed atomically. Ids must
+    * be new (disjoint from the stored corpus). With `batchId` set (the
+    * streaming gate), a retried micro-batch whose append already committed
+    * is skipped — the idempotent-replay discipline. */
   def append(docs: DataFrame, idCol: String, textCol: String, dir: String,
-             oracleParity: Boolean = true): Unit = {
-    val m = readMeta(dir).getOrElse(sys.error(s"no DedupIndex at $dir"))
-    write(docs, idCol, textCol, s"$dir/g${m.gen}", "append", oracleParity,
-      m.nPfx)
+             oracleParity: Boolean = true,
+             batchId: Option[Long] = None): Unit = {
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    GenStore.appendSeg(dir, "DedupIndex", seg) { (st, segDir) =>
+      write(docs, idCol, textCol, segDir, oracleParity, st.props("nPfx"))
+    }
+    ()
+  }
+
+  /** Whether a batchId-keyed [[append]] has committed (replay detection). */
+  def batchApplied(dir: String, batchId: Long): Boolean =
+    GenStore.batchApplied(dir, batchId)
+
+  /** The distinct doc ids a batchId-keyed append committed — the survivor
+    * set a retried, already-applied gate micro-batch must reproduce
+    * without re-matching (the store now CONTAINS the batch, so a re-match
+    * would self-suppress every survivor). */
+  def batchDocIds(spark: SparkSession, dir: String,
+                  batchId: Long, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val st = GenStore.readOrFail(dir, "DedupIndex")
+    val t = s"${st.genDir(dir)}/${GenStore.batchSeg(batchId)}/shingles"
+    if (!GenStore.hasData(t)) // zero-survivor batch: empty, schema-less seg
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(idCol, LongType))))
+    else spark.read.parquet(t).select(col(idCol)).distinct()
   }
 
   private def write(docs: DataFrame, idCol: String, textCol: String,
-                    gdir: String, mode: String, oracleParity: Boolean,
-                    nPfx: Int): Unit = {
+                    segDir: String, oracleParity: Boolean, nPfx: Int): Unit = {
     val sh = TextDedup.sortedShingleHashes(docs, idCol, textCol,
       oracleParity = oracleParity)
     sh.withColumn("pfx", idPfx(idCol, nPfx))
-      .write.mode(mode).partitionBy("pfx").parquet(s"$gdir/shingles")
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/shingles")
     TextDedup.bandedFromShingles(sh, idCol)
       .withColumn("pfx", bandPfx(nPfx))
-      .write.mode(mode).partitionBy("pfx").parquet(s"$gdir/bands")
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/bands")
   }
 
   def exists(dir: String): Boolean =
-    readMeta(dir).exists { m =>
-      Files.exists(Paths.get(s"$dir/g${m.gen}/bands/_SUCCESS")) &&
-        Files.exists(Paths.get(s"$dir/g${m.gen}/shingles/_SUCCESS"))
+    GenStore.read(dir).exists { st =>
+      Seq("bands", "shingles").forall(t =>
+        GenStore.tableComplete(dir, st, t, required = st.segs.toSet))
     }
 
-  /** Compact the store: every [[append]] adds its own task files to each
-    * touched pfx partition, so after N batches a partition holds O(N)
-    * small files and [[matchBatch]]'s pruned read degrades from "few files
-    * per touched pfx" to "N files per touched pfx" — the classic
-    * small-file decay of any append-only table. Compaction rewrites both
-    * tables into the NEXT generation at ~one file per pfx partition,
-    * preserving rows and layout exactly — match results are bit-identical
-    * before and after ([[graft.IncrIndexSpec]] asserts the equality and
-    * the file counts).
-    *
-    * Serve-through-compact: the `_META` pointer swings atomically only
-    * after the next generation is fully materialized, and the replaced
-    * generation is RETAINED until the following compaction — a reader that
-    * pinned the old generation keeps its files; a reader arriving after
-    * the swing gets the new one; a crash before the swing leaves the store
-    * serving the intact current generation (the stale half-written g<next>
-    * is cleaned up by the next build/compact). */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val m = readMeta(dir).getOrElse(sys.error(s"no complete DedupIndex at $dir"))
-    require(exists(dir), s"no complete DedupIndex at $dir")
-    val next = m.gen + 1
-    // clear anything that is neither the live generation nor (retained
-    // from last time) its predecessor — includes stale g{next} from a
-    // crashed previous compact, which overwrite-mode would clobber anyway
-    pruneDirs(dir, keep = Set(m.gen, m.gen - 1))
-    Seq("bands", "shingles").foreach { t =>
-      spark.read.parquet(s"$dir/g${m.gen}/$t")
-        .repartition(col("pfx"))
-        .write.mode("overwrite").partitionBy("pfx")
-        .parquet(s"$dir/g$next/$t")
+  /** Compact the store: every [[append]] adds its own segment, so after N
+    * batches a touched pfx value's rows are spread over O(N) segment
+    * files and [[matchBatch]]'s pruned read degrades from "few files per
+    * touched pfx" to "N files per touched pfx" — the classic small-file
+    * decay of any append-only table. Compaction rewrites both tables into
+    * the NEXT generation's single `base` segment at ~one file per pfx
+    * partition, preserving rows and layout exactly — match results are
+    * bit-identical before and after ([[graft.IncrIndexSpec]] asserts the
+    * equality and the file counts). Serve-through-compact and the
+    * append-race CAS are [[GenStore.compact]]'s contract. */
+  def compact(spark: SparkSession, dir: String): Unit =
+    GenStore.compact(dir, "complete DedupIndex", Legacy) { (st, base) =>
+      require(exists(dir), s"no complete DedupIndex at $dir")
+      Seq("bands", "shingles").foreach { t =>
+        GenStore.readTable(spark, dir, st, t)
+          .repartition(col("pfx"))
+          .write.mode("overwrite").partitionBy("pfx").parquet(s"$base/$t")
+      }
     }
-    writeMeta(dir, Meta(m.nPfx, next))
-    // previous-generation retention: keep g{m.gen} for in-flight readers;
-    // drop anything older
-    pruneDirs(dir, keep = Set(m.gen, next))
-  }
 
   def shingles(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${currentGenDir(dir)}/shingles")
+    GenStore.readTable(spark, dir, GenStore.readOrFail(dir, "DedupIndex"),
+      "shingles")
 
   /** The stored band index, pfx partition column included. */
   def bands(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${currentGenDir(dir)}/bands")
+    GenStore.readTable(spark, dir, GenStore.readOrFail(dir, "DedupIndex"),
+      "bands")
 
   /** Match `incoming` against the STORED corpus index: one row per
     * incoming doc, (new_id, match_id, jac, is_dup) — exactly
@@ -235,8 +191,8 @@ object DedupIndex {
     * read from parquet instead of recomputed. The incoming frame is the
     * only side hashed; BOTH stored-side reads are pruned to the pfx
     * partitions the batch actually touches (see class doc). The live
-    * generation is pinned once at entry, so a concurrent [[compact]]
-    * cannot tear the view. */
+    * manifest is pinned once at entry, so a concurrent [[compact]] cannot
+    * tear the view. */
   def matchBatch(incoming: DataFrame, idCol: String, textCol: String,
                  dir: String, minJaccard: Double = 0.6,
                  maxBucket: Int = 4096,
@@ -265,22 +221,22 @@ object DedupIndex {
   /** The four frames every stored-side match needs: pruned stored shingles
     * `shE`, pruned + batch-semi-joined stored bands `beT`, and the batch's
     * own shingle/band frames. Both stored reads are file-pruned (class
-    * doc); the live generation is pinned once here. */
+    * doc); the live manifest is pinned once here. */
   private def prunedSides(incoming: DataFrame, idCol: String, textCol: String,
                           dir: String, oracleParity: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = incoming.sparkSession
-    val m = readMeta(dir).getOrElse(sys.error(s"no DedupIndex at $dir"))
-    val g = s"$dir/g${m.gen}"
+    val st = GenStore.readOrFail(dir, "DedupIndex")
+    val nPfx = st.props("nPfx")
     val shI = TextDedup.sortedShingleHashes(incoming, idCol, textCol,
       oracleParity = oracleParity)
     val bi = TextDedup.bandedFromShingles(shI, idCol)
     // Metadata-scale collect #1: the batch's touched bucket-pfx values (at
     // most nPfx small ints, off a band frame bandedFromShingles already
     // materialized) prune the stored bands read to the touched partitions.
-    val touched = bi.select(bandPfx(m.nPfx).as("pfx")).distinct()
+    val touched = bi.select(bandPfx(nPfx).as("pfx")).distinct()
       .collect().map(_.getInt(0))
-    val beT0 = spark.read.parquet(s"$g/bands")
+    val beT0 = GenStore.readTable(spark, dir, st, "bands")
       .filter(if (touched.isEmpty) lit(false)
         else col("pfx").isin(touched.map(Integer.valueOf): _*))
       .select(col(idCol), col("band"), col("bucket"))
@@ -288,7 +244,8 @@ object DedupIndex {
         Seq("band", "bucket"), "left_semi")
     // Diagnostics for IncrIndexSpec: the checkpoint below erases the file
     // scan from every downstream plan, so the pruned-file evidence is
-    // captured here, off the exact subtree about to materialize.
+    // captured here, off the exact subtree about to materialize (summed
+    // across the per-segment union legs).
     lastPrunedBandFiles.set(
       beT0.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -306,9 +263,9 @@ object DedupIndex {
     // Metadata-scale collect #2: the candidate existing ids' id-pfx values
     // prune the verify-side shingles read the same way — without this the
     // shingles table was a full corpus scan per batch (VERDICT r07 #3).
-    val oldPfx = beT.select(idPfx(idCol, m.nPfx).as("pfx")).distinct()
+    val oldPfx = beT.select(idPfx(idCol, nPfx).as("pfx")).distinct()
       .collect().map(_.getInt(0))
-    val shE = spark.read.parquet(s"$g/shingles")
+    val shE = GenStore.readTable(spark, dir, st, "shingles")
       .filter(if (oldPfx.isEmpty) lit(false)
         else col("pfx").isin(oldPfx.map(Integer.valueOf): _*))
       .select(col(idCol), col("sh"))

@@ -1,0 +1,282 @@
+package graft.operators
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared generation + segment manifest machinery for the maintained
+  * stores ([[DedupIndex]], [[AnnIndexStore]], [[PairStore]]) — one copy of
+  * the discipline the first-cut stores each hand-rolled (the round-8
+  * review's triplication finding), with the two gaps that review exposed
+  * closed at the mechanism level: atomic/idempotent appends and
+  * append-vs-compact write safety.
+  *
+  * On-disk shape under one store root:
+  *
+  *   `<dir>/_META`                 one line: `v3 gen=<g> segs=<s,...> [k=v ...]`
+  *   `<dir>/_LOCK`                 advisory lock serializing manifest writes
+  *   `<dir>/g<g>/<seg>/<table>/…`  parquet tables, one subdir per SEGMENT
+  *
+  * SEGMENTS are the append unit: an append writes a fresh segment
+  * directory in overwrite mode — invisible to every reader until its name
+  * is atomically added to the manifest — so a crash mid-write leaves only
+  * an uncommitted directory and a retry overwrites it cleanly: appends are
+  * ATOMIC. When the caller keys the segment by a streaming batchId
+  * ([[appendSeg]] returns false for a segment already present instead of
+  * re-writing), a retried micro-batch re-applies as a no-op: appends are
+  * IDEMPOTENT — the foreachBatch effectively-exactly-once discipline,
+  * extended from the answer sink (ADVICE r07) to the maintained stores
+  * themselves.
+  *
+  * GENERATIONS are the compaction unit (serve-through-compact, the
+  * [[graft.streaming.SnapshotStore]] manifest discipline): [[compact]]
+  * rewrites the live generation's segments into `g<next>/base`, swings the
+  * manifest atomically, and RETAINS the replaced generation for in-flight
+  * readers until the following compaction. Writers are protected too: the
+  * swing validates under the lock that no segment committed since the
+  * rewrite began, and a segment commit validates that the generation did
+  * not move — whichever side loses the race gets a
+  * [[java.util.ConcurrentModificationException]] instead of silent data
+  * loss ([[compact]] retries its side internally; an append's caller — a
+  * streaming micro-batch — retries through the engine's own replay).
+  *
+  * The lock is a JVM monitor + [[java.nio.channels.FileLock]] pair —
+  * correct across processes on a POSIX filesystem; an object-store deploy
+  * would put the manifest swing behind the platform's conditional-put,
+  * the same caveat every lakehouse table format carries.
+  *
+  * Readers take one [[State]] pin and see that manifest's exact segment
+  * set; per-table frames are the union of per-segment reads (Spark rejects
+  * multi-root partition discovery, and pushed filters prune each leg's
+  * files independently — partition pruning survives the union).
+  */
+private[graft] object GenStore {
+
+  /** One parsed `_META` manifest: the live generation, its committed
+    * segments in commit order (`base` first), and the store's immutable
+    * integer properties (layout/codebook parameters). */
+  case class State(gen: Int, segs: Vector[String], props: Map[String, Int]) {
+    def genDir(dir: String): String = s"$dir/g$gen"
+    def segTableDirs(dir: String, table: String): Seq[String] =
+      segs.map(s => s"$dir/g$gen/$s/$table")
+  }
+
+  /** The segment every build/compact writes; appends get `b<batchId>` or
+    * a fresh `a-<uuid>` name. */
+  val BaseSeg = "base"
+
+  def batchSeg(batchId: Long): String = s"b$batchId"
+
+  def freshSeg(): String =
+    "a-" + java.util.UUID.randomUUID().toString.take(8)
+
+  private def metaPath(dir: String) = Paths.get(s"$dir/_META")
+
+  /** Parse the manifest; None for absent stores AND for any pre-v3 layout
+    * (those must be rebuilt, never half-read — same policy as every prior
+    * layout bump). */
+  def read(dir: String): Option[State] = {
+    val p = metaPath(dir)
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split("\\s+").toList match {
+      case "v3" :: rest =>
+        val kv = rest.flatMap(t => t.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+        for {
+          g <- kv.get("gen").map(_.toInt)
+          segs <- kv.get("segs").map(_.split(",").filter(_.nonEmpty).toVector)
+        } yield State(g, segs,
+          (kv - "gen" - "segs").map { case (k, v) => k -> v.toInt })
+      case _ => None
+    }
+  }
+
+  def readOrFail(dir: String, what: String): State =
+    read(dir).getOrElse(sys.error(s"no $what at $dir"))
+
+  private def render(s: State): String =
+    (Seq("v3", s"gen=${s.gen}", s"segs=${s.segs.mkString(",")}") ++
+      s.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString(" ")
+
+  private def writeState(dir: String, s: State): Unit = {
+    val tmp = Paths.get(s"$dir/_META.tmp")
+    Files.writeString(tmp, render(s))
+    Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // One monitor per canonical store path: FileLock is per-process, so
+  // same-JVM contention must be excluded before taking it (overlapping
+  // same-channel locks throw instead of blocking).
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `f` holding the store's manifest lock (JVM monitor + file lock). */
+  def withLock[T](dir: String)(f: => T): T = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val mon = jvmLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = FileChannel.open(Paths.get(s"$dir/_LOCK"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
+
+  /** Drop the manifest (the rebuild-window discipline: a store without a
+    * manifest reads as absent, never as half-built). */
+  def clearMeta(dir: String): Unit = Files.deleteIfExists(metaPath(dir))
+
+  /** Publish a fully-materialized initial state (build completion). */
+  def init(dir: String, s: State): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    withLock(dir) { writeState(dir, s) }
+  }
+
+  /** Atomically add a committed segment to the manifest. Throws if the
+    * store was compacted since the caller pinned `expectGen` — the data
+    * landed in a generation that is no longer live and must be re-applied
+    * against the new one. Re-adding a present segment is a no-op. */
+  def commitSeg(dir: String, expectGen: Int, seg: String): Unit =
+    withLock(dir) {
+      val cur = readOrFail(dir, "store manifest")
+      if (cur.gen != expectGen)
+        throw new java.util.ConcurrentModificationException(
+          s"store at $dir was compacted (g$expectGen -> g${cur.gen}) during " +
+            "an append; retry the batch against the live generation")
+      if (!cur.segs.contains(seg))
+        writeState(dir, cur.copy(segs = cur.segs :+ seg))
+    }
+
+  /** Append protocol: pin the live state; if `seg` is already committed
+    * (a retried, fully-applied batch) do nothing and return false; else
+    * have `write` materialize the segment directory (overwrite mode —
+    * a crashed attempt's partial files are invisible and fully replaced)
+    * and commit it. */
+  def appendSeg(dir: String, what: String, seg: String)
+               (write: (State, String) => Unit): Boolean = {
+    val st = readOrFail(dir, what)
+    if (st.segs.contains(seg)) false
+    else {
+      write(st, s"${st.genDir(dir)}/$seg")
+      commitSeg(dir, st.gen, seg)
+      true
+    }
+  }
+
+  /** Whether the batchId-keyed segment of a streaming append has been
+    * committed — the replay-detection half of the idempotent gate loop. */
+  def batchApplied(dir: String, batchId: Long): Boolean =
+    read(dir).exists(_.segs.contains(batchSeg(batchId)))
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(q => { Files.deleteIfExists(q); () })
+      finally walk.close()
+    }
+
+  /** Drop generation dirs not in `keep`, plus any store-specific legacy
+    * entries (pre-v3 layouts) — build's clean slate and compact's
+    * previous-generation retention both route through here. */
+  def pruneGens(dir: String, keep: Set[Int], legacy: String => Boolean): Unit = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return
+    val ls = Files.list(root)
+    val entries = try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toList
+    } finally ls.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
+      if (genOf.exists(g => !keep(g)) || legacy(name)) deleteRecursively(p)
+    }
+  }
+
+  /** Compact driver: rewrite the pinned state's segments into
+    * `g<next>/base` via `rewrite`, then CAS-swing the manifest. If an
+    * append committed while the rewrite ran, the swing fails, the
+    * half-built next generation is dropped, and the loop re-pins and
+    * retries (up to `maxAttempts` — each retry folds the new segments in,
+    * so the loop converges unless appends outpace full rewrites). */
+  def compact(dir: String, what: String, legacy: String => Boolean,
+              maxAttempts: Int = 3)(rewrite: (State, String) => Unit): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val st = readOrFail(dir, what)
+      val next = st.gen + 1
+      // clear anything that is neither the live generation nor (retained
+      // from last time) its predecessor — includes stale g<next> debris
+      // from a crashed previous compact
+      pruneGens(dir, keep = Set(st.gen, st.gen - 1), legacy)
+      rewrite(st, s"$dir/g$next/$BaseSeg")
+      try {
+        withLock(dir) {
+          val cur = readOrFail(dir, what)
+          if (cur.gen != st.gen || cur.segs != st.segs)
+            throw new java.util.ConcurrentModificationException(
+              s"store at $dir changed during compaction; retrying")
+          writeState(dir, State(next, Vector(BaseSeg), st.props))
+        }
+        done = true
+        // previous-generation retention: keep g<st.gen> for in-flight
+        // readers; drop anything older
+        pruneGens(dir, keep = Set(st.gen, next), legacy)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          deleteRecursively(Paths.get(s"$dir/g$next"))
+          if (attempt >= maxAttempts) throw e
+      }
+    }
+  }
+
+  /** One table across the pinned manifest's segments: the union of
+    * per-segment reads (segments missing the table — e.g. codebook tables
+    * absent from append segments — are skipped). Pushed filters reach
+    * every leg, so partition/file pruning is preserved per segment. */
+  def readTable(spark: SparkSession, dir: String, st: State,
+                table: String): DataFrame = {
+    val paths = st.segTableDirs(dir, table).filter(hasData)
+    require(paths.nonEmpty, s"table $table has no segments under $dir")
+    paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  // a segment table dir with no data files (an empty-frame write leaves
+  // only _SUCCESS) carries no rows and no inferable schema — skip it
+  private[operators] def hasData(p: String): Boolean = {
+    val root = Paths.get(p)
+    if (!Files.isDirectory(root)) false
+    else {
+      val walk = Files.walk(root)
+      try {
+        val it = walk.iterator()
+        var found = false
+        while (!found && it.hasNext)
+          found = it.next().getFileName.toString.endsWith(".parquet")
+        found
+      } finally walk.close()
+    }
+  }
+
+  /** `exists` helper: a manifest is present and every committed segment
+    * that carries `table` finished its write (`_SUCCESS`). `required`
+    * names segments that MUST carry the table (the base segment for
+    * codebook tables). */
+  def tableComplete(dir: String, st: State, table: String,
+                    required: Set[String] = Set(BaseSeg)): Boolean =
+    st.segs.forall { s =>
+      val t = Paths.get(s"$dir/g${st.gen}/$s/$table")
+      if (required(s) || Files.isDirectory(t))
+        Files.exists(t.resolve("_SUCCESS"))
+      else true
+    }
+}

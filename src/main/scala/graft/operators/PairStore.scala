@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, greatest, least}
 
@@ -14,19 +13,20 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   * set once and grows it per ingestion batch, so consumers read a parquet
   * table whose size tracks the DUPLICATE population, not the corpus.
   *
-  * Layout under one root:
+  * Layout under one root (v3, the [[GenStore]] segment manifest):
   *
-  *   `<dir>/_META`          "v2 gen=<g>" pointer / completion marker
-  *   `<dir>/g<g>/pairs`     (id1, id2, jac), id1 < id2 — append-only parquet
-  *   `<dir>/index`          an embedded [[DedupIndex]] of every doc so far
-  *                          (generation-managed by its own _META)
+  *   `<dir>/_META`              `v3 gen=<g> segs=<...>` pointer / marker
+  *   `<dir>/g<g>/<seg>/pairs`   (id1, id2, jac), id1 < id2 — one segment
+  *                              per build/append, committed atomically
+  *   `<dir>/index`              an embedded [[DedupIndex]] of every doc so
+  *                              far (its own manifest)
   *
-  * GENERATIONS (serve-through-compact, the [[DedupIndex]] discipline):
-  * `_META` names the live pairs generation and swings atomically; a
-  * [[compact]] rewrites the accumulated per-append task files into the
-  * next generation (and compacts the embedded index), retaining the
-  * replaced generation for in-flight readers until the following
-  * compaction.
+  * Appends are atomic segments; batchId-keyed appends are idempotent
+  * under streaming retries; compaction serves through the swing and CAS-
+  * fails rather than dropping a racing append — the shared [[GenStore]]
+  * contract. The embedded index commits SECOND on every append, so its
+  * batchId segment doubles as the "fully applied" marker the idempotent
+  * gate loop checks ([[graft.streaming.StreamingDedup.gateAndMaintainPairs]]).
   *
   * INCREMENTAL DISCIPLINE: [[build]] writes the corpus self-join pairs
   * ([[TextDedup.nearDuplicatePairs]] — capped LSH + hot-bucket exact
@@ -48,55 +48,15 @@ import org.apache.spark.sql.functions.{col, greatest, least}
   */
 object PairStore {
 
-  private def metaPath(dir: String) = Paths.get(s"$dir/_META")
-
-  private def readGen(dir: String): Option[Int] = {
-    val p = metaPath(dir)
-    if (!Files.exists(p)) None
-    else """^v2 gen=(\d+)$""".r
-      .findFirstMatchIn(Files.readString(p).trim).map(_.group(1).toInt)
-  }
-
-  private def writeMeta(dir: String, gen: Int): Unit = {
-    val tmp = Paths.get(s"$dir/_META.tmp")
-    Files.writeString(tmp, s"v2 gen=$gen")
-    Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  private val Legacy = Set("pairs") // v1 kept a flat pairs dir at the root
 
   /** The live pairs generation directory (exposed for specs/tools). */
-  def currentGenDir(dir: String): String = {
-    val g = readGen(dir).getOrElse(sys.error(s"no PairStore _META at $dir"))
-    s"$dir/g$g"
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(q => { Files.deleteIfExists(q); () })
-      finally walk.close()
-    }
-
-  private def pruneDirs(dir: String, keep: Set[Int]): Unit = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) return
-    val ls = Files.list(root)
-    val entries = try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala.toList
-    } finally ls.close()
-    entries.foreach { p =>
-      val name = p.getFileName.toString
-      val genOf = """^g(\d+)$""".r.findFirstMatchIn(name).map(_.group(1).toInt)
-      // legacy v1 layout kept a flat `pairs` dir at the root
-      if (genOf.exists(g => !keep(g)) || name == "pairs") deleteRecursively(p)
-    }
-  }
+  def currentGenDir(dir: String): String =
+    GenStore.readOrFail(dir, "PairStore").genDir(dir)
 
   def exists(dir: String): Boolean =
-    readGen(dir).exists(g =>
-      Files.exists(Paths.get(s"$dir/g$g/pairs/_SUCCESS"))) &&
+    GenStore.read(dir).exists(st =>
+      GenStore.tableComplete(dir, st, "pairs", required = st.segs.toSet)) &&
       DedupIndex.exists(s"$dir/index")
 
   /** Create (overwrite) the pair graph for `docs` under `dir`: the corpus
@@ -104,36 +64,45 @@ object PairStore {
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
             minJaccard: Double = 0.6, maxBucket: Int = 4096,
             oracleParity: Boolean = true): Unit = {
-    Files.createDirectories(Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // rebuild window: marker dropped before any data is touched, so a
     // crash mid-build reads as absent (same discipline as DedupIndex);
     // stale generations / legacy layouts cleared for a clean slate
-    Files.deleteIfExists(metaPath(dir))
-    pruneDirs(dir, keep = Set.empty)
+    GenStore.clearMeta(dir)
+    GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
     DedupIndex.build(docs, idCol, textCol, s"$dir/index",
       oracleParity = oracleParity)
     TextDedup.nearDuplicatePairs(docs, idCol, textCol, minJaccard, maxBucket,
         oracleParity)
-      .write.mode("overwrite").parquet(s"$dir/g0/pairs")
-    writeMeta(dir, 0)
+      .write.mode("overwrite").parquet(s"$dir/g0/${GenStore.BaseSeg}/pairs")
+    GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg), Map.empty))
   }
 
   /** Grow the graph by one accepted batch (ids disjoint from the stored
     * corpus): cross edges against the stored index + the batch's internal
-    * edges, then extend the index so the NEXT batch sees this one. */
+    * edges, then extend the index so the NEXT batch sees this one. Each
+    * side is one atomic segment; with `batchId` set, both commits are
+    * idempotent under retries (pairs first, index second — a retry after
+    * a crash between them recomputes nothing stale, because the match
+    * runs against an index that does not yet contain the batch). */
   def append(batch: DataFrame, idCol: String, textCol: String, dir: String,
              minJaccard: Double = 0.6, maxBucket: Int = 4096,
-             oracleParity: Boolean = true): Unit = {
+             oracleParity: Boolean = true,
+             batchId: Option[Long] = None): Unit = {
     require(exists(dir), s"no complete PairStore at $dir")
-    val cross = DedupIndex.matchBatchPairs(batch, idCol, textCol,
-        s"$dir/index", minJaccard, maxBucket, oracleParity)
-      .select(least(col("new_id"), col("old_id")).as("id1"),
-        greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
-    val internal = TextDedup.nearDuplicatePairs(batch, idCol, textCol,
-      minJaccard, maxBucket, oracleParity)
-    cross.unionByName(internal).write.mode("append")
-      .parquet(s"${currentGenDir(dir)}/pairs")
-    DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
+      val cross = DedupIndex.matchBatchPairs(batch, idCol, textCol,
+          s"$dir/index", minJaccard, maxBucket, oracleParity)
+        .select(least(col("new_id"), col("old_id")).as("id1"),
+          greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
+      val internal = TextDedup.nearDuplicatePairs(batch, idCol, textCol,
+        minJaccard, maxBucket, oracleParity)
+      cross.unionByName(internal)
+        .write.mode("overwrite").parquet(s"$segDir/pairs")
+    }
+    DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
+      batchId)
   }
 
   /** [[append]] for a GATED batch — one whose ids are already known to
@@ -149,36 +118,48 @@ object PairStore {
   def appendGated(batch: DataFrame, idCol: String, textCol: String,
                   dir: String, minJaccard: Double = 0.6,
                   maxBucket: Int = 4096,
-                  oracleParity: Boolean = true): Unit = {
+                  oracleParity: Boolean = true,
+                  batchId: Option[Long] = None): Unit = {
     require(exists(dir), s"no complete PairStore at $dir")
-    TextDedup.nearDuplicatePairs(batch, idCol, textCol, minJaccard,
-        maxBucket, oracleParity)
-      .write.mode("append").parquet(s"${currentGenDir(dir)}/pairs")
-    DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity)
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
+      TextDedup.nearDuplicatePairs(batch, idCol, textCol, minJaccard,
+          maxBucket, oracleParity)
+        .write.mode("overwrite").parquet(s"$segDir/pairs")
+    }
+    DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
+      batchId)
   }
 
-  /** Compact the store: consolidate the pairs table's accumulated
-    * per-append task files into the NEXT generation (~`pairFiles` files)
-    * and compact the embedded [[DedupIndex]] (its own generation
-    * discipline). The pairs pointer swings atomically after the new
-    * generation is fully materialized; the replaced generation is
-    * retained for in-flight readers until the following compaction. Edges
-    * are preserved exactly — [[graft.PairStoreSpec]] asserts the stored
-    * graph bit-identical before and after. */
+  /** Whether a batchId-keyed append is FULLY applied: the embedded index
+    * commits last, so its segment presence covers the pairs segment too. */
+  def batchApplied(dir: String, batchId: Long): Boolean =
+    DedupIndex.batchApplied(s"$dir/index", batchId)
+
+  /** The surviving doc ids of an already-applied gate batch (see
+    * [[DedupIndex.batchDocIds]]). */
+  def batchDocIds(spark: SparkSession, dir: String, batchId: Long,
+                  idCol: String): DataFrame =
+    DedupIndex.batchDocIds(spark, s"$dir/index", batchId, idCol)
+
+  /** Compact the store: consolidate the pairs segments into the NEXT
+    * generation's single base segment (~`pairFiles` files) and compact
+    * the embedded [[DedupIndex]] (its own manifest discipline). Edges are
+    * preserved exactly — [[graft.PairStoreSpec]] asserts the stored graph
+    * bit-identical before and after; serve-through-compact and the
+    * append-race CAS are [[GenStore.compact]]'s contract. */
   def compact(spark: SparkSession, dir: String, pairFiles: Int = 4): Unit = {
-    val g = readGen(dir).getOrElse(sys.error(s"no complete PairStore at $dir"))
-    require(exists(dir), s"no complete PairStore at $dir")
-    val next = g + 1
-    pruneDirs(dir, keep = Set(g, g - 1))
-    spark.read.parquet(s"$dir/g$g/pairs").repartition(pairFiles)
-      .write.mode("overwrite").parquet(s"$dir/g$next/pairs")
-    writeMeta(dir, next)
-    pruneDirs(dir, keep = Set(g, next))
+    GenStore.compact(dir, "complete PairStore", Legacy) { (st, base) =>
+      require(exists(dir), s"no complete PairStore at $dir")
+      GenStore.readTable(spark, dir, st, "pairs").repartition(pairFiles)
+        .write.mode("overwrite").parquet(s"$base/pairs")
+    }
     DedupIndex.compact(spark, s"$dir/index")
   }
 
   /** The stored pair graph: (id1, id2, jac), id1 < id2, exact floored
     * trigram Jaccard >= the build/append threshold. */
   def pairs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"${currentGenDir(dir)}/pairs")
+    GenStore.readTable(spark, dir, GenStore.readOrFail(dir, "PairStore"),
+      "pairs")
 }

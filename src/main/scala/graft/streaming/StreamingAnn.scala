@@ -79,22 +79,43 @@ object StreamingAnn {
     * against them too. Returns the surviving rows for the caller's sink.
     * [[graft.StreamingAnnSpec]] asserts streamed micro-batches accept
     * exactly the batch-mode sequential survivors and that a copy of an
-    * accepted vector is rejected by a later batch. */
+    * accepted vector is rejected by a later batch.
+    *
+    * Delivery: pass the foreachBatch `batchId` to make the loop
+    * EFFECTIVELY EXACTLY ONCE under micro-batch retries. The index append
+    * is an atomic batchId-keyed segment ([[AnnIndexStore.append]]), and a
+    * retried batch whose append already committed returns its recorded
+    * survivor set from the segment instead of re-matching — a re-match
+    * would find every survivor already IN the store and gate them all out,
+    * permanently losing the batch from the caller's sink (the round-8
+    * review's retry hazard). Without a batchId the append still lands
+    * atomically but a retry double-applies under a fresh segment name —
+    * batch-mode callers that never retry may omit it. */
   def gateAndMaintainVectors(indexDir: String, batch: DataFrame,
                              idCol: String, vecCol: String, dupFloor: Long,
-                             nProbe: Int = 6, refine: Int = 100): DataFrame = {
+                             nProbe: Int = 6, refine: Int = 100,
+                             batchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val verdict = AnnIndexStore.matchBatchVectors(batch, idCol, vecCol,
-      indexDir, dupFloor, nProbe, refine)
-    // localCheckpoint: survivors feed both the index append and the
-    // caller's sink; without it the match would re-run per consumer.
-    val survivors = batch.join(
-        verdict.filter(!col("is_dup"))
-          .select(col("new_id").cast("long").as(idCol)),
-        Seq(idCol), "left_semi")
-      .localCheckpoint()
-    if (!survivors.isEmpty)
-      AnnIndexStore.append(survivors, idCol, vecCol, indexDir)
-    survivors
+    batchId.filter(AnnIndexStore.batchApplied(indexDir, _)) match {
+      case Some(b) =>
+        // retried, fully-applied batch: reproduce the committed survivors
+        batch.join(
+          AnnIndexStore.batchVecIds(batch.sparkSession, indexDir, b)
+            .select(col("id").cast("long").as(idCol)),
+          Seq(idCol), "left_semi")
+      case None =>
+        val verdict = AnnIndexStore.matchBatchVectors(batch, idCol, vecCol,
+          indexDir, dupFloor, nProbe, refine)
+        // localCheckpoint: survivors feed both the index append and the
+        // caller's sink; without it the match would re-run per consumer.
+        val survivors = batch.join(
+            verdict.filter(!col("is_dup"))
+              .select(col("new_id").cast("long").as(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint()
+        if (!survivors.isEmpty)
+          AnnIndexStore.append(survivors, idCol, vecCol, indexDir, batchId)
+        survivors
+    }
   }
 }

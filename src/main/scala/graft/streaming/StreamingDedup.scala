@@ -67,21 +67,39 @@ object StreamingDedup {
     * asserts the stored graph and survivor sets bit-identical. Returns
     * the surviving rows (already appended; the caller sinks them). */
   def gateAndMaintainPairs(storeDir: String, batch: DataFrame, idCol: String,
-                           textCol: String,
-                           minJaccard: Double = 0.6): DataFrame = {
+                           textCol: String, minJaccard: Double = 0.6,
+                           batchId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val cross = graft.operators.DedupIndex.matchBatchPairs(
-      batch, idCol, textCol, s"$storeDir/index", minJaccard)
-    // localCheckpoint: survivors feed both the append below and the
-    // caller's sink; without it the match (and its pruned store reads)
-    // would re-run per consumer.
-    val survivors = batch.join(
-        cross.select(col("new_id").as(idCol)).distinct(),
-        Seq(idCol), "left_anti")
-      .localCheckpoint()
-    graft.operators.PairStore.appendGated(survivors, idCol, textCol,
-      storeDir, minJaccard)
-    survivors
+    batchId.filter(graft.operators.PairStore.batchApplied(storeDir, _)) match {
+      case Some(b) =>
+        // Retried, fully-applied batch (the embedded index commits last,
+        // so its batch segment proves both appends landed): reproduce the
+        // committed survivor set from the segment instead of re-matching —
+        // a re-match against a store that now CONTAINS the batch would
+        // gate every survivor out and permanently lose the batch from the
+        // caller's sink. Pass the foreachBatch batchId to get this
+        // effectively-exactly-once behavior; a crash BETWEEN the two
+        // appends recomputes below against an index that does not yet
+        // contain the batch (same verdicts) and each append skips or
+        // completes idempotently by its batch segment.
+        batch.join(
+          graft.operators.PairStore
+            .batchDocIds(batch.sparkSession, storeDir, b, idCol),
+          Seq(idCol), "left_semi")
+      case None =>
+        val cross = graft.operators.DedupIndex.matchBatchPairs(
+          batch, idCol, textCol, s"$storeDir/index", minJaccard)
+        // localCheckpoint: survivors feed both the append below and the
+        // caller's sink; without it the match (and its pruned store reads)
+        // would re-run per consumer.
+        val survivors = batch.join(
+            cross.select(col("new_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          .localCheckpoint()
+        graft.operators.PairStore.appendGated(survivors, idCol, textCol,
+          storeDir, minJaccard, batchId = batchId)
+        survivors
+    }
   }
 
   private def keep(batch: DataFrame, idCol: String,

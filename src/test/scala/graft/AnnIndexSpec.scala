@@ -68,9 +68,10 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndexStore.append(batch, "vec_id", "embedding", dir)
 
     val g = AnnIndexStore.currentGenDir(dir)
-    val vecs = spark.read.parquet(s"$g/vectors")
+    // v3 layout: one subdir per segment (base + the append) — glob them
+    val vecs = spark.read.parquet(s"$g/*/vectors")
     assert(vecs.count() == 42 && vecs.select("id").distinct().count() == 42)
-    assert(spark.read.parquet(s"$g/codes").count() == 42 * 4)
+    assert(spark.read.parquet(s"$g/*/codes").count() == 42 * 4)
 
     // query vec 3: its appended exact duplicate lands in the same coarse
     // cell (identical vector => identical probe), so refine must return it
@@ -97,8 +98,10 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     def files(t: String): Int = {
       val s = Files.walk(
-        java.nio.file.Paths.get(s"${AnnIndexStore.currentGenDir(dir)}/$t"))
-      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Paths.get(AnnIndexStore.currentGenDir(dir)))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains(s"/$t/"))
       finally s.close()
     }
     val queries = base.filter(col("vec_id") < 5)

@@ -90,10 +90,14 @@ class IncrIndexSpec extends AnyFunSuite {
         "appended index")
   }
 
-  private def parquetFiles(path: String): Int = {
+  /** Data files of `table` across every segment of the generation dir
+    * `gen` (v3 layout: `g<g>/<seg>/<table>/…`). */
+  private def parquetFiles(gen: String, table: String): Int = {
     import scala.jdk.CollectionConverters._
-    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-    try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(gen))
+    try s.iterator().asScala.count(p =>
+      p.getFileName.toString.endsWith(".parquet") &&
+        p.toString.contains(s"/$table/"))
     finally s.close()
   }
 
@@ -115,8 +119,8 @@ class IncrIndexSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_didx_prune").toString
     DedupIndex.build(existing, "doc_id", "text", dir, nPfx = 16)
     val g = DedupIndex.currentGenDir(dir)
-    val bandFiles = parquetFiles(s"$g/bands")
-    val shingleFiles = parquetFiles(s"$g/shingles")
+    val bandFiles = parquetFiles(g, "bands")
+    val shingleFiles = parquetFiles(g, "shingles")
     // One incoming doc touches at most 4 band buckets, i.e. at most 4 of
     // the 16 bucket-pfx partitions — the stored-bands scan must plan to
     // read only those partitions' files. Its candidate existing ids then
@@ -161,7 +165,7 @@ class IncrIndexSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_didx_shprune").toString
     DedupIndex.build(corpus, "doc_id", "text", dir, nPfx = 16)
     val g = DedupIndex.currentGenDir(dir)
-    val shingleFiles = parquetFiles(s"$g/shingles")
+    val shingleFiles = parquetFiles(g, "shingles")
     assert(shingleFiles >= 8, s"fixture too small: $shingleFiles shingle files")
     // probe: a near-duplicate of doc 42 (same text, one word changed) —
     // its only candidate is doc 42, so the verify-side shingles read must
@@ -190,7 +194,7 @@ class IncrIndexSpec extends AnyFunSuite {
       dir, nPfx = 16)
     (2 to 4).foreach(i => DedupIndex.append(
       docs.filter(col("doc_id") % 5 === i), "doc_id", "text", dir))
-    def files(sub: String): Int = parquetFiles(s"${DedupIndex.currentGenDir(dir)}/$sub")
+    def files(sub: String): Int = parquetFiles(DedupIndex.currentGenDir(dir), sub)
     val before = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
     val bandsBefore = files("bands"); val shBefore = files("shingles")
     val g0 = DedupIndex.currentGenDir(dir)
@@ -281,6 +285,47 @@ class IncrIndexSpec extends AnyFunSuite {
     DedupIndex.compact(spark, dir)
     val after = canon(DedupIndex.matchBatch(batch, "doc_id", "text", dir))
     assert(after.sameElements(before), "compact over debris changed matches")
+  }
+
+  test("batchId append: crashed attempt invisible, retry applies exactly once") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 5 === 1)
+    val batch = docs.filter(col("doc_id") % 5 === 2).localCheckpoint()
+    val probe = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val dir = Files.createTempDirectory("graft_didx_bid").toString
+    DedupIndex.build(corpus, "doc_id", "text", dir)
+    val beforeAppend = canon(DedupIndex.matchBatch(probe, "doc_id", "text", dir))
+
+    // crashed first attempt: segment data landed, commit never ran — the
+    // uncommitted directory must be invisible to every match
+    val stale = java.nio.file.Paths
+      .get(s"${DedupIndex.currentGenDir(dir)}/b42/shingles")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.writeString(stale.resolve("part-junk.parquet"), "junk")
+    assert(!DedupIndex.batchApplied(dir, 42L))
+    assert(canon(DedupIndex.matchBatch(probe, "doc_id", "text", dir))
+      .sameElements(beforeAppend), "uncommitted segment debris affected reads")
+
+    // the retry overwrites the debris and commits once
+    DedupIndex.append(batch, "doc_id", "text", dir, batchId = Some(42L))
+    assert(DedupIndex.batchApplied(dir, 42L))
+    val applied = canon(DedupIndex.matchBatch(probe, "doc_id", "text", dir))
+    val rebuilt = canon(TextDedup.incrementalDedup(
+      corpus.unionByName(batch), probe, "doc_id", "text"))
+    assert(applied.sameElements(rebuilt),
+      "batchId-keyed append diverged from a full rebuild")
+    assert(DedupIndex
+      .batchDocIds(spark, dir, 42L, "doc_id").count() == batch.count())
+
+    // a second retry after full commit is a no-op (no duplicate rows)
+    val files = parquetFiles(DedupIndex.currentGenDir(dir), "shingles")
+    DedupIndex.append(batch, "doc_id", "text", dir, batchId = Some(42L))
+    assert(parquetFiles(DedupIndex.currentGenDir(dir), "shingles") == files,
+      "a replayed append re-wrote its segment")
+    assert(canon(DedupIndex.matchBatch(probe, "doc_id", "text", dir))
+      .sameElements(applied), "a replayed append changed match results")
   }
 
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {

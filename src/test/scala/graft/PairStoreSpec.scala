@@ -119,6 +119,35 @@ class PairStoreSpec extends AnyFunSuite {
     assert(copied.contains(0L), "a copy of an accepted doc slipped the gate")
   }
 
+  test("gate retry (same batchId) reproduces survivors; graph gains no edges") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("graft_pairs_retry").toString
+    PairStore.build(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+
+    val kept = graft.streaming.StreamingDedup.gateAndMaintainPairs(
+        dir, batch, "doc_id", "text", batchId = Some(3L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && PairStore.batchApplied(dir, 3L))
+    val graph = canon(PairStore.pairs(spark, dir))
+
+    // the retry-after-crash shape: the engine re-runs the same batchId
+    // AFTER both appends committed. Without replay detection every
+    // survivor would now match its own stored copy and be gated out,
+    // silently dropping the batch from the caller's sink; with it the
+    // committed survivor set is reproduced and the graph is unchanged.
+    val retried = graft.streaming.StreamingDedup.gateAndMaintainPairs(
+        dir, batch, "doc_id", "text", batchId = Some(3L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(retried == kept,
+      s"retry diverged: missing=${kept -- retried} extra=${retried -- kept}")
+    assert(canon(PairStore.pairs(spark, dir)) == graph,
+      "retry added edges to the stored graph")
+  }
+
   test("compact: consolidates pair files, graph bit-identical, serve-through") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
@@ -130,8 +159,10 @@ class PairStoreSpec extends AnyFunSuite {
     def pairFiles: Int = {
       import scala.jdk.CollectionConverters._
       val s = Files.walk(
-        java.nio.file.Paths.get(s"${PairStore.currentGenDir(dir)}/pairs"))
-      try s.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Paths.get(PairStore.currentGenDir(dir)))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains("/pairs/"))
       finally s.close()
     }
     val before = canon(PairStore.pairs(spark, dir))

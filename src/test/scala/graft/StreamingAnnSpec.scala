@@ -106,4 +106,35 @@ class StreamingAnnSpec extends AnyFunSuite {
     assert(kept2 == 0L,
       s"$kept2 copies of already-accepted vectors slipped the gate")
   }
+
+  test("vector gate retry (same batchId) reproduces survivors, store unchanged") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft_vgate_retry").toString
+    AnnIndexStore.build(corpus.filter(col("vec_id") % 20 =!= 0),
+      "vec_id", "embedding", idxDir, dim = 64)
+    val floor = 1350000L
+    val b1 = corpus.filter(col("vec_id") % 20 === 0).localCheckpoint()
+
+    val kept = StreamingAnn.gateAndMaintainVectors(idxDir, b1,
+        "vec_id", "embedding", floor, batchId = Some(5L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && AnnIndexStore.batchApplied(idxDir, 5L))
+    val stored = AnnIndexStore
+      .batchVecIds(spark, idxDir, 5L).count()
+
+    // the retry-after-crash shape: the engine re-runs the same batchId
+    // AFTER the index append committed. Without replay detection every
+    // survivor would now match ITSELF in the store and be gated out,
+    // permanently losing the batch; with it the committed survivor set is
+    // reproduced and nothing is double-appended.
+    val retried = StreamingAnn.gateAndMaintainVectors(idxDir, b1,
+        "vec_id", "embedding", floor, batchId = Some(5L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(retried == kept,
+      s"retry diverged: missing=${kept -- retried} extra=${retried -- kept}")
+    assert(AnnIndexStore.batchVecIds(spark, idxDir, 5L).count() == stored,
+      "retry changed the stored segment")
+  }
 }
