@@ -39,7 +39,14 @@ with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
     check_json = f.name
 check_rc = subprocess.call(
     [sys.executable, f"{repo}/dev/check.py", "--json", check_json, sfdir, vout])
-oracle = json.load(open(check_json))
+# a crashed check.py (e.g. Verify produced no oracle_sql.json) leaves an
+# empty temp file — the gate must still write its record carrying the rc
+# evidence, not die on the parse
+try:
+    oracle = json.load(open(check_json))
+except ValueError:
+    oracle = {"error": "check.py produced no record", "n_oracle": 0, "n_pass": 0}
+    check_rc = check_rc or 1
 
 print("[gate] Bench correctness fingerprints", flush=True)
 with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
@@ -51,7 +58,11 @@ env = dict(os.environ,
            SPARK_GRAFT_CORRECTNESS_OUT=fp_json,
            SPARK_GRAFT_BENCH_OUT=os.devnull)
 fp_rc = subprocess.call(java + ["graft.Bench"], cwd=repo, env=env)
-fingerprints = json.load(open(fp_json)) if os.path.getsize(fp_json) else {}
+try:
+    fingerprints = json.load(open(fp_json)) if os.path.getsize(fp_json) else {}
+except ValueError:
+    fingerprints = {}
+    fp_rc = fp_rc or 1
 
 record = {
     "sf": sfdir,

@@ -23,8 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** Order-independent content fingerprint of a result frame, computed
-    * DISTRIBUTED (no collect): every column cast to string (nulls mapped to
-    * a sentinel no cast produces), columns in sorted-name order, each row
+    * DISTRIBUTED (no collect): every column cast to string (nulls mapped
+    * to a control-framed sentinel no cast produces), columns in
+    * sorted-name order joined on \\u0001 (an unambiguous frame: a plain
+    * concatenation would let values trade characters across a column
+    * boundary and a bare word sentinel would collide with a literal
+    * "NULL" string, either of which lets a regressed query keep its
+    * fingerprint), each row
     * reduced to a 60-bit md5-prefix hash, and the row hashes combined with
     * the commutative pair (sum, xor) plus the row count. Two frames agree
     * on (rows, hash) iff they hold the same multiset of stringified rows —
@@ -34,8 +39,8 @@ object Bench {
   def resultFingerprint(df: DataFrame): (Long, String) = {
     import org.apache.spark.sql.functions._
     val cols = df.columns.sorted.map(c =>
-      coalesce(col(c).cast("string"), lit("NULL")))
-    val rowHash = conv(substring(md5(concat_ws("", cols: _*)), 1, 15), 16, 10)
+      coalesce(col(c).cast("string"), lit("\u0001NULL")))
+    val rowHash = conv(substring(md5(concat_ws("\u0001", cols: _*)), 1, 15), 16, 10)
       .cast("long")
     // sum rides a decimal(30,0) accumulator (60-bit row hashes would
     // overflow an ANSI int64 sum after a handful of rows) and is folded

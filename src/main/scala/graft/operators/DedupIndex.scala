@@ -200,7 +200,7 @@ object DedupIndex {
     val (shE, beT, shI, bi) = prunedSides(incoming, idCol, textCol, dir,
       oracleParity)
     TextDedup.incrementalDedupPrepared(shE, beT, incoming, shI, bi, idCol,
-      minJaccard, maxBucket)
+      minJaccard, maxBucket, bePreFiltered = true)
   }
 
   /** [[matchBatch]]'s verified ALL-pairs form: every (incoming, stored)
@@ -215,7 +215,7 @@ object DedupIndex {
     val (shE, beT, shI, bi) = prunedSides(incoming, idCol, textCol, dir,
       oracleParity)
     TextDedup.incrementalVerifiedPairs(shE, beT, shI, bi, idCol,
-      minJaccard, maxBucket)
+      minJaccard, maxBucket, bePreFiltered = true)
   }
 
   /** The four frames every stored-side match needs: pruned stored shingles

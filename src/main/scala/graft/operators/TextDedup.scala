@@ -421,9 +421,10 @@ object TextDedup {
                                incoming: DataFrame,
                                shI: DataFrame, bi: DataFrame, idCol: String,
                                minJaccard: Double = 0.6,
-                               maxBucket: Int = 4096): DataFrame = {
+                               maxBucket: Int = 4096,
+                               bePreFiltered: Boolean = false): DataFrame = {
     val verified = incrementalVerifiedPairs(shE, be, shI, bi, idCol,
-      minJaccard, maxBucket)
+      minJaccard, maxBucket, bePreFiltered)
     val best = verified.groupBy(col("new_id"))
       .agg(max_by(struct(col("old_id").as("match_id"), col("jac")),
         struct(col("jac"), (-col("old_id")).as("neg"))).as("m"))
@@ -451,7 +452,8 @@ object TextDedup {
   def incrementalVerifiedPairs(shE: DataFrame, be: DataFrame,
                                shI: DataFrame, bi: DataFrame, idCol: String,
                                minJaccard: Double = 0.6,
-                               maxBucket: Int = 4096): DataFrame = {
+                               maxBucket: Int = 4096,
+                               bePreFiltered: Boolean = false): DataFrame = {
     graft.functions.ArrayFunctions.register(shI.sparkSession)
     // Every downstream stage only cares about buckets the BATCH touches:
     // an existing doc sharing no band bucket with any incoming doc can
@@ -461,9 +463,14 @@ object TextDedup {
     // bounded by the touched buckets' population, independent of total
     // corpus size; the bucket ceiling is likewise judged over the touched
     // population only (an over-full bucket nobody probes needs no exact
-    // recovery).
-    val beT = be.join(broadcast(bi.select("band", "bucket").distinct()),
-      Seq("band", "bucket"), "left_semi")
+    // recovery). A caller that already applied this exact semi-join (the
+    // DedupIndex path materializes the filtered slice before handing it
+    // over) sets bePreFiltered — re-joining a checkpointed slice would
+    // re-run the broadcast join once per consumer stage for no row change.
+    val beT =
+      if (bePreFiltered) be
+      else be.join(broadcast(bi.select("band", "bucket").distinct()),
+        Seq("band", "bucket"), "left_semi")
     val counts = bi.unionByName(beT).groupBy("band", "bucket").count()
     val ok = counts.filter(col("count") <= maxBucket).select("band", "bucket")
     val hot = counts.filter(col("count") > maxBucket).select("band", "bucket")

@@ -47,7 +47,14 @@ object StreamingAnn {
     * across retries because it comes from the streaming checkpoint. Read
     * the log with [[answers]] (plain `spark.read.parquet(outDir)` also
     * works — the partition-style dir name surfaces as an extra `batch`
-    * column, which answers() drops). */
+    * column, which answers() drops).
+    *
+    * MIGRATION: an `outDir` written by the pre-batchId flat layout cannot
+    * be resumed in place — Spark's partition discovery rejects a root
+    * that mixes bare part files with `batch=` subdirectories
+    * (CONFLICTING_DIRECTORY_STRUCTURES). Point an upgraded stream at a
+    * fresh outDir (or move the old files into a `batch=-1` subdir once);
+    * the checkpoint dir needs no migration. */
   def serveStream(queryStream: DataFrame, idCol: String, vecCol: String,
                   indexDir: String, outDir: String, checkpointDir: String,
                   kNN: Int = 3, nProbe: Int = 2, refine: Int = 0,
