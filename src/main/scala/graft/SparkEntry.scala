@@ -341,6 +341,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Margin-based semantic alignment mining (the LASER/CCMatrix bitext
+    // shape): a 5% source batch aligned against the odd-id half as the
+    // target corpus — each source's best target scored by the ratio
+    // margin (cosine over the mean of both k=4 neighborhoods), which
+    // cancels hubness where a raw cosine threshold miscalibrates. The
+    // 1.25 floor sits at the measured sf0.01 margin median
+    // (tools/MarginProbe: range 1.07-1.52), so the filter is a real
+    // split, not a pass-through.
+    "q_margin_mine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.marginMine(e.filter(col("vec_id") % 20 === 0),
+          e.filter(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          k = 4, minMargin = 1.25)
+        .orderBy("src_id")
+    }),
+
     // Deterministic integer k-means over the embedding corpus (semantic
     // clustering for curation/mix balancing): quantized vectors, k-lowest-id
     // init, 3 Lloyd's rounds, exact integer distances — every iteration is
@@ -2469,6 +2485,45 @@ object SparkEntry {
          SELECT qid, CAST(rank AS INT) AS rank, nid,
            floor(sim * 1000000) / 1000000 AS sim
          FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
+    "q_margin_mine" ->
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 20 = 0),
+         tgt AS (SELECT vec_id, embedding FROM embeddings
+             WHERE vec_id % 2 = 1),
+         fs AS (SELECT s.vec_id AS qid, t.vec_id AS nid,
+             ${cosSql("s.embedding", "t.embedding")} AS sim
+           FROM src s CROSS JOIN tgt t),
+         fr AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM fs),
+         frk AS (SELECT qid, nid, floor(sim * 1000000) / 1000000 AS sim,
+             rank FROM fr WHERE rank <= 4),
+         fa AS (SELECT qid AS src_id,
+             list_reduce(list(sim ORDER BY rank), (a, b) -> a + b) / 4
+               AS f_avg
+           FROM frk GROUP BY qid),
+         bs AS (SELECT t.vec_id AS qid, s.vec_id AS nid,
+             ${cosSql("t.embedding", "s.embedding")} AS sim
+           FROM tgt t JOIN (SELECT DISTINCT nid FROM frk) c
+             ON t.vec_id = c.nid
+           CROSS JOIN src s),
+         br AS (SELECT qid, nid, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+           FROM bs),
+         brk AS (SELECT qid, floor(sim * 1000000) / 1000000 AS sim, rank
+           FROM br WHERE rank <= 4),
+         ba AS (SELECT qid AS tgt_id,
+             list_reduce(list(sim ORDER BY rank), (a, b) -> a + b) / 4
+               AS b_avg
+           FROM brk GROUP BY qid)
+         SELECT f.qid AS src_id, f.nid AS tgt_id, f.sim,
+           floor(f.sim * 2.0 / (fa.f_avg + ba.b_avg) * 10000) / 10000
+             AS margin
+         FROM frk f
+         JOIN fa ON fa.src_id = f.qid
+         JOIN ba ON ba.tgt_id = f.nid
+         WHERE f.rank = 1 AND f.sim * 2.0 / (fa.f_avg + ba.b_avg) >= 1.25
+         ORDER BY src_id""",
     "q_ann_lsh" ->
       s"""WITH $annLshCandCte,
          scored AS (

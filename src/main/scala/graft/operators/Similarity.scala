@@ -82,6 +82,54 @@ object Similarity {
     topK(scoredPairs(corpus, queries, idCol, vecCol)
       .filter(col("sim") < negCeil), k)
 
+  /** Margin-based semantic alignment mining — the bitext-mining shape
+    * (Artetxe & Schwenk 2019's "ratio" margin, the LASER/CCMatrix
+    * pipeline): for each `src` row, its nearest `tgt` row scored not by
+    * raw cosine but by how much it stands out from BOTH neighborhoods —
+    * margin = sim(x, y) / ((fAvg(x) + bAvg(y)) / 2), where fAvg is the
+    * mean of x's k nearest tgt cosines and bAvg the mean of y's k nearest
+    * src cosines. Raw cosine absolute thresholds are miscalibrated across
+    * corpora (hubness: some vectors are near everything); the margin
+    * cancels the neighborhood scale, so aligned pairs (translations,
+    * paraphrases, caption/image-text matches) separate cleanly at ~1.0+.
+    * Returns (src_id, tgt_id, sim, margin) for pairs clearing
+    * `minMargin`, margin floored to 4 decimals.
+    *
+    * Scale shape (the [[hardNegatives]] discipline): `src` is the batch
+    * being aligned and broadcasts against ONE scan of `tgt`; the backward
+    * neighborhoods are computed only for the k·|src| forward candidates
+    * (semi-joined out of `tgt`, batch-bounded) against a scan of `src` —
+    * so the per-batch cost is one target-corpus scan regardless of corpus
+    * size, and nothing corpus-sized is ever broadcast or materialized.
+    * Neighborhood sums fold the rank-ordered (floored) cosines
+    * left-to-right, so every double matches the SQL mirror bit-for-bit.
+    * Full-corpus × full-corpus mining at 100 TB swaps the brute forward
+    * scan for [[AnnIndexStore]] probes per batch — the same upgrade path
+    * hardNegatives took. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4,
+                 minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, s"margin needs a neighborhood, got k=$k")
+    val fwd = annTopK(tgt, src, idCol, vecCol, k)   // scan tgt x bcast src
+    val cand = tgt.join(fwd.select(col("nid").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")                      // k*|src| rows at most
+    val bwd = annTopK(src, cand, idCol, vecCol, k)  // scan src x bcast cand
+    def nbAvg(t: DataFrame, idOut: String, avgOut: String) =
+      t.groupBy(col("qid").as(idOut))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), col("sim")))),
+            x => x.getField("sim")),
+          lit(0.0), (a, x) => a + x) / k).as(avgOut))
+    fwd.filter(col("rank") === 1)
+      .select(col("qid").as("src_id"), col("nid").as("tgt_id"), col("sim"))
+      .join(nbAvg(fwd, "src_id", "f_avg"), Seq("src_id"))
+      .join(nbAvg(bwd, "tgt_id", "b_avg"), Seq("tgt_id"))
+      .withColumn("margin", col("sim") * 2.0 / (col("f_avg") + col("b_avg")))
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        (floor(col("margin") * 10000) / 10000.0).as("margin"))
+  }
+
   /** Random-hyperplane LSH sign bits (deterministic integer pseudo-planes:
     * plane(j,d) = ((1103515245*j + 12345*d + 42) mod 1001) - 500, exactly
     * reproducible in SQL). Returns the bucket id from `nBits` sign bits.

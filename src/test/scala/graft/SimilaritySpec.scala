@@ -92,6 +92,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.getLong(1) == 10L)
   }
 
+  test("marginMine: hub's inflated cosine discounted, true pair's margin survives") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // Constructed hubness case: tgt 10 is a "hub" near BOTH src rows (the
+    // degenerate centroid direction raw cosine always picks), tgt 11/12
+    // are the true per-src alignments. For src 0 the hub even WINS on raw
+    // cosine — but the hub's backward neighborhood is uniformly close, so
+    // its margin collapses toward 1 while a true pair, unique in both
+    // neighborhoods, keeps a high margin. The miner must align src 1 to
+    // its true target, and score the hub pair below the true pair.
+    val src = Seq(
+      (0L, Array(1.0f, 0.05f, 0.0f)),
+      (1L, Array(0.0f, 0.05f, 1.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (10L, Array(0.6f, 0.1f, 0.6f)),   // hub: cos ~0.7 to both srcs
+      (11L, Array(1.0f, 0.0f, 0.1f)),   // true match of src 0
+      (12L, Array(0.1f, 0.0f, 1.0f)),   // true match of src 1
+      (13L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.marginMine(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = 0.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 12L, s"src 1 aligned to ${out(1L)} instead of 12")
+    val trueMargin = out(1L)._2
+    val hubOrTrue0 = out(0L)
+    assert(trueMargin > hubOrTrue0._2 || hubOrTrue0._1 == 11L,
+      s"hub pair out-scored a true alignment: $out")
+
+    // real-corpus invariants: one row per src with any pair clearing the
+    // floor, margins at/above it, sims consistent with the floored cosine
+    val e = embeddings
+    val mined = Similarity.marginMine(e.filter($"vec_id" % 20 === 0),
+      e.filter($"vec_id" % 2 === 1), "vec_id", "embedding",
+      k = 4, minMargin = 1.0)
+    val agg = mined.agg(min($"margin"), countDistinct($"src_id"),
+      count(lit(1))).head()
+    assert(agg.getDouble(0) >= 1.0)
+    assert(agg.getLong(1) == agg.getLong(2), "more than one pair per src")
+  }
+
   test("lshCandidatePairs: bucket cap drops over-full buckets deterministically") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
