@@ -357,6 +357,20 @@ object SparkEntry {
         .orderBy("src_id")
     }),
 
+    // Margin mining served from the STORED IVF-PQ index — the scale path
+    // for q_margin_mine's brute forward scan: forward candidates come
+    // from the probe (2 cells, ADC pool 30) and are exactly re-ranked by
+    // quantized-integer cosine; backward neighborhoods stay brute over
+    // the batch (bounded). The 1.4 floor sits at the measured sf0.01
+    // stored-margin median (tools/MarginProbe: range 1.15-1.53).
+    "q_margin_mine_stored" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.marginMine(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", annIndexDir(s, dir), k = 4, nProbe = 2,
+          refine = 30, minMargin = 1.4)
+        .orderBy("src_id")
+    }),
+
     // Deterministic integer k-means over the embedding corpus (semantic
     // clustering for curation/mix balancing): quantized vectors, k-lowest-id
     // init, 3 Lloyd's rounds, exact integer distances — every iteration is
@@ -2523,6 +2537,61 @@ object SparkEntry {
          JOIN fa ON fa.src_id = f.qid
          JOIN ba ON ba.tgt_id = f.nid
          WHERE f.rank = 1 AND f.sim * 2.0 / (fa.f_avg + ba.b_avg) >= 1.25
+         ORDER BY src_id""",
+    "q_margin_mine_stored" ->
+      s"""WITH $ivfPqCteChain,
+         mpool AS (SELECT qid, id FROM r WHERE rank <= 30),
+         mnrm AS (SELECT id, CAST(sum(q * q) AS BIGINT) AS nn
+           FROM ptsiv GROUP BY id),
+         mfdot AS (SELECT mpool.qid, mpool.id,
+             CAST(sum(a.q * b.q) AS BIGINT) AS dp
+           FROM mpool JOIN ptsiv a ON a.id = mpool.id
+                      JOIN ptsiv b ON b.id = mpool.qid AND b.pos = a.pos
+           GROUP BY mpool.qid, mpool.id),
+         mfsim AS (SELECT f.qid, f.id,
+             CAST(f.dp AS DOUBLE) /
+               (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+               AS sim
+           FROM mfdot f JOIN mnrm nq ON nq.id = f.qid
+                        JOIN mnrm nc ON nc.id = f.id),
+         mfr AS (SELECT qid, id, sim, row_number() OVER
+             (PARTITION BY qid ORDER BY sim DESC, id ASC) AS rank
+           FROM mfsim),
+         mfrk AS (SELECT qid, id, floor(sim * 1000000) / 1000000 AS sim,
+             rank FROM mfr WHERE rank <= 4),
+         mfa AS (SELECT qid AS src_id,
+             list_reduce(list(sim ORDER BY rank), (a, b) -> a + b) / 4
+               AS f_avg
+           FROM mfrk GROUP BY qid),
+         mcand AS (SELECT DISTINCT id FROM mfrk),
+         mbdot AS (SELECT c.id AS cid, b.id AS qid,
+             CAST(sum(a.q * b.q) AS BIGINT) AS dp
+           FROM mcand c
+           JOIN ptsiv a ON a.id = c.id
+           JOIN ptsiv b ON b.pos = a.pos AND b.id < 10 AND b.id <> c.id
+           GROUP BY c.id, b.id),
+         mbsim AS (SELECT d.cid, d.qid,
+             CAST(d.dp AS DOUBLE) /
+               (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nc.nn AS DOUBLE)))
+               AS sim
+           FROM mbdot d JOIN mnrm nc ON nc.id = d.cid
+                        JOIN mnrm nq ON nq.id = d.qid),
+         mbr AS (SELECT cid, qid, sim, row_number() OVER
+             (PARTITION BY cid ORDER BY sim DESC, qid ASC) AS rank
+           FROM mbsim),
+         mbrk AS (SELECT cid, floor(sim * 1000000) / 1000000 AS sim, rank
+           FROM mbr WHERE rank <= 4),
+         mba AS (SELECT cid AS tgt_id,
+             list_reduce(list(sim ORDER BY rank), (a, b) -> a + b) / 4
+               AS b_avg
+           FROM mbrk GROUP BY cid)
+         SELECT f.qid AS src_id, f.id AS tgt_id, f.sim,
+           floor(f.sim * 2.0 / (fa.f_avg + ba.b_avg) * 10000) / 10000
+             AS margin
+         FROM mfrk f
+         JOIN mfa fa ON fa.src_id = f.qid
+         JOIN mba ba ON ba.tgt_id = f.id
+         WHERE f.rank = 1 AND f.sim * 2.0 / (fa.f_avg + ba.b_avg) >= 1.4
          ORDER BY src_id""",
     "q_ann_lsh" ->
       s"""WITH $annLshCandCte,

@@ -215,6 +215,77 @@ object AnnIndexStore {
     Clustering.refineTopKQuantized(adc, vecs, qpts, k, minDist = negFloor)
   }
 
+  /** Margin-based semantic alignment mining served FROM THE STORED INDEX
+    * — the scale path for [[Similarity.marginMine]]'s brute forward scan,
+    * the same upgrade [[hardNegatives]] took: the forward candidate pool
+    * per source vector is the index probe (nProbe cells ADC-ranked to
+    * `refine` candidates) instead of a target-corpus scan, then the pool
+    * is exactly re-ranked BY COSINE over the stored quantized vectors and
+    * the ratio margin computed as in the brute form (cosine over the mean
+    * of both k-neighborhoods; backward neighborhoods brute over the
+    * batch-scale source side — candidates × broadcast batch, bounded by
+    * k·|batch|). Per-batch cost tracks probed cells, never the corpus.
+    *
+    * All cosines are over the QUANTIZED vectors: dots and norms are exact
+    * 64-bit integers (no float-summation order anywhere), and the derived
+    * doubles are bit-identical in any engine — the q_margin_mine_stored
+    * mirror reproduces every sim and margin exactly. Recall inherits the
+    * probe/pool knobs: with nProbe = nCells and refine >= corpus the
+    * forward pool degenerates to the full corpus and the result equals
+    * the brute quantized-cosine margin computation
+    * ([[graft.AnnIndexSpec]] asserts it). Returns
+    * (src_id, tgt_id, sim, margin) for pairs clearing `minMargin`. */
+  def marginMine(src: DataFrame, idCol: String, vecCol: String, dir: String,
+                 k: Int = 4, nProbe: Int = 2, refine: Int = 30,
+                 minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1 && refine >= k,
+      s"need refine >= k >= 1, got k=$k refine=$refine")
+    val (adc, qpts, vecs) = adcPool(src, idCol, vecCol, dir, refine, nProbe)
+    def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q = qpts.select(col("id").as("qid"), col("q").as("qq"))
+      .withColumn("qn", sqrt(idot(col("qq"), col("qq")).cast("double")))
+    val v = vecs.select(col("id"), col("q").as("nq"))
+      .withColumn("nn", sqrt(idot(col("nq"), col("nq")).cast("double")))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("id").asc)
+    val fwd = adc.select(col("qid"), col("nid").as("id"))
+      .join(v, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        idot(col("qq"), col("nq")).cast("double") / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"),
+        (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
+    val cand = v.join(fwd.select(col("id")).distinct(), Seq("id"))
+      .select(col("id").as("cid"), col("nq"), col("nn"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("sim").desc, col("qid").asc)
+    val bwd = cand.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim",
+        idot(col("qq"), col("nq")).cast("double") / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= k)
+      .select(col("cid"), col("rank"),
+        (floor(col("sim") * 1000000) / 1000000.0).as("sim"))
+    def nbAvg(t: DataFrame, keyCol: String, idOut: String, avgOut: String) =
+      t.groupBy(col(keyCol).as(idOut))
+        .agg((aggregate(
+          transform(array_sort(collect_list(struct(col("rank"), col("sim")))),
+            x => x.getField("sim")),
+          lit(0.0), (a, x) => a + x) / k).as(avgOut))
+    fwd.filter(col("rank") === 1)
+      .select(col("qid").as("src_id"), col("id").as("tgt_id"), col("sim"))
+      .join(nbAvg(fwd, "qid", "src_id", "f_avg"), Seq("src_id"))
+      .join(nbAvg(bwd, "cid", "tgt_id", "b_avg"), Seq("tgt_id"))
+      .withColumn("margin", col("sim") * 2.0 / (col("f_avg") + col("b_avg")))
+      .filter(col("margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"), col("sim"),
+        (floor(col("margin") * 10000) / 10000.0).as("margin"))
+  }
+
   /** Per-vector near-duplicate verdict against the stored index — the
     * embedding twin of [[DedupIndex.matchBatch]]: one row per incoming
     * vector, (new_id, match_id, dist, is_dup), where match_id/dist name

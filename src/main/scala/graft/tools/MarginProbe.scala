@@ -30,6 +30,19 @@ object MarginProbe {
     Seq(1.0, 1.01, 1.02, 1.05, 1.1).foreach { t =>
       println(s"AT $t -> ${out.filter(col("margin") >= t).count()}")
     }
+    // stored-index variant: id<10 batch against the full-corpus index
+    val idxDir = java.nio.file.Files.createTempDirectory("margin_idx").toString
+    graft.operators.AnnIndexStore.build(e, "vec_id", "embedding", idxDir,
+      dim = 64)
+    val st = graft.operators.AnnIndexStore.marginMine(
+      e.filter(col("vec_id") < 10), "vec_id", "embedding", idxDir,
+      k = 4, nProbe = 2, refine = 30, minMargin = 0.0)
+    println(s"STORED PAIRS ${st.count()}")
+    st.select(min("margin"), expr("percentile(margin, 0.5)"), max("margin"))
+      .collect().foreach(r => println(s"STORED DIST $r"))
+    Seq(1.0, 1.02, 1.05, 1.1, 1.15).foreach { t =>
+      println(s"STORED AT $t -> ${st.filter(col("margin") >= t).count()}")
+    }
     spark.stop()
   }
 }

@@ -173,6 +173,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.forall(_._4 > negFloor))
   }
 
+  test("stored marginMine at full probe/refine == brute quantized-cosine margins") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_mm").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    val k = 3
+    // ground truth in plain Scala over the same quantized vectors: the
+    // full-probe/full-pool stored path must degenerate to exactly this
+    val q = corpusRows.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1000).toLong).toArray
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    def fl6(x: Double) = math.floor(x * 1000000) / 1000000.0
+    val srcIds = (0L until 5L).toSeq
+    def topK(qid: Long, pool: Seq[Long]) =
+      pool.filter(_ != qid).map(n => (n, cos(q(qid), q(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(k)
+        .map { case (n, s) => (n, fl6(s)) }
+    val fwd = srcIds.map(s => s -> topK(s, q.keys.toSeq)).toMap
+    val expected = srcIds.flatMap { s =>
+      val (best, bestSim) = fwd(s).head
+      val fAvg = fwd(s).map(_._2).sum / k  // k=3 small: assoc order checked below
+      val bAvg = topK(best, srcIds).map(_._2).sum / k
+      val margin = bestSim * 2.0 / (fAvg + bAvg)
+      Some((s, best, bestSim, math.floor(margin * 10000) / 10000.0))
+    }.sortBy(_._1)
+    val got = AnnIndexStore.marginMine(base.filter(col("vec_id") < 5),
+        "vec_id", "embedding", dir, k = k, nProbe = 4, refine = 100,
+        minMargin = 0.0)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected,
+      s"stored margins diverged from brute:\n got=$got\n exp=$expected")
+  }
+
   test("serve-through-compact: queries racing compact() never error") {
     spark.sparkContext.setLogLevel("ERROR")
     val base = df(corpusRows)

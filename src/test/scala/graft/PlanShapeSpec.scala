@@ -42,11 +42,15 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_ann_gate_recall", // 1-row n_true x 1-row n_found audit cross; the
     // exact side is also a broadcast batch (O(25) rows) scan — the
     // documented ground-truth audit shape, bench-excluded like q_lsh_recall
-    "q_margin_mine") // two annTopK-shaped broadcast scans: forward side
+    "q_margin_mine", // two annTopK-shaped broadcast scans: forward side
     // broadcasts the 5% source batch (O(|batch|) rows) against one tgt
     // scan; backward side broadcasts the k*|batch|-bounded forward
     // candidate set against the batch — nothing corpus-sized broadcast
     // (Similarity.marginMine scaladoc)
+    "q_margin_mine_stored") // forward side is the INDEX probe (no corpus
+    // scan at all); the one nested-loop join is the backward leg's
+    // refine-bounded candidate set crossed with the broadcast 10-row
+    // batch (AnnIndexStore.marginMine scaladoc)
 
   // The exact all-pairs cosine is DOCUMENTED as a small-input utility
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
