@@ -1934,6 +1934,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multi-epoch upsampled mix (the GPT-3/LLaMA data-mix shape): src0
+    // weighted 10x and src1 5x against 18 background sources over a
+    // budget larger than either's availability, so the plan repeats them
+    // for whole epochs plus a hash-sampled partial pass, while the
+    // background sources downsample — the one-epoch-capped q_mix_apply
+    // cannot express this. Output is (doc, source, epoch) with ZERO
+    // shuffles (broadcast plan + generate).
+    "q_epoch_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = (0 until 20).map(i => s"src$i" ->
+        (if (i == 0) 10L else if (i == 1) 5L else 1L)).toMap
+      val plan = operators.Sampling.upsampledMixPlan(docs, "source", "text",
+        w, budgetTokens = 30000L)
+      operators.Sampling.epochExpand(docs, "doc_id", "source", plan)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // Deterministic training-epoch shuffle: seed-keyed md5 permutation with
     // per-shard dense positions — one hash exchange, no global sort.
     "q_shuffle_order" -> ((s, dir) => {
@@ -3931,6 +3948,31 @@ object SparkEntry {
          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                  % 10000 < sample_bp
          ORDER BY d.doc_id""",
+    "q_epoch_mix" ->
+      """WITH st AS (SELECT source,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail_tok
+         FROM documents GROUP BY source),
+         pl AS (SELECT source, avail_tok,
+             CAST(CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+               ELSE 1 END AS BIGINT) AS w
+           FROM st),
+         pl3 AS (SELECT source,
+             CASE WHEN avail_tok > 0
+               THEN ((w * 30000) // 33) // avail_tok ELSE 0 END AS full_epochs,
+             CASE WHEN avail_tok > 0
+               THEN ((((w * 30000) // 33) % avail_tok) * 10000) // avail_tok
+               ELSE 0 END AS rem_bp
+           FROM pl),
+         b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000 AS bucket
+           FROM documents)
+         SELECT b.doc_id, b.source, CAST(t.e AS BIGINT) AS epoch
+         FROM b JOIN pl3 USING (source)
+           CROSS JOIN LATERAL
+             (SELECT unnest(range(pl3.full_epochs + 1)) AS e) t
+         WHERE t.e < pl3.full_epochs OR b.bucket < pl3.rem_bp
+         ORDER BY b.doc_id, epoch""",
     "q_training_manifest" ->
       s"""WITH $langQualCtes,
          kept AS (SELECT d.doc_id, d.source, qual.n_tok

@@ -153,6 +153,66 @@ object Sampling {
       .drop("wsum")
   }
 
+  /** [[mixPlan]] WITHOUT the one-epoch cap — the standard LLM data mix
+    * (GPT-3 / LLaMA style), where scarce high-quality sources repeat for
+    * multiple training epochs: a source whose token target exceeds its
+    * availability gets `full_epochs` whole passes plus a
+    * `rem_bp`/10000 hash-sampled partial pass (mixPlan marks such sources
+    * `fillable = false` and silently caps them at 1.0 epoch — the right
+    * report when repetition is banned, the wrong mix when it isn't).
+    * Same exact-integer discipline: target = weight*budget div wsum,
+    * full_epochs = target div avail, rem_bp = (target mod avail)*10000
+    * div avail — reproducible across engines, one partial-agg shuffle,
+    * O(#sources) output. [[epochExpand]] executes the plan. */
+  def upsampledMixPlan(df: DataFrame, sourceCol: String, textCol: String,
+                       weights: Map[String, Long],
+                       budgetTokens: Long): DataFrame = {
+    val wsum = weights.values.sum
+    require(wsum > 0, "upsampledMixPlan needs a positive total weight")
+    val wCol = weights.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((s, w), acc) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    df.select(col(sourceCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tok"))
+      .withColumn("weight", wCol)
+      .withColumn("_num", col("weight") * lit(budgetTokens))
+      .withColumn("target_tok", expr(s"_num div $wsum"))
+      .withColumn("full_epochs",
+        when(col("avail_tok") > 0, expr("target_tok div avail_tok"))
+          .otherwise(lit(0L)))
+      .withColumn("rem_bp",
+        when(col("avail_tok") > 0,
+          expr("((target_tok % avail_tok) * 10000) div avail_tok"))
+          .otherwise(lit(0L)))
+      .drop("_num")
+  }
+
+  /** Execute an [[upsampledMixPlan]]: each doc appears once per full
+    * epoch of its source plus once more in the partial epoch iff its hash
+    * bucket clears `rem_bp` — output (id, source, epoch), epoch 0-based,
+    * total tokens ≈ the plan targets. The partial pass rides the SAME id
+    * hash as [[stratifiedSample]]/[[applyMixPlan]], so a mix re-planned
+    * with a lower budget selects a nested subset per epoch.
+    *
+    * Scale shape: broadcast O(#sources) plan + one generate — ZERO
+    * shuffles; output size is the training budget, which is the point.
+    * Epoch counts are per-source plan values, so a degenerate
+    * weight/budget pair (one tiny source owed the whole budget) fans out
+    * proportionally — sanity-check the plan's `full_epochs` before
+    * executing at scale. */
+  def epochExpand(df: DataFrame, idCol: String, sourceCol: String,
+                  plan: DataFrame): DataFrame =
+    df.join(broadcast(plan
+        .select(col(sourceCol), col("full_epochs"), col("rem_bp"))),
+        Seq(sourceCol))
+      .select(col(idCol), col(sourceCol), col("full_epochs"), col("rem_bp"),
+        explode(sequence(lit(0L), col("full_epochs"))).as("epoch"))
+      .filter(col("epoch") < col("full_epochs") ||
+        hashBucket(col(idCol)) < col("rem_bp"))
+      .select(col(idCol), col(sourceCol), col("epoch"))
+
   /** Execute a [[mixPlan]]: keep each doc iff its hash bucket falls below
     * its source's `sample_bp`. The plan is O(#sources) so it broadcasts;
     * the corpus side is a pure projection + filter (scan-speed at 100 TB),

@@ -309,6 +309,50 @@ class PackingSessionizeSpec extends AnyFunSuite {
       scarce(1).getAs[Long]("sample_bp") == 10000L)
   }
 
+  test("upsampledMixPlan/epochExpand: whole epochs + hash-sampled partial pass") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // srcA: 2 docs x 4 tokens = 8 avail; srcB: 4 docs x 4 = 16 avail
+    val docs = ((1L to 2L).map(i => (i, "srcA", "w w w w")) ++
+      (3L to 6L).map(i => (i, "srcB", "w w w w")))
+      .toDF("doc_id", "source", "text")
+    // weights 3:1, budget 40 -> srcA target 30 of 8 avail = 3 epochs +
+    // rem 6/8 (7500 bp); srcB target 10 of 16 = 0 epochs + 6250 bp
+    val plan = Sampling.upsampledMixPlan(docs, "source", "text",
+      Map("srcA" -> 3L, "srcB" -> 1L), budgetTokens = 40L)
+    val rows = plan.orderBy("source").collect()
+    assert(rows(0).getAs[Long]("target_tok") == 30L &&
+      rows(0).getAs[Long]("full_epochs") == 3L &&
+      rows(0).getAs[Long]("rem_bp") == 7500L)
+    assert(rows(1).getAs[Long]("full_epochs") == 0L &&
+      rows(1).getAs[Long]("rem_bp") == 6250L)
+
+    val out = Sampling.epochExpand(docs, "doc_id", "source", plan)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // every srcA doc appears in epochs 0..2; epoch 3 holds the hash-
+    // sampled partial pass; srcB docs appear at most once (epoch 0)
+    val byDoc = out.groupBy(_._1)
+    (1L to 2L).foreach { d =>
+      val epochs = byDoc.getOrElse(d, Array.empty).map(_._3).sorted.toSeq
+      assert(epochs.take(3) == Seq(0L, 1L, 2L) && epochs.size <= 4,
+        s"doc $d epochs $epochs")
+    }
+    (3L to 6L).foreach { d =>
+      assert(byDoc.getOrElse(d, Array.empty).forall(_._3 == 0L))
+    }
+    // the partial pass is the SAME deterministic hash family as the
+    // one-epoch mix: srcA's epoch-3 members == the 7500bp hash selection
+    val partial = out.filter(r => r._2 == "srcA" && r._3 == 3L).map(_._1).toSet
+    val expected = (1L to 2L).filter { d =>
+      docs.filter(col("doc_id") === d)
+        .select(Sampling.hashBucket(col("doc_id")) < 7500).head().getBoolean(0)
+    }.toSet
+    assert(partial == expected, s"partial pass $partial != hash selection $expected")
+    // token accounting: total emitted tokens lands within one doc of target
+    val emitted = out.count(_._2 == "srcA") * 4
+    assert(emitted >= 30 - 4 && emitted <= 30 + 4, s"srcA tokens $emitted")
+  }
+
   test("approx corpus profile: HLL++ estimates within 5% of exact at sf0.01") {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
