@@ -82,6 +82,26 @@ class GenStoreSpec extends AnyFunSuite {
       "compaction must land on the next generation's base segment")
   }
 
+  test("concurrent appends: no lost manifest update under the lock") {
+    val dir = newStore()
+    val n = 16
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        try GenStore.appendSeg(dir, "store", s"b$i") { (_, segDir) =>
+          Files.createDirectories(Paths.get(segDir))
+        }
+        catch { case _: Throwable => errs.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.get() == 0, s"${errs.get()} concurrent appends failed")
+    val segs = GenStore.read(dir).get.segs
+    assert(segs.size == n + 1 &&
+      (0 until n).forall(i => segs.contains(s"b$i")),
+      s"lost update: ${segs.sorted}")
+  }
+
   test("uncommitted segment directories are invisible to the manifest") {
     val dir = newStore()
     // a crashed append: data landed, commit never ran

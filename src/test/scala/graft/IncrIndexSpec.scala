@@ -328,6 +328,55 @@ class IncrIndexSpec extends AnyFunSuite {
       .sameElements(applied), "a replayed append changed match results")
   }
 
+  test("appends racing compact(): every batch survives, whatever the interleaving") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val probe = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+    val dir = Files.createTempDirectory("graft_didx_wrace").toString
+    DedupIndex.build(docs.filter(col("doc_id") % 5 === 1), "doc_id", "text",
+      dir, nPfx = 16)
+
+    // an appender streams three batches in while a compaction runs: the
+    // CAS contract says a raced append either commits (and the compact
+    // retry folds it in) or fails loudly for the engine to replay —
+    // NEVER lands silently in a dead generation. Whatever interleaving
+    // this host produces, the final store must contain every batch that
+    // reported success.
+    val batches = (2 to 4).map(i =>
+      docs.filter(col("doc_id") % 5 === i).localCheckpoint())
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val appendErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val appender = new Thread(() => {
+      batches.zipWithIndex.foreach { case (b, i) =>
+        try {
+          DedupIndex.append(b, "doc_id", "text", dir)
+          appended.add(i); ()
+        } catch {
+          case _: java.util.ConcurrentModificationException => () // replayable
+          case t: Throwable => appendErr.set(t)
+        }
+        Thread.sleep(30)
+      }
+    })
+    appender.start()
+    try DedupIndex.compact(spark, dir)
+    catch { case _: java.util.ConcurrentModificationException => () } // allowed
+    appender.join(180000)
+    assert(appendErr.get() == null, s"append failed oddly: ${appendErr.get()}")
+
+    import scala.jdk.CollectionConverters._
+    val kept = appended.iterator().asScala.toSet
+    val expectCorpus = kept.foldLeft(docs.filter(col("doc_id") % 5 === 1)) {
+      (acc, i) => acc.unionByName(batches(i))
+    }
+    val got = canon(DedupIndex.matchBatch(probe, "doc_id", "text", dir))
+    val want = canon(TextDedup.incrementalDedup(expectCorpus, probe,
+      "doc_id", "text"))
+    assert(got.sameElements(want),
+      s"store diverged from the ${kept.size} successfully-appended batches")
+  }
+
   test("per-batch cost is independent of corpus growth (9x corpus, same batch)") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
