@@ -1726,6 +1726,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style trigram stupid-backoff filter: the LM is counted on the
+    // curated src0 slice only and scores the WHOLE corpus (model-on-trusted,
+    // score-the-crawl); exact-integer backoff rarities (alpha = 2/5), one
+    // model join per corpus position triple. Docs < 3 tokens drop out.
+    "q_lm_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.backoffSurprisal(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Distributed BPE tokenizer training: 16 merge rounds over the
     // frequency-weighted distinct-word dictionary (the corpus is scanned
     // once); the merge table is the learned vocabulary artifact.
@@ -3647,6 +3658,53 @@ object SparkEntry {
            CAST(sum(rarity) AS BIGINT) AS sum_rarity,
            CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q_lm_backoff" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         rt AS (SELECT string_split(text, ' ') AS toks
+                FROM documents WHERE source = 'src0'),
+         ru AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS ku
+                FROM (SELECT unnest(toks) AS t FROM rt)),
+         cu AS (SELECT ku, CAST(count(*) AS BIGINT) AS cu FROM ru GROUP BY ku),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM ru),
+         rb AS (SELECT
+             ('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1]), 1, 15))::BIGINT AS kb,
+             ('0x' || substr(md5(toks[pos]), 1, 15))::BIGINT AS kl
+           FROM (SELECT toks, unnest(range(1, len(toks))) AS pos FROM rt)),
+         cb AS (SELECT kb, CAST(count(*) AS BIGINT) AS cb FROM rb GROUP BY kb),
+         cl AS (SELECT kl, CAST(count(*) AS BIGINT) AS cl FROM rb GROUP BY kl),
+         r3 AS (SELECT
+             ('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]), 1, 15))::BIGINT AS k3,
+             ('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1]), 1, 15))::BIGINT AS kc
+           FROM (SELECT toks, unnest(range(1, len(toks) - 1)) AS pos FROM rt)),
+         ct AS (SELECT k3, CAST(count(*) AS BIGINT) AS ct FROM r3 GROUP BY k3),
+         cc AS (SELECT kc, CAST(count(*) AS BIGINT) AS cc FROM r3 GROUP BY kc),
+         p AS (SELECT doc_id,
+             ('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1] || ' ' || toks[pos + 2]), 1, 15))::BIGINT AS k3,
+             ('0x' || substr(md5(toks[pos] || ' ' || toks[pos + 1]), 1, 15))::BIGINT AS kc,
+             ('0x' || substr(md5(toks[pos + 1] || ' ' || toks[pos + 2]), 1, 15))::BIGINT AS kb,
+             ('0x' || substr(md5(toks[pos + 1]), 1, 15))::BIGINT AS kl,
+             ('0x' || substr(md5(toks[pos + 2]), 1, 15))::BIGINT AS ku
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS pos FROM t)),
+         s AS (SELECT doc_id,
+             CASE WHEN ct IS NOT NULL THEN 3
+                  WHEN cb IS NOT NULL THEN 2
+                  WHEN cu IS NOT NULL THEN 1 ELSE 0 END AS level,
+             CASE WHEN ct IS NOT NULL THEN (1000000 * cc) // ct
+                  WHEN cb IS NOT NULL THEN ((1000000 * cl) // cb) * 5 // 2
+                  WHEN cu IS NOT NULL THEN ((1000000 * T) // cu) * 25 // 4
+                  ELSE (1000000 * (T + 1)) * 25 // 4 END AS rarity
+           FROM p LEFT JOIN ct USING (k3) LEFT JOIN cc USING (kc)
+             LEFT JOIN cb USING (kb) LEFT JOIN cl USING (kl)
+             LEFT JOIN cu USING (ku) CROSS JOIN tt)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN level = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+           CAST(sum(CASE WHEN level = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+           CAST(sum(CASE WHEN level = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(rarity) AS BIGINT) AS sum_rarity,
+           CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
+         FROM s GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_train" ->
       s"""WITH ${bpeCtes(16)}
          SELECT * FROM (${(0 until 16).map(i =>

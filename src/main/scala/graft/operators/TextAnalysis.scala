@@ -473,4 +473,119 @@ object TextAnalysis {
       .orderBy(col("pmi_bp").desc, col("w1"), col("w2"))
       .limit(topK)
   }
+
+  /** Trigram stupid-backoff surprisal scored against a REFERENCE slice —
+    * the CCNet filtering discipline (Wenzek et al. 2020: an n-gram LM
+    * counted on a trusted corpus scores every crawled document; both
+    * tails are drop candidates — too formulaic and too alien). The model
+    * is counted on `ref` (e.g. one curated source) and every `df`
+    * document is scored against it, unlike [[bigramSurprisal]] whose
+    * counts are self-referential. Per scored position (3rd token onward)
+    * the exact integer rarity is the scaled inverse stupid-backoff score
+    * (Brants et al. 2007 "Large Language Models in Machine Translation",
+    * alpha = 2/5), highest matched order wins:
+    *   trigram seen:   1e6 * c(w1 w2 ·) div c(w1 w2 w3)
+    *   else bigram:    (1e6 * c(w2 ·) div c(w2 w3)) * 5 div 2
+    *   else unigram:   (1e6 * T div c(w3)) * 25 div 4
+    *   else OOV:       (1e6 * (T + 1)) * 25 div 4     (above any in-vocab)
+    * (context counts count GRAMS, matching [[bigramSurprisal]]; T = ref
+    * token count). Log-free, so every rarity and every backoff-level
+    * decision is bit-identical on any engine — no ln whose last-ulp
+    * rounding could flip a floor, no float summation order.
+    *
+    * Scale shape: the model is PRECOMPUTED into one (level, key, rarity)
+    * table with model-sized joins (each level's rarity folded at build
+    * time), keyed by 60-bit md5 hashes so the scoring join carries 8-byte
+    * keys; scoring is one explode to 3 lookup rows per position, ONE left
+    * equi-join against the model (broadcast when the curated ref is small,
+    * shuffle on the hashed key beyond that), one per-position best-level
+    * aggregation (map-side partial collapses 3 -> 1 before the exchange),
+    * and one per-doc rollup — the corpus is never joined more than once,
+    * vs the naive five-join formulation that re-exchanges it per count
+    * table. A 60-bit hash collision merges two grams identically in the
+    * oracle (same md5); cross-level collisions are impossible (the level
+    * tag is part of the join key). In-plan assert_true guard fails loudly
+    * when n_scored * T approaches 2^63 / (6.25e6) instead of wrapping.
+    *
+    * Returns (id, n_scored, n_tri, n_bi, n_uni, n_oov, sum_rarity,
+    * mean_rarity); docs with fewer than 3 tokens have no trigram position
+    * and drop out. */
+  def backoffSurprisal(df: DataFrame, ref: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val h: Column => Column = TextDedup.stableHash
+    val toks = split(col(textCol), " ")
+
+    // --- model: gram-count tables over the reference slice ---
+    val rtoks = ref.select(toks.as("toks"))
+    val runi = rtoks.select(explode(col("toks")).as("t"))
+      .select(h(col("t")).as("ku"))
+    val cu = runi.groupBy("ku").agg(count(lit(1)).as("cu"))
+    val tTot = runi.agg(count(lit(1)).as("T"))
+    val rbig = rtoks.filter(size(col("toks")) >= 2).select(
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          p => struct(
+            h(concat_ws(" ", slice(col("toks"), p, lit(2)))).as("kb"),
+            h(concat_ws(" ", slice(col("toks"), p, lit(1)))).as("kl")))).as("b"))
+      .select(col("b.kb").as("kb"), col("b.kl").as("kl"))
+    val rtri = rtoks.filter(size(col("toks")) >= 3).select(
+        explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          p => struct(
+            h(concat_ws(" ", slice(col("toks"), p, lit(3)))).as("k3"),
+            h(concat_ws(" ", slice(col("toks"), p, lit(2)))).as("kc")))).as("t"))
+      .select(col("t.k3").as("k3"), col("t.kc").as("kc"))
+    // per-level rarity folded at model-build time (model-sized joins; kc/kl
+    // are functionally determined by k3/kb, so the extra group key is free)
+    val m3 = rtri.groupBy("k3", "kc").agg(count(lit(1)).as("ct"))
+      .join(rtri.groupBy("kc").agg(count(lit(1)).as("cc")), Seq("kc"))
+      .select(lit(3).as("level"), col("k3").as("k"),
+        expr("(1000000 * cc) div ct").as("rarity"))
+    val m2 = rbig.groupBy("kb", "kl").agg(count(lit(1)).as("cb"))
+      .join(rbig.groupBy("kl").agg(count(lit(1)).as("cl")), Seq("kl"))
+      .select(lit(2).as("level"), col("kb").as("k"),
+        expr("((1000000 * cl) div cb) * 5 div 2").as("rarity"))
+    val m1 = cu.crossJoin(broadcast(tTot))
+      .select(lit(1).as("level"), col("ku").as("k"),
+        expr("((1000000 * T) div cu) * 25 div 4").as("rarity"))
+    val model = m3.unionByName(m2).unionByName(m1)
+
+    // --- scoring: 3 lookup rows per trigram position, one model join ---
+    val lookups = when(size(toks) >= 3,
+      flatten(transform(sequence(lit(1), size(toks) - 2), p => array(
+        struct(p.as("pos"), lit(3).as("level"),
+          h(concat_ws(" ", slice(toks, p, lit(3)))).as("k")),
+        struct(p.as("pos"), lit(2).as("level"),
+          h(concat_ws(" ", slice(toks, p + 1, lit(2)))).as("k")),
+        struct(p.as("pos"), lit(1).as("level"),
+          h(concat_ws(" ", slice(toks, p + 2, lit(1)))).as("k"))))))
+      .otherwise(array().cast("array<struct<pos:int,level:int,k:bigint>>"))
+    val perPos = df.select(col(idCol), explode(lookups).as("l"))
+      .select(col(idCol), col("l.pos").as("pos"),
+        col("l.level").as("level"), col("l.k").as("k"))
+      .join(model, Seq("level", "k"), "left")
+      .groupBy(col(idCol), col("pos"))
+      .agg(max(when(col("rarity").isNotNull,
+        struct(col("level"), col("rarity")))).as("best"))
+      .crossJoin(broadcast(tTot))
+      .select(col(idCol),
+        coalesce(col("best.level"), lit(0)).as("level"),
+        coalesce(col("best.rarity"),
+          expr("(1000000 * (T + 1)) * 25 div 4")).as("rarity"),
+        col("T"))
+    val guard = assert_true(
+      col("n_scored").cast("double") * col("_T").cast("double") < 1.4e12,
+      lit("backoff parity headroom exceeded: scored positions per doc x " +
+        "reference tokens must stay under ~1.4e12 (sum of 1e6-scale " +
+        "rarities vs 2^63) — scale the rarity base down for refs this large"))
+    perPos.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("level") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("level") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("level") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(when(col("level") === 0, 1L).otherwise(0L)).as("n_oov"),
+        sum("rarity").as("_sum"), max("T").as("_T"))
+      .select(col(idCol), col("n_scored"), col("n_tri"), col("n_bi"),
+        col("n_uni"), col("n_oov"),
+        (col("_sum") + coalesce(guard.cast("long"), lit(0L))).as("sum_rarity"),
+        expr("_sum div n_scored").as("mean_rarity"))
+  }
 }

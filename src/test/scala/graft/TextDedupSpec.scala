@@ -184,6 +184,52 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getAs[Long]("mean_rarity") > out(0).getAs[Long]("mean_rarity"))
   }
 
+  test("backoffSurprisal: exact backoff ladder against a reference slice") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // model slice: T=6; cu the=2 cat=2 sat=1 ran=1; bigrams "the cat"x2,
+    // "cat sat", "cat ran" (cl the=2 cat=2); trigrams "the cat sat",
+    // "the cat ran" (context "the cat" count 2)
+    val ref = Seq((100L, "the cat sat"), (101L, "the cat ran"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat"),             // trigram hit
+      (2L, "x cat ran"),               // backs off to bigram "cat ran"
+      (3L, "x y sat"),                 // backs off to unigram "sat"
+      (4L, "the cat apple"),           // OOV target token
+      (5L, "hi there"),                // < 3 tokens: drops out
+      (6L, "the cat sat the cat ran")) // 4 positions, mixed levels
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .backoffSurprisal(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 5)
+    def row(i: Int) = out.find(_.getLong(0) == i).get
+    // d1: (1e6 * cc=2) div ct=1 = 2_000_000 at level 3
+    assert(row(1).getAs[Long]("n_tri") == 1L &&
+      row(1).getAs[Long]("mean_rarity") == 2000000L)
+    // d2: ((1e6 * cl(cat)=2) div cb=1) * 5 div 2 = 5_000_000 at level 2
+    assert(row(2).getAs[Long]("n_bi") == 1L &&
+      row(2).getAs[Long]("mean_rarity") == 5000000L)
+    // d3: ((1e6 * T=6) div cu(sat)=1) * 25 div 4 = 37_500_000 at level 1
+    assert(row(3).getAs[Long]("n_uni") == 1L &&
+      row(3).getAs[Long]("mean_rarity") == 37500000L)
+    // d4: OOV cap (1e6 * 7) * 25 div 4 = 43_750_000 — above every in-vocab
+    assert(row(4).getAs[Long]("n_oov") == 1L &&
+      row(4).getAs[Long]("mean_rarity") == 43750000L)
+    // the ladder is strictly ordered: tri < bi < uni < oov
+    assert(Seq(1, 2, 3, 4).map(row(_).getAs[Long]("mean_rarity"))
+      .sliding(2).forall { case Seq(a, b) => a < b })
+    // d6 positions: tri 2e6, uni("the") (6 div 2)*1e6*25 div 4 = 18_750_000,
+    // bi("the cat") ((1e6*2) div 2)*5 div 2 = 2_500_000, tri 2e6
+    val d6 = row(6)
+    assert(d6.getAs[Long]("n_scored") == 4L && d6.getAs[Long]("n_tri") == 2L &&
+      d6.getAs[Long]("n_bi") == 1L && d6.getAs[Long]("n_uni") == 1L &&
+      d6.getAs[Long]("n_oov") == 0L)
+    assert(d6.getAs[Long]("sum_rarity") == 25250000L &&
+      d6.getAs[Long]("mean_rarity") == 6312500L)
+  }
+
   test("compressionRatio: repetitive < prose < random; deterministic; empty safe") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
