@@ -1737,6 +1737,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source token-distribution drift vs the corpus: exact-integer
+    // total-variation distance (decimal(38,0) arithmetic) + vocabulary
+    // shape (type count, hapax ratio) — the crawl-snapshot monitoring /
+    // mixing-weight diagnostic.
+    "q_source_drift" -> ((s, dir) =>
+      TextAnalysis.distributionDrift(Tables.documents(s, dir),
+        "source", "text")),
+
+    // Pairwise source-overlap estimate: one MinHash signature per source
+    // over its shingle set, component agreement estimating Jaccard. The
+    // corpus-scale work is one explode + one O(#sources)-row agg.
+    "q_source_overlap" -> ((s, dir) =>
+      TextDedup.groupOverlap(Tables.documents(s, dir), "source", "text")),
+
+    // Token-budget-constrained selection: rank by score (n_chars proxy)
+    // desc, cut at the budget via the two-phase distributed prefix sum —
+    // no unpartitioned window.
+    "q_budget_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Selection.selectByBudget(docs, "doc_id", col("n_chars"),
+        size(split(col("text"), " ")), budget = 25000L)
+    }),
+
     // Distributed BPE tokenizer training: 16 merge rounds over the
     // frequency-weighted distinct-word dictionary (the corpus is scanned
     // once); the merge table is the learned vocabulary artifact.
@@ -3705,6 +3728,59 @@ object SparkEntry {
            CAST(sum(rarity) AS BIGINT) AS sum_rarity,
            CAST(sum(rarity) AS BIGINT) // count(*) AS mean_rarity
          FROM s GROUP BY doc_id ORDER BY doc_id""",
+    // HUGEINT mirrors the Spark side's exact decimal(38,0) TV arithmetic
+    "q_source_drift" ->
+      """WITH tok AS (SELECT source, ('0x' || substr(md5(t), 1, 15))::BIGINT AS k
+                      FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                            FROM documents)),
+         gcnt AS (SELECT source, k, CAST(count(*) AS BIGINT) AS cs
+                  FROM tok GROUP BY 1, 2),
+         ccnt AS (SELECT k, CAST(sum(cs) AS BIGINT) AS c FROM gcnt GROUP BY 1),
+         gtot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(sum(CASE WHEN cs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+                  FROM gcnt GROUP BY 1),
+         nt AS (SELECT CAST(sum(ns) AS BIGINT) AS n FROM gtot),
+         pg AS (SELECT g.source,
+                  sum(abs(g.cs::HUGEINT * nt.n - c.c::HUGEINT * t.ns)) AS num1,
+                  sum(c.c::HUGEINT) AS cmass, max(nt.n::HUGEINT) AS n
+                FROM gcnt g JOIN ccnt c USING (k) JOIN gtot t USING (source)
+                  CROSS JOIN nt
+                GROUP BY 1)
+         SELECT t.source, t.ns AS n_tokens, t.n_types, t.hapax,
+           CAST((10000 * t.hapax) // t.n_types AS BIGINT) AS hapax_bp,
+           CAST(((p.num1 + t.ns::HUGEINT * (p.n - p.cmass)) * 5000)
+                // (p.n * t.ns::HUGEINT) AS BIGINT) AS tv_bp
+         FROM pg p JOIN gtot t USING (source) ORDER BY source""",
+    "q_source_overlap" -> {
+      val mins = (0 until 8).map { i =>
+        val a = 2 * i + 1; val b = i * i + 1
+        s"min((h * $a + $b) % 2147483647) AS mh$i"
+      }.mkString(", ")
+      val matches = (0 until 8)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH sh AS (SELECT source, unnest(${shinglesSql("text", 4)}) AS sh
+                      FROM documents),
+         hs AS (SELECT source,
+           ('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647 AS h FROM sh),
+         sig AS (SELECT source, $mins FROM hs GROUP BY source),
+         pairs AS (SELECT a.source AS g1, b.source AS g2,
+             CAST($matches AS BIGINT) AS k_match
+           FROM sig a JOIN sig b ON a.source < b.source)
+         SELECT g1, g2, k_match,
+           CAST((10000 * k_match) // 8 AS BIGINT) AS jaccard_bp
+         FROM pairs ORDER BY g1, g2""" },
+    "q_budget_select" ->
+      """WITH t AS (SELECT doc_id, n_chars AS score,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, score, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+               AS cum_tok
+           FROM t)
+         SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
+         FROM c ORDER BY doc_id""",
     "q_bpe_train" ->
       s"""WITH ${bpeCtes(16)}
          SELECT * FROM (${(0 until 16).map(i =>

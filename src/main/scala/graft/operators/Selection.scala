@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Targeted data selection: score every raw document by how much it looks
@@ -103,5 +103,35 @@ object Selection {
       perDoc.withColumn("mean_score", col("dsir_score") / col("n_tok"))
     else
       perDoc.withColumn("mean_score", expr("dsir_score div n_tok"))
+  }
+
+  /** Token-budget-constrained selection: take documents in descending
+    * `scoreCol` order (ties broken by ascending id — fully deterministic)
+    * until the running token total exceeds `budget`. The "rank by quality,
+    * cut at the compute budget" step every pretraining data plan ends
+    * with, e.g. downstream of [[importanceWeights]] or a quality score.
+    *
+    * The cumulative total is [[Packing.prefixSum]]'s two-phase
+    * distributed scan over a composite (-score, id) range key — NO
+    * unpartitioned window anywhere, so the ranking survives a
+    * corpus-sized input. Because the running total is monotone in the
+    * selection order, `cum_tok <= budget` is a contiguous prefix: the
+    * greedy cut needs no sequential pass.
+    *
+    * Returns every input row flagged: (idCol, score, n_tok, cum_tok,
+    * selected), ordered by id. cum_tok is the INCLUSIVE running total in
+    * selection order. */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: Column,
+                     tokCol: Column, budget: Long): DataFrame = {
+    val keyed = df.select(
+      struct((-scoreCol).cast("long").as("s"), col(idCol).as("i")).as("_k"),
+      tokCol.cast("long").as("_n"))
+    Packing.prefixSum(keyed, "_k", col("_n"))
+      .select(col("doc_id.i").as(idCol),
+        (-col("doc_id.s")).as("score"),
+        col("n").as("n_tok"),
+        (col("start") + col("n")).as("cum_tok"),
+        (col("start") + col("n") <= budget).as("selected"))
+      .orderBy(idCol)
   }
 }

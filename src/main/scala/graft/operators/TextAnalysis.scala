@@ -510,6 +510,78 @@ object TextAnalysis {
     * Returns (id, n_scored, n_tri, n_bi, n_uni, n_oov, sum_rarity,
     * mean_rarity); docs with fewer than 3 tokens have no trigram position
     * and drop out. */
+  /** Per-group token-distribution drift against the whole corpus — the
+    * total-variation distance used to monitor crawl snapshots and pick
+    * data-mixing weights (a source whose unigram distribution has drifted
+    * far from the corpus mean is a re-weighting / re-crawl candidate).
+    * For group s with token counts c_s[t] (total N_s) and corpus counts
+    * c[t] (total N):
+    *
+    *   TV(s) = 1/2 * sum_t | c_s[t]/N_s - c[t]/N |
+    *         = ( sum_{t in s} |c_s[t]*N - c[t]*N_s|
+    *             + N_s * (N - sum_{t in s} c[t]) ) / (2 * N * N_s)
+    *
+    * — the closed-form second term folds every token ABSENT from the
+    * group, so no full-vocabulary outer join is needed. All arithmetic is
+    * exact decimal(38,0): longs are widened to decimal(19,0) so each
+    * product is exact, and `tv_bp = (5000 * num) div (N * N_s)` is an
+    * integral division any engine reproduces bit-for-bit (DuckDB mirrors
+    * it in HUGEINT). Headroom: num <= 2*N*N_s, so the widest value is
+    * 1e4 * N * N_s — at N = 1e15 corpus tokens and N_s = 1e14 that is
+    * 1e33 < 1e38; an in-plan assert_true fails loudly past N ~ 3e16
+    * rather than silently truncating.
+    *
+    * Tokens are keyed by the shared 60-bit md5 hash ([[TextDedup.stableHash]])
+    * so the vocabulary join carries 8-byte keys; a collision merges two
+    * tokens identically in the oracle (same md5). Also reports per-group
+    * vocabulary shape: n_types (distinct tokens) and the hapax ratio
+    * (share of types seen exactly once — Zipf-tail health).
+    *
+    * Scale shape: one corpus-scan explode into a (group, token)-keyed
+    * partial aggregation (map-side combine collapses repeats before the
+    * exchange); corpus counts derive from THAT table by a second
+    * vocabulary-sized aggregation — the corpus is never exploded twice;
+    * the group totals are an O(#groups) broadcast; the final rollup is
+    * one hash aggregation keyed by group. No window, nothing quadratic.
+    *
+    * Returns (groupCol, n_tokens, n_types, hapax, hapax_bp, tv_bp)
+    * ordered by group. */
+  def distributionDrift(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val dec: Column => Column = _.cast("decimal(19,0)")
+    val gcnt = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("t"))
+      .select(col(groupCol), TextDedup.stableHash(col("t")).as("k"))
+      .groupBy(col(groupCol), col("k")).agg(count(lit(1)).as("cs"))
+    val ccnt = gcnt.groupBy("k").agg(sum("cs").as("c"))
+    val gtot = gcnt.groupBy(col(groupCol))
+      .agg(sum("cs").as("ns"), count(lit(1)).as("n_types"),
+        sum(when(col("cs") === 1, 1L).otherwise(0L)).as("hapax"))
+    val nTot = gtot.agg(sum("ns").as("n"),
+      // loud guard instead of silent decimal overflow past ~3e16 tokens
+      assert_true(sum("ns") < 3.0e16,
+        lit("distributionDrift decimal headroom: corpus token count must " +
+          "stay under ~3e16 for exact 38-digit TV arithmetic — shard the " +
+          "corpus or rescale the bp base")).as("_g"))
+    val perGroup = gcnt.join(ccnt, Seq("k"))
+      .join(broadcast(gtot.select(col(groupCol), col("ns"))), Seq(groupCol))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col(groupCol))
+      .agg(sum(abs(dec(col("cs")) * dec(col("n")) -
+             dec(col("c")) * dec(col("ns")))).as("num1"),
+        sum(dec(col("c"))).as("cmass"),
+        max(dec(col("n"))).as("n"), max(col("_g")).as("_g"))
+    perGroup
+      .join(broadcast(gtot), Seq(groupCol))
+      .select(col(groupCol),
+        col("ns").as("n_tokens"), col("n_types"), col("hapax"),
+        expr("(10000 * hapax) div n_types").as("hapax_bp"),
+        (expr("((num1 + CAST(ns AS DECIMAL(19,0)) * (n - cmass)) * 5000) " +
+           "div (n * CAST(ns AS DECIMAL(19,0)))") +
+          coalesce(col("_g").cast("long"), lit(0L))).as("tv_bp"))
+      .orderBy(groupCol)
+  }
+
   def backoffSurprisal(df: DataFrame, ref: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
     val h: Column => Column = TextDedup.stableHash

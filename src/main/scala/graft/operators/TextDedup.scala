@@ -966,4 +966,50 @@ object TextDedup {
           .as("containment"))
       .filter(col("containment") >= minContainment)
   }
+
+  /** Corpus-overlap estimate BETWEEN GROUPS (sources, crawl snapshots,
+    * datasets): one MinHash signature per group over the group's shingle
+    * SET, pairwise component agreement estimating the shingle-set Jaccard
+    * — the standard sketch for "how much of source A is also in source B"
+    * when materializing the cross-group pair set is off the table. The
+    * `min` aggregate is multiplicity-insensitive, so the group signature
+    * needs no distinct pass: the same one-shuffle partial aggregation as
+    * [[minHashSignature]], keyed by group instead of doc.
+    *
+    * Same deterministic hash family as [[minHashSignature]]
+    * (a_i = 2i+1, b_i = i*i+1 over the md5-derived 60-bit hash mod P), so
+    * any SQL engine reproduces each signature component bit-for-bit and
+    * the estimate `jaccard_bp = 10000 * k_match div k` is exact-integer.
+    *
+    * Scale shape: the corpus-sized work is ONE explode into an
+    * O(#groups)-row partial aggregation; the pairwise stage is a
+    * broadcast cross of that O(#groups)-row signature table with itself
+    * (#groups² output rows) — groups are a config-scale enum (sources,
+    * snapshot dates), never corpus-scale, which is the documented bound
+    * for the nested-loop allowlist entry.
+    *
+    * Returns (g1, g2, k_match, jaccard_bp) for g1 < g2, ordered. */
+  def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
+                   n: Int = 4, k: Int = 8): DataFrame = {
+    val hashed = df
+      .select(col(groupCol), explode(charShingles(col(textCol), n)).as("sh"))
+      .select(col(groupCol), (stableHash(col("sh")) % P).as("h"))
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1; val b = i.toLong * i + 1
+      min((col("h") * a + b) % P).as(s"mh$i")
+    }
+    val sigs = hashed.groupBy(col(groupCol)).agg(mins.head, mins.tail: _*)
+    val left = sigs.select(col(groupCol).as("g1") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val right = sigs.select(col(groupCol).as("g2") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+    left.crossJoin(broadcast(right))
+      .filter(col("g1") < col("g2"))
+      .select(col("g1"), col("g2"),
+        (0 until k).map(i =>
+          when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _).as("k_match"))
+      .withColumn("jaccard_bp", expr(s"(10000 * k_match) div $k"))
+      .orderBy("g1", "g2")
+  }
 }

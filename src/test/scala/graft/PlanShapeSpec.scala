@@ -47,6 +47,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // scan; backward side broadcasts the k*|batch|-bounded forward
     // candidate set against the batch — nothing corpus-sized broadcast
     // (Similarity.marginMine scaladoc)
+    "q_lm_backoff", // two 1-row crosses of the reference token-total
+    // aggregate (TextAnalysis.backoffSurprisal tTot), O(1) side
+    "q_source_drift", // 1-row cross of the corpus token-total aggregate
+    // (TextAnalysis.distributionDrift nTot), O(1) side
+    "q_source_overlap", // pairwise cross of the O(#sources)-row MinHash
+    // signature table with itself (#sources² output rows); sources are a
+    // config-scale enum, never corpus-scale (TextDedup.groupOverlap
+    // scaladoc) — the corpus-sized work is the one explode + agg upstream
     "q_margin_mine_stored") // forward side is the INDEX probe (no corpus
     // scan at all); the one nested-loop join is the backward leg's
     // refine-bounded candidate set crossed with the broadcast 10-row

@@ -58,4 +58,23 @@ class SelectionSpec extends AnyFunSuite {
       .agg(sum("n_tok")).collect()(0).getLong(0)
     assert(n == 12L) // 3 docs x 4 tokens, none dropped by the model join
   }
+
+  test("selectByBudget: score-desc greedy prefix cut, ties by id, all rows flagged") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // selection order: d1 (s=10), then the s=9 tie broken by id (d2 before
+    // d3), then d4. cum: 5, 9, 12, 13 — budget 9 keeps exactly {d1, d2}.
+    val docs = Seq((1L, 10L, 5L), (2L, 9L, 4L), (3L, 9L, 3L), (4L, 1L, 1L))
+      .toDF("doc_id", "score", "n_tok")
+    val out = Selection.selectByBudget(docs, "doc_id", col("score"),
+        col("n_tok"), budget = 9L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("cum_tok"), r.getAs[Boolean]("selected")))).toMap
+    assert(out.size == 4)
+    assert(out(1L) == ((5L, true)) && out(2L) == ((9L, true)))
+    assert(out(3L) == ((12L, false)) && out(4L) == ((13L, false)))
+    // the selected set is a contiguous prefix of the selection order:
+    // once cum_tok exceeds the budget nothing later is selected
+    assert(!out.values.exists { case (c, sel) => sel && c > 9L })
+  }
 }

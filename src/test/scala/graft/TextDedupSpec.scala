@@ -230,6 +230,46 @@ class TextDedupSpec extends AnyFunSuite {
       d6.getAs[Long]("mean_rarity") == 6312500L)
   }
 
+  test("distributionDrift: exact TV distance and hapax ratio per group") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // corpus counts: a:3 b:1 c:1, N=5.
+    // A = "a a b": Ns=3, TV = 1/2(|2/3-3/5| + |1/3-1/5| + 1/5) = 0.2
+    // B = "a c":   Ns=2, TV = 1/2(|1/2-3/5| + 1/5 + |1/2-1/5|) = 0.3
+    val docs = Seq(("A", "a a b"), ("B", "a c")).toDF("source", "text")
+    val out = graft.operators.TextAnalysis
+      .distributionDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Long]("n_tokens") == 3L &&
+      out("A").getAs[Long]("n_types") == 2L &&
+      out("A").getAs[Long]("hapax") == 1L &&
+      out("A").getAs[Long]("hapax_bp") == 5000L &&
+      out("A").getAs[Long]("tv_bp") == 2000L)
+    assert(out("B").getAs[Long]("n_tokens") == 2L &&
+      out("B").getAs[Long]("hapax") == 2L &&
+      out("B").getAs[Long]("hapax_bp") == 10000L &&
+      out("B").getAs[Long]("tv_bp") == 3000L)
+  }
+
+  test("groupOverlap: identical groups estimate 10000 bp, disjoint 0") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // g1 and g2 share the exact shingle set (J=1 -> every component
+    // matches); g3 uses a disjoint alphabet (J=0 -> no component matches,
+    // barring a 60-bit md5 collision)
+    val docs = Seq(
+      ("g1", "the quick brown fox"), ("g1", "jumps over lazy dogs"),
+      ("g2", "jumps over lazy dogs"), ("g2", "the quick brown fox"),
+      ("g3", "ZZZZ XXXX YYYY WWWW VVVV")).toDF("source", "text")
+    val out = graft.operators.TextDedup.groupOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("k_match"), r.getAs[Long]("jaccard_bp")))).toMap
+    assert(out.size == 3) // C(3,2) ordered pairs
+    assert(out(("g1", "g2")) == ((8L, 10000L)))
+    assert(out(("g1", "g3")) == ((0L, 0L)))
+    assert(out(("g2", "g3")) == ((0L, 0L)))
+  }
+
   test("compressionRatio: repetitive < prose < random; deterministic; empty safe") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
