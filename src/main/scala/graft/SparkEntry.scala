@@ -1760,6 +1760,28 @@ object SparkEntry {
         size(split(col("text"), " ")), budget = 25000L)
     }),
 
+    // Per-source quantile calibration: within-source percentile of the
+    // quality score, computed over the per-(source, score) histogram —
+    // the only window is histogram-sized and source-partitioned.
+    "q_quality_calibrate" -> ((s, dir) =>
+      Sampling.quantileCalibrate(
+          Tables.documents(s, dir).select("doc_id", "source", "n_chars"),
+          "source", col("n_chars"))
+        .select("doc_id", "source", "n_chars", "pct_bp")
+        .orderBy("doc_id")),
+
+    // Calibrate-then-select chain: the budget cut runs on the
+    // cross-source-comparable percentile instead of the raw score, so no
+    // source with an inflated raw scale can crowd out the budget.
+    "q_calibrated_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val cal = Sampling.quantileCalibrate(docs, "source", col("n_chars"))
+      operators.Selection.selectByBudget(cal, "doc_id", col("pct_bp"),
+        col("n_tok"), budget = 25000L)
+    }),
+
     // Distributed BPE tokenizer training: 16 merge rounds over the
     // frequency-weighted distinct-word dictionary (the corpus is scanned
     // once); the merge table is the learned vocabulary artifact.
@@ -3779,6 +3801,34 @@ object SparkEntry {
              CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
                AS cum_tok
            FROM t)
+         SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
+         FROM c ORDER BY doc_id""",
+    "q_quality_calibrate" ->
+      """WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY 1),
+         r AS (SELECT doc_id, source, n_chars,
+             rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk
+           FROM t)
+         SELECT doc_id, source, n_chars,
+           CAST(((rk - 1) * 10000) // greatest(n - 1, 1) AS BIGINT) AS pct_bp
+         FROM r JOIN g USING (source) ORDER BY doc_id""",
+    "q_calibrated_select" ->
+      """WITH t AS (SELECT doc_id, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY 1),
+         r AS (SELECT doc_id, source, n_tok,
+             rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk
+           FROM t),
+         p AS (SELECT doc_id, n_tok,
+             CAST(((rk - 1) * 10000) // greatest(n - 1, 1) AS BIGINT) AS pct
+           FROM r JOIN g USING (source)),
+         c AS (SELECT doc_id, pct AS score, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY pct DESC, doc_id) AS BIGINT)
+               AS cum_tok
+           FROM p)
          SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
          FROM c ORDER BY doc_id""",
     "q_bpe_train" ->

@@ -330,4 +330,42 @@ object Sampling {
       }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Per-group quantile calibration of a score column: each row gets its
+    * WITHIN-GROUP percentile `pct_bp = (rank_min - 1) * 10000 div
+    * max(n - 1, 1)` (rank_min = SQL `rank()`, ties share a value; a
+    * single-row group calibrates to 0). Selection thresholds applied to
+    * `pct_bp` are then comparable ACROSS sources — the standard fix when
+    * per-source quality scores have incompatible raw scales (one crawl's
+    * "good" is another's median), feeding [[Selection.selectByBudget]] or
+    * a fixed-percentile gate.
+    *
+    * Scale shape: the rank is NOT a corpus-sized window. Rows collapse to
+    * the per-(group, score) histogram first (one partial-agg shuffle);
+    * the only window runs over that histogram, partitioned by group and
+    * bounded by the group's DISTINCT-SCORE count (for integer quality
+    * scores: the score range, not the corpus) — the same justification as
+    * [[TextAnalysis.lengthPercentileTrim]]'s allowlisted window. Ranks
+    * then join back to rows on (group, score): one broadcast-or-shuffle
+    * hash join keyed by the histogram key. A corpus-sized window
+    * `partitionBy(group)` would funnel each source's whole slice through
+    * one task — the skew this construction exists to avoid.
+    *
+    * Returns the input columns plus `pct_bp` (long). */
+  def quantileCalibrate(df: DataFrame, groupCol: String,
+                        scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol), scoreCol.cast("long").as("_score"))
+      .groupBy(col(groupCol), col("_score")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(groupCol).orderBy("_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("_below", coalesce(sum("_c").over(w), lit(0L)))
+      .withColumn("_n", sum("_c").over(Window.partitionBy(groupCol)))
+      .select(col(groupCol), col("_score"),
+        expr("(_below * 10000) div greatest(_n - 1, 1)").as("pct_bp"))
+    df.withColumn("_score", scoreCol.cast("long"))
+      .join(ranked, Seq(groupCol, "_score"))
+      .drop("_score")
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Sampling
 
@@ -31,5 +32,28 @@ class SamplingSpec extends AnyFunSuite {
     // sample_bp basis points derive from plan_tok/avail_tok exactly
     assert(b.getAs[Long]("sample_bp") ==
       b.getAs[Long]("plan_tok") * 10000 / b.getAs[Long]("avail_tok"))
+  }
+
+  test("quantileCalibrate: within-group percentiles, ties share, 1-row group is 0") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // A: scores 10,20,20,30 over n=4 -> below-counts 0,1,1,3 ->
+    //    pct (0,3333,3333,10000); B: single row -> 0
+    val docs = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L),
+      (4L, "A", 30L), (5L, "B", 7L)).toDF("doc_id", "source", "score")
+    val out = graft.operators.Sampling
+      .quantileCalibrate(docs, "source", col("score"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pct_bp")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 3333L, 3L -> 3333L, 4L -> 10000L,
+      5L -> 0L))
+    // calibration makes cross-source scales comparable: the top raw score
+    // of each group lands at the same percentile regardless of magnitude
+    val top = graft.operators.Sampling
+      .quantileCalibrate(Seq(("A", 1L), ("A", 2L), ("B", 100L), ("B", 900L))
+        .toDF("source", "score"), "source", col("score"))
+      .filter(col("score") === 2L || col("score") === 900L)
+      .select("pct_bp").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(10000L, 10000L))
   }
 }
