@@ -493,19 +493,31 @@ object TextAnalysis {
     * decision is bit-identical on any engine — no ln whose last-ulp
     * rounding could flip a floor, no float summation order.
     *
-    * Scale shape: the model is PRECOMPUTED into one (level, key, rarity)
-    * table with model-sized joins (each level's rarity folded at build
-    * time), keyed by 60-bit md5 hashes so the scoring join carries 8-byte
-    * keys; scoring is one explode to 3 lookup rows per position, ONE left
-    * equi-join against the model (broadcast when the curated ref is small,
-    * shuffle on the hashed key beyond that), one per-position best-level
-    * aggregation (map-side partial collapses 3 -> 1 before the exchange),
-    * and one per-doc rollup — the corpus is never joined more than once,
-    * vs the naive five-join formulation that re-exchanges it per count
-    * table. A 60-bit hash collision merges two grams identically in the
-    * oracle (same md5); cross-level collisions are impossible (the level
-    * tag is part of the join key). In-plan assert_true guard fails loudly
-    * when n_scored * T approaches 2^63 / (6.25e6) instead of wrapping.
+    * Scale shape: the model is PRECOMPUTED into one per-level (key,
+    * rarity) table each (rarities folded at build time with model-sized
+    * joins), keyed by 60-bit md5 hashes so the scoring joins carry 8-byte
+    * keys; scoring keeps ONE row per trigram position carrying its three
+    * lookup keys and left-joins the three level tables — when the curated
+    * reference is broadcast-sized (its defining property) AQE turns all
+    * three into broadcast-hash joins, then one map-side-combined per-doc
+    * rollup. Against a reference too large to broadcast the three shuffle
+    * joins re-exchange the corpus thrice — prefer sharding the scoring by
+    * reference partition at that point.
+    *
+    * Gram construction is posexplode + two `lead`s over a
+    * (doc, position) window — ONE token-stream exchange keyed by doc id
+    * (per-doc sorts, bounded by document length), after which every
+    * gram concat and hash runs inside codegen. The tempting zero-shuffle
+    * alternative — `transform(sequence(...))` building per-position key
+    * structs — evaluates INTERPRETED (Spark higher-order functions are
+    * CodegenFallback) at ~60 us per position and loses by an order of
+    * magnitude at every scale (measured at sf0.1: 4.5 s for the
+    * interpreted explode alone vs 0.4 s for the windowed chain; the full
+    * query 7.8 s -> 2.6 s). The window also lets the model build derive
+    * uni/bi/tri counts from a SINGLE reference scan.
+    * A 60-bit hash collision merges two grams identically in the oracle
+    * (same md5). In-plan assert_true guard fails loudly when
+    * n_scored * T approaches 2^63 / (6.25e6) instead of wrapping.
     *
     * Returns (id, n_scored, n_tri, n_bi, n_uni, n_oov, sum_rarity,
     * mean_rarity); docs with fewer than 3 tokens have no trigram position
@@ -584,63 +596,55 @@ object TextAnalysis {
 
   def backoffSurprisal(df: DataFrame, ref: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val h: Column => Column = TextDedup.stableHash
-    val toks = split(col(textCol), " ")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // (doc, pos, t, t1, t2): one doc-keyed token exchange with per-doc
+    // sorts; every downstream gram concat/hash runs inside codegen
+    def positions(d: DataFrame): DataFrame = d
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .withColumn("t1", lead("t", 1).over(w))
+      .withColumn("t2", lead("t", 2).over(w))
 
-    // --- model: gram-count tables over the reference slice ---
-    val rtoks = ref.select(toks.as("toks"))
-    val runi = rtoks.select(explode(col("toks")).as("t"))
-      .select(h(col("t")).as("ku"))
-    val cu = runi.groupBy("ku").agg(count(lit(1)).as("cu"))
-    val tTot = runi.agg(count(lit(1)).as("T"))
-    val rbig = rtoks.filter(size(col("toks")) >= 2).select(
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          p => struct(
-            h(concat_ws(" ", slice(col("toks"), p, lit(2)))).as("kb"),
-            h(concat_ws(" ", slice(col("toks"), p, lit(1)))).as("kl")))).as("b"))
-      .select(col("b.kb").as("kb"), col("b.kl").as("kl"))
-    val rtri = rtoks.filter(size(col("toks")) >= 3).select(
-        explode(transform(sequence(lit(1), size(col("toks")) - 2),
-          p => struct(
-            h(concat_ws(" ", slice(col("toks"), p, lit(3)))).as("k3"),
-            h(concat_ws(" ", slice(col("toks"), p, lit(2)))).as("kc")))).as("t"))
-      .select(col("t.k3").as("k3"), col("t.kc").as("kc"))
-    // per-level rarity folded at model-build time (model-sized joins; kc/kl
-    // are functionally determined by k3/kb, so the extra group key is free)
-    val m3 = rtri.groupBy("k3", "kc").agg(count(lit(1)).as("ct"))
-      .join(rtri.groupBy("kc").agg(count(lit(1)).as("cc")), Seq("kc"))
-      .select(lit(3).as("level"), col("k3").as("k"),
-        expr("(1000000 * cc) div ct").as("rarity"))
-    val m2 = rbig.groupBy("kb", "kl").agg(count(lit(1)).as("cb"))
-      .join(rbig.groupBy("kl").agg(count(lit(1)).as("cl")), Seq("kl"))
-      .select(lit(2).as("level"), col("kb").as("k"),
-        expr("((1000000 * cl) div cb) * 5 div 2").as("rarity"))
+    // --- model: gram-count tables from ONE reference scan ---
+    val rp = positions(ref)
+    val cu = rp.groupBy(h(col("t")).as("ku")).agg(count(lit(1)).as("cu"))
+    // derived from the aggregated table, not a second reference scan
+    val tTot = cu.agg(sum("cu").as("T"))
+    // per-level rarity folded at model-build time; context counts derive
+    // from the per-gram tables (model-sized second aggregations)
+    val t3 = rp.filter(col("t2").isNotNull)
+      .groupBy(h(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("k3"),
+        h(concat_ws(" ", col("t"), col("t1"))).as("kc"))
+      .agg(count(lit(1)).as("ct"))
+    val m3 = t3
+      .join(t3.groupBy("kc").agg(sum("ct").as("cc")), Seq("kc"))
+      .select(col("k3"), expr("(1000000 * cc) div ct").as("r3"))
+    val t2g = rp.filter(col("t1").isNotNull)
+      .groupBy(h(concat_ws(" ", col("t"), col("t1"))).as("kb"),
+        h(col("t")).as("kl"))
+      .agg(count(lit(1)).as("cb"))
+    val m2 = t2g
+      .join(t2g.groupBy("kl").agg(sum("cb").as("cl")), Seq("kl"))
+      .select(col("kb"), expr("((1000000 * cl) div cb) * 5 div 2").as("r2"))
     val m1 = cu.crossJoin(broadcast(tTot))
-      .select(lit(1).as("level"), col("ku").as("k"),
-        expr("((1000000 * T) div cu) * 25 div 4").as("rarity"))
-    val model = m3.unionByName(m2).unionByName(m1)
+      .select(col("ku"), expr("((1000000 * T) div cu) * 25 div 4").as("r1"))
 
-    // --- scoring: 3 lookup rows per trigram position, one model join ---
-    val lookups = when(size(toks) >= 3,
-      flatten(transform(sequence(lit(1), size(toks) - 2), p => array(
-        struct(p.as("pos"), lit(3).as("level"),
-          h(concat_ws(" ", slice(toks, p, lit(3)))).as("k")),
-        struct(p.as("pos"), lit(2).as("level"),
-          h(concat_ws(" ", slice(toks, p + 1, lit(2)))).as("k")),
-        struct(p.as("pos"), lit(1).as("level"),
-          h(concat_ws(" ", slice(toks, p + 2, lit(1)))).as("k"))))))
-      .otherwise(array().cast("array<struct<pos:int,level:int,k:bigint>>"))
-    val perPos = df.select(col(idCol), explode(lookups).as("l"))
-      .select(col(idCol), col("l.pos").as("pos"),
-        col("l.level").as("level"), col("l.k").as("k"))
-      .join(model, Seq("level", "k"), "left")
-      .groupBy(col(idCol), col("pos"))
-      .agg(max(when(col("rarity").isNotNull,
-        struct(col("level"), col("rarity")))).as("best"))
+    // --- scoring: one row per position, three left lookups ---
+    val perPos = positions(df).filter(col("t2").isNotNull)
+      .select(col(idCol),
+        h(concat_ws(" ", col("t"), col("t1"), col("t2"))).as("k3"),
+        h(concat_ws(" ", col("t1"), col("t2"))).as("kb"),
+        h(col("t2")).as("ku"))
+      .join(m3, Seq("k3"), "left")
+      .join(m2, Seq("kb"), "left")
+      .join(m1, Seq("ku"), "left")
       .crossJoin(broadcast(tTot))
       .select(col(idCol),
-        coalesce(col("best.level"), lit(0)).as("level"),
-        coalesce(col("best.rarity"),
+        when(col("r3").isNotNull, 3).when(col("r2").isNotNull, 2)
+          .when(col("r1").isNotNull, 1).otherwise(0).as("level"),
+        coalesce(col("r3"), col("r2"), col("r1"),
           expr("(1000000 * (T + 1)) * 25 div 4")).as("rarity"),
         col("T"))
     val guard = assert_true(
