@@ -44,12 +44,13 @@ object TextDedup {
     // sf0.1: 3.1 s -> 2.1 s for the signature pass (the explode/shuffle
     // around the hash dominates, so the win is ~1.5x, not the raw per-hash
     // ratio; same distribution either way).
-    val base: Column => Column =
-      if (oracleParity) c => stableHash(c) % P
-      else c => pmod(xxhash64(c), lit(P))
+    // min over the DISTINCT shingle set == min over the multiset, so the
+    // native sorted-distinct hash expression serves here too (fewer rows
+    // into the partial agg as a bonus)
+    graft.functions.ShingleHashes.register(df.sparkSession)
     val hashed = df
-      .select(col(idCol), explode(charShingles(col(textCol), n)).as("sh"))
-      .select(col(idCol), base(col("sh")).as("h"))
+      .select(col(idCol), explode(graft.functions.ShingleHashes
+        .shingleHashes(col(textCol), n, oracleParity, P)).as("h"))
     val mins = (0 until k).map { i =>
       val a = 2L * i + 1; val b = i.toLong * i + 1
       min((col("h") * a + b) % P).as(s"mh$i")
@@ -529,12 +530,13 @@ object TextDedup {
   def sortedShingleHashes(docs: DataFrame, idCol: String, textCol: String,
                           n: Int = 3,
                           oracleParity: Boolean = true): DataFrame = {
-    val base: Column => Column =
-      if (oracleParity) c => stableHash(c) % P
-      else c => pmod(xxhash64(c), lit(P))
+    // native codegen expression — bit-identical to the declarative
+    // array_sort(array_distinct(transform(...))) stack (ShingleSpec), but
+    // one fused JVM loop per doc instead of three interpreted HOFs
+    graft.functions.ShingleHashes.register(docs.sparkSession)
     docs.select(col(idCol),
-        array_sort(array_distinct(transform(charShingles(col(textCol), n),
-          g => base(g)))).as("sh"))
+        graft.functions.ShingleHashes
+          .shingleHashes(col(textCol), n, oracleParity, P).as("sh"))
       .localCheckpoint()
   }
 
@@ -991,9 +993,10 @@ object TextDedup {
     * Returns (g1, g2, k_match, jaccard_bp) for g1 < g2, ordered. */
   def groupOverlap(df: DataFrame, groupCol: String, textCol: String,
                    n: Int = 4, k: Int = 8): DataFrame = {
+    graft.functions.ShingleHashes.register(df.sparkSession)
     val hashed = df
-      .select(col(groupCol), explode(charShingles(col(textCol), n)).as("sh"))
-      .select(col(groupCol), (stableHash(col("sh")) % P).as("h"))
+      .select(col(groupCol), explode(graft.functions.ShingleHashes
+        .shingleHashes(col(textCol), n, parity = true, mod = P)).as("h"))
     val mins = (0 until k).map { i =>
       val a = 2L * i + 1; val b = i.toLong * i + 1
       min((col("h") * a + b) % P).as(s"mh$i")
