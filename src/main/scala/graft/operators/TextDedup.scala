@@ -751,6 +751,27 @@ object TextDedup {
     * corpus-level collision odds are negligible. Returns
     * (id, n_tok, n_covered, cover_ratio) — ratio floor-truncated to 4
     * decimals. */
+  /** (id, pos, g): 1-based position and hash of every token n-gram, via
+    * posexplode + n-1 `lead`s over a (doc, pos) window — one doc-keyed
+    * token exchange (per-doc sorts, bounded by document length) after
+    * which every gram concat and hash runs inside codegen. The
+    * `transform(sequence(...))` formulation this replaces evaluated
+    * interpreted (higher-order functions are CodegenFallback; see
+    * [[graft.functions.ShingleHashes]]) and dominated the repeated-span
+    * queries' cost. Docs shorter than n tokens emit no rows. */
+  private def wordGramOcc(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int, base: Column => Column): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p0"))
+    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "t")))
+      .select(Seq(col(idCol), col("p0"), col("t")) ++ leads: _*)
+      .filter(col(s"t${n - 1}").isNotNull)
+      .select(col(idCol), (col("p0") + 1).as("pos"),
+        base(concat_ws(" ",
+          col("t") +: (1 until n).map(i => col(s"t$i")): _*)).as("g"))
+  }
+
   def repeatedNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
                             n: Int = 5,
                             oracleParity: Boolean = true): DataFrame = {
@@ -759,12 +780,7 @@ object TextDedup {
     val base: Column => Column =
       if (oracleParity) stableHash else c => xxhash64(c)
     val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        p => struct(p.as("pos"), base(concat_ws(" ", slice(toks, p, lit(n)))).as("g"))))
-      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
-    val occ = docs.select(col(idCol), explode(grams).as("o"))
-      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val occ = wordGramOcc(docs, idCol, textCol, n, base)
     val repeatedGrams = occ.groupBy("g")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .filter(col("ndocs") > 1)
@@ -803,12 +819,7 @@ object TextDedup {
     val base: Column => Column =
       if (oracleParity) stableHash else c => xxhash64(c)
     val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        p => struct(p.as("pos"), base(concat_ws(" ", slice(toks, p, lit(n)))).as("g"))))
-      .otherwise(array().cast("array<struct<pos:int,g:bigint>>"))
-    val occ = docs.select(col(idCol), explode(grams).as("o"))
-      .select(col(idCol), col("o.pos").as("pos"), col("o.g").as("g"))
+    val occ = wordGramOcc(docs, idCol, textCol, n, base)
     val repeatedGrams = occ.groupBy("g")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
@@ -897,11 +908,15 @@ object TextDedup {
     val base: Column => Column =
       if (oracleParity) c => stableHash(c) % P
       else c => pmod(xxhash64(c), lit(P))
-    val grams = df.select(col(idCol),
-        posexplode(transform(
-          sequence(lit(0), greatest(length(col(textCol)) - kgram, lit(0))),
-          i => col(textCol).substr(i + 1, lit(kgram)))).as(Seq("pos", "g")))
-      .select(col(idCol), col("pos"), base(col("g")).as("h"))
+    // explode the POSITIONS and substring the parent text post-explode:
+    // codegen fuses the generate + project, so neither the gram array nor
+    // per-row text copies materialize (the transform(...substr) variant
+    // this replaces built the array interpreted — HOFs are CodegenFallback)
+    val grams = df.select(col(idCol), col(textCol).as("_t"),
+        explode(sequence(lit(0),
+          greatest(length(col(textCol)) - kgram, lit(0)))).as("pos"))
+      .select(col(idCol), col("pos"),
+        base(col("_t").substr(col("pos") + 1, lit(kgram))).as("h"))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams
