@@ -1760,6 +1760,15 @@ object SparkEntry {
         size(split(col("text"), " ")), budget = 25000L)
     }),
 
+    // Corpus-wide paragraph dedup, keep-first (CCNet line-dedup shape).
+    // The synthetic corpus has no newlines, so a literal token delimiter
+    // exercises the identical plan: hash-keyed winner agg + per-doc
+    // rebuild.
+    "q_paragraph_dedup" -> ((s, dir) =>
+      TextDedup.paragraphDedup(Tables.documents(s, dir), "doc_id", "text",
+          " the ")
+        .orderBy("doc_id")),
+
     // Per-source quantile calibration: within-source percentile of the
     // quality score, computed over the per-(source, score) histogram —
     // the only window is histogram-sized and source-partitioned.
@@ -3803,6 +3812,31 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
          FROM c ORDER BY doc_id""",
+    "q_paragraph_dedup" ->
+      """WITH p0 AS (SELECT doc_id, string_split(text, ' the ') AS ps
+                     FROM documents),
+         p AS (SELECT doc_id, pos AS pidx, ps[pos] AS para
+               FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS pos
+                     FROM p0)
+               WHERE len(ps[pos]) > 0),
+         h AS (SELECT doc_id, pidx, para,
+                 row_number() OVER (
+                   PARTITION BY ('0x' || substr(md5(para), 1, 15))::BIGINT
+                   ORDER BY doc_id, pidx) AS rn
+               FROM p),
+         reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(para, ' the ' ORDER BY pidx) AS clean_text
+                 FROM h WHERE rn = 1 GROUP BY doc_id),
+         np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par
+                FROM p GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(np.n_par, 0) AS BIGINT) AS n_par,
+           CAST(coalesce(np.n_par, 0) - coalesce(reb.n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(reb.clean_text, '') AS clean_text
+         FROM documents d LEFT JOIN np USING (doc_id)
+           LEFT JOIN reb USING (doc_id)
+         ORDER BY doc_id""",
     "q_quality_calibrate" ->
       """WITH t AS (SELECT doc_id, source, n_chars FROM documents),
          g AS (SELECT source, CAST(count(*) AS BIGINT) AS n

@@ -844,6 +844,67 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-wide PARAGRAPH dedup with keep-first semantics — the CCNet
+    * line-level discipline (Wenzek et al. 2020 dedup crawl text by
+    * paragraph hash before any document-level pass): split each document
+    * on `delim`, drop every paragraph whose exact text already occurred
+    * at a smaller (doc, position) anywhere in the corpus, and rebuild the
+    * document from the survivors in original order. Complements
+    * [[removeRepeatedSpans]] (n-gram spans, needs `minDocs` repeats) with
+    * exact unit-level dedup that also subsumes whole-doc exact dedup when
+    * a document has no delimiter (one paragraph = the doc).
+    *
+    * Scale shape: paragraphs are keyed by their 60-bit content hash
+    * ([[stableHash]] — the per-hash shuffle carries 8-byte keys + the
+    * winner struct, not paragraph text); the keep-first winner is one
+    * `min(struct(doc, pos))` partial aggregation; survivors re-join the
+    * paragraph table on (hash, doc, pos) and one per-doc aggregation
+    * rebuilds the text with state bounded by document size. No window,
+    * no all-pairs anywhere. A 60-bit collision would merge two distinct
+    * paragraphs (~2^30-paragraph birthday bound; the DuckDB oracle merges
+    * identically, same md5).
+    *
+    * Empty paragraphs (split artifacts) are dropped from the count and
+    * the rebuild rather than deduping against each other. Returns
+    * (id, n_par, n_removed, clean_text) — n_par counts non-empty
+    * paragraphs; a doc with none still gets a row (n_par 0, empty
+    * text). */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     delim: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("p0", "para")))
+      .select(col(idCol), (col("p0") + 1).as("pidx"), col("para"))
+      .filter(length(col("para")) > 0)
+    val hashed = paras.select(col(idCol), col("pidx"),
+      stableHash(col("para")).as("h"))
+    val firsts = hashed.groupBy("h")
+      .agg(min(struct(col(idCol).as("fid"), col("pidx").as("fpidx")))
+        .as("first"))
+      .select(col("h"), col("first.fid").as("fid"),
+        col("first.fpidx").as("fpidx"))
+    val kept = hashed.join(firsts, Seq("h"))
+      .filter(col(idCol) === col("fid") && col("pidx") === col("fpidx"))
+      .select(col(idCol), col("pidx"))
+    val rebuilt = paras.join(kept, Seq(idCol, "pidx"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pidx"), col("para")))),
+          x => x.getField("para")), delim).as("clean_text"))
+    paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_par"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_par"),
+        (col("n_par") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .unionByName(
+        // docs with no non-empty paragraph at all keep an output row
+        docs.join(paras.select(idCol).distinct(), Seq(idCol), "left_anti")
+          .select(col(idCol), lit(0L).as("n_par"), lit(0L).as("n_removed"),
+            lit("").as("clean_text")))
+  }
+
   /** Content-defined chunking (CDC) dedup at token granularity — the
     * shift-robust complement to fixed n-gram coverage: a token is a chunk
     * BOUNDARY iff its hash ≡ 0 (mod `boundaryDiv`), so chunk borders move

@@ -230,6 +230,27 @@ class TextDedupSpec extends AnyFunSuite {
       d6.getAs[Long]("mean_rarity") == 6312500L)
   }
 
+  test("paragraphDedup: keep-first across docs, in-doc repeats, rebuild order") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\ngamma\nalpha beta"), // in-doc repeat: 3rd para drops
+      (2L, "gamma\ndelta"),                  // "gamma" already in d1 -> drops
+      (3L, "\n\n"),                          // only empty paragraphs
+      (4L, "alpha beta"))                    // whole doc seen in d1 -> empty
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup
+      .paragraphDedup(docs, "doc_id", "text", "\n")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_par"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) == ((3L, 1L, "alpha beta\ngamma")))
+    assert(out(2L) == ((2L, 1L, "delta")))
+    assert(out(3L) == ((0L, 0L, "")))
+    assert(out(4L) == ((1L, 1L, "")))
+    assert(out.size == 4)
+  }
+
   test("distributionDrift: exact TV distance and hapax ratio per group") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
