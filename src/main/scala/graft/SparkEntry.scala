@@ -1760,6 +1760,18 @@ object SparkEntry {
         size(split(col("text"), " ")), budget = 25000L)
     }),
 
+    // Dataset-freshness gate against the STORED n-gram index (built from
+    // the %5 ∉ {0,4} slice, %5 == 4 appended): per incoming doc, the
+    // fraction of its distinct 5-grams the corpus has literally seen.
+    // One stored-gram scan per batch, no store-side shuffle.
+    "q_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.NoveltyIndex.noveltyBatch(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+          noveltyIndexDir(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide paragraph dedup, keep-first (CCNet line-dedup shape).
     // The synthetic corpus has no newlines, so a literal token delimiter
     // exercises the identical plan: hash-keyed winner agg + per-doc
@@ -3812,6 +3824,32 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
          FROM c ORDER BY doc_id""",
+    "q_novelty" -> {
+      val gram = (0 until 5).map(i => s"toks[pos + $i]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+         sg AS (SELECT DISTINCT
+                  ('0x' || substr(md5($gram), 1, 15))::BIGINT AS g
+                FROM (SELECT toks, unnest(range(1, len(toks) - 3)) AS pos
+                      FROM t WHERE doc_id % 5 <> 0)),
+         bg AS (SELECT DISTINCT doc_id,
+                  ('0x' || substr(md5($gram), 1, 15))::BIGINT AS g
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks) - 3)) AS pos
+                      FROM t WHERE doc_id % 5 = 0)),
+         k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_known
+               FROM bg JOIN sg USING (g) GROUP BY 1),
+         ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+                FROM bg GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(k.n_known, 0) AS BIGINT) AS n_known,
+           CAST(CASE WHEN coalesce(ng.n_grams, 0) = 0 THEN 10000
+                ELSE (10000 * (ng.n_grams - coalesce(k.n_known, 0)))
+                     // ng.n_grams END AS BIGINT) AS novelty_bp
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+           LEFT JOIN ng USING (doc_id) LEFT JOIN k USING (doc_id)
+         ORDER BY doc_id""" },
     "q_paragraph_dedup" ->
       """WITH p0 AS (SELECT doc_id, string_split(text, ' the ') AS ps
                      FROM documents),
@@ -4540,6 +4578,31 @@ object SparkEntry {
         operators.PairStore.build(docs.filter(col("doc_id") % 4 =!= 3),
           "doc_id", "text", root)
         operators.PairStore.append(docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", root)
+        java.nio.file.Files.writeString(done, "ok")
+      }
+    }
+    root
+  }
+
+  /** Incrementally-composed NoveltyIndex fixture for q_novelty: grams of
+    * the doc_id % 5 ∉ {0, 4} slice at build, the % 5 == 4 slice appended —
+    * the build+append sequence is the production discipline; the oracle
+    * recomputes the same distinct-gram union from scratch. Sentinel after
+    * the full sequence (pairStoreIncrDir discipline). */
+  private def noveltyIndexDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/novelty_index"
+    withPathLock(root) {
+      val done = java.nio.file.Paths.get(s"$root/_FIXTURE_DONE")
+      if (!java.nio.file.Files.exists(done) ||
+          !operators.NoveltyIndex.exists(root)) {
+        java.nio.file.Files.deleteIfExists(done)
+        val docs = Tables.documents(s, dir)
+        operators.NoveltyIndex.build(
+          docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 4),
+          "doc_id", "text", root)
+        operators.NoveltyIndex.append(docs.filter(col("doc_id") % 5 === 4),
           "doc_id", "text", root)
         java.nio.file.Files.writeString(done, "ok")
       }

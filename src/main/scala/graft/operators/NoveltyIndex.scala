@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained distinct token-n-gram index — the dataset-FRESHNESS gate:
+  * "what fraction of an incoming document has the corpus literally seen
+  * before, at n-gram granularity?" The memorization-risk / staleness
+  * signal (Lee et al. 2021 measure train-set memorization by exact
+  * n-gram overlap) that neither the near-dup index (whole-doc Jaccard)
+  * nor the span scrubber (needs the repeats IN the processed corpus)
+  * answers incrementally.
+  *
+  * Layout under one root (v3, the [[GenStore]] segment manifest):
+  *
+  *   `<dir>/_META`               `v3 gen=<g> segs=<...> n=<gramLen> parity=<0|1>`
+  *   `<dir>/g<g>/<seg>/grams`    (g: bigint) — 60-bit gram hashes, one
+  *                               segment per build/append
+  *
+  * Segments may repeat a gram (appends do NOT anti-join the store — that
+  * would re-scan the corpus per batch); membership semantics make the
+  * duplicates harmless and [[compact]] folds them away. Appends are
+  * atomic + batchId-idempotent, compaction serves through the swing —
+  * the shared [[GenStore]] contract.
+  *
+  * SCALE SHAPE of [[noveltyBatch]] — the design constraint is that the
+  * stored gram table at 100 TB is itself huge, so the store must never
+  * be shuffled OR collected per batch: the batch's distinct grams
+  * broadcast to a one-pass semi-join ON THE STORE SIDE (stored grams ∩
+  * batch grams — the intersection is batch-bounded by construction),
+  * and that intersection broadcasts back to flag the batch's per-doc
+  * grams. Per-batch cost: one stored-gram SCAN (no exchange; Spark's
+  * runtime bloom/row-group pruning can cut it further) + batch-sized
+  * aggregations. Gram hashes are [[TextDedup.stableHash]] 60-bit (same
+  * keys as the repeated-span family), so the DuckDB oracle reproduces
+  * every count exactly; `parity=0` stores xxhash64 keys instead (the
+  * production twin discipline).
+  */
+object NoveltyIndex {
+
+  private val Legacy = Set("grams") // hypothetical flat layout at the root
+
+  private def base(parity: Boolean): Column => Column =
+    if (parity) TextDedup.stableHash else c => xxhash64(c)
+
+  /** Distinct (id, g) gram pairs of a corpus/batch. */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, parity: Boolean): DataFrame =
+    TextDedup.wordGramOcc(docs, idCol, textCol, n, base(parity))
+      .select(col(idCol), col("g")).distinct()
+
+  def exists(dir: String): Boolean =
+    GenStore.read(dir).exists(st =>
+      GenStore.tableComplete(dir, st, "grams", required = st.segs.toSet))
+
+  /** Create (overwrite) the gram index of `docs` under `dir`. */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+            n: Int = 5, oracleParity: Boolean = true): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    GenStore.clearMeta(dir)
+    GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
+    docGrams(docs, idCol, textCol, n, oracleParity).select("g").distinct()
+      .write.mode("overwrite")
+      .parquet(s"$dir/g0/${GenStore.BaseSeg}/grams")
+    GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg),
+      Map("n" -> n, "parity" -> (if (oracleParity) 1 else 0))))
+  }
+
+  /** Add one batch's grams as an atomic segment (batchId-keyed appends
+    * are idempotent under streaming retries). Duplicate grams across
+    * segments are allowed — see the class doc. */
+  def append(batch: DataFrame, idCol: String, textCol: String, dir: String,
+             batchId: Option[Long] = None): Unit = {
+    require(exists(dir), s"no complete NoveltyIndex at $dir")
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    GenStore.appendSeg(dir, "NoveltyIndex", seg) { (st, segDir) =>
+      docGrams(batch, idCol, textCol, st.props("n"), st.props("parity") == 1)
+        .select("g").distinct()
+        .write.mode("overwrite").parquet(s"$segDir/grams")
+    }
+    ()
+  }
+
+  /** Fold all segments into one duplicate-free base segment of the next
+    * generation (serve-through-compact; readers of the pinned previous
+    * generation keep working until the following compaction). */
+  def compact(spark: SparkSession, dir: String): Unit =
+    GenStore.compact(dir, "NoveltyIndex", Legacy) { (st, baseDir) =>
+      GenStore.readTable(spark, dir, st, "grams").distinct()
+        .write.mode("overwrite").parquet(s"$baseDir/grams")
+    }
+
+  /** The stored gram set (union of segments; may repeat a gram until
+    * compaction — membership consumers are unaffected). */
+  def storedGrams(spark: SparkSession, dir: String): DataFrame = {
+    val st = GenStore.readOrFail(dir, "NoveltyIndex")
+    GenStore.readTable(spark, dir, st, "grams")
+  }
+
+  /** Per-doc novelty of `batch` against the stored corpus:
+    * (id, n_grams, n_known, novelty_bp) with n_grams the doc's DISTINCT
+    * n-gram count, n_known how many the store already holds, and
+    * `novelty_bp = 10000 * (n_grams - n_known) div n_grams`. Docs too
+    * short for a single n-gram report n_grams 0 and novelty_bp 10000
+    * (nothing seen before). One stored-gram scan, no store-side shuffle
+    * — see the class doc. */
+  def noveltyBatch(batch: DataFrame, idCol: String, textCol: String,
+                   dir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val st = GenStore.readOrFail(dir, "NoveltyIndex")
+    val bg = docGrams(batch, idCol, textCol, st.props("n"),
+      st.props("parity") == 1).localCheckpoint()
+    val inter = GenStore.readTable(spark, dir, st, "grams")
+      .join(broadcast(bg.select("g").distinct()), Seq("g"), "left_semi")
+      .distinct()
+    val known = bg.join(broadcast(inter), Seq("g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
+    batch.select(col(idCol))
+      .join(bg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams")),
+        Seq(idCol), "left")
+      .join(known, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .withColumn("novelty_bp",
+        when(col("n_grams") === 0L, 10000L)
+          .otherwise(expr("(10000 * (n_grams - n_known)) div n_grams")))
+  }
+}

@@ -759,8 +759,9 @@ object TextDedup {
     * interpreted (higher-order functions are CodegenFallback; see
     * [[graft.functions.ShingleHashes]]) and dominated the repeated-span
     * queries' cost. Docs shorter than n tokens emit no rows. */
-  private def wordGramOcc(docs: DataFrame, idCol: String, textCol: String,
-                          n: Int, base: Column => Column): DataFrame = {
+  private[operators] def wordGramOcc(docs: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     base: Column => Column): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("p0"))
     val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
     docs
