@@ -102,6 +102,44 @@ object StreamingDedup {
     }
   }
 
+  /** Novelty gate + maintenance in one foreachBatch body: score the
+    * micro-batch against the stored [[graft.operators.NoveltyIndex]]
+    * (fraction of each doc's n-grams the corpus has literally seen),
+    * keep docs with `novelty_bp >= minNoveltyBp`, append the SURVIVORS'
+    * grams so the next batch is screened against them too. With
+    * `batchId` set the append is an atomic idempotent segment carrying
+    * the survivor ids, and a retried batch reproduces its committed
+    * survivor set instead of re-gating (which would score every survivor
+    * 0 against a store that now contains it and drop the batch) — the
+    * same effectively-exactly-once discipline as
+    * [[gateAndMaintainPairs]]. Per-batch cost: one stored-gram scan +
+    * batch-sized work ([[graft.operators.NoveltyIndex.noveltyBatch]]
+    * scale notes). */
+  def noveltyGateAndMaintain(indexDir: String, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             minNoveltyBp: Long = 5000L,
+                             batchId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    batchId.filter(graft.operators.NoveltyIndex.batchApplied(indexDir, _)) match {
+      case Some(b) =>
+        batch.join(
+          graft.operators.NoveltyIndex
+            .batchDocIds(batch.sparkSession, indexDir, b, idCol),
+          Seq(idCol), "left_semi")
+      case None =>
+        val verdict = graft.operators.NoveltyIndex
+          .noveltyBatch(batch, idCol, textCol, indexDir)
+        val survivors = batch.join(
+            verdict.filter(col("novelty_bp") >= minNoveltyBp)
+              .select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint()
+        graft.operators.NoveltyIndex.appendGated(survivors, idCol, textCol,
+          indexDir, batchId)
+        survivors
+    }
+  }
+
   private def keep(batch: DataFrame, idCol: String,
                    verdict: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
