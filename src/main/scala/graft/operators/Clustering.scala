@@ -32,15 +32,23 @@ object Clustering {
   /** Element-wise squared-L2 to each centroid literal; argmin with ties to
     * the lowest cluster index, via array_min over struct(dist, j). */
   private[operators] def nearest(cents: Seq[(Int, Array[Long])], q: Column): Column = {
+    registerVec()
     val dists = cents.map { case (j, c) =>
-      val centLit = array(c.map(lit(_)): _*)
       struct(
-        aggregate(zip_with(q, centLit, (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("d"),
+        graft.functions.VectorFunctions
+          .vecL2SqLong(q, array(c.map(lit(_)): _*)).as("d"),
         lit(j).as("j"))
     }
     array_min(array(dists: _*))
   }
+
+  // Column builders have no df handle; the registry is session state, so
+  // register against the active (or process-default) session — idempotent,
+  // and every execution path here is single-session.
+  private def registerVec(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.VectorFunctions.register)
 
   /** Quantized point table (id, q: array<long>) — floor(v * scale), the
     * exact-integer space every operator here works in. Checkpointed: it is
@@ -95,9 +103,10 @@ object Clustering {
 
   /** Exact integer squared L2 of a quantized vector column to a centroid
     * literal. */
-  private[operators] def qdist(q: Column, c: Array[Long]): Column =
-    aggregate(zip_with(q, array(c.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
+  private[operators] def qdist(q: Column, c: Array[Long]): Column = {
+    registerVec()
+    graft.functions.VectorFunctions.vecL2SqLong(q, array(c.map(lit(_)): _*))
+  }
 
   /** Per-subspace PQ training artifacts: the corpus code table
     * (sub, id, code) and the per-query lookup tables (qid, sub, code, pd)
@@ -161,6 +170,7 @@ object Clustering {
   private[operators] def refineTopKQuantized(pool: DataFrame, cq: DataFrame,
                                              qq: DataFrame, kNN: Int,
                                              minDist: Long = -1L): DataFrame = {
+    graft.functions.VectorFunctions.register(pool.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist"), col("id"))
     val scored = pool.select(col("qid"), col("nid").as("id"))
@@ -168,8 +178,7 @@ object Clustering {
       .join(broadcast(qq.select(col("id").as("qid"), col("q").as("qq"))),
         Seq("qid"))
       .withColumn("dist",
-        aggregate(zip_with(col("qq"), col("nq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+        graft.functions.VectorFunctions.vecL2SqLong(col("qq"), col("nq")))
     (if (minDist >= 0) scored.filter(col("dist") > minDist) else scored)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)

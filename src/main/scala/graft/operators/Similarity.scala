@@ -374,11 +374,12 @@ object Similarity {
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, outDim: Int, seed: Int = 1,
                     scale: Int = 1000): DataFrame = {
+    graft.functions.VectorFunctions.register(df.sparkSession)
     val q = transform(col(vecCol),
       v => floor(v.cast("double") * scale).cast("long"))
     val projCols = (0 until outDim).map { j =>
       val sj = array((0 until dim).map(i => lit(jlSign(seed, i, j))): _*)
-      aggregate(zip_with(q, sj, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      graft.functions.VectorFunctions.vecDotLong(q, sj)
     }
     df.select(col(idCol).cast("long").as("id"),
       array(projCols: _*).as("proj"))
