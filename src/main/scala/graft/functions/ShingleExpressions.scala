@@ -68,62 +68,170 @@ case class ShingleHashes(child: Expression, n: Int, parity: Boolean,
       newChild: Expression): ShingleHashes = copy(child = newChild)
 }
 
+/** Native winnowing fingerprint set of a string column — the whole
+  * Schleimer et al. 2003 pipeline (hash every k-gram, take the minimum
+  * of each full sliding window of `w` k-gram hashes, emit the distinct
+  * minima) as ONE per-document loop. The declarative formulation paid
+  * three corpus-scale stages: an interpreted gram explode, a per-doc
+  * WINDOW (one token-stream exchange + per-doc sorts just to see w
+  * consecutive hashes), and a corpus-wide distinct exchange. All three
+  * collapse into this expression: the only remaining exchanges in a
+  * fingerprint query are the analytical ones (doc-frequency counts,
+  * fp joins). Bit-identical to the windowed formulation — ShingleSpec
+  * pins equality on the same fixture battery; documents with fewer than
+  * w k-gram positions emit no fingerprints (only FULL windows pick
+  * minima), matching the `count(*) over == w` filter it replaces.
+  * Output sorted ascending, duplicate-free. */
+case class WinnowFingerprints(child: Expression, kgram: Int, w: Int,
+                              parity: Boolean, mod: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.winnow(input.asInstanceOf[UTF8String], kgram, w, parity, mod)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.winnow(" +
+        s"$c, $kgram, $w, $parity, ${mod}L);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowFingerprints = copy(child = newChild)
+}
+
 object ShingleHashes {
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** One tight loop per document: hash every n-char window, sort, dedup.
-    * Public because generated code calls it statically. */
-  def compute(text: UTF8String, n: Int, parity: Boolean,
-              mod: Long): ArrayData = {
+  /** Per-position n-char window hashes (NOT de-duplicated). Hashes raw
+    * byte SPANS of one materialized byte array — char-boundary offsets
+    * from a single UTF-8 walk — so the per-gram cost is the digest alone,
+    * no per-gram UTF8String or byte-array copies (the scan stage this
+    * runs in is often a single input split locally, so constants here are
+    * wall-clock). Hashing a span equals hashing the equivalent
+    * UTF8String: md5 is bytewise, and XxHash64Function for strings
+    * hashes (base, offset, numBytes) — ShingleSpec pins both. */
+  private def hashAll(text: UTF8String, n: Int, parity: Boolean,
+                      mod: Long): Array[Long] = {
+    val bytes = text.getBytes
     val len = text.numChars()
     val count = math.max(len - n + 1, 1)
+    val offs = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < len) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(len) = bytes.length
     val out = new Array[Long](count)
     val md = if (parity) md5.get() else null
+    val buf = if (parity) new Array[Byte](16) else null
     var i = 0
     while (i < count) {
-      val sh = text.substringSQL(i + 1, n)
+      val s = offs(i)
+      val e = offs(math.min(i + n, len))
       var v =
         if (parity) {
           md.reset()
-          val d = md.digest(sh.getBytes)
+          md.update(bytes, s, e - s)
+          md.digest(buf, 0, 16)
           // top 60 bits of the digest == conv(substring(hex, 1, 15), 16, 10)
-          (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-            ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-            ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-            ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-        } else XxHash64Function.hash(sh, StringType, 42L)
+          (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+            ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+            ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+            ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> 4
+        } else {
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+            e - s, 42L)
+        }
       if (mod > 0L) v = ((v % mod) + mod) % mod
       out(i) = v
       i += 1
     }
-    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Sort + dedup in place; returns a right-sized ArrayData. */
+  private def sortedDistinct(a: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(a)
     var w = 0
     var r = 1
-    while (r < count) {
-      if (out(r) != out(w)) { w += 1; out(w) = out(r) }
+    while (r < a.length) {
+      if (a(r) != a(w)) { w += 1; a(w) = a(r) }
       r += 1
     }
-    val m = w + 1
+    val m = if (a.isEmpty) 0 else w + 1
     new GenericArrayData(
-      if (m == count) out else java.util.Arrays.copyOf(out, m))
+      if (m == a.length) a else java.util.Arrays.copyOf(a, m))
+  }
+
+  /** One tight loop per document: hash every n-char window, sort, dedup.
+    * Public because generated code calls it statically. */
+  def compute(text: UTF8String, n: Int, parity: Boolean,
+              mod: Long): ArrayData =
+    sortedDistinct(hashAll(text, n, parity, mod))
+
+  /** Winnowing: minimum of every FULL sliding window of `w` k-gram
+    * hashes, distinct. Public because generated code calls it
+    * statically. */
+  def winnow(text: UTF8String, kgram: Int, w: Int, parity: Boolean,
+             mod: Long): ArrayData = {
+    val hs = hashAll(text, kgram, parity, mod)
+    val nWin = hs.length - w + 1
+    if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](nWin)
+    var p = 0
+    while (p < nWin) {
+      var m = hs(p)
+      var j = 1
+      while (j < w) { if (hs(p + j) < m) m = hs(p + j); j += 1 }
+      out(p) = m
+      p += 1
+    }
+    sortedDistinct(out)
+  }
+
+  private def longOf(e: Expression): Long = e.eval() match {
+    case l: Long => l
+    case i: Int => i.toLong
   }
 
   /** Idempotent per-session registration (temp function registry). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    def scalar[A](e: Expression): A = e.eval().asInstanceOf[A]
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => {
-        def scalar[A](e: Expression): A = e.eval().asInstanceOf[A]
+      "shingle_hashes", exprs =>
         ShingleHashes(exprs(0), scalar[Int](exprs(1)),
-          scalar[Boolean](exprs(2)), exprs(3).eval() match {
-            case l: Long => l
-            case i: Int => i.toLong
-          })
-      }, "scala_udf")
+          scalar[Boolean](exprs(2)), longOf(exprs(3))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fps", exprs =>
+        WinnowFingerprints(exprs(0), scalar[Int](exprs(1)),
+          scalar[Int](exprs(2)), scalar[Boolean](exprs(3)),
+          longOf(exprs(4))), "scala_udf")
+  }
 
   /** Sorted-distinct shingle-hash array Column (requires [[register]]). */
   def shingleHashes(text: Column, n: Int, parity: Boolean,
                     mod: Long): Column =
     call_function("shingle_hashes", text, lit(n), lit(parity), lit(mod))
+
+  /** Winnowing fingerprint array Column (requires [[register]]). */
+  def winnowFps(text: Column, kgram: Int, w: Int, parity: Boolean,
+                mod: Long): Column =
+    call_function("winnow_fps", text, lit(kgram), lit(w), lit(parity),
+      lit(mod))
 }

@@ -967,31 +967,16 @@ object TextDedup {
   def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
                             kgram: Int = 8, w: Int = 4,
                             oracleParity: Boolean = true): DataFrame = {
-    val base: Column => Column =
-      if (oracleParity) c => stableHash(c) % P
-      else c => pmod(xxhash64(c), lit(P))
-    // explode the POSITIONS and substring the parent text post-explode:
-    // codegen fuses the generate + project, so neither the gram array nor
-    // per-row text copies materialize (the transform(...substr) variant
-    // this replaces built the array interpreted — HOFs are CodegenFallback)
-    val grams = df.select(col(idCol), col(textCol).as("_t"),
-        explode(sequence(lit(0),
-          greatest(length(col(textCol)) - kgram, lit(0)))).as("pos"))
-      .select(col(idCol), col("pos"),
-        base(col("_t").substr(col("pos") + 1, lit(kgram))).as("h"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("n_after", count(lit(1)).over(win))
-      .withColumn("wmin", min(col("h")).over(win))
-      // only full windows pick fingerprints (last w-1 positions excluded).
-      // Measured A/B at sf0.1 (tools/WinnowBench): replacing the count
-      // aggregate with a text-length-derived `pos` filter is ~50% SLOWER
-      // (6-8 s vs ~4 s) — both aggregates share one frame pass, so the
-      // count is nearly free, while the length column rides the exchange.
-      .filter(col("n_after") === w)
-      .select(col(idCol), col("wmin").as("fp"))
-      .distinct()
+    // The whole hash -> sliding-min -> distinct pipeline is one native
+    // per-document loop (graft.functions.WinnowFingerprints, bit-identical
+    // to the windowed formulation by ShingleSpec): the gram explode, the
+    // per-doc window EXCHANGE it forced, and the corpus-wide distinct all
+    // disappear — a fingerprint query's only exchanges are analytical
+    // (doc-frequency counts, fp joins).
+    graft.functions.ShingleHashes.register(df.sparkSession)
+    df.select(col(idCol),
+      explode(graft.functions.ShingleHashes
+        .winnowFps(col(textCol), kgram, w, oracleParity, P)).as("fp"))
   }
 
   /** Partial-overlap / containment detection via shared winnowing

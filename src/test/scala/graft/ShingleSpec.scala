@@ -79,6 +79,37 @@ class ShingleSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("winnowFps == hash + full-window sliding min + distinct (both modes)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    ShingleHashes.register(spark)
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((parity, kgram, w) <- Seq((true, 8, 4), (false, 8, 4), (true, 3, 2))) {
+      val base: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (parity) c => TextDedup.stableHash(c) % TextDedup.P
+        else c => pmod(xxhash64(c), lit(TextDedup.P))
+      val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, w - 1)
+      val declarative = df.select(col("id"), col("text").as("_t"),
+          explode(sequence(lit(0),
+            greatest(length(col("text")) - kgram, lit(0)))).as("pos"))
+        .select(col("id"), col("pos"),
+          base(col("_t").substr(col("pos") + 1, lit(kgram))).as("h"))
+        .withColumn("n_after", count(lit(1)).over(win))
+        .withColumn("wmin", min(col("h")).over(win))
+        .filter(col("n_after") === w)
+        .select(col("id"), col("wmin").as("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val native = df.select(col("id"),
+          explode(ShingleHashes.winnowFps(col("text"), kgram, w, parity,
+            TextDedup.P)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native == declarative, s"parity=$parity kgram=$kgram w=$w")
+    }
+  }
+
   test("output is ascending and duplicate-free") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
