@@ -1760,6 +1760,14 @@ object SparkEntry {
         size(split(col("text"), " ")), budget = 25000L)
     }),
 
+    // Contrastive (anchor, positive, hard-negative) triples from ONE
+    // near-dup pass at the negative threshold: positives are best
+    // verified duplicates (jac >= 0.6), negatives the top-3 verified
+    // collided-but-below-threshold candidates per anchor.
+    "q_contrastive_pairs" -> ((s, dir) =>
+      TextDedup.contrastivePairs(Tables.documents(s, dir), "doc_id",
+        "text")),
+
     // Dataset-freshness gate against the STORED n-gram index (built from
     // the %5 ∉ {0,4} slice, %5 == 4 appended): per incoming doc, the
     // fraction of its distinct 5-grams the corpus has literally seen.
@@ -3824,6 +3832,24 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, score, n_tok, cum_tok, cum_tok <= 25000 AS selected
          FROM c ORDER BY doc_id""",
+    "q_contrastive_pairs" ->
+      s"""WITH ${pairSigCteFor("c", "")}, ${hybridPairsCtesFor("c", 0.25)},
+         sym AS (SELECT id1 AS anchor_id, id2 AS other, jac FROM vpc
+                 UNION ALL
+                 SELECT id2 AS anchor_id, id1 AS other, jac FROM vpc),
+         pos AS (SELECT anchor_id, other AS pos_id, jac AS pos_jac,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY jac DESC, other) AS rn
+                 FROM sym WHERE jac >= 0.6),
+         neg AS (SELECT anchor_id, other AS neg_id, jac AS neg_jac,
+                   row_number() OVER (PARTITION BY anchor_id
+                                      ORDER BY jac DESC, other) AS neg_rank
+                 FROM sym WHERE jac < 0.6)
+         SELECT anchor_id, pos_id, pos_jac,
+           CAST(neg_rank AS INT) AS neg_rank, neg_id, neg_jac
+         FROM pos JOIN neg USING (anchor_id)
+         WHERE rn = 1 AND neg_rank <= 3
+         ORDER BY anchor_id, neg_rank""",
     "q_novelty" -> {
       val gram = (0 until 5).map(i => s"toks[pos + $i]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -5035,7 +5061,13 @@ object SparkEntry {
     * >= 0.6. Assumes `sh3$sfx` and `sig$sfx` (pairSigCteFor) are already
     * open; every internal name carries the suffix so per-slice chains can
     * coexist in one WITH (the pair-store mirror). */
-  private def hybridPairsCtesFor(x: String): String = {
+  private def hybridPairsCtesFor(x: String): String =
+    hybridPairsCtesFor(x, 0.6)
+
+  /** `thr` parametrizes BOTH threshold-dependent sites: the PPJoin prefix
+    * length on the hot-member exact path and the final jac filter —
+    * mirroring nearDuplicatePairs(minJaccard = thr). */
+  private def hybridPairsCtesFor(x: String, thr: Double): String = {
     val arms = (0 until 8).map { b =>
       s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sig$x"
     }.mkString("\n         UNION ALL ")
@@ -5058,7 +5090,7 @@ object SparkEntry {
        hord$x AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
                 FROM htok$x t JOIN hdf$x d ON d.tok = t.tok GROUP BY t.doc_id),
        hpre$x AS (SELECT doc_id,
-                  unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
+                  unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * $thr) AS INT) + 1]) AS tok
                 FROM hord$x),
        hcand$x AS (
          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -5071,7 +5103,7 @@ object SparkEntry {
                  / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 AS jac
          FROM acand$x JOIN sh3$x x ON x.doc_id = id1 JOIN sh3$x y ON y.doc_id = id2
          WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= 0.6)"""
+                 / len(list_distinct(list_concat(x.sh, y.sh))) * 10000) / 10000 >= $thr)"""
   }
 
   private lazy val hybridPairsCtes: String = hybridPairsCtesFor("")

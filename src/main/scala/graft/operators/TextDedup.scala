@@ -845,6 +845,55 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Contrastive training pairs from one near-dup pass: per anchor
+    * document, its best verified near-duplicate as the POSITIVE and the
+    * top-k verified "collided but failed the duplicate threshold"
+    * candidates as HARD NEGATIVES — the classic contrastive-learning
+    * triple where the negatives come from exactly the pairs that LOOK
+    * similar (shared LSH band or prefix token) yet are not duplicates,
+    * which is what makes them hard. One [[nearDuplicatePairs]] pass at
+    * the NEGATIVE threshold supplies both sides with exact Jaccards; the
+    * positive/negative split and per-anchor ranking are windows
+    * partitioned by anchor (bounded by the anchor's candidate count).
+    * Only anchors holding BOTH a positive and >= 1 negative emit rows.
+    *
+    * Candidate coverage note: pairs in the negative band are surfaced
+    * when they share a band bucket or a hot-member prefix token — the
+    * deterministic candidate set both engines mirror — not an exhaustive
+    * sub-threshold enumeration (which would be quadratic and is exactly
+    * what hard-negative mining avoids).
+    *
+    * Returns (anchor_id, pos_id, pos_jac, neg_rank, neg_id, neg_jac)
+    * ordered by (anchor_id, neg_rank). */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+                       posJaccard: Double = 0.6, negJaccard: Double = 0.25,
+                       k: Int = 3, maxBucket: Int = 4096,
+                       oracleParity: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = nearDuplicatePairs(docs, idCol, textCol, negJaccard,
+      maxBucket, oracleParity)
+    val sym = all.select(col("id1").as("anchor_id"), col("id2").as("other"),
+        col("jac"))
+      .unionByName(all.select(col("id2").as("anchor_id"),
+        col("id1").as("other"), col("jac")))
+    val byBest = Window.partitionBy("anchor_id")
+      .orderBy(col("jac").desc, col("other"))
+    val pos = sym.filter(col("jac") >= posJaccard)
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("other").as("pos_id"),
+        col("jac").as("pos_jac"))
+    val neg = sym.filter(col("jac") < posJaccard)
+      .withColumn("neg_rank", row_number().over(byBest))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col("neg_rank"),
+        col("other").as("neg_id"), col("jac").as("neg_jac"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_jac"),
+        col("neg_rank"), col("neg_id"), col("neg_jac"))
+      .orderBy("anchor_id", "neg_rank")
+  }
+
   /** Corpus-wide PARAGRAPH dedup with keep-first semantics — the CCNet
     * line-level discipline (Wenzek et al. 2020 dedup crawl text by
     * paragraph hash before any document-level pass): split each document

@@ -230,6 +230,43 @@ class TextDedupSpec extends AnyFunSuite {
       d6.getAs[Long]("mean_rarity") == 6312500L)
   }
 
+  test("contrastivePairs: positive is the best dup, negatives ranked below threshold") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val core = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val docs = Seq(
+      (1L, core),                                             // anchor
+      (2L, core),                                             // verbatim dup -> positive
+      (3L, "a quick brown fox leaps over some lazy dog far from a riverbank"),
+      (4L, "completely unrelated text about spark query planning internals"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextDedup
+      .contrastivePairs(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty, "fixture surfaced no triples")
+    // every row: positive at/above 0.6, negative strictly below, both
+    // above the 0.25 candidate floor
+    out.foreach { r =>
+      assert(r.getAs[Double]("pos_jac") >= 0.6)
+      val nj = r.getAs[Double]("neg_jac")
+      assert(nj >= 0.25 && nj < 0.6, s"neg_jac $nj out of band")
+    }
+    // the verbatim pair is the positive for anchor 1 (and symmetrically 2)
+    val a1 = out.filter(_.getAs[Long]("anchor_id") == 1L)
+    assert(a1.nonEmpty && a1.forall(_.getAs[Long]("pos_id") == 2L))
+    assert(a1.forall(_.getAs[Long]("neg_id") == 3L))
+    // the unrelated doc appears nowhere
+    assert(!out.exists(r => r.getAs[Long]("anchor_id") == 4L ||
+      r.getAs[Long]("pos_id") == 4L || r.getAs[Long]("neg_id") == 4L))
+    // ranks are 1..n without gaps per anchor, ordered by jac desc
+    out.groupBy(_.getAs[Long]("anchor_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("neg_rank"))
+      assert(sorted.map(_.getAs[Int]("neg_rank")).toSeq ==
+        (1 to sorted.length).toSeq)
+      val jacs = sorted.map(_.getAs[Double]("neg_jac")).toSeq
+      assert(jacs == jacs.sorted.reverse)
+    }
+  }
+
   test("paragraphDedup: keep-first across docs, in-doc repeats, rebuild order") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
