@@ -868,10 +868,20 @@ object TextDedup {
   def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
                        posJaccard: Double = 0.6, negJaccard: Double = 0.25,
                        k: Int = 3, maxBucket: Int = 4096,
-                       oracleParity: Boolean = true): DataFrame = {
+                       oracleParity: Boolean = true): DataFrame =
+    contrastivePairsFrom(nearDuplicatePairs(docs, idCol, textCol, negJaccard,
+      maxBucket, oracleParity), posJaccard, k)
+
+  /** The split/rank half of [[contrastivePairs]] over an ALREADY-verified
+    * pair set `all` (id1, id2, jac with id1 < id2) mined at the NEGATIVE
+    * floor — e.g. a maintained [[PairStore]] built at that floor, so the
+    * corpus-wide mining pass is paid once at artifact-build time and each
+    * training-epoch consumer pays only the windows (the per-ingestion-batch
+    * production shape: the floor-threshold graph grows via
+    * PairStore.append, triples re-derive from the store). */
+  def contrastivePairsFrom(all: DataFrame, posJaccard: Double = 0.6,
+                           k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val all = nearDuplicatePairs(docs, idCol, textCol, negJaccard,
-      maxBucket, oracleParity)
     val sym = all.select(col("id1").as("anchor_id"), col("id2").as("other"),
         col("jac"))
       .unionByName(all.select(col("id2").as("anchor_id"),

@@ -24,6 +24,21 @@ class PairStoreSpec extends AnyFunSuite {
     .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     .sortBy(identity).toSeq
 
+  test("contrastive triples from a floor-threshold store == direct mining") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val dir = Files.createTempDirectory("graft_pairs_floor").toString
+    PairStore.build(docs, "doc_id", "text", dir, minJaccard = 0.25)
+    def canonT(df: DataFrame): Seq[String] = df.collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+    val fromStore =
+      canonT(TextDedup.contrastivePairsFrom(PairStore.pairs(spark, dir)))
+    val direct = canonT(TextDedup.contrastivePairs(docs, "doc_id", "text"))
+    assert(fromStore.nonEmpty && fromStore == direct,
+      s"store-served triples diverge: ${fromStore.size} vs ${direct.size}")
+  }
+
   test("build + two appends == the recomputed incremental pair union") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
