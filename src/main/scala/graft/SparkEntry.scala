@@ -4593,10 +4593,21 @@ object SparkEntry {
     * negatives come from. The corpus-wide low-threshold mining pass —
     * the dominant cost, since a 0.25 PPJoin prefix covers ~75% of each
     * hot doc's tokens — is paid once at build and grows per ingestion
-    * batch via PairStore.append; q_contrastive_pairs then pays only the
-    * split/rank windows. The stored set is exactly
-    * nearDuplicatePairs(corpus, 0.25), so the oracle (which recomputes it
-    * from scratch) is unchanged. */
+    * batch via PairStore.append (which replays the recorded 0.25 floor
+    * from the store's _PARAMS — callers cannot silently hole the band);
+    * q_contrastive_pairs then pays only the split/rank windows. The
+    * stored set is exactly nearDuplicatePairs(corpus, 0.25), so the
+    * oracle (which recomputes it from scratch) is unchanged.
+    *
+    * Deliberate duplication: this store embeds its own DedupIndex even
+    * though the 0.6 store's index is content-identical (the index is
+    * threshold-independent) — each store stays self-contained so its
+    * generation swings, compaction and crash recovery never reach across
+    * artifacts. A deployment squeezed on index storage can maintain ONE
+    * graph at the floor and derive the >= 0.6 band by filtering `jac`
+    * (strictly cheaper than two stores; the two-store shape here keeps
+    * the dup-graph consumers' inputs byte-stable while the floor
+    * artifact evolves). */
   private def pairStoreFloorDir(s: SparkSession, dir: String): String = {
     val root =
       s"/tmp/graft_cache/${new java.io.File(dir).getName}/near_miss_pairs"

@@ -50,6 +50,48 @@ object PairStore {
 
   private val Legacy = Set("pairs") // v1 kept a flat pairs dir at the root
 
+  /** The verification threshold and bucket ceiling are properties of the
+    * STORE, not of any one call: every edge in the graph was kept at the
+    * build-time `minJaccard`, so an append mining at a different floor
+    * would silently hole the band in between (a 0.25-floor graph appended
+    * at the 0.6 default loses every [0.25, 0.6) edge for that batch).
+    * [[build]] records both under `<dir>/_PARAMS`; [[append]]/
+    * [[appendGated]] use the recorded values, treating their own
+    * parameters as (a) the fallback for stores created before the marker
+    * existed and (b) a cross-check — an explicit value that matches
+    * neither the recorded one nor the signature default is a caller
+    * contradiction and throws rather than corrupting the band. */
+  private def writeParams(dir: String, minJaccard: Double,
+                          maxBucket: Int): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_PARAMS"),
+      s"minJaccard=$minJaccard maxBucket=$maxBucket")
+
+  private def storedParams(dir: String): Option[(Double, Int)] = {
+    val p = java.nio.file.Paths.get(s"$dir/_PARAMS")
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val kv = java.nio.file.Files.readString(p).trim.split("\\s+")
+        .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+      for (t <- kv.get("minJaccard"); c <- kv.get("maxBucket"))
+        yield (t.toDouble, c.toInt)
+    }
+  }
+
+  private def effectiveParams(dir: String, minJaccard: Double,
+                              maxBucket: Int): (Double, Int) =
+    storedParams(dir) match {
+      case None => (minJaccard, maxBucket)
+      case Some((t, c)) =>
+        require(minJaccard == 0.6 || minJaccard == t,
+          s"append minJaccard=$minJaccard contradicts the store's recorded " +
+            s"mining floor $t at $dir — the threshold is a store property")
+        require(maxBucket == 4096 || maxBucket == c,
+          s"append maxBucket=$maxBucket contradicts the store's recorded " +
+            s"ceiling $c at $dir")
+        (t, c)
+    }
+
   /** The live pairs generation directory (exposed for specs/tools). */
   def currentGenDir(dir: String): String =
     GenStore.readOrFail(dir, "PairStore").genDir(dir)
@@ -70,6 +112,7 @@ object PairStore {
     // stale generations / legacy layouts cleared for a clean slate
     GenStore.clearMeta(dir)
     GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
+    writeParams(dir, minJaccard, maxBucket)
     DedupIndex.build(docs, idCol, textCol, s"$dir/index",
       oracleParity = oracleParity)
     TextDedup.nearDuplicatePairs(docs, idCol, textCol, minJaccard, maxBucket,
@@ -84,20 +127,24 @@ object PairStore {
     * side is one atomic segment; with `batchId` set, both commits are
     * idempotent under retries (pairs first, index second — a retry after
     * a crash between them recomputes nothing stale, because the match
-    * runs against an index that does not yet contain the batch). */
+    * runs against an index that does not yet contain the batch).
+    * `minJaccard`/`maxBucket` are the legacy-store fallback and
+    * cross-check only — the store's recorded build parameters govern
+    * (see [[writeParams]]). */
   def append(batch: DataFrame, idCol: String, textCol: String, dir: String,
              minJaccard: Double = 0.6, maxBucket: Int = 4096,
              oracleParity: Boolean = true,
              batchId: Option[Long] = None): Unit = {
     require(exists(dir), s"no complete PairStore at $dir")
+    val (thr, cap) = effectiveParams(dir, minJaccard, maxBucket)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
       val cross = DedupIndex.matchBatchPairs(batch, idCol, textCol,
-          s"$dir/index", minJaccard, maxBucket, oracleParity)
+          s"$dir/index", thr, cap, oracleParity)
         .select(least(col("new_id"), col("old_id")).as("id1"),
           greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
       val internal = TextDedup.nearDuplicatePairs(batch, idCol, textCol,
-        minJaccard, maxBucket, oracleParity)
+        thr, cap, oracleParity)
       cross.unionByName(internal)
         .write.mode("overwrite").parquet(s"$segDir/pairs")
     }
@@ -121,10 +168,11 @@ object PairStore {
                   oracleParity: Boolean = true,
                   batchId: Option[Long] = None): Unit = {
     require(exists(dir), s"no complete PairStore at $dir")
+    val (thr, cap) = effectiveParams(dir, minJaccard, maxBucket)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
-      TextDedup.nearDuplicatePairs(batch, idCol, textCol, minJaccard,
-          maxBucket, oracleParity)
+      TextDedup.nearDuplicatePairs(batch, idCol, textCol, thr,
+          cap, oracleParity)
         .write.mode("overwrite").parquet(s"$segDir/pairs")
     }
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
@@ -158,7 +206,7 @@ object PairStore {
   }
 
   /** The stored pair graph: (id1, id2, jac), id1 < id2, exact floored
-    * trigram Jaccard >= the build/append threshold. */
+    * trigram Jaccard >= the store's recorded mining floor. */
   def pairs(spark: SparkSession, dir: String): DataFrame =
     GenStore.readTable(spark, dir, GenStore.readOrFail(dir, "PairStore"),
       "pairs")

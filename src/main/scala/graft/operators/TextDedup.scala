@@ -881,7 +881,6 @@ object TextDedup {
     * PairStore.append, triples re-derive from the store). */
   def contrastivePairsFrom(all: DataFrame, posJaccard: Double = 0.6,
                            k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sym = all.select(col("id1").as("anchor_id"), col("id2").as("other"),
         col("jac"))
       .unionByName(all.select(col("id2").as("anchor_id"),

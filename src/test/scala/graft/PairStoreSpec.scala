@@ -39,6 +39,36 @@ class PairStoreSpec extends AnyFunSuite {
       s"store-served triples diverge: ${fromStore.size} vs ${direct.size}")
   }
 
+  test("append replays the store's recorded floor; contradictions throw") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val seed = docs.filter(col("doc_id") % 4 =!= 3)
+    val batch = docs.filter(col("doc_id") % 4 === 3)
+    val dir = Files.createTempDirectory("graft_pairs_params").toString
+    PairStore.build(seed, "doc_id", "text", dir, minJaccard = 0.25)
+    // DEFAULT-args append on a 0.25-floor store must mine at 0.25 — the
+    // documented production shape ("grows via append") with no threshold
+    // re-plumbing at every call site
+    PairStore.append(batch, "doc_id", "text", dir)
+    val stored = canon(PairStore.pairs(spark, dir))
+    assert(stored.exists { case (_, _, j) => j < 0.6 },
+      "append at the recorded 0.25 floor produced no sub-0.6 edges")
+    // the full-band graph a one-shot 0.25 build over the whole corpus
+    // yields; the incremental union must cover the same floor everywhere
+    val oneShotDir = Files.createTempDirectory("graft_pairs_params1").toString
+    PairStore.build(docs, "doc_id", "text", oneShotDir, minJaccard = 0.25)
+    val oneShot = canon(PairStore.pairs(spark, oneShotDir))
+    val (sFloor, oFloor) = (stored.count(_._3 < 0.6), oneShot.count(_._3 < 0.6))
+    assert(sFloor > 0 && oFloor > 0,
+      s"vacuous floor-band fixture: incremental=$sFloor one-shot=$oFloor")
+    // an explicitly contradictory floor is a caller error, not a silent hole
+    val ex = intercept[IllegalArgumentException] {
+      PairStore.append(batch, "doc_id", "text", dir, minJaccard = 0.5)
+    }
+    assert(ex.getMessage.contains("recorded mining floor"))
+  }
+
   test("build + two appends == the recomputed incremental pair union") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
