@@ -109,6 +109,79 @@ case class WinnowFingerprints(child: Expression, kgram: Int, w: Int,
       newChild: Expression): WinnowFingerprints = copy(child = newChild)
 }
 
+/** Native k-wide MinHash signature of an already-hashed shingle array:
+  * element i = min over h of `(h*(2i+1) + i*i+1) mod P` — the exact
+  * coefficient family of [[graft.operators.TextDedup.minHashSignature]].
+  * The declarative zero-shuffle form (`array_min(transform(sh, ...))` per
+  * permutation) pays k interpreted CodegenFallback traversals of the
+  * array per document; this computes all k minima in ONE codegen'd loop.
+  * Empty input arrays yield null (callers filter, matching the
+  * "no shingles -> no signature row" semantics of both prior forms). */
+case class MinHashSig(child: Expression, k: Int, p: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<bigint>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.minHashOfArray(input.asInstanceOf[ArrayData], k, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val code = nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.ShingleHashes.minHashOfArray(
+         |  $c, $k, ${p}L);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+    code
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+/** [[MinHashSig]] fused with the shingle hashing itself: text in, k-wide
+  * signature out, one loop, no intermediate shingle array (the minimum
+  * over the hash MULTISET equals the minimum over the distinct set, so
+  * the sort+dedup the array form pays is skipped entirely). This is the
+  * whole signature stage of MinHash-LSH as a single whole-stage-codegen'd
+  * projection — the explode + groupBy(id).agg(k mins) formulation it
+  * replaces paid a |docs x shingles|-row exchange for the same bits. */
+case class MinHashSigText(child: Expression, n: Int, parity: Boolean,
+                          k: Int, p: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig_text requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "minhash_sig_text"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.minHashOfText(input.asInstanceOf[UTF8String], n, parity,
+      k, p)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.minHashOfText(" +
+        s"$c, $n, $parity, $k, ${p}L);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSigText = copy(child = newChild)
+}
+
 object ShingleHashes {
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
@@ -205,6 +278,43 @@ object ShingleHashes {
     sortedDistinct(out)
   }
 
+  /** All k permutation minima of `(h*(2i+1) + i*i+1) mod p` in one pass.
+    * `hs` values must already be non-negative and < p (the `% p`-reduced
+    * hash family every caller stores), so the linear form stays positive
+    * and a plain `%` is the exact mod. */
+  private def kMins(hs: Array[Long], k: Int, p: Long): Array[Long] = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 2L * i + 1
+      val b = i.toLong * i + 1
+      var m = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * a + b) % p
+        if (v < m) m = v
+        j += 1
+      }
+      out(i) = m
+      i += 1
+    }
+    out
+  }
+
+  /** Public because generated code calls it statically; null for empty
+    * arrays (no shingles -> no signature). */
+  def minHashOfArray(sh: ArrayData, k: Int, p: Long): ArrayData = {
+    if (sh.numElements() == 0) return null
+    new GenericArrayData(kMins(sh.toLongArray(), k, p))
+  }
+
+  /** Public because generated code calls it statically. The min over the
+    * raw per-position hash multiset equals the min over the sorted
+    * distinct set, so no sort/dedup is needed. */
+  def minHashOfText(text: UTF8String, n: Int, parity: Boolean, k: Int,
+                    p: Long): ArrayData =
+    new GenericArrayData(kMins(hashAll(text, n, parity, p), k, p))
+
   private def longOf(e: Expression): Long = e.eval() match {
     case l: Long => l
     case i: Int => i.toLong
@@ -222,6 +332,15 @@ object ShingleHashes {
         WinnowFingerprints(exprs(0), scalar[Int](exprs(1)),
           scalar[Int](exprs(2)), scalar[Boolean](exprs(3)),
           longOf(exprs(4))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs =>
+        MinHashSig(exprs(0), scalar[Int](exprs(1)), longOf(exprs(2))),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig_text", exprs =>
+        MinHashSigText(exprs(0), scalar[Int](exprs(1)),
+          scalar[Boolean](exprs(2)), scalar[Int](exprs(3)),
+          longOf(exprs(4))), "scala_udf")
   }
 
   /** Sorted-distinct shingle-hash array Column (requires [[register]]). */
@@ -234,4 +353,15 @@ object ShingleHashes {
                 mod: Long): Column =
     call_function("winnow_fps", text, lit(kgram), lit(w), lit(parity),
       lit(mod))
+
+  /** k-wide MinHash signature of a `% p`-reduced hash array Column
+    * (requires [[register]]); null for empty arrays. */
+  def minHashSig(sh: Column, k: Int, p: Long): Column =
+    call_function("minhash_sig", sh, lit(k), lit(p))
+
+  /** Text-fused k-wide MinHash signature Column (requires [[register]]). */
+  def minHashSigText(text: Column, n: Int, parity: Boolean, k: Int,
+                     p: Long): Column =
+    call_function("minhash_sig_text", text, lit(n), lit(parity), lit(k),
+      lit(p))
 }

@@ -40,22 +40,19 @@ object TextDedup {
                        n: Int = 4, k: Int = 8,
                        oracleParity: Boolean = true): DataFrame = {
     // oracleParity=true uses the md5-derived hash (reproducible in any SQL
-    // engine); production path uses Spark's codegen'd xxhash64. Measured at
-    // sf0.1: 3.1 s -> 2.1 s for the signature pass (the explode/shuffle
-    // around the hash dominates, so the win is ~1.5x, not the raw per-hash
-    // ratio; same distribution either way).
-    // min over the DISTINCT shingle set == min over the multiset, so the
-    // native sorted-distinct hash expression serves here too (fewer rows
-    // into the partial agg as a bonus)
+    // engine); production path uses Spark's codegen'd xxhash64 — same
+    // distribution either way. The whole stage is ONE fused native
+    // expression (text -> k minima, no intermediate shingle array): the
+    // explode + groupBy(id).agg(k mins) formulation this replaces paid a
+    // |docs x shingles|-row exchange for bit-identical output (ShingleSpec
+    // pins equality against that form). The k element extractions below
+    // collapse into one projection; codegen subexpression elimination
+    // evaluates the deterministic signature expression once per row.
     graft.functions.ShingleHashes.register(df.sparkSession)
-    val hashed = df
-      .select(col(idCol), explode(graft.functions.ShingleHashes
-        .shingleHashes(col(textCol), n, oracleParity, P)).as("h"))
-    val mins = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = i.toLong * i + 1
-      min((col("h") * a + b) % P).as(s"mh$i")
-    }
-    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = graft.functions.ShingleHashes
+      .minHashSigText(col(textCol), n, oracleParity, k, P)
+    df.select(col(idCol) +:
+      (0 until k).map(i => element_at(sig, i + 1).as(s"mh$i")): _*)
   }
 
   /** LSH candidate pairs: split the k-wide signature into bands of `r` rows;
@@ -388,11 +385,13 @@ object TextDedup {
     * explode form (no rows -> no group); without the filter an empty array
     * would yield null mins and join every other empty doc. */
   def signatureFromShingles(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val mins = (0 until k).map { i =>
-      val a = 2L * i + 1; val b = i.toLong * i + 1
-      array_min(transform(col("sh"), h => (h * a + b) % P)).as(s"mh$i")
-    }
-    sh.filter(size(col("sh")) > 0).select(col(idCol) +: mins: _*)
+    // one codegen'd pass computes all k minima; the per-permutation
+    // array_min(transform(...)) form this replaces paid k interpreted
+    // (CodegenFallback) traversals of every shingle array
+    graft.functions.ShingleHashes.register(sh.sparkSession)
+    val sig = graft.functions.ShingleHashes.minHashSig(col("sh"), k, P)
+    sh.filter(size(col("sh")) > 0).select(col(idCol) +:
+      (0 until k).map(i => element_at(sig, i + 1).as(s"mh$i")): _*)
   }
 
   /** [[incrementalDedup]] against a PRECOMPUTED existing side — `shE` the

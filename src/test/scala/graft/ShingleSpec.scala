@@ -110,6 +110,65 @@ class ShingleSpec extends AnyFunSuite {
     }
   }
 
+  test("minHashSig(Text) == both prior signature formulations, bit-for-bit") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    ShingleHashes.register(spark)
+    // real corpus slice + the engineered edge fixtures
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), col("text")).limit(300)
+    val edge = fixtures.zipWithIndex
+      .map { case (t, i) => (100000L + i, t) }.toDF("id", "text")
+    val df = real.unionByName(edge).localCheckpoint()
+    for ((parity, n, k) <- Seq((true, 4, 8), (false, 4, 8), (true, 3, 16))) {
+      // formulation 1: explode + groupBy(id).agg(k mins) — the original
+      // minHashSignature shape (empty-shingle docs cannot occur: even ""
+      // hashes to one whole-text shingle)
+      val hashed = df.select(col("id"),
+        explode(ShingleHashes.shingleHashes(col("text"), n, parity,
+          TextDedup.P)).as("h"))
+      val mins = (0 until k).map { i =>
+        val a = 2L * i + 1; val b = i.toLong * i + 1
+        min((col("h") * a + b) % TextDedup.P).as(s"mh$i")
+      }
+      val viaGroupBy = hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 until k + 1).map(r.getLong))
+        .toMap
+      // formulation 2: per-permutation array_min(transform(...)) over the
+      // stored shingle table — the original signatureFromShingles shape
+      val sh = df.select(col("id"),
+        ShingleHashes.shingleHashes(col("text"), n, parity, TextDedup.P)
+          .as("sh"))
+      val trans = (0 until k).map { i =>
+        val a = 2L * i + 1; val b = i.toLong * i + 1
+        array_min(transform(col("sh"), h => (h * a + b) % TextDedup.P))
+          .as(s"mh$i")
+      }
+      val viaTransform = sh.select(col("id") +: trans: _*)
+        .collect().map(r => r.getLong(0) -> (1 until k + 1).map(r.getLong))
+        .toMap
+      // native fused (text) and array forms
+      val nativeText = TextDedup.minHashSignature(df, "id", "text", n, k,
+          oracleParity = parity)
+        .collect().map(r => r.getLong(0) -> (1 until k + 1).map(r.getLong))
+        .toMap
+      val nativeArr = TextDedup.signatureFromShingles(sh, "id", k)
+        .collect().map(r => r.getLong(0) -> (1 until k + 1).map(r.getLong))
+        .toMap
+      assert(nativeText == viaGroupBy,
+        s"parity=$parity n=$n k=$k: fused text form != explode/groupBy form")
+      assert(nativeArr == viaTransform,
+        s"parity=$parity n=$n k=$k: array form != transform form")
+      assert(nativeText == nativeArr,
+        s"parity=$parity n=$n k=$k: fused text form != array form")
+    }
+    // empty shingle arrays yield no signature row (null filtered)
+    val empty = Seq((1L, Array.emptyLongArray)).toDF("id", "sh")
+    assert(TextDedup.signatureFromShingles(
+      empty.select(col("id"), col("sh").cast("array<long>").as("sh")),
+      "id", 8).count() == 0L)
+  }
+
   test("output is ascending and duplicate-free") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
