@@ -1770,6 +1770,18 @@ object SparkEntry {
       TextDedup.contrastivePairsFrom(
         operators.PairStore.pairs(s, pairStoreFloorDir(s, dir)))),
 
+    // Seed-labeled linear classifier (the CCNet/fastText trained-filter
+    // stage): the doc_id % 5 == 0 slice trains exact-integer
+    // likelihood-ratio token weights against the is-English label; the
+    // other 4/5 of the corpus is scored by one broadcast join. The
+    // BIGINT cast is presentation-layer (the operator carries
+    // decimal(38,0)); keep is decided on the exact decimal.
+    "q_quality_classifier" -> ((s, dir) =>
+      operators.Classify.seedAndScore(Tables.documents(s, dir), "doc_id",
+          "text", col("doc_id") % 5 === 0, col("lang") === "en")
+        .withColumn("score", col("score").cast("long"))
+        .orderBy("doc_id")),
+
     // Dataset-freshness gate against the STORED n-gram index (built from
     // the %5 ∉ {0,4} slice, %5 == 4 appended): per incoming doc, the
     // fraction of its distinct 5-grams the corpus has literally seen.
@@ -3852,6 +3864,32 @@ object SparkEntry {
          FROM pos JOIN neg USING (anchor_id)
          WHERE rn = 1 AND neg_rank <= 3
          ORDER BY anchor_id, neg_rank""",
+    "q_quality_classifier" ->
+      """WITH tokf AS (SELECT (lang = 'en') AS pos,
+             unnest(string_split(text, ' ')) AS token
+           FROM documents WHERE doc_id % 5 = 0),
+         tokc AS (SELECT * FROM tokf WHERE token <> ''),
+         counts AS (SELECT token,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+           FROM tokc GROUP BY 1
+           ORDER BY (n_pos + n_neg) DESC, token LIMIT 4096),
+         tot AS (SELECT
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
+             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
+           FROM tokc),
+         wts AS (SELECT token,
+             n_pos::HUGEINT * t_neg - n_neg::HUGEINT * t_pos AS w
+           FROM counts CROSS JOIN tot),
+         restf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents WHERE doc_id % 5 <> 0),
+         restc AS (SELECT * FROM restf WHERE token <> ''),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                  coalesce(sum(w.w), 0::HUGEINT) AS score
+                FROM restc r LEFT JOIN wts w USING (token) GROUP BY 1)
+         SELECT doc_id, n_tok, CAST(score AS BIGINT) AS score,
+           score > 0 AS keep
+         FROM sc ORDER BY doc_id""",
     "q_novelty" -> {
       val gram = (0 until 5).map(i => s"toks[pos + $i]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -55,10 +55,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // signature table with itself (#sources² output rows); sources are a
     // config-scale enum, never corpus-scale (TextDedup.groupOverlap
     // scaladoc) — the corpus-sized work is the one explode + agg upstream
-    "q_margin_mine_stored") // forward side is the INDEX probe (no corpus
+    "q_margin_mine_stored", // forward side is the INDEX probe (no corpus
     // scan at all); the one nested-loop join is the backward leg's
     // refine-bounded candidate set crossed with the broadcast 10-row
     // batch (AnnIndexStore.marginMine scaladoc)
+    "q_quality_classifier") // 1-row cross of the seed token-total
+    // aggregate (Classify.trainLinear totals), O(1) side
 
   // The exact all-pairs cosine is DOCUMENTED as a small-input utility
   // (Similarity.cosinePairs scaladoc); its scale path is q_embed_cosine_lsh.
