@@ -1782,6 +1782,19 @@ object SparkEntry {
         .withColumn("score", col("score").cast("long"))
         .orderBy("doc_id")),
 
+    // The trained filter served from the STORED weight artifact — the
+    // build/serve split the production deployment uses (train once
+    // offline, every scorer and the streaming ingest gate load the
+    // table). Training is deterministic, so scoring through the parquet
+    // round-trip is bit-identical to the inline chain (same oracle).
+    "q_quality_classifier_stored" -> ((s, dir) =>
+      operators.Classify.scoreLinear(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text",
+          operators.Classify.loadWeights(s, classifierWeightsDir(s, dir)))
+        .withColumn("score", col("score").cast("long"))
+        .orderBy("doc_id")),
+
     // Dataset-freshness gate against the STORED n-gram index (built from
     // the %5 ∉ {0,4} slice, %5 == 4 appended): per incoming doc, the
     // fraction of its distinct 5-grams the corpus has literally seen.
@@ -2217,6 +2230,36 @@ object SparkEntry {
          AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
          AND b.us - a.us <= 7200000000
        ORDER BY id1, id2"""
+
+  /** Shared by q_quality_classifier and its stored-weights twin —
+    * training is deterministic, so the weight-artifact round-trip is
+    * bit-identical to the inline chain and one mirror serves both. */
+  private val qualityClassifierSql =
+    """WITH tokf AS (SELECT (lang = 'en') AS pos,
+           unnest(string_split(text, ' ')) AS token
+         FROM documents WHERE doc_id % 5 = 0),
+       tokc AS (SELECT * FROM tokf WHERE token <> ''),
+       counts AS (SELECT token,
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+         FROM tokc GROUP BY 1
+         ORDER BY (n_pos + n_neg) DESC, token LIMIT 4096),
+       tot AS (SELECT
+           CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
+           CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
+         FROM tokc),
+       wts AS (SELECT token,
+           n_pos::HUGEINT * t_neg - n_neg::HUGEINT * t_pos AS w
+         FROM counts CROSS JOIN tot),
+       restf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents WHERE doc_id % 5 <> 0),
+       restc AS (SELECT * FROM restf WHERE token <> ''),
+       sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                coalesce(sum(w.w), 0::HUGEINT) AS score
+              FROM restc r LEFT JOIN wts w USING (token) GROUP BY 1)
+       SELECT doc_id, n_tok, CAST(score AS BIGINT) AS score,
+         score > 0 AS keep
+       FROM sc ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q_view_parse_json" ->
@@ -3864,32 +3907,8 @@ object SparkEntry {
          FROM pos JOIN neg USING (anchor_id)
          WHERE rn = 1 AND neg_rank <= 3
          ORDER BY anchor_id, neg_rank""",
-    "q_quality_classifier" ->
-      """WITH tokf AS (SELECT (lang = 'en') AS pos,
-             unnest(string_split(text, ' ')) AS token
-           FROM documents WHERE doc_id % 5 = 0),
-         tokc AS (SELECT * FROM tokf WHERE token <> ''),
-         counts AS (SELECT token,
-             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-           FROM tokc GROUP BY 1
-           ORDER BY (n_pos + n_neg) DESC, token LIMIT 4096),
-         tot AS (SELECT
-             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
-             CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
-           FROM tokc),
-         wts AS (SELECT token,
-             n_pos::HUGEINT * t_neg - n_neg::HUGEINT * t_pos AS w
-           FROM counts CROSS JOIN tot),
-         restf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-                   FROM documents WHERE doc_id % 5 <> 0),
-         restc AS (SELECT * FROM restf WHERE token <> ''),
-         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-                  coalesce(sum(w.w), 0::HUGEINT) AS score
-                FROM restc r LEFT JOIN wts w USING (token) GROUP BY 1)
-         SELECT doc_id, n_tok, CAST(score AS BIGINT) AS score,
-           score > 0 AS keep
-         FROM sc ORDER BY doc_id""",
+    "q_quality_classifier" -> qualityClassifierSql,
+    "q_quality_classifier_stored" -> qualityClassifierSql,
     "q_novelty" -> {
       val gram = (0 until 5).map(i => s"toks[pos + $i]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -4541,6 +4560,25 @@ object SparkEntry {
   private def incrDedupIndexDir(s: SparkSession, dir: String): String =
     dedupIndexDir(s, dir, "incr_dedup_index")(
       Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0))
+
+  /** Stored classifier weight artifact (Classify.saveWeights), trained
+    * once per sf dir on the doc_id % 5 == 0 seed slice against the
+    * is-English label — the bench times SERVING from the stored weights,
+    * not the one-time training (testdata immutable per TESTDATA.md;
+    * training deterministic in the corpus, so the cache cannot go
+    * stale). */
+  private def classifierWeightsDir(s: SparkSession, dir: String): String = {
+    val root =
+      s"/tmp/graft_cache/${new java.io.File(dir).getName}/classifier_weights"
+    withPathLock(root) {
+      if (!operators.Classify.weightsExist(root))
+        operators.Classify.saveWeights(
+          operators.Classify.trainLinear(
+            Tables.documents(s, dir).filter(col("doc_id") % 5 === 0),
+            col("lang") === "en", "text"), root)
+    }
+    root
+  }
 
   /** On-disk AnnIndexStore over the vec_id % 20 != 0 corpus slice — the
     * stored side of the embedding near-dup ingest gate (q_ann_gate), so

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Seed-labeled linear text classification — the trained-filter stage of
@@ -86,6 +86,27 @@ object Classify {
         coalesce(sum(col("w")), lit(0).cast("decimal(38,0)")).as("score"))
       .withColumn("keep", col("score") > 0)
   }
+
+  /** Persist a trained weight table as a maintained model artifact: the
+    * standard deployment trains once offline on the curated seed and
+    * every scorer — the batch sweep and the streaming ingest gate
+    * ([[graft.streaming.StreamingClassify]]) — loads this table. The
+    * table is <= vocabSize rows, so it lands as one file and always
+    * broadcasts on the scoring side. Overwrite is the refresh path:
+    * retraining on a grown seed replaces the artifact in place and the
+    * next micro-batch/scoring run picks it up (per-file parquet commit +
+    * `_SUCCESS` marker — the same contract every fixture cache here
+    * relies on). */
+  def saveWeights(weights: DataFrame, dir: String): Unit =
+    weights.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a [[saveWeights]] artifact (token, w decimal(38,0)). */
+  def loadWeights(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Whether a complete weight artifact exists at `dir`. */
+  def weightsExist(dir: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_SUCCESS"))
 
   /** Train-on-seed, score-the-rest composition: rows where `seedCol` is
     * true train the classifier (against `labelCol`); all OTHER rows are
