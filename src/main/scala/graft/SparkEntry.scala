@@ -1795,6 +1795,21 @@ object SparkEntry {
         .withColumn("score", col("score").cast("long"))
         .orderBy("doc_id")),
 
+    // Held-out gate-quality audit of the trained filter (the q_lsh_recall
+    // discipline applied to the supervised gate): score the doc_id%5==1
+    // LABELED slice — which the %5==0 training never saw — against the
+    // stored weights and report the keep-vs-label confusion with
+    // floored-bp precision/recall/accuracy. On this label-randomized
+    // synthetic corpus the audit correctly reports ~chance accuracy
+    // (the q_centroid_confusion precedent) — its job is to be the number
+    // a deployment checks before trusting the filter on the unlabeled
+    // mass.
+    "q_classifier_eval" -> ((s, dir) =>
+      operators.Classify.evaluate(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 === 1),
+        "doc_id", "text", col("lang") === "en",
+        operators.Classify.loadWeights(s, classifierWeightsDir(s, dir)))),
+
     // Dataset-freshness gate against the STORED n-gram index (built from
     // the %5 ∉ {0,4} slice, %5 == 4 appended): per incoming doc, the
     // fraction of its distinct 5-grams the corpus has literally seen.
@@ -2231,11 +2246,14 @@ object SparkEntry {
          AND b.us - a.us <= 7200000000
        ORDER BY id1, id2"""
 
-  /** Shared by q_quality_classifier and its stored-weights twin —
-    * training is deterministic, so the weight-artifact round-trip is
-    * bit-identical to the inline chain and one mirror serves both. */
-  private val qualityClassifierSql =
-    """WITH tokf AS (SELECT (lang = 'en') AS pos,
+  /** The seed-training CTE chain (doc_id % 5 == 0 slice, is-English
+    * label -> `wts(token, w HUGEINT)`), shared by every classifier
+    * mirror — training is deterministic, so the stored-weight-artifact
+    * round-trip is bit-identical to the inline chain and one set of
+    * CTEs serves the scoring query, its stored twin, and the held-out
+    * evaluation. */
+  private val classifierWtsCtes =
+    """tokf AS (SELECT (lang = 'en') AS pos,
            unnest(string_split(text, ' ')) AS token
          FROM documents WHERE doc_id % 5 = 0),
        tokc AS (SELECT * FROM tokf WHERE token <> ''),
@@ -2250,7 +2268,10 @@ object SparkEntry {
          FROM tokc),
        wts AS (SELECT token,
            n_pos::HUGEINT * t_neg - n_neg::HUGEINT * t_pos AS w
-         FROM counts CROSS JOIN tot),
+         FROM counts CROSS JOIN tot)"""
+
+  private val qualityClassifierSql =
+    s"""WITH $classifierWtsCtes,
        restf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents WHERE doc_id % 5 <> 0),
        restc AS (SELECT * FROM restf WHERE token <> ''),
@@ -3909,6 +3930,28 @@ object SparkEntry {
          ORDER BY anchor_id, neg_rank""",
     "q_quality_classifier" -> qualityClassifierSql,
     "q_quality_classifier_stored" -> qualityClassifierSql,
+    "q_classifier_eval" ->
+      s"""WITH $classifierWtsCtes,
+         restf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents WHERE doc_id % 5 = 1),
+         restc AS (SELECT * FROM restf WHERE token <> ''),
+         sc AS (SELECT doc_id, coalesce(sum(w.w), 0::HUGEINT) AS score
+                FROM restc r LEFT JOIN wts w USING (token) GROUP BY 1),
+         ev AS (SELECT (d.lang = 'en') AS truth,
+                  coalesce(sc.score > 0, false) AS keep
+                FROM documents d LEFT JOIN sc USING (doc_id)
+                WHERE d.doc_id % 5 = 1),
+         cm AS (SELECT
+             CAST(sum(CASE WHEN keep AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN keep AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT keep AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN NOT keep AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           FROM ev)
+         SELECT tp, fp, fn, tn,
+           tp * 10000 // (tp + fp) AS precision_bp,
+           tp * 10000 // (tp + fn) AS recall_bp,
+           (tp + tn) * 10000 // (tp + fp + fn + tn) AS accuracy_bp
+         FROM cm""",
     "q_novelty" -> {
       val gram = (0 until 5).map(i => s"toks[pos + $i]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks

@@ -87,6 +87,38 @@ object Classify {
       .withColumn("keep", col("score") > 0)
   }
 
+  /** Held-out evaluation of a trained filter — the gate-quality audit a
+    * CCNet-style deployment runs before trusting the classifier on the
+    * unlabeled mass: score a LABELED slice the training never saw and
+    * report the keep-vs-label confusion plus floored-basis-point
+    * precision/recall/accuracy (exact integer arithmetic; `div` yields
+    * null when a denominator is 0, mirrored by DuckDB `//`). Documents
+    * whose text has no tokens never reach the scorer and count as
+    * not-kept, matching [[scoreLinear]]'s keep contract. Cost: one
+    * scoring pass over the slice + one 1-row global aggregation. */
+  def evaluate(heldOut: DataFrame, idCol: String, textCol: String,
+               labelCol: Column, weights: DataFrame): DataFrame = {
+    val scored = scoreLinear(heldOut, idCol, textCol, weights)
+    val ev = heldOut.select(col(idCol), labelCol.as("truth"))
+      .join(scored.select(col(idCol), col("keep")), Seq(idCol), "left")
+      .select(col("truth"), coalesce(col("keep"), lit(false)).as("keep"))
+    val cell: (Boolean, Boolean) => Column = (k, t) =>
+      sum(when(col("keep") === k && col("truth") === t, 1L).otherwise(0L))
+    ev.agg(cell(true, true).as("tp"), cell(true, false).as("fp"),
+        cell(false, true).as("fn"), cell(false, false).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        // CaseWhen guards: under ANSI mode a bare `div` throws on an
+        // empty denominator instead of yielding null (DuckDB `//` mirrors
+        // the null via the same CASE)
+        when(col("tp") + col("fp") > 0,
+          expr("tp * 10000 div (tp + fp)")).as("precision_bp"),
+        when(col("tp") + col("fn") > 0,
+          expr("tp * 10000 div (tp + fn)")).as("recall_bp"),
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          expr("(tp + tn) * 10000 div (tp + fp + fn + tn)"))
+          .as("accuracy_bp"))
+  }
+
   /** Persist a trained weight table as a maintained model artifact: the
     * standard deployment trains once offline on the curated seed and
     * every scorer — the batch sweep and the streaming ingest gate

@@ -59,6 +59,33 @@ class ClassifySpec extends AnyFunSuite {
       s"engineered 4-in-12 class-token signal must separate fully: $agree/$n")
   }
 
+  test("evaluate: confusion cells and bp metrics, incl. token-free docs") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val seed = Seq((true, "good good"), (false, "bad bad")).toDF("y", "text")
+    val w = Classify.trainLinear(seed, col("y"), "text")
+    // tp: kept+true, fp: kept+false, fn: dropped+true (incl. a doc whose
+    // text has NO tokens at all — it never reaches the scorer and must
+    // count as not-kept), tn: dropped+false
+    val held = Seq(
+      (1L, true, "good stuff"), (2L, true, "good good fine"), // tp, tp
+      (3L, false, "good trick"),                              // fp
+      (4L, true, "bad luck"), (5L, true, ""),                 // fn, fn (empty)
+      (6L, false, "bad bad"), (7L, false, "unrelated words")  // tn, tn (oov)
+    ).toDF("id", "truth", "text")
+    val r = Classify.evaluate(held, "id", "text", col("truth"), w)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 2L, 2L)), s"confusion: $r")
+    assert(r.getLong(4) == 6666L && r.getLong(5) == 5000L &&
+      r.getLong(6) == 5714L, s"bp metrics: $r")
+    // degenerate slice: nothing kept -> precision null, not a crash
+    val none = Classify.evaluate(
+      Seq((1L, true, "zzz")).toDF("id", "truth", "text"),
+      "id", "text", col("truth"), w).collect().head
+    assert(none.isNullAt(4) && none.getLong(5) == 0L, s"degenerate: $none")
+  }
+
   test("vocab cap keeps the top tokens deterministically") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
