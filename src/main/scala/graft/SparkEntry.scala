@@ -502,6 +502,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Semi-supervised kNN labeling served from the STORED index — tag an
+    // unlabeled batch from a curated labeled registry by the majority
+    // vote of its 5 nearest stored neighbors (ties to the lowest label;
+    // same probe shape and recall knobs as q_ann_stored). The
+    // FAISS-backed cousin of q_centroid_classify for label structure too
+    // multi-modal for one prototype per class.
+    "q_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      operators.AnnIndexStore.knnClassify(e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", annIndexDir(s, dir),
+          e.select("vec_id", "label"), "vec_id", "label",
+          k = 5, nProbe = 2, refine = 30)
+        .orderBy("qid")
+    }),
+
     // Hard-negative mining served from the STORED IVF-PQ index — the
     // scale path for q_hard_negatives' brute corpus scan: probe 2 cells,
     // ADC-rank to a 30-candidate pool, exactly re-rank, and keep the 3
@@ -2574,6 +2589,31 @@ object SparkEntry {
            FROM re)
          SELECT qid, rank, id AS nid, dist FROM rr WHERE rank <= 3
          ORDER BY qid, rank""",
+    // kNN-vote labeling: the q_ann_stored exact-refine chain widened to
+    // the 5 nearest, joined to the label registry, majority vote with
+    // (votes desc, label asc) determinism.
+    "q_knn_classify" ->
+      s"""WITH $ivfPqCteChain,
+         pool AS (SELECT qid, id FROM r WHERE rank <= 30),
+         re AS (SELECT pool.qid, pool.id,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+           FROM pool JOIN ptsiv a ON a.id = pool.id
+                     JOIN ptsiv b ON b.id = pool.qid AND b.pos = a.pos
+           GROUP BY pool.qid, pool.id),
+         rr AS (SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM re),
+         nn AS (SELECT qid, id FROM rr WHERE rank <= 5),
+         v AS (SELECT nn.qid, e.label AS pred_label,
+                 CAST(count(*) AS BIGINT) AS votes
+               FROM nn JOIN embeddings e ON e.vec_id = nn.id
+               GROUP BY 1, 2),
+         best AS (SELECT qid, pred_label, votes,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY votes DESC, pred_label) AS rn
+           FROM v)
+         SELECT qid, pred_label, votes FROM best WHERE rn = 1
+         ORDER BY qid""",
     // embedding near-dup gate: the IVF-PQ chain retrained over the stored
     // corpus slice only, OUT-OF-CORPUS query vectors probed against it
     // (their own pts/LUT CTEs), refined best match thresholded at the

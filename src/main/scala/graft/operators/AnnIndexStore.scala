@@ -215,6 +215,39 @@ object AnnIndexStore {
     Clustering.refineTopKQuantized(adc, vecs, qpts, k, minDist = negFloor)
   }
 
+  /** Semi-supervised kNN labeling FROM THE STORED INDEX — tag an
+    * unlabeled corpus from a small curated labeled set (the standard
+    * label-propagation deployment: the labeled registry is indexed once
+    * offline; every unlabeled batch takes the majority vote of its k
+    * nearest stored neighbors — the FAISS-backed cousin of
+    * [[Clustering.nearestCentroidClassify]], for label structure too
+    * multi-modal for one prototype per class). `labels` maps stored ids
+    * to classes; ties break toward the LOWEST label (the
+    * nearestCentroidClassify discipline), votes-desc first.
+    *
+    * Scale shape: neighbors come from the standard probe
+    * (nProbe cells ADC-ranked, top-`refine` exactly re-ranked — cost
+    * tracks probed cells, never the corpus), the k x |batch| neighbor
+    * set BROADCASTS into one scan of the label registry (never shuffled),
+    * and the vote window is partitioned by query. Returns
+    * (qid, pred_label, votes). */
+  def knnClassify(queries: DataFrame, idCol: String, vecCol: String,
+                  dir: String, labels: DataFrame, labelIdCol: String,
+                  labelCol: String, k: Int = 5, nProbe: Int = 2,
+                  refine: Int = 30): DataFrame = {
+    val nn = query(queries, idCol, vecCol, dir, k, nProbe, refine)
+    val voted = labels
+      .select(col(labelIdCol).as("nid"), col(labelCol).as("pred_label"))
+      .join(broadcast(nn.select("qid", "nid")), Seq("nid"))
+      .groupBy(col("qid"), col("pred_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("votes").desc, col("pred_label"))
+    voted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("pred_label"), col("votes"))
+  }
+
   /** Margin-based semantic alignment mining served FROM THE STORED INDEX
     * — the scale path for [[Similarity.marginMine]]'s brute forward scan,
     * the same upgrade [[hardNegatives]] took: the forward candidate pool

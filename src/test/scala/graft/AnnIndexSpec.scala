@@ -173,6 +173,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.forall(_._4 > negFloor))
   }
 
+  test("knnClassify: blob labels recovered; vote == brute top-k majority") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_knn").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    // labels follow the two blobs exactly, with id 13 mislabeled to make
+    // at least one vote non-unanimous
+    val labels = (0L until 40L)
+      .map(i => (i, if (i == 13L) 7 else if (i % 2 == 0) 1 else 2))
+    val served = AnnIndexStore.knnClassify(base.filter(col("vec_id") < 6),
+        "vec_id", "embedding", dir, labels.toDF("vec_id", "label"),
+        "vec_id", "label", k = 5, nProbe = 4, refine = 100)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // brute ground truth at full probe/refine: exact quantized-L2 top-5
+    // (dist, id) order, then majority vote with (votes desc, label asc)
+    val q = corpusRows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 1000).toLong)) }
+    val lab = labels.toMap
+    val brute = q.filter(_._1 < 6).map { case (qid, qv) =>
+      val top = q.filter(_._1 != qid).map { case (nid, nv) =>
+          (qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum, nid) }
+        .sortBy(identity).take(5)
+      val vote = top.groupBy(t => lab(t._2)).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      qid -> vote
+    }.toMap
+    assert(served == brute, s"served=$served brute=$brute")
+    // blob membership recovered for every query (the mislabeled neighbor
+    // never outvotes the blob), and the mislabel is visible as a
+    // non-unanimous count somewhere
+    assert((0L until 6L).forall(i =>
+      served(i)._1 == (if (i % 2 == 0) 1 else 2)))
+    assert(served.values.exists(_._2 < 5L),
+      s"expected at least one non-unanimous vote: $served")
+  }
+
   test("stored marginMine at full probe/refine == brute quantized-cosine margins") {
     spark.sparkContext.setLogLevel("ERROR")
     val base = df(corpusRows)
