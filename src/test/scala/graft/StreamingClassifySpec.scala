@@ -42,6 +42,28 @@ class StreamingClassifySpec extends AnyFunSuite {
     assert(inline == stored, "stored-weights scoring diverged from inline")
   }
 
+  test("weight refresh between micro-batches takes effect without a restart") {
+    // the scaladoc claim: the artifact is re-read per micro-batch, so
+    // Classify.saveWeights mid-stream changes the NEXT batch's verdicts
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val wDir = Files.createTempDirectory("graft_wref").toString
+    // model A keeps "alpha" docs; model B keeps "beta" docs
+    val trainA = Seq((true, "alpha alpha"), (false, "beta beta"))
+      .toDF("y", "text")
+    Classify.saveWeights(Classify.trainLinear(trainA, col("y"), "text"), wDir)
+    val docs = Seq((1L, "alpha doc"), (2L, "beta doc")).toDF("doc_id", "text")
+    val keptA = StreamingClassify.gateBatch(docs, "doc_id", "text", wDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptA == Set(1L), s"model A must keep only alpha: $keptA")
+    Classify.saveWeights(
+      Classify.trainLinear(trainA, !col("y"), "text"), wDir)
+    val keptB = StreamingClassify.gateBatch(docs, "doc_id", "text", wDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptB == Set(2L),
+      s"refreshed model B must keep only beta without a restart: $keptB")
+  }
+
   test("streamed micro-batch filtering == one-shot batch filtering, bit-for-bit") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
