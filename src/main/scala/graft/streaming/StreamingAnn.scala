@@ -76,6 +76,37 @@ object StreamingAnn {
               outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
 
+  /** kNN-vote labeling of a streaming vector feed from the stored index
+    * ([[AnnIndexStore.knnClassify]]) — the online leg of semi-supervised
+    * label propagation: per micro-batch, each vector takes the majority
+    * vote of its k nearest STORED neighbors, and the (qid, pred_label,
+    * votes) verdicts land under batchId-keyed subdirectories (the
+    * [[serveStream]] effectively-exactly-once discipline; read with
+    * [[answers]]). Votes are per-query independent and the index static
+    * per batch, so any batching of the feed reproduces the one-shot
+    * batch labeling — [[graft.StreamingAnnSpec]] pins this bit-for-bit.
+    * The label registry at `labelsPath` is re-read per micro-batch (a
+    * registry-scale parquet read), so corrections and growth land on
+    * the next batch without a stream restart (the
+    * [[StreamingClassify]] weight-refresh discipline). */
+  def labelStream(vecStream: DataFrame, idCol: String, vecCol: String,
+                  indexDir: String, labelsPath: String, labelIdCol: String,
+                  labelCol: String, outDir: String, checkpointDir: String,
+                  k: Int = 5, nProbe: Int = 2, refine: Int = 30,
+                  trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AnnIndexStore.knnClassify(batch, idCol, vecCol, indexDir,
+            batch.sparkSession.read.parquet(labelsPath), labelIdCol,
+            labelCol, k, nProbe, refine)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** Embedding near-dup ingest gate, maintenance-closed — the vector twin
     * of [[StreamingDedup.gateAndMaintainPairs]]: per micro-batch, match
     * the batch against the stored IVF-PQ index

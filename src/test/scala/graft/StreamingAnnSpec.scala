@@ -73,6 +73,47 @@ class StreamingAnnSpec extends AnyFunSuite {
       "a retried micro-batch changed the served answer log")
   }
 
+  test("streamed kNN labeling == one-shot batch labeling, bit-for-bit") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val idxDir = Files.createTempDirectory("graft_slab_idx").toString
+    AnnIndexStore.build(corpus, "vec_id", "embedding", idxDir, dim = 64)
+    val work = Files.createTempDirectory("graft_slab").toString
+    corpus.select("vec_id", "label")
+      .write.mode("overwrite").parquet(s"$work/labels")
+
+    val queryRows = corpus.filter(col("vec_id") < 9)
+      .select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batchAns = AnnIndexStore.knnClassify(
+        queryRows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idxDir, spark.read.parquet(s"$work/labels"), "vec_id", "label",
+        k = 5, nProbe = 2, refine = 30)
+      .collect().map(_.toSeq).toSet
+    assert(batchAns.size == 9, s"one verdict per query: ${batchAns.size}")
+
+    queryRows.grouped(3).foreach { slice =>
+      slice.toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(s"$work/in")
+    }
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+    val q = StreamingAnn.labelStream(src, "vec_id", "embedding", idxDir,
+      s"$work/labels", "vec_id", "label", s"$work/out", s"$work/_cp",
+      k = 5, nProbe = 2, refine = 30, trigger = Trigger.AvailableNow())
+    q.awaitTermination()
+
+    val streamed = StreamingAnn.answers(spark, s"$work/out")
+      .collect().map(_.toSeq)
+    assert(streamed.length == streamed.toSet.size,
+      "a verdict row was appended twice")
+    assert(streamed.toSet == batchAns,
+      s"missing=${batchAns -- streamed.toSet} extra=${streamed.toSet -- batchAns}")
+  }
+
   test("vector gate-and-maintain: duplicates drop, survivors screen later batches") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
