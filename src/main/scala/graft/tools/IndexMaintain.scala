@@ -27,8 +27,7 @@ object IndexMaintain {
       graft.operators.DedupIndex.compact(spark, dir)
       println(s"COMPACTED $dir nPfx=${graft.operators.DedupIndex.numPfx(dir)}")
     } else if (graft.operators.AnnIndexStore.exists(dir)) {
-      graft.operators.AnnIndexStore.compact(spark, dir,
-        args.lift(1).map(_.toInt).getOrElse(4))
+      graft.operators.AnnIndexStore.compact(spark, dir)
       println(s"COMPACTED $dir (ann ivf-pq store)")
     } else if (graft.operators.PairStore.exists(dir)) {
       graft.operators.PairStore.compact(spark, dir,

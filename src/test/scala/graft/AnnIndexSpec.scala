@@ -68,10 +68,18 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndexStore.append(batch, "vec_id", "embedding", dir)
 
     val g = AnnIndexStore.currentGenDir(dir)
-    // v3 layout: one subdir per segment (base + the append) — glob them
-    val vecs = spark.read.parquet(s"$g/*/vectors")
+    // one subdir per segment (base + the append); partitioned tables
+    // cannot be glob-read across segment roots — union per segment
+    import scala.jdk.CollectionConverters._
+    def readAll(t: String) = {
+      val s = Files.list(java.nio.file.Paths.get(g))
+      try s.iterator().asScala.toSeq
+        .map(p => spark.read.parquet(s"$p/$t")).reduce(_ unionByName _)
+      finally s.close()
+    }
+    val vecs = readAll("vectors")
     assert(vecs.count() == 42 && vecs.select("id").distinct().count() == 42)
-    assert(spark.read.parquet(s"$g/*/codes").count() == 42 * 4)
+    assert(readAll("codes").count() == 42 * 4)
 
     // query vec 3: its appended exact duplicate lands in the same coarse
     // cell (identical vector => identical probe), so refine must return it
@@ -111,13 +119,20 @@ class AnnIndexSpec extends AnyFunSuite {
     val (cB, dB, vB) = (files("cells"), files("codes"), files("vectors"))
     val g0 = AnnIndexStore.currentGenDir(dir)
 
-    AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+    AnnIndexStore.compact(spark, dir)
 
     assert(AnnIndexStore.exists(dir), "compaction must keep the store readable")
     assert(AnnIndexStore.currentGenDir(dir) != g0,
       "compaction must advance the live generation")
-    assert(files("cells") == 2 && files("codes") == 2 && files("vectors") == 2,
-      s"expected 2 files per table, got ${files("cells")}/${files("codes")}/${files("vectors")}")
+    // one file per present partition value (cell / id-pfx) per table
+    def partVals(t: String, c: String): Long =
+      spark.read.parquet(s"${AnnIndexStore.currentGenDir(dir)}/base/$t")
+        .select(c).distinct().count()
+    assert(files("cells") == partVals("cells", "cell") &&
+      files("codes") == partVals("codes", "pfx") &&
+      files("vectors") == partVals("vectors", "pfx"),
+      s"expected one file per partition value, got " +
+        s"${files("cells")}/${files("codes")}/${files("vectors")}")
     assert(files("cells") < cB && files("codes") < dB && files("vectors") < vB,
       s"no consolidation: $cB/$dB/$vB before")
     // serve-through-compact: the replaced generation is retained for
@@ -128,13 +143,44 @@ class AnnIndexSpec extends AnyFunSuite {
       kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
       .collect().map(_.toSeq).toSeq
     assert(after == before, "compaction changed served answers")
-    AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+    AnnIndexStore.compact(spark, dir)
     assert(!Files.exists(java.nio.file.Paths.get(g0)),
       "second compaction must prune the two-generations-old directory")
     val after2 = AnnIndexStore.query(queries, "vec_id", "embedding", dir,
       kNN = 3, nProbe = 2, refine = 10).orderBy("qid", "rank")
       .collect().map(_.toSeq).toSeq
     assert(after2 == before, "second compaction changed served answers")
+  }
+
+  test("serving scans track probed cells and candidate pfx, not the corpus") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    val base = df(corpusRows)
+    val dir = Files.createTempDirectory("annidx_prune").toString
+    AnnIndexStore.build(base, "vec_id", "embedding", dir, dim = 8,
+      nCells = 4, m = 4, k = 8)
+    def files(t: String): Long = {
+      val s = Files.walk(
+        java.nio.file.Paths.get(AnnIndexStore.currentGenDir(dir)))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains(s"/$t/")).toLong
+      finally s.close()
+    }
+    // one query, one probed cell: the stored reads must touch only that
+    // cell's files and only the candidate ids' pfx partitions — file
+    // counts deterministic (fixed hash, fixed corpus), so strict
+    // inequality against the table totals is a stable assertion
+    AnnIndexStore.query(base.filter(col("vec_id") === 0), "vec_id",
+        "embedding", dir, kNN = 3, nProbe = 1, refine = 10)
+      .collect()
+    val (cellsScanned, codesScanned) =
+      (AnnIndexStore.lastPrunedCellFiles.get(),
+        AnnIndexStore.lastPrunedPfxFiles.get())
+    assert(cellsScanned > 0 && cellsScanned < files("cells"),
+      s"cells scan not pruned: $cellsScanned of ${files("cells")} files")
+    assert(codesScanned > 0 && codesScanned < files("codes"),
+      s"codes scan not pruned: $codesScanned of ${files("codes")} files")
   }
 
   test("stored hard negatives == brute band-filtered scan at full probe/refine") {
@@ -278,7 +324,7 @@ class AnnIndexSpec extends AnyFunSuite {
       } catch { case t: Throwable => err.set(t) }
     })
     reader.start()
-    try AnnIndexStore.compact(spark, dir, filesPerTable = 2)
+    try AnnIndexStore.compact(spark, dir)
     finally { stop.set(true); reader.join(120000) }
     assert(err.get() == null,
       s"concurrent query failed during compact: ${err.get()}")
