@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * nor the span scrubber (needs the repeats IN the processed corpus)
   * answers incrementally.
   *
-  * Layout under one root (v3, the [[GenStore]] segment manifest):
+  * Layout under one root (v4, the [[GenStore]] segment manifest):
   *
-  *   `<dir>/_META`               `v3 gen=<g> segs=<...> n=<gramLen> parity=<0|1>`
-  *   `<dir>/g<g>/<seg>/grams`    (g: bigint) — 60-bit gram hashes, one
-  *                               segment per build/append
+  *   `<dir>/_META`               `v4 gen=<g> segs=<...> n=<gramLen> parity=<0|1> nPfx=<n>`
+  *   `<dir>/g<g>/<seg>/grams/pfx=<p>/`  (g: bigint) — 60-bit gram hashes,
+  *                               pfx = hash(g) mod nPfx, one segment per
+  *                               build/append
   *
   * Segments may repeat a gram (appends do NOT anti-join the store — that
   * would re-scan the corpus per batch); membership semantics make the
@@ -29,16 +30,30 @@ import org.apache.spark.sql.functions._
   * broadcast to a one-pass semi-join ON THE STORE SIDE (stored grams ∩
   * batch grams — the intersection is batch-bounded by construction),
   * and that intersection broadcasts back to flag the batch's per-doc
-  * grams. Per-batch cost: one stored-gram SCAN (no exchange; Spark's
-  * runtime bloom/row-group pruning can cut it further) + batch-sized
-  * aggregations. Gram hashes are [[TextDedup.stableHash]] 60-bit (same
-  * keys as the repeated-span family), so the DuckDB oracle reproduces
-  * every count exactly; `parity=0` stores xxhash64 keys instead (the
-  * production twin discipline).
+  * grams. Per-batch cost: one stored-gram scan statically PRUNED to the
+  * batch's gram-pfx partitions (the [[DedupIndex]] file-skipping
+  * discipline; a one-doc streaming probe touches ~min(grams, nPfx)
+  * partitions, a corpus-sized batch legitimately touches all — the cut
+  * tracks what is being probed) + batch-sized aggregations. Gram hashes
+  * are [[TextDedup.stableHash]] 60-bit (same keys as the repeated-span
+  * family), so the DuckDB oracle reproduces every count exactly;
+  * `parity=0` stores xxhash64 keys instead (the production twin
+  * discipline). Pre-v4 stores (no nPfx, unpartitioned grams) read as
+  * absent and rebuild once.
   */
 object NoveltyIndex {
 
   private val Legacy = Set("grams") // hypothetical flat layout at the root
+
+  /** Default gram-pfx partition count (the [[DedupIndex]] knob). */
+  val DefaultPfx = 64
+
+  private def gramPfx(nPfx: Int): Column = pmod(hash(col("g")), lit(nPfx))
+
+  // scan-pruning evidence for NoveltySpec (files selected by the last
+  // noveltyBatch stored-gram read)
+  private[graft] val lastPrunedGramFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
 
   private def base(parity: Boolean): Column => Column =
     if (parity) TextDedup.stableHash else c => xxhash64(c)
@@ -51,19 +66,25 @@ object NoveltyIndex {
 
   def exists(dir: String): Boolean =
     GenStore.read(dir).exists(st =>
-      GenStore.tableComplete(dir, st, "grams", required = st.segs.toSet))
+      // pre-v4 stores (no nPfx, unpartitioned grams) rebuild once
+      st.props.contains("nPfx") &&
+        GenStore.tableComplete(dir, st, "grams", required = st.segs.toSet))
 
   /** Create (overwrite) the gram index of `docs` under `dir`. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-            n: Int = 5, oracleParity: Boolean = true): Unit = {
+            n: Int = 5, oracleParity: Boolean = true,
+            nPfx: Int = DefaultPfx): Unit = {
+    require(nPfx > 0, s"nPfx must be positive, got $nPfx")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     GenStore.clearMeta(dir)
     GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
     docGrams(docs, idCol, textCol, n, oracleParity).select("g").distinct()
-      .write.mode("overwrite")
+      .withColumn("pfx", gramPfx(nPfx))
+      .write.mode("overwrite").partitionBy("pfx")
       .parquet(s"$dir/g0/${GenStore.BaseSeg}/grams")
     GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg),
-      Map("n" -> n, "parity" -> (if (oracleParity) 1 else 0))))
+      Map("n" -> n, "parity" -> (if (oracleParity) 1 else 0),
+        "nPfx" -> nPfx)))
   }
 
   /** Add one batch's grams as an atomic segment (batchId-keyed appends
@@ -76,7 +97,8 @@ object NoveltyIndex {
     GenStore.appendSeg(dir, "NoveltyIndex", seg) { (st, segDir) =>
       docGrams(batch, idCol, textCol, st.props("n"), st.props("parity") == 1)
         .select("g").distinct()
-        .write.mode("overwrite").parquet(s"$segDir/grams")
+        .withColumn("pfx", gramPfx(st.props("nPfx")))
+        .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/grams")
     }
     ()
   }
@@ -102,7 +124,8 @@ object NoveltyIndex {
       docGrams(survivors, idCol, textCol, st.props("n"),
           st.props("parity") == 1)
         .select("g").distinct()
-        .write.mode("overwrite").parquet(s"$segDir/grams")
+        .withColumn("pfx", gramPfx(st.props("nPfx")))
+        .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/grams")
       survivors.select(col(idCol)).distinct()
         .write.mode("overwrite").parquet(s"$segDir/docs")
     }
@@ -128,8 +151,11 @@ object NoveltyIndex {
     * generation keep working until the following compaction). */
   def compact(spark: SparkSession, dir: String): Unit =
     GenStore.compact(dir, "NoveltyIndex", Legacy) { (st, baseDir) =>
+      // pfx is a function of g, so the (g, pfx) distinct is the gram
+      // distinct; repartition by pfx lands ~one file per partition value
       GenStore.readTable(spark, dir, st, "grams").distinct()
-        .write.mode("overwrite").parquet(s"$baseDir/grams")
+        .repartition(col("pfx"))
+        .write.mode("overwrite").partitionBy("pfx").parquet(s"$baseDir/grams")
     }
 
   /** The stored gram set (union of segments; may repeat a gram until
@@ -152,7 +178,23 @@ object NoveltyIndex {
     val st = GenStore.readOrFail(dir, "NoveltyIndex")
     val bg = docGrams(batch, idCol, textCol, st.props("n"),
       st.props("parity") == 1).localCheckpoint()
-    val inter = GenStore.readTable(spark, dir, st, "grams")
+    // Metadata-scale collect: the batch grams' pfx values (at most nPfx
+    // small ints, off the already-checkpointed bg) statically prune the
+    // stored read to the touched partitions — a strict superset of the
+    // gram semi-join below, so the intersection is identical with and
+    // without it. A one-doc streaming probe reads ~min(grams, nPfx)
+    // partitions; a corpus-sized batch legitimately reads all.
+    val touched = bg.select(gramPfx(st.props("nPfx")).as("pfx")).distinct()
+      .collect().map(_.getInt(0))
+    val stored = GenStore.readTable(spark, dir, st, "grams")
+      .filter(if (touched.isEmpty) lit(false)
+        else col("pfx").isin(touched.map(Integer.valueOf): _*))
+    lastPrunedGramFiles.set(
+      stored.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum)
+    val inter = stored.select("g")
       .join(broadcast(bg.select("g").distinct()), Seq("g"), "left_semi")
       .distinct()
     val known = bg.join(broadcast(inter), Seq("g"), "left_semi")

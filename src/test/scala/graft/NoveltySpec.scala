@@ -18,6 +18,34 @@ class NoveltySpec extends AnyFunSuite {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("novelty_spec_").toString
 
+  test("stored-gram scan is pruned to the probe's gram-pfx partitions") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    // a corpus wide enough that its grams populate many pfx partitions
+    NoveltyIndex.build(
+      Tables.documents(spark, "/root/testdata/sf0.001").limit(200),
+      "doc_id", "text", dir, n = 3)
+    def gramFiles: Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        graft.operators.GenStore.readOrFail(dir, "NoveltyIndex").genDir(dir)))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet")).toLong
+      finally s.close()
+    }
+    // a one-doc probe with 2 grams touches at most 2 pfx partitions —
+    // deterministic (fixed hash, fixed corpus), so strict inequality
+    // against the table total is stable
+    import spark.implicits._
+    NoveltyIndex.noveltyBatch(
+        Seq((1L, "one tiny probe doc")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      .collect()
+    val scanned = NoveltyIndex.lastPrunedGramFiles.get()
+    assert(scanned > 0 && scanned < gramFiles,
+      s"gram scan not pruned: $scanned of $gramFiles files")
+  }
+
   test("noveltyBatch: verbatim 0, fresh 10000, half-known split, short doc") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
