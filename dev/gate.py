@@ -37,8 +37,18 @@ verify_rc = subprocess.call(java + ["graft.Verify", sfdir, vout], cwd=repo)
 print("[gate] DuckDB oracle compare", flush=True)
 with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
     check_json = f.name
+# Also publish the per-query record under the DRIVER's artifact name
+# (CORRECTNESS_local_r09.json -> CORRECTNESS_r09.json): the driver-side
+# collection came back `{}` rounds 6-8 while the engine was green, so the
+# repo now writes the driver-schema record itself (VERDICT r08 #2).
+base = os.path.basename(out_record)
+driver_path = (os.path.join(os.path.dirname(os.path.abspath(out_record)),
+                            base.replace("_local", "", 1))
+               if "_local" in base else None)
 check_rc = subprocess.call(
-    [sys.executable, f"{repo}/dev/check.py", "--json", check_json, sfdir, vout])
+    [sys.executable, f"{repo}/dev/check.py", "--json", check_json] +
+    (["--driver-json", driver_path] if driver_path else []) +
+    [sfdir, vout])
 # a crashed check.py (e.g. Verify produced no oracle_sql.json) leaves an
 # empty temp file — the gate must still write its record carrying the rc
 # evidence, not die on the parse

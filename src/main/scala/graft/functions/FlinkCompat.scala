@@ -29,6 +29,9 @@ object FlinkCompat {
   }
 
   def register(spark: SparkSession): Unit = {
+    // Compiled JSON views parse the payload once per row, not once per
+    // mapped column — see graft.plans.FuseJsonAccess (SURVEY §4 row 1).
+    graft.plans.FuseJsonAccess.install(spark)
     val reg = spark.sessionState.functionRegistry
 
     // JSON_VALUE(str, path) — Flink returns STRING, exactly get_json_object.

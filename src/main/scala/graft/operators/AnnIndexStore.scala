@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * form pays every call (fine for one-shot jobs, wrong for a served
   * index; FAISS makes the same build/serve split).
   *
-  * Parquet tables under the [[GenStore]] segment-manifest layout (v4):
+  * Parquet tables under the [[GenStore]] segment-manifest layout. The
+  * manifest TAG is GenStore's `v3`; this store's "v4" pruned layout is
+  * signaled by the `nPfx` prop, not a tag bump (grep for `v3` when
+  * debugging a manifest, not "v4"):
   *
-  *   `<dir>/_META`                `v4 gen=<g> segs=<...> dim=… nCells=… m=… k=… scale=… nPfx=…`
+  *   `<dir>/_META`                `v3 gen=<g> segs=<...> dim=… nCells=… m=… k=… scale=… nPfx=…`
   *   `<dir>/g<g>/base/coarse`     (j, q)          — nCells coarse centroids
   *   `<dir>/g<g>/base/pqcents`    (sub, j, q)     — m*k PQ subspace centroids
   *   `<dir>/g<g>/<seg>/cells/cell=<j>/`   (id)    — coarse assignment
@@ -487,8 +490,12 @@ object AnnIndexStore {
     // Materialized ONCE: the candidate set is batch-bounded (batch x
     // probed-cell population) and feeds the pfx collect below plus the
     // codes join — without this the pruned cells scan would re-run per
-    // consumer (the DedupIndex.prunedSides discipline).
-    val cand = Iterate.checkpoint(cand0)
+    // consumer (the DedupIndex.prunedSides discipline). localCheckpoint,
+    // NOT Iterate.checkpoint: a serving call is a single-batch scratch
+    // materialization, and the reliable flavor would leak one checkpoint
+    // dir per query batch of a long-running gate unless the deployment
+    // sets spark.cleaner.referenceTracking.cleanCheckpoints (ADVICE r08).
+    val cand = cand0.localCheckpoint()
     // Metadata-scale collect #2: the candidates' id-pfx values (at most
     // nPfx small ints) cut the codes AND vectors reads to the touched
     // partitions — without this both were full corpus scans per batch at

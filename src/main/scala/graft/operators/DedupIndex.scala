@@ -251,15 +251,17 @@ object DedupIndex {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.totalNumberOfFiles
       }.sum)
-    // Materialized ONCE (Iterate.checkpoint: reliable when the session has
-    // a checkpoint dir, local blocks otherwise): the slice is batch-
-    // bounded and feeds FOUR consumers — the candidate-pfx collect below
-    // plus the count/candidate/hot-member joins inside
-    // incrementalDedupPrepared — which would otherwise each re-run the
-    // pruned scan + semi-join (measured at sf0.1: 4.51 -> 4.12 s median,
-    // tools/PfxAbBench; the superset-pfx variant C measured between the
-    // two and was not taken).
-    val beT = Iterate.checkpoint(beT0)
+    // Materialized ONCE: the slice is batch-bounded and feeds FOUR
+    // consumers — the candidate-pfx collect below plus the
+    // count/candidate/hot-member joins inside incrementalDedupPrepared —
+    // which would otherwise each re-run the pruned scan + semi-join
+    // (measured at sf0.1: 4.51 -> 4.12 s median, tools/PfxAbBench; the
+    // superset-pfx variant C measured between the two and was not taken).
+    // localCheckpoint, NOT Iterate.checkpoint: a serving call is
+    // single-batch scratch, and the reliable flavor would accumulate one
+    // never-deleted checkpoint per micro-batch of a streaming gate unless
+    // spark.cleaner.referenceTracking.cleanCheckpoints is set (ADVICE r08).
+    val beT = beT0.localCheckpoint()
     // Metadata-scale collect #2: the candidate existing ids' id-pfx values
     // prune the verify-side shingles read the same way — without this the
     // shingles table was a full corpus scan per batch (VERDICT r07 #3).

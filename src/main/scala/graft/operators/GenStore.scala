@@ -200,14 +200,39 @@ private[graft] object GenStore {
     }
   }
 
+  // Whole-compaction mutex (monitor + FileLock, like withLock but a
+  // separate file so appends' brief manifest locking is never blocked by a
+  // long rewrite): two concurrent compactors would otherwise interleave
+  // their prune/rewrite phases outside the manifest lock — the slower
+  // one's pre-rewrite prune deletes the faster one's just-published
+  // g<next> data, leaving the live manifest pointing at a deleted
+  // generation (ADVICE r08). Append-vs-compact stays CAS-only.
+  private def withCompactLock[T](dir: String)(f: => T): T = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString + "#compact"
+    val mon = jvmLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      Files.createDirectories(Paths.get(dir))
+      val ch = FileChannel.open(Paths.get(s"$dir/_COMPACT_LOCK"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try f finally l.release()
+      } finally ch.close()
+    }
+  }
+
   /** Compact driver: rewrite the pinned state's segments into
     * `g<next>/base` via `rewrite`, then CAS-swing the manifest. If an
     * append committed while the rewrite ran, the swing fails, the
     * half-built next generation is dropped, and the loop re-pins and
     * retries (up to `maxAttempts` — each retry folds the new segments in,
-    * so the loop converges unless appends outpace full rewrites). */
+    * so the loop converges unless appends outpace full rewrites).
+    * Compact-vs-compact is serialized for the WHOLE body by
+    * [[withCompactLock]]; the loser then re-pins the winner's generation
+    * and compacts on top of it instead of corrupting it. */
   def compact(dir: String, what: String, legacy: String => Boolean,
-              maxAttempts: Int = 3)(rewrite: (State, String) => Unit): Unit = {
+              maxAttempts: Int = 3)(rewrite: (State, String) => Unit): Unit =
+    withCompactLock(dir) {
     var attempt = 0
     var done = false
     while (!done) {

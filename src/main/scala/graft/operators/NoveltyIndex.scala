@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * nor the span scrubber (needs the repeats IN the processed corpus)
   * answers incrementally.
   *
-  * Layout under one root (v4, the [[GenStore]] segment manifest):
+  * Layout under one root (the [[GenStore]] segment manifest; the manifest
+  * TAG stays GenStore's `v3` — this store's "v4" pruned layout is signaled
+  * by the `nPfx` prop, not a tag bump):
   *
-  *   `<dir>/_META`               `v4 gen=<g> segs=<...> n=<gramLen> parity=<0|1> nPfx=<n>`
+  *   `<dir>/_META`               `v3 gen=<g> segs=<...> n=<gramLen> parity=<0|1> nPfx=<n>`
   *   `<dir>/g<g>/<seg>/grams/pfx=<p>/`  (g: bigint) — 60-bit gram hashes,
   *                               pfx = hash(g) mod nPfx, one segment per
   *                               build/append

@@ -92,6 +92,18 @@ object PairStore {
         (t, c)
     }
 
+  /** The store's gating threshold: the recorded mining floor when present
+    * (the caller's value cross-checked exactly as in [[append]]), else the
+    * caller's own. The ingest gate MUST match at this floor — gating at a
+    * higher threshold against a lower-floor store (e.g. the default 0.6
+    * against a 0.25 contrastive-mining store) would pass docs whose
+    * [floor, threshold) cross edges [[appendGated]] then assumes empty,
+    * permanently holing the stored band the _PARAMS marker exists to
+    * protect (ADVICE r08). */
+  def gateThreshold(dir: String, minJaccard: Double = 0.6,
+                    maxBucket: Int = 4096): Double =
+    effectiveParams(dir, minJaccard, maxBucket)._1
+
   /** The live pairs generation directory (exposed for specs/tools). */
   def currentGenDir(dir: String): String =
     GenStore.readOrFail(dir, "PairStore").genDir(dir)

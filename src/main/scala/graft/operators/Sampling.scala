@@ -108,8 +108,11 @@ object Sampling {
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tok"))
       .withColumn("weight", wCol)
-      .withColumn("_num", col("weight") * lit(budgetTokens))
-      .withColumn("target_tok", expr(s"_num div $wsum"))
+      // decimal(38,0) product: weight x budget overflows int64 at
+      // production scales (1e4 x 1e15 > 2^63); the div-by-wsum result is
+      // <= budget and folds back to BIGINT exactly (ADVICE r08)
+      .withColumn("_num", col("weight").cast("decimal(38,0)") * lit(budgetTokens))
+      .withColumn("target_tok", expr(s"CAST(_num div $wsum AS BIGINT)"))
       .withColumn("plan_tok", least(col("avail_tok"), col("target_tok")))
       .withColumn("sample_bp",
         when(col("avail_tok") > 0, expr("(plan_tok * 10000) div avail_tok"))
@@ -144,7 +147,11 @@ object Sampling {
         floor(sqrt(col("avail_tok").cast("double"))).cast("long"))
     stats.crossJoin(broadcast(stats.agg(sum("weight").as("wsum"))))
       .withColumn("target_tok",
-        expr(s"(weight * CAST($budgetTokens AS BIGINT)) div wsum"))
+        // decimal(38,0) product: sqrt-weights reach ~3e9, so weight x
+        // budget overflows int64 well before production budgets; the
+        // divided result is <= budget and folds back exactly (ADVICE r08)
+        expr(s"CAST((CAST(weight AS DECIMAL(38,0)) * $budgetTokens) div wsum" +
+          " AS BIGINT)"))
       .withColumn("plan_tok", least(col("avail_tok"), col("target_tok")))
       .withColumn("sample_bp",
         when(col("avail_tok") > 0, expr("(plan_tok * 10000) div avail_tok"))
@@ -177,8 +184,9 @@ object Sampling {
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("avail_tok"))
       .withColumn("weight", wCol)
-      .withColumn("_num", col("weight") * lit(budgetTokens))
-      .withColumn("target_tok", expr(s"_num div $wsum"))
+      // same int64-overflow headroom as mixPlan's product (ADVICE r08)
+      .withColumn("_num", col("weight").cast("decimal(38,0)") * lit(budgetTokens))
+      .withColumn("target_tok", expr(s"CAST(_num div $wsum AS BIGINT)"))
       .withColumn("full_epochs",
         when(col("avail_tok") > 0, expr("target_tok div avail_tok"))
           .otherwise(lit(0L)))

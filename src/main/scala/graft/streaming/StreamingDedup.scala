@@ -87,8 +87,15 @@ object StreamingDedup {
             .batchDocIds(batch.sparkSession, storeDir, b, idCol),
           Seq(idCol), "left_semi")
       case None =>
+        // Gate at the STORE's recorded mining floor, not the caller's
+        // argument: appendGated banks on "no stored match at or above the
+        // floor", so matching any higher would permanently lose every
+        // cross edge in [floor, minJaccard) (ADVICE r08). The caller's
+        // value remains the legacy-store fallback and is cross-checked
+        // against the recorded floor exactly as in PairStore.append.
+        val thr = graft.operators.PairStore.gateThreshold(storeDir, minJaccard)
         val cross = graft.operators.DedupIndex.matchBatchPairs(
-          batch, idCol, textCol, s"$storeDir/index", minJaccard)
+          batch, idCol, textCol, s"$storeDir/index", thr)
         // localCheckpoint: survivors feed both the append below and the
         // caller's sink; without it the match (and its pruned store reads)
         // would re-run per consumer.

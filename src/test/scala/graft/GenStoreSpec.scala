@@ -102,6 +102,38 @@ class GenStoreSpec extends AnyFunSuite {
       s"lost update: ${segs.sorted}")
   }
 
+  test("concurrent compacts serialize: live generation data is never deleted") {
+    // ADVICE r08: two compactors interleaving outside the manifest lock —
+    // the slower one's pre-rewrite prune deleted the faster one's freshly
+    // published g<next> data (its own CAS then failed and deleted g<next>
+    // AGAIN, the one the live manifest pointed at). The whole-compaction
+    // lock serializes them: the loser re-pins the winner's generation.
+    val dir = newStore()
+    val marker = (g: Int) => Paths.get(s"$dir/g$g/${GenStore.BaseSeg}/data.txt")
+    Files.writeString(marker(0), "gen0")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        try GenStore.compact(dir, "store", _ => false) { (st, base) =>
+          Files.createDirectories(Paths.get(base))
+          // a real rewrite READS the pinned generation: its data must
+          // still exist mid-rewrite even while the peer compacts
+          val src = Paths.get(s"${st.genDir(dir)}/${GenStore.BaseSeg}/data.txt")
+          Thread.sleep(50)
+          Files.writeString(Paths.get(s"$base/data.txt"), Files.readString(src))
+        }
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent compacts failed: ${errs.peek()}")
+    val st = GenStore.read(dir).get
+    assert(st.gen == 2 && st.segs == Vector("base"),
+      s"two serialized compacts must land on g2: gen=${st.gen}")
+    assert(Files.readString(marker(2)) == "gen0",
+      "live generation data lost across concurrent compacts")
+  }
+
   test("uncommitted segment directories are invisible to the manifest") {
     val dir = newStore()
     // a crashed append: data landed, commit never ran

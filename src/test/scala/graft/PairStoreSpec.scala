@@ -164,6 +164,61 @@ class PairStoreSpec extends AnyFunSuite {
     assert(copied.contains(0L), "a copy of an accepted doc slipped the gate")
   }
 
+  test("gate on a floor-threshold store gates at the RECORDED floor (no band hole)") {
+    // ADVICE r08: gateAndMaintainPairs(default 0.6) against a 0.25-floor
+    // store used to match at 0.6 while appendGated banked on "no stored
+    // match at or above the floor" — every cross edge in [0.25, 0.6) was
+    // permanently lost. The gate must resolve the store's recorded floor.
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").localCheckpoint()
+    val seed = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0).localCheckpoint()
+
+    // reference: gate AND full-append explicitly at the store's floor
+    val refDir = Files.createTempDirectory("graft_pairs_fref").toString
+    PairStore.build(seed, "doc_id", "text", refDir, minJaccard = 0.25)
+    val refKept = batch.join(
+        graft.operators.DedupIndex.matchBatchPairs(
+            batch, "doc_id", "text", s"$refDir/index", 0.25)
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // fixture check input (pre-append: the index must not contain the batch)
+    val kept06 = batch.join(
+        graft.operators.DedupIndex.matchBatchPairs(
+            batch, "doc_id", "text", s"$refDir/index", 0.6)
+          .select(col("new_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .count()
+    PairStore.append(refKept, "doc_id", "text", refDir)
+    val refIds = refKept.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // gate under test: DEFAULT minJaccard argument at the call site
+    val dir = Files.createTempDirectory("graft_pairs_floorgate").toString
+    PairStore.build(seed, "doc_id", "text", dir, minJaccard = 0.25)
+    val kept = graft.streaming.StreamingDedup.gateAndMaintainPairs(
+        dir, batch, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(kept == refIds,
+      s"gate ignored the recorded floor: extra=${kept -- refIds} " +
+        s"missing=${refIds -- kept}")
+    // non-vacuous only if some doc sits in the [0.25, 0.6) band against
+    // the seed — i.e. the 0.25 gate drops MORE than a 0.6 gate would
+    assert(kept.size < kept06,
+      "vacuous fixture: no batch doc in the [0.25, 0.6) cross band")
+    assert(canon(PairStore.pairs(spark, dir)) == canon(PairStore.pairs(spark, refDir)),
+      "stored graphs diverged between gated and explicit-floor paths")
+    // an explicitly contradictory gate threshold throws, never holes
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.gateAndMaintainPairs(
+        dir, batch, "doc_id", "text", minJaccard = 0.5)
+    }
+    assert(ex.getMessage.contains("recorded mining floor"))
+  }
+
   test("gate retry (same batchId) reproduces survivors; graph gains no edges") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{GetJsonObject, JsonToStructs}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.compile.{DemoSpecs, PipelineCompiler}
+
+/** graft.plans.FuseJsonAccess: compiled JSON views must parse the payload
+  * once per row (one JsonToStructs), not once per mapped column, with output
+  * byte-identical to get_json_object per column (SURVEY §4 row 1).
+  */
+class ViewFusionSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    graft.functions.FlinkCompat.register(s) // installs FuseJsonAccess
+    s
+  }
+
+  private def jsonToStructsCount(plan: LogicalPlan): Int =
+    plan.collect { case n =>
+      n.expressions.map(_.collect { case _: JsonToStructs => 1 }.sum).sum
+    }.sum
+
+  private def projectGetJsonCount(plan: LogicalPlan): Int =
+    plan.collect { case p: Project =>
+      p.projectList.map(_.collect { case _: GetJsonObject => 1 }.sum).sum
+    }.sum
+
+  // Truth table: every payload shape whose get_json_object result could
+  // plausibly diverge from a from_json(all-string-schema) field access.
+  private val payloads = Seq(
+    """{"a":"x","b":"y"}""",                          // plain strings
+    """{"a":{"n":1,"m":"s"},"b":[1,2,"t"]}""",        // nested -> JSON text
+    """{"a":1.50,"b":1e2}""",                         // number normalization
+    """{"a":null,"b":true}""",                        // JSON null / boolean
+    """{"b":"only"}""",                               // missing key
+    """not json at all""",                            // malformed payload
+    null,                                             // NULL payload
+    """{"a":"","b":" sp  "}""",                       // empty / padded
+    """{"a":"hé","b":"\"q\""}"""                 // unicode + escapes
+  )
+
+  // literal-backed rows constant-fold to a LocalRelation before the rule
+  // runs — round-trip through parquet so the Project survives to optimize.
+  private def viaParquet(df: DataFrame, name: String): DataFrame = {
+    val p = java.nio.file.Files.createTempDirectory("vf_").resolve(name).toString
+    df.write.mode("overwrite").parquet(p)
+    spark.read.parquet(p)
+  }
+
+  test("fused multi-access output matches per-column get_json_object exactly") {
+    import spark.implicits._
+    val df = viaParquet(
+      payloads.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "p"), "t")
+    df.createOrReplaceTempView("vf_t")
+    val fused = spark.sql(
+      """SELECT id, get_json_object(p, '$.a') AS a, get_json_object(p, '$.b') AS b
+         FROM vf_t""")
+    assert(jsonToStructsCount(fused.queryExecution.optimizedPlan) == 1,
+      fused.queryExecution.optimizedPlan.toString)
+    assert(projectGetJsonCount(fused.queryExecution.optimizedPlan) == 0)
+    // ground truth: single-access projects are below the fusion threshold
+    val gtA = spark.sql("SELECT id, get_json_object(p, '$.a') AS a FROM vf_t")
+    val gtB = spark.sql("SELECT id, get_json_object(p, '$.b') AS b FROM vf_t")
+    assert(jsonToStructsCount(gtA.queryExecution.optimizedPlan) == 0)
+    val got = fused.collect().map(r => (r.getInt(0), (r.getString(1), r.getString(2)))).toMap
+    val expA = gtA.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expB = gtB.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    payloads.indices.foreach { i =>
+      assert(got(i)._1 == expA(i), s"row $i col a: got ${got(i)._1}, want ${expA(i)}")
+      assert(got(i)._2 == expB(i), s"row $i col b: got ${got(i)._2}, want ${expB(i)}")
+    }
+  }
+
+  test("exotic paths stay on get_json_object (fallback), simple ones fuse") {
+    import spark.implicits._
+    viaParquet(Seq((1, """{"a":"x","b":"y","weird key":"w"}"""))
+      .toDF("id", "p"), "w").createOrReplaceTempView("vf_w")
+    val df = spark.sql(
+      """SELECT get_json_object(p, '$.a') AS a,
+                get_json_object(p, '$.b') AS b,
+                get_json_object(p, "$['weird key']") AS w
+         FROM vf_w""")
+    val plan = df.queryExecution.optimizedPlan
+    assert(jsonToStructsCount(plan) == 1)
+    assert(projectGetJsonCount(plan) == 1) // the bracket path survives as-is
+    val r = df.collect()(0)
+    assert(r.getString(0) == "x" && r.getString(1) == "y" && r.getString(2) == "w")
+  }
+
+  test("a single distinct path does not trigger the rewrite") {
+    import spark.implicits._
+    viaParquet(Seq((1, """{"a":"x"}""")).toDF("id", "p"), "s")
+      .createOrReplaceTempView("vf_s")
+    val df = spark.sql(
+      "SELECT get_json_object(p, '$.a') AS a1, get_json_object(p, '$.a') AS a2 FROM vf_s")
+    assert(jsonToStructsCount(df.queryExecution.optimizedPlan) == 0)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "x" && r.getString(1) == "x")
+  }
+
+  test("compiled multi-JSON-column view plans exactly one JsonToStructs per view") {
+    // the colspec shape: one topic payload column, k JSON-mapped columns —
+    // the plan the reference compiles to k JSON_VALUE re-parses per row.
+    val dir = "/root/testdata/sf0.001"
+    Tables.events(spark, dir).select(to_json(struct(
+      lit("evt").as("tbl"), col("event_id"), col("user_id"), col("event_type"),
+      col("value").cast("decimal(10,2)").cast("string").as("amt"))).as("val"))
+      .createOrReplaceTempView("vf_topic")
+    graft.functions.FlinkCompat.register(spark)
+    val vw = spark.sql(
+      """SELECT CAST(TRIM(JSON_VALUE(CAST(val AS STRING), '$.event_id')) AS BIGINT) AS EVENT_ID,
+                CAST(TRIM(JSON_VALUE(CAST(val AS STRING), '$.user_id')) AS BIGINT) AS USER_ID,
+                CAST(TRIM(JSON_VALUE(CAST(val AS STRING), '$.event_type')) AS STRING) AS EVENT_TYPE,
+                CAST(NULLIF(TRIM(JSON_VALUE(CAST(val AS STRING), '$.amt')), '') AS DOUBLE) AS AMT
+         FROM vf_topic
+         WHERE JSON_VALUE(CAST(val AS STRING), '$.tbl') = 'evt'""")
+    val plan = vw.queryExecution.optimizedPlan
+    assert(jsonToStructsCount(plan) == 1, plan.toString)
+    assert(projectGetJsonCount(plan) == 0, plan.toString)
+    // the discriminator filter's single JSON access is untouched
+    val filterParses = plan.collect { case f: Filter =>
+      f.condition.collect { case _: GetJsonObject => 1 }.sum
+    }.sum
+    assert(filterParses >= 1)
+    assert(vw.count() > 0)
+    // semantics spot-check against the typed source
+    val n = Tables.events(spark, dir).count()
+    assert(vw.count() == n)
+    assert(vw.filter(col("EVENT_ID").isNull || col("USER_ID").isNull).count() == 0)
+  }
+
+  test("demo pipeline still runs green end-to-end with the rule installed") {
+    Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("events")
+    Tables.customer(spark, "/root/testdata/sf0.001").createOrReplaceTempView("customer")
+    val outputs = PipelineCompiler
+      .compile(DemoSpecs.jsonPipeline, DemoSpecs.jsonOptions).run(spark)
+    assert(outputs("EVENTS_VW").count() > 0)
+    assert(outputs("FGAC_USER_REF").count() > 0)
+  }
+}
