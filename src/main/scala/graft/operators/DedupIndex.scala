@@ -66,7 +66,10 @@ object DedupIndex {
     * [[matchBatchPairs]] stored-bands read (diagnostics: the band slice is
     * checkpointed for reuse, which removes its file scan from downstream
     * plans, so the pruning evidence is recorded at capture time —
-    * [[graft.IncrIndexSpec]] asserts it tracks the touched partitions). */
+    * [[graft.IncrIndexSpec]] asserts it tracks the touched partitions).
+    * Flag-gated: capturing it builds an extra physical plan per serving
+    * call, a driver cost production gates never pay. */
+  @volatile private[graft] var scanDiagnostics = false
   private[graft] val lastPrunedBandFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
@@ -236,7 +239,7 @@ object DedupIndex {
     // materialized) prune the stored bands read to the touched partitions.
     val touched = bi.select(bandPfx(nPfx).as("pfx")).distinct()
       .collect().map(_.getInt(0))
-    val beT0 = GenStore.readTable(spark, dir, st, "bands")
+    val beT0 = GenStore.readTableCached(spark, dir, st, "bands")
       .filter(if (touched.isEmpty) lit(false)
         else col("pfx").isin(touched.map(Integer.valueOf): _*))
       .select(col(idCol), col("band"), col("bucket"))
@@ -245,8 +248,9 @@ object DedupIndex {
     // Diagnostics for IncrIndexSpec: the checkpoint below erases the file
     // scan from every downstream plan, so the pruned-file evidence is
     // captured here, off the exact subtree about to materialize (summed
-    // across the per-segment union legs).
-    lastPrunedBandFiles.set(
+    // across the per-segment union legs). Flag-gated — the extra plan
+    // build is a per-batch driver cost production never pays.
+    if (scanDiagnostics) lastPrunedBandFiles.set(
       beT0.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.totalNumberOfFiles
@@ -267,7 +271,7 @@ object DedupIndex {
     // shingles table was a full corpus scan per batch (VERDICT r07 #3).
     val oldPfx = beT.select(idPfx(idCol, nPfx).as("pfx")).distinct()
       .collect().map(_.getInt(0))
-    val shE = GenStore.readTable(spark, dir, st, "shingles")
+    val shE = GenStore.readTableCached(spark, dir, st, "shingles")
       .filter(if (oldPfx.isEmpty) lit(false)
         else col("pfx").isin(oldPfx.map(Integer.valueOf): _*))
       .select(col(idCol), col("sh"))

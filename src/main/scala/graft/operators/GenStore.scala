@@ -105,6 +105,7 @@ private[graft] object GenStore {
     Files.writeString(tmp, render(s))
     Files.move(tmp, metaPath(dir), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
+    dropCached(dir) // any manifest change retires the memoized frames
   }
 
   // One monitor per canonical store path: FileLock is per-process, so
@@ -130,7 +131,11 @@ private[graft] object GenStore {
 
   /** Drop the manifest (the rebuild-window discipline: a store without a
     * manifest reads as absent, never as half-built). */
-  def clearMeta(dir: String): Unit = Files.deleteIfExists(metaPath(dir))
+  def clearMeta(dir: String): Unit = {
+    Files.deleteIfExists(metaPath(dir))
+    dropCached(dir) // a rebuild window also retires the memoized frames
+    ()
+  }
 
   /** Publish a fully-materialized initial state (build completion). */
   def init(dir: String, s: State): Unit = {
@@ -273,6 +278,40 @@ private[graft] object GenStore {
     val paths = st.segTableDirs(dir, table).filter(hasData)
     require(paths.nonEmpty, s"table $table has no segments under $dir")
     paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  }
+
+  // (session, store dir, table) -> (gen, segs, frame). Building the frame
+  // costs per-segment file listing + footer reads + hasData walks EVERY
+  // serving call — a pure driver-latency constant for a per-batch gate
+  // (VERDICT r08 #4). The pinned (gen, segs) make staleness checkable
+  // against the freshly-read manifest; any same-JVM manifest write also
+  // drops the dir's entries (writeState hook), so the one aliasing hazard
+  // left is an in-place rebuild from ANOTHER process producing the exact
+  // same (gen, segs) — which already deletes files under any live reader
+  // and is out of contract for every maintained store.
+  private val tableCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), (Int, Vector[String], DataFrame)]
+
+  /** [[readTable]] with the constructed frame memoized per (session, dir,
+    * table) while the manifest's (gen, segs) are unchanged — the serving
+    * paths' repeated-read shape. Plans are immutable, so reuse is safe;
+    * filters applied by callers still prune per leg. */
+  def readTableCached(spark: SparkSession, dir: String, st: State,
+                      table: String): DataFrame = {
+    val key = (spark, Paths.get(dir).toAbsolutePath.normalize.toString, table)
+    tableCache.get(key) match {
+      case Some((g, segs, df)) if g == st.gen && segs == st.segs => df
+      case _ =>
+        val df = readTable(spark, dir, st, table)
+        tableCache.put(key, (st.gen, st.segs, df))
+        df
+    }
+  }
+
+  private def dropCached(dir: String): Unit = {
+    val abs = Paths.get(dir).toAbsolutePath.normalize.toString
+    tableCache.keys.filter(_._2 == abs).foreach(tableCache.remove)
   }
 
   // a segment table dir with no data files (an empty-frame write leaves

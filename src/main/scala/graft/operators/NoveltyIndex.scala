@@ -53,7 +53,9 @@ object NoveltyIndex {
   private def gramPfx(nPfx: Int): Column = pmod(hash(col("g")), lit(nPfx))
 
   // scan-pruning evidence for NoveltySpec (files selected by the last
-  // noveltyBatch stored-gram read)
+  // noveltyBatch stored-gram read); flag-gated — the capture builds an
+  // extra physical plan per batch, a driver cost production never pays
+  @volatile private[graft] var scanDiagnostics = false
   private[graft] val lastPrunedGramFiles =
     new java.util.concurrent.atomic.AtomicLong(-1L)
 
@@ -188,10 +190,11 @@ object NoveltyIndex {
     // partitions; a corpus-sized batch legitimately reads all.
     val touched = bg.select(gramPfx(st.props("nPfx")).as("pfx")).distinct()
       .collect().map(_.getInt(0))
-    val stored = GenStore.readTable(spark, dir, st, "grams")
+    val stored = GenStore.readTableCached(spark, dir, st, "grams")
       .filter(if (touched.isEmpty) lit(false)
         else col("pfx").isin(touched.map(Integer.valueOf): _*))
-    lastPrunedGramFiles.set(
+    // flag-gated: the evidence plan build is per-batch driver cost
+    if (scanDiagnostics) lastPrunedGramFiles.set(
       stored.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.selectedPartitions.totalNumberOfFiles

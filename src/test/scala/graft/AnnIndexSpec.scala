@@ -171,9 +171,11 @@ class AnnIndexSpec extends AnyFunSuite {
     // cell's files and only the candidate ids' pfx partitions — file
     // counts deterministic (fixed hash, fixed corpus), so strict
     // inequality against the table totals is a stable assertion
-    AnnIndexStore.query(base.filter(col("vec_id") === 0), "vec_id",
+    AnnIndexStore.scanDiagnostics = true // flag-gated: production never pays it
+    try AnnIndexStore.query(base.filter(col("vec_id") === 0), "vec_id",
         "embedding", dir, kNN = 3, nProbe = 1, refine = 10)
       .collect()
+    finally AnnIndexStore.scanDiagnostics = false
     val (cellsScanned, codesScanned) =
       (AnnIndexStore.lastPrunedCellFiles.get(),
         AnnIndexStore.lastPrunedPfxFiles.get())

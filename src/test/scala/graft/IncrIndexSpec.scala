@@ -129,7 +129,10 @@ class IncrIndexSpec extends AnyFunSuite {
     // shingles table was a full corpus scan per batch, so stored-side IO
     // grew with the corpus instead of the candidate set).
     val batch = docs.filter(col("doc_id") === 7L)
-    val out = DedupIndex.matchBatch(batch, "doc_id", "text", dir)
+    DedupIndex.scanDiagnostics = true // flag-gated: production never pays it
+    val out =
+      try DedupIndex.matchBatch(batch, "doc_id", "text", dir)
+      finally DedupIndex.scanDiagnostics = false
     // The band slice is checkpointed for reuse (4 consumers), which erases
     // its file scan from the final plan — the pruned-file evidence is the
     // diagnostic DedupIndex records at capture time.

@@ -37,10 +37,12 @@ class NoveltySpec extends AnyFunSuite {
     // deterministic (fixed hash, fixed corpus), so strict inequality
     // against the table total is stable
     import spark.implicits._
-    NoveltyIndex.noveltyBatch(
+    NoveltyIndex.scanDiagnostics = true // flag-gated: production never pays it
+    try NoveltyIndex.noveltyBatch(
         Seq((1L, "one tiny probe doc")).toDF("doc_id", "text"),
         "doc_id", "text", dir)
       .collect()
+    finally NoveltyIndex.scanDiagnostics = false
     val scanned = NoveltyIndex.lastPrunedGramFiles.get()
     assert(scanned > 0 && scanned < gramFiles,
       s"gram scan not pruned: $scanned of $gramFiles files")
