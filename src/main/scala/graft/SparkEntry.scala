@@ -1876,6 +1876,18 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // Batched BPE: up to 8 provably-safe merges per shuffle + driver
+    // round-trip — the production-vocab scale path (one round per merge
+    // is infeasible at 30k merges). The disjoint-prefix selection makes
+    // the output BIT-IDENTICAL to sequential train, so the oracle is the
+    // same sequential merge-CTE mirror (BpeSpec also asserts multi-merge
+    // rounds actually occur on this corpus).
+    "q_bpe_train_batched" -> ((s, dir) => {
+      operators.Bpe.trainBatched(Tables.documents(s, dir), "text",
+          nMerges = 16, maxBatch = 8)
+        .orderBy("step")
+    }),
+
     // Apply the learned merges corpus-wide: per-doc char vs BPE token
     // counts — the compression audit of the trained vocabulary (the 16
     // merges ride along as replace literals; one corpus scan).
@@ -4077,6 +4089,14 @@ object SparkEntry {
            s"SELECT CAST($i AS INT) AS step, l AS l_tok, r AS r_tok, c AS cnt FROM b$i")
            .mkString(" UNION ALL ")})
          ORDER BY step""",
+    // bit-identical to sequential train by the disjoint-prefix selection
+    // proof (Bpe.trainBatched doc) — the SAME sequential mirror applies
+    "q_bpe_train_batched" ->
+      s"""WITH ${bpeCtes(16)}
+         SELECT * FROM (${(0 until 16).map(i =>
+           s"SELECT CAST($i AS INT) AS step, l AS l_tok, r AS r_tok, c AS cnt FROM b$i")
+           .mkString(" UNION ALL ")})
+         ORDER BY step""",
     "q_bpe_encode" ->
       s"""WITH ${bpeCtes(16)},
          enc AS (SELECT doc_id, word FROM (
@@ -4835,12 +4855,18 @@ object SparkEntry {
       operators.PairStore.pairs(s, pairStoreDir(s, dir)))
 
   /** Cluster labels shared by q_dedup_clusters and q_curation_pipeline —
-    * the iterative CC fixpoint is itself checkpointed per round, so the
-    * memo just avoids running the loop twice per session. */
+    * served from the PairStore's MATERIALIZED labels table (computed once
+    * at build, maintained per append segment) instead of re-running the
+    * CC fixpoint per session; singletons re-attach with one left join,
+    * exactly [[TextDedup.dedupClusters]]'s contract and values
+    * (PairStoreSpec pins the bit-identity through appends). */
   private def nearDupClusters(s: SparkSession, dir: String): DataFrame =
-    memo(s, s"clusters:$dir")(TextDedup.dedupClusters(
-      Tables.documents(s, dir), "doc_id",
-      nearDupPairs(s, dir).select(col("id1"), col("id2"))))
+    memo(s, s"clusters:$dir")(
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(operators.PairStore.clusterLabels(s, pairStoreDir(s, dir))
+          .withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id")))
 
   /** Integer quality score shared by the propagation/keep-best queries:
     * stop-word ratio in basis points, `n_stop * 10000 div n_tok` — the
@@ -5360,7 +5386,9 @@ object SparkEntry {
     * (mirrors TextDedup.incrementalDedup's single-md5-pass design — same
     * perturbation coefficients as minHashSignature). */
   private def shingleSigCteNamed(sfx: String, where: String): String = {
-    val mins = (0 until 8).map { i =>
+    // k=16 since round 9 — the stored DedupIndex banding (bandK prop)
+    // caught up with the batch pipeline's round-5 recall upgrade
+    val mins = (0 until 16).map { i =>
       val a = 2 * i + 1; val b = i * i + 1
       s"min((h * $a + $b) % 2147483647) AS mh$i"
     }.mkString(", ")
@@ -5372,13 +5400,15 @@ object SparkEntry {
         sig$sfx AS (SELECT doc_id, $mins FROM hs$sfx GROUP BY doc_id)"""
   }
 
-  /** Suffixed band CTE over `sig$sfx` (4 bands x 2 signature rows). */
-  private def bandsCteNamed(sfx: String): String =
+  /** Suffixed band CTE over `sig$sfx` (8 bands x 2 signature rows —
+    * the stored index's k=16 scheme). */
+  private def bandsCteNamed(sfx: String): String = {
+    val arms = (0 until 8).map { b =>
+      s"SELECT doc_id, $b AS band, concat_ws('_', mh${2 * b}, mh${2 * b + 1}) AS bucket FROM sig$sfx"
+    }.mkString("\n         UNION ALL ")
     s"""band$sfx AS (
-         SELECT doc_id, 0 AS band, concat_ws('_', mh0, mh1) AS bucket FROM sig$sfx
-         UNION ALL SELECT doc_id, 1, concat_ws('_', mh2, mh3) FROM sig$sfx
-         UNION ALL SELECT doc_id, 2, concat_ws('_', mh4, mh5) FROM sig$sfx
-         UNION ALL SELECT doc_id, 3, concat_ws('_', mh6, mh7) FROM sig$sfx)"""
+         $arms)"""
+  }
 
   /** Band CTE (4 bands x 2 signature rows) over `sig`, then the
     * deterministic bucket-size cap mirror of TextDedup.lshCandidatePairs

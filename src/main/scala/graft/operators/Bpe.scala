@@ -85,6 +85,101 @@ object Bpe {
     merges.result().toDF("step", "l_tok", "r_tok", "cnt")
   }
 
+  /** [[train]] with up to `maxBatch` merges applied per round — the
+    * standard scalable-BPE move for production vocab sizes, where one
+    * shuffle + driver round-trip per merge (fine for 16) is infeasible
+    * for a 30k-merge vocabulary (VERDICT r08 #5).
+    *
+    * The batch is chosen so the result is PROVABLY BIT-IDENTICAL to
+    * sequential [[train]], not an approximation. Candidates are collected
+    * in the sequential winner order (cnt desc, l, r); the batch is the
+    * maximal CONSECUTIVE prefix of pairwise symbol-disjoint pairs,
+    * trimmed to those whose count is STRICTLY greater than the first
+    * excluded pair's count (`cut`; the leader is exempt). Soundness:
+    *   - a merge only changes counts of pairs sharing one of its symbols,
+    *     so the selected (disjoint) pairs keep their exact counts across
+    *     the batch's rounds;
+    *   - every pair sharing a symbol with a selected pair sits at or
+    *     below the cut position (a conflict inside the prefix would have
+    *     ended it), so every mutated pair and every newly created pair
+    *     (e.g. (x, ab) from merging (a,b), whose count is bounded by its
+    *     source (x, a)) competes with count <= cut < c_i — each selected
+    *     p_i still wins its sequential round outright, including against
+    *     lex ties (the strict inequality).
+    * A worst-case round degrades to the sequential single merge, never
+    * to a different vocabulary. q_bpe_train_batched therefore shares
+    * q_bpe_train's sequential DuckDB mirror verbatim, and BpeSpec asserts
+    * both equality with [[train]] and that multi-merge rounds actually
+    * occur on the test corpus (non-vacuous batching). */
+  // observability for BpeSpec's non-vacuity check: rounds (shuffle +
+  // driver round-trips) the last trainBatched call actually paid
+  private[graft] val lastBatchedRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** [[trainBatched]] and the number of rounds it took (test/tuning aid:
+    * rounds < merges proves the batching fired). */
+  def roundsUsed(docs: DataFrame, textCol: String, nMerges: Int,
+                 maxBatch: Int): Int = {
+    trainBatched(docs, textCol, nMerges, maxBatch).collect()
+    lastBatchedRounds.get()
+  }
+
+  def trainBatched(docs: DataFrame, textCol: String, nMerges: Int = 16,
+                   maxBatch: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var toks = Iterate.checkpoint(charDict(docs, textCol))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var rounds = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      rounds += 1
+      val tok = split(trim(col("tokstr"), S), SSre)
+      val horizon = math.max(maxBatch * 4, 16)
+      val cands = toks
+        .select(col("cnt"),
+          explode(zip_with(slice(tok, lit(1), size(tok) - 1),
+            slice(tok, lit(2), size(tok) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(horizon).collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val rows = cands.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        // maximal consecutive disjoint prefix, capped by batch/vocab room
+        val usedSyms = scala.collection.mutable.Set.empty[String]
+        var m = 0
+        while (m < rows.length && m < maxBatch && step + m < nMerges &&
+            !usedSyms.contains(rows(m)._1) && !usedSyms.contains(rows(m)._2)) {
+          usedSyms += rows(m)._1; usedSyms += rows(m)._2
+          m += 1
+        }
+        // the first excluded pair bounds every mutated/new pair's count;
+        // an exhausted SHORT candidate list bounds them at 0 (a full
+        // horizon leaves uncollected pairs <= the last collected count)
+        val cut =
+          if (m < rows.length) rows(m)._3
+          else if (cands.length < horizon) 0L
+          else rows.last._3
+        val sel = rows.take(m).zipWithIndex
+          .takeWhile { case ((_, _, c), i) => i == 0 || c > cut }
+          .map(_._1)
+        sel.foreach { case (l, r, c) => merges += ((step, l, r, c)); step += 1 }
+        // disjoint symbols make the replaces order-independent; applied in
+        // winner order anyway
+        val next = sel.foldLeft(col("tokstr")) { case (acc, (l, r, _)) =>
+          replace(acc, lit(S + l + SS + r + S), lit(S + l + r + S))
+        }
+        toks = Iterate.checkpoint(toks.withColumn("tokstr", next))
+      }
+    }
+    lastBatchedRounds.set(rounds)
+    merges.result().toDF("step", "l_tok", "r_tok", "cnt")
+  }
+
   /** Apply a learned merge list to the corpus: per-doc BPE token count
     * before (chars) and after the merges — the compression audit of a
     * trained vocabulary. One corpus scan; the merge chain is `merges.size`

@@ -62,6 +62,12 @@ object DedupIndex {
 
   val DefaultPfx = 64
 
+  /** Minhash count for new stores' band index (k/2 bands of 2) — matches
+    * the batch pipeline's round-5 recall upgrade; recorded in the
+    * manifest (`bandK`) because band rows are on-disk artifacts and the
+    * batch side must band at the store's k. */
+  val DefaultBandK = 16
+
   /** Planned file count of the most recent [[matchBatch]]/
     * [[matchBatchPairs]] stored-bands read (diagnostics: the band slice is
     * checkpointed for reuse, which removes its file scan from downstream
@@ -103,9 +109,10 @@ object DedupIndex {
     GenStore.clearMeta(dir)
     GenStore.pruneGens(dir, keep = Set.empty, legacy = Legacy)
     write(docs, idCol, textCol, s"$dir/g0/${GenStore.BaseSeg}", oracleParity,
-      nPfx)
+      nPfx, DefaultBandK)
     GenStore.init(dir,
-      GenStore.State(0, Vector(GenStore.BaseSeg), Map("nPfx" -> nPfx)))
+      GenStore.State(0, Vector(GenStore.BaseSeg),
+        Map("nPfx" -> nPfx, "bandK" -> DefaultBandK)))
   }
 
   /** Extend the index with an accepted batch — one signature pass over the
@@ -118,7 +125,8 @@ object DedupIndex {
              batchId: Option[Long] = None): Unit = {
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     GenStore.appendSeg(dir, "DedupIndex", seg) { (st, segDir) =>
-      write(docs, idCol, textCol, segDir, oracleParity, st.props("nPfx"))
+      write(docs, idCol, textCol, segDir, oracleParity, st.props("nPfx"),
+        st.props("bandK"))
     }
     ()
   }
@@ -143,20 +151,25 @@ object DedupIndex {
   }
 
   private def write(docs: DataFrame, idCol: String, textCol: String,
-                    segDir: String, oracleParity: Boolean, nPfx: Int): Unit = {
+                    segDir: String, oracleParity: Boolean, nPfx: Int,
+                    bandK: Int): Unit = {
     val sh = TextDedup.sortedShingleHashes(docs, idCol, textCol,
       oracleParity = oracleParity)
     sh.withColumn("pfx", idPfx(idCol, nPfx))
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/shingles")
-    TextDedup.bandedFromShingles(sh, idCol)
+    TextDedup.bandedFromShingles(sh, idCol, bandK)
       .withColumn("pfx", bandPfx(nPfx))
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$segDir/bands")
   }
 
   def exists(dir: String): Boolean =
     GenStore.read(dir).exists { st =>
-      Seq("bands", "shingles").forall(t =>
-        GenStore.tableComplete(dir, st, t, required = st.segs.toSet))
+      // band rows are on-disk artifacts of the recorded banding: a store
+      // without the bandK prop predates the round-9 k=16 upgrade and
+      // reads as absent (rebuild once — the nPfx-layout precedent)
+      st.props.contains("nPfx") && st.props.contains("bandK") &&
+        Seq("bands", "shingles").forall(t =>
+          GenStore.tableComplete(dir, st, t, required = st.segs.toSet))
     }
 
   /** Compact the store: every [[append]] adds its own segment, so after N
@@ -233,7 +246,7 @@ object DedupIndex {
     val nPfx = st.props("nPfx")
     val shI = TextDedup.sortedShingleHashes(incoming, idCol, textCol,
       oracleParity = oracleParity)
-    val bi = TextDedup.bandedFromShingles(shI, idCol)
+    val bi = TextDedup.bandedFromShingles(shI, idCol, st.props("bandK"))
     // Metadata-scale collect #1: the batch's touched bucket-pfx values (at
     // most nPfx small ints, off a band frame bandedFromShingles already
     // materialized) prune the stored bands read to the touched partitions.

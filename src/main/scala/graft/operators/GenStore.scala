@@ -309,6 +309,16 @@ private[graft] object GenStore {
     }
   }
 
+  /** [[readTable]] tolerating a table with no data in ANY segment (e.g. a
+    * store whose optional side-table only materializes when non-empty):
+    * None instead of the require failure. */
+  def readTableIfAny(spark: SparkSession, dir: String, st: State,
+                     table: String): Option[DataFrame] = {
+    val paths = st.segTableDirs(dir, table).filter(hasData)
+    if (paths.isEmpty) None
+    else Some(paths.map(spark.read.parquet(_)).reduce(_ unionByName _))
+  }
+
   private def dropCached(dir: String): Unit = {
     val abs = Paths.get(dir).toAbsolutePath.normalize.toString
     tableCache.keys.filter(_._2 == abs).foreach(tableCache.remove)

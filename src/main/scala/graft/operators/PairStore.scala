@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, greatest, least}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least, lit, max, when}
 
 /** Maintained verified near-duplicate pair graph — the third stored
   * curation artifact, closing the loop the other two opened: the
@@ -110,7 +110,10 @@ object PairStore {
 
   def exists(dir: String): Boolean =
     GenStore.read(dir).exists(st =>
-      GenStore.tableComplete(dir, st, "pairs", required = st.segs.toSet)) &&
+      GenStore.tableComplete(dir, st, "pairs", required = st.segs.toSet) &&
+        // labels materialized per segment since round 9 — stores from
+        // before the column read as absent and rebuild once
+        GenStore.tableComplete(dir, st, "labels", required = st.segs.toSet)) &&
       DedupIndex.exists(s"$dir/index")
 
   /** Create (overwrite) the pair graph for `docs` under `dir`: the corpus
@@ -127,9 +130,18 @@ object PairStore {
     writeParams(dir, minJaccard, maxBucket)
     DedupIndex.build(docs, idCol, textCol, s"$dir/index",
       oracleParity = oracleParity)
-    TextDedup.nearDuplicatePairs(docs, idCol, textCol, minJaccard, maxBucket,
-        oracleParity)
-      .write.mode("overwrite").parquet(s"$dir/g0/${GenStore.BaseSeg}/pairs")
+    val seg = s"$dir/g0/${GenStore.BaseSeg}"
+    val p = TextDedup.nearDuplicatePairs(docs, idCol, textCol, minJaccard,
+      maxBucket, oracleParity)
+    p.write.mode("overwrite").parquet(s"$seg/pairs")
+    // Cluster labels MATERIALIZED with the graph (VERDICT r08 #8): the CC
+    // fixpoint runs once at build over the just-written pairs (read back
+    // with the explicit schema, so it is never recomputed from the corpus
+    // and an edge-free corpus still round-trips), not once per consumer
+    // session. Appends keep them current via per-segment deltas.
+    val stored = docs.sparkSession.read.schema(p.schema).parquet(s"$seg/pairs")
+    TextDedup.ccLabels(stored.select(col("id1"), col("id2")))
+      .write.mode("overwrite").parquet(s"$seg/labels")
     GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg), Map.empty))
   }
 
@@ -150,19 +162,109 @@ object PairStore {
     require(exists(dir), s"no complete PairStore at $dir")
     val (thr, cap) = effectiveParams(dir, minJaccard, maxBucket)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
-    GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
+    GenStore.appendSeg(dir, "PairStore", seg) { (st, segDir) =>
       val cross = DedupIndex.matchBatchPairs(batch, idCol, textCol,
           s"$dir/index", thr, cap, oracleParity)
         .select(least(col("new_id"), col("old_id")).as("id1"),
           greatest(col("new_id"), col("old_id")).as("id2"), col("jac"))
       val internal = TextDedup.nearDuplicatePairs(batch, idCol, textCol,
         thr, cap, oracleParity)
-      cross.unionByName(internal)
-        .write.mode("overwrite").parquet(s"$segDir/pairs")
+      val all = cross.unionByName(internal)
+      all.write.mode("overwrite").parquet(s"$segDir/pairs")
+      writeLabelDelta(batch, idCol, dir, st, segDir, all.schema)
     }
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
       batchId)
   }
+
+  /** Per-segment cluster-label delta (VERDICT r08 #8 — labels are part of
+    * the MAINTAINED artifact, so graph consumers read them instead of
+    * re-running the CC fixpoint per session). The mini-graph contracts
+    * every old endpoint to its CURRENT resolved cluster label (or itself
+    * for a previously edge-free doc), so its CC runs over batch ids plus
+    * touched old cluster labels — batch-bounded, never the corpus. The
+    * delta lands in the same atomic segment as the pairs:
+    *   `labels` — (id, lbl) for newly edge-incident docs (batch docs and
+    *              old singletons first touched by a cross edge);
+    *   `remaps` — (frm, to) for stored cluster labels merged into a
+    *              smaller one; readers resolve the remap closure (a tiny
+    *              merges-since-compact table) and [[compact]] folds it
+    *              away. Min-id semantics hold globally because a stored
+    *              label IS the min of its members, so the mini-CC min
+    *              over {batch ids, old labels} is the true cluster min.
+    * One stored-labels scan per UNGATED append (the old-endpoint resolve
+    * join) — same order as the cross-edge pass itself; gated appends
+    * ([[appendGated]]) have no cross edges and skip `cur` entirely. */
+  private def writeLabelDelta(batch: DataFrame, idCol: String, dir: String,
+                              st: GenStore.State, segDir: String,
+                              pairSchema: org.apache.spark.sql.types.StructType)
+                             : Unit = {
+    val spark = batch.sparkSession
+    // read the just-written pairs back (explicit schema: an edge-free
+    // batch leaves a data-less dir) — never recompute the match
+    val e = spark.read.schema(pairSchema).parquet(s"$segDir/pairs")
+      .select(col("id1"), col("id2"))
+    val cur = labelsFor(spark, dir, st)
+    val bIds = batch.select(col(idCol).as("bid")).distinct()
+    def side(c: String, l: String, b: String): Seq[org.apache.spark.sql.Column] =
+      Seq(when(coalesce(col(b), lit(false)), col(c))
+            .otherwise(coalesce(col(l), col(c))).as(c),
+        (!coalesce(col(b), lit(false)) && col(l).isNotNull).as(s"_had$c"))
+    val m = e
+      .join(broadcast(bIds.select(col("bid").as("id1"), lit(true).as("b1"))),
+        Seq("id1"), "left")
+      .join(broadcast(bIds.select(col("bid").as("id2"), lit(true).as("b2"))),
+        Seq("id2"), "left")
+      .join(cur.select(col("id").as("id1"), col("lbl").as("l1")), Seq("id1"), "left")
+      .join(cur.select(col("id").as("id2"), col("lbl").as("l2")), Seq("id2"), "left")
+      .select(side("id1", "l1", "b1") ++ side("id2", "l2", "b2")
+        ++ Seq(coalesce(col("b1"), lit(false)).as("_b1"),
+          coalesce(col("b2"), lit(false)).as("_b2")): _*)
+      .localCheckpoint() // node meta + CC input; batch-bounded
+    val mini = TextDedup.ccLabels(m.select(col("id1"), col("id2")))
+    // per-node metadata: batch doc / stored-label / old-singleton
+    val nodeMeta = m.select(col("id1").as("id"), col("_b1").as("isB"), col("_hadid1").as("had"))
+      .unionByName(m.select(col("id2").as("id"), col("_b2").as("isB"), col("_hadid2").as("had")))
+      .groupBy("id").agg(max(col("isB")).as("isB"), max(col("had")).as("had"))
+    val tagged = mini.join(nodeMeta, Seq("id"))
+    tagged.filter(col("isB") || !col("had"))
+      .select(col("id"), col("lbl"))
+      .write.mode("overwrite").parquet(s"$segDir/labels")
+    tagged.filter(!col("isB") && col("had") && col("lbl") =!= col("id"))
+      .select(col("id").as("frm"), col("lbl").as("to"))
+      .write.mode("overwrite").parquet(s"$segDir/remaps")
+  }
+
+  /** Resolved cluster labels pinned to `st`: the stored per-segment label
+    * rows with the remap closure applied. The closure input is the
+    * merges-since-compact table — tiny, and absent entirely for
+    * build-only or gated-append stores, where this is ONE table read. */
+  private def labelsFor(spark: SparkSession, dir: String,
+                        st: GenStore.State): DataFrame = {
+    val labels = GenStore.readTable(spark, dir, st, "labels")
+    GenStore.readTableIfAny(spark, dir, st, "remaps") match {
+      case None => labels
+      case Some(r) =>
+        // remap chains only ever merge downward to the component min, so
+        // the closure of frm is exactly its CC label over the remap edges
+        val closure = TextDedup.ccLabels(
+          r.select(col("frm").as("id1"), col("to").as("id2")))
+        labels.join(
+            closure.select(col("id").as("lbl"), col("lbl").as("_r")),
+            Seq("lbl"), "left")
+          .select(col("id"), coalesce(col("_r"), col("lbl")).as("lbl"))
+    }
+  }
+
+  /** The stored cluster labels — (id, lbl) for every doc incident to a
+    * stored edge, lbl = min id of its near-dup cluster; docs absent here
+    * are singletons (their own cluster). Equal by construction to
+    * `TextDedup.ccLabels(pairs(dir))` — [[graft.PairStoreSpec]] asserts
+    * the bit-identity through build/append/gated-append/compact — but
+    * read from the maintained artifact instead of re-running the CC
+    * fixpoint per consumer session. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    labelsFor(spark, dir, GenStore.readOrFail(dir, "PairStore"))
 
   /** [[append]] for a GATED batch — one whose ids are already known to
     * have no stored match at or above `minJaccard` (the near-dup ingest
@@ -183,9 +285,18 @@ object PairStore {
     val (thr, cap) = effectiveParams(dir, minJaccard, maxBucket)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
-      TextDedup.nearDuplicatePairs(batch, idCol, textCol, thr,
-          cap, oracleParity)
-        .write.mode("overwrite").parquet(s"$segDir/pairs")
+      val p = TextDedup.nearDuplicatePairs(batch, idCol, textCol, thr,
+        cap, oracleParity)
+      p.write.mode("overwrite").parquet(s"$segDir/pairs")
+      // label delta, gated form: a gated batch has NO cross edges (the
+      // gate disqualified any doc with a stored match), so its clusters
+      // are purely internal — batch-scale CC, no stored-labels scan, no
+      // remaps, and min-id semantics hold globally because no component
+      // touches a stored one.
+      val stored = batch.sparkSession.read.schema(p.schema)
+        .parquet(s"$segDir/pairs")
+      TextDedup.ccLabels(stored.select(col("id1"), col("id2")))
+        .write.mode("overwrite").parquet(s"$segDir/labels")
     }
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
       batchId)
@@ -213,6 +324,10 @@ object PairStore {
       require(exists(dir), s"no complete PairStore at $dir")
       GenStore.readTable(spark, dir, st, "pairs").repartition(pairFiles)
         .write.mode("overwrite").parquet(s"$base/pairs")
+      // materialize the remap closure into the labels themselves; the
+      // next generation starts remap-free
+      labelsFor(spark, dir, st).repartition(pairFiles)
+        .write.mode("overwrite").parquet(s"$base/labels")
     }
     DedupIndex.compact(spark, s"$dir/index")
   }

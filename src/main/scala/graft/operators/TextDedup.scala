@@ -360,10 +360,17 @@ object TextDedup {
 
   /** Banded minhash index rows (id, band, bucket) from a
     * [[sortedShingleHashes]] table — the persistable form of the existing-
-    * corpus side (see [[DedupIndex]]): k=8 perturbed-min signatures in 4
-    * bands of 2, same coefficients as [[minHashSignature]]. */
-  def bandedFromShingles(sh: DataFrame, idCol: String): DataFrame = {
-    val k = 8; val r = 2
+    * corpus side (see [[DedupIndex]]): k perturbed-min signatures in k/2
+    * bands of 2, same coefficients as [[minHashSignature]]. Default k=16 —
+    * the SAME banding [[nearDuplicatePairs]] upgraded to in round 5
+    * (band-collision probability 0.97 vs 0.83 at jac 0.6); until round 9
+    * the stored-index path stayed on k=8, so the streaming gates and
+    * PairStore appends silently ran ~14 pp BELOW the batch pipeline's
+    * measured recall. The store records its k (`bandK` prop) because band
+    * rows are on-disk artifacts: [[DedupIndex.matchBatch]] bands each
+    * batch at the STORE's recorded k. */
+  def bandedFromShingles(sh: DataFrame, idCol: String, k: Int = 16): DataFrame = {
+    val r = 2
     val sig = signatureFromShingles(sh, idCol, k)
     val bandCols = (0 until k / r).map { band =>
       concat_ws("_", (band * r until band * r + r).map(i => col(s"mh$i")): _*)
@@ -646,6 +653,22 @@ object TextDedup {
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     maxRounds: Int = 20): DataFrame = {
+    val labels = ccLabels(pairs, maxRounds)
+    // Singletons (no incident edge) never iterated: one equi-join attaches
+    // their own id as cluster label.
+    docs.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+  }
+
+  /** The edge-vertex half of [[dedupClusters]]: connected-component labels
+    * `(id, lbl)` for every vertex incident to at least one edge in
+    * `pairs(id1, id2)`, lbl = min reachable id — exposed so
+    * [[graft.operators.PairStore]] can MATERIALIZE the labels at
+    * build/append time instead of consumers re-running the fixpoint per
+    * session (VERDICT r08 #8). */
+  def ccLabels(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     val sym = Iterate.checkpoint(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
@@ -685,14 +708,9 @@ object TextDedup {
       // O(log diameter) rounds, so exhausting maxRounds indicates a
       // pathological input or a bug — surface it.
       throw new IllegalStateException(
-        s"dedupClusters: label propagation did not converge within " +
+        s"ccLabels: label propagation did not converge within " +
           s"$maxRounds rounds; refusing to return non-converged labels")
-    // Singletons (no incident edge) never iterated: one equi-join attaches
-    // their own id as cluster label.
-    docs.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+    labels
   }
 
   /** Benchmark-contamination detection — the decontamination pass every

@@ -171,15 +171,18 @@ class IncrIndexSpec extends AnyFunSuite {
     val shingleFiles = parquetFiles(g, "shingles")
     assert(shingleFiles >= 8, s"fixture too small: $shingleFiles shingle files")
     // probe: a near-duplicate of doc 42 (same text, one word changed) —
-    // its only candidate is doc 42, so the verify-side shingles read must
-    // touch ~1 of the 16 id-pfx partitions, not the corpus
+    // its true candidate is doc 42 plus a handful of random band-collision
+    // false positives (k=16/8 bands trades more candidates for the batch
+    // pipeline's recall — verification rejects them), so the verify-side
+    // shingles read must touch the candidates' few id-pfx partitions, not
+    // the corpus
     val probe = Seq((9001L, text(42L).replaceFirst("^\\S+", "zzzz")))
       .toDF("doc_id", "text")
     val out = DedupIndex.matchBatch(probe, "doc_id", "text", dir)
     val shScanned = scannedFiles(out, "shingles")
-    assert(shScanned <= 4,
+    assert(shScanned > 0 && shScanned < shingleFiles / 2,
       s"shingles scan reads $shScanned of $shingleFiles files; expected the " +
-        "candidate twin's partition(s) only")
+        "candidate set's partitions only")
     val row = out.collect().head
     assert(row.getBoolean(3) && row.getLong(1) == 42L,
       s"pruned verify lost the twin: $row")

@@ -248,6 +248,67 @@ class PairStoreSpec extends AnyFunSuite {
       "retry added edges to the stored graph")
   }
 
+  test("stored cluster labels == recomputed CC through build/append/gated/compact") {
+    // VERDICT r08 #8: the labels are part of the maintained artifact, so
+    // consumers (q_dedup_clusters / q_cluster_sizes / keep-best) read
+    // them instead of re-running the CC fixpoint per session. Exercises
+    // every delta path: build labels, a MERGE of two stored clusters via
+    // an appended bridge doc (the remap path), an old SINGLETON gaining
+    // its first edge, a gated append (internal-only labels), and the
+    // compact fold (remaps materialized away).
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val aTxt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bTxt = "north south east west upper lower inner outer front back"
+    val sTxt = "solitary unique standalone document nothing matches this one"
+    val seed = Seq(
+      (10L, aTxt), (11L, aTxt),            // cluster A, label 10
+      (20L, bTxt), (21L, bTxt),            // cluster B, label 20
+      (30L, sTxt)                           // singleton
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_pairs_labels").toString
+    // floor 0.4: the A+B bridge doc sits near jac 0.5 to each family
+    PairStore.build(seed, "doc_id", "text", dir, minJaccard = 0.4)
+
+    def labelsNow: Map[Long, Long] = PairStore
+      .clusterLabels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recomputed: Map[Long, Long] = graft.operators.TextDedup
+      .ccLabels(PairStore.pairs(spark, dir).select(col("id1"), col("id2")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(labelsNow == recomputed && labelsNow.nonEmpty)
+    assert(labelsNow(11L) == 10L && labelsNow(21L) == 20L)
+    assert(!labelsNow.contains(30L), "singleton must have no label row")
+
+    // append: a bridge doc near both families (MERGES clusters 10 and 20
+    // -> remap 20 -> 10) plus a near-copy of the old singleton 30
+    PairStore.append(Seq(
+        (40L, s"$aTxt $bTxt"),
+        (41L, sTxt.replaceFirst("^\\S+", "isolated"))
+      ).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val afterMerge = labelsNow
+    assert(afterMerge == recomputed,
+      s"label delta diverged from recompute: $afterMerge vs $recomputed")
+    assert(afterMerge(21L) == 10L && afterMerge(20L) == 10L &&
+      afterMerge(40L) == 10L, s"merge not reflected: $afterMerge")
+    assert(afterMerge(30L) == 30L && afterMerge(41L) == 30L,
+      s"old singleton's first edge mislabeled: $afterMerge")
+
+    // gated append: internal-only clusters (no cross edges by contract)
+    graft.streaming.StreamingDedup.gateAndMaintainPairs(dir,
+      Seq((50L, "fresh pair one two three four five six seven eight nine"),
+          (51L, "fresh pair one two three four five six seven eight nine"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(labelsNow == recomputed)
+    assert(labelsNow(51L) == 50L)
+
+    // compact folds the remaps into the labels; values unchanged
+    val before = labelsNow
+    PairStore.compact(spark, dir)
+    assert(labelsNow == before && labelsNow == recomputed)
+  }
+
   test("compact: consolidates pair files, graph bit-identical, serve-through") {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
