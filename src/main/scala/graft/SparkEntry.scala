@@ -1084,6 +1084,68 @@ object SparkEntry {
       res
     }),
 
+    // T1/T2/A2/J3 measured, not just test-verified (VERDICT r08 #6): the
+    // reference's core product shape — topic -> view -> XREF upsert ->
+    // FGAC enrich + quarantine, one foreachBatch statement set — replayed
+    // as a real file-stream over the sf dir's events (5 micro-batches,
+    // the q_stream_range_join fixture discipline). Every stage runs per
+    // batch (incremental bucketed snapshot merge, both fan-out sinks);
+    // the returned result is the FINAL XREF snapshot, whose oracle is the
+    // batch-mode latest-by-key mirror — streamed == batch is the
+    // upsert-changelog contract. Fresh session with batch-sized shuffle
+    // partitions (the q_stream_range_join deployment knob).
+    "q_stream_sttm" -> ((s, dir) => {
+      val in = s"/tmp/graft_cache/${new java.io.File(dir).getName}/sttm_stream_in"
+      withPathLock(in) {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$in/_SUCCESS")))
+          Tables.events(s, dir)
+            .withColumn("part", pmod(col("event_id"), lit(5)))
+            .write.partitionBy("part").mode("overwrite").parquet(in)
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_sttm_q")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val source = s2.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      val cust = Tables.customer(s2, dir)
+      def view(b: DataFrame): DataFrame =
+        b.filter(col("event_type") === "purchase").select(
+          col("user_id").as("USER_ID"),
+          col("event_id").as("EVENT_ID"),
+          col("ts").as("TS"),
+          nullif(trim(get_json_object(col("props"), "$.k")), lit(""))
+            .cast("int").as("K"),
+          col("value").as("VALUE"))
+      def enrich(v: DataFrame, snap: DataFrame): DataFrame =
+        snap.join(cust, snap("USER_ID") === cust("c_custkey"), "left")
+          .select(col("USER_ID"), col("EVENT_ID"),
+            when(col("c_acctbal") >= 0, col("c_name")).otherwise(lit("***"))
+              .as("C_NAME_MASKED"),
+            col("c_mktsegment").as("C_MKTSEGMENT"), col("VALUE"))
+      def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+        v.join(cust.filter(col("c_acctbal") >= 0),
+            v("USER_ID") === col("c_custkey"), "left_anti")
+          .select(col("USER_ID"), col("EVENT_ID"))
+      val q = streaming.StreamingPipeline.run(
+        source, view,
+        streaming.StreamingPipeline.XrefConfig(Seq("USER_ID"), Seq("TS", "EVENT_ID")),
+        enrich, quarantine, work.toString)
+      q.awaitTermination()
+      val res = new streaming.SnapshotStore(s"$work/xref_snapshot").read(s2).get
+        .select(col("USER_ID"), col("EVENT_ID"),
+          unix_micros(col("TS")).as("TS_US"), col("K"), col("VALUE"))
+        .orderBy("USER_ID")
+        .localCheckpoint()
+      val walk = java.nio.file.Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+      res
+    }),
+
     // As-of join: for each purchase, the latest click by the same user at
     // or before purchase time — the time-series enrichment join, encoded
     // as UNION + one per-key ordered window (linear, sessionization plan
@@ -1356,6 +1418,29 @@ object SparkEntry {
         .filter(col("cluster_id") === col("doc_id")) // canonical rep only
         .select(col("doc_id"), col("lang_pred"), col("n_tok"),
           col("stop_ratio"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // The curation pipeline with the TRAINED quality filter replacing the
+    // heuristic leg (VERDICT r08 #7): language-ID gate + stored-weights
+    // classifier keep + near-dup canonical selection, composed end to end
+    // — train once offline (the stored weight artifact), score the corpus
+    // with a broadcast join, keep canonical survivors. Same plan shape as
+    // q_curation_pipeline; the quality gate is now the deployed
+    // CCNet-style filter instead of stop/punct ratios.
+    "q_curation_trained" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = operators.Classify.scoreLinear(docs, "doc_id", "text",
+        operators.Classify.loadWeights(s, classifierWeightsDir(s, dir)))
+      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .join(scored.select(col("doc_id"), col("n_tok"),
+          col("score").cast("long").as("score"), col("keep")), Seq("doc_id"))
+        .join(nearDupClusters(s, dir), Seq("doc_id"))
+        .filter(col("lang_pred") =!= "und")
+        .filter(col("keep"))
+        .filter(col("cluster_id") === col("doc_id")) // canonical rep only
+        .select(col("doc_id"), col("lang_pred"), col("n_tok"), col("score"),
+          col("cluster_id"))
         .orderBy("doc_id")
     }),
 
@@ -3635,7 +3720,49 @@ object SparkEntry {
            AND qual.stop_ratio >= 0.01 AND qual.punct_ratio <= 0.2
            AND cl.cluster_id = d.doc_id
          ORDER BY d.doc_id""",
+    // curation with the trained filter: reuses the classifier weight CTEs
+    // (q_quality_classifier's mirror) for the keep gate, the cluster CTEs
+    // for canonical selection, and the langId CTEs verbatim
+    "q_curation_trained" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         $classifierWtsCtes,
+         alltf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+         alltc AS (SELECT * FROM alltf WHERE token <> ''),
+         scr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                   coalesce(sum(w.w), 0::HUGEINT) AS score
+                 FROM alltc r LEFT JOIN wts w USING (token) GROUP BY 1),
+         lt AS (SELECT doc_id,
+                  list_distinct(string_split(text, ' ')) AS toks FROM documents),
+         ls AS (SELECT doc_id,
+           len(list_intersect(toks, ['der','die','das','und','ist'])) AS s_de,
+           len(list_intersect(toks, ['the','a','and','of','is'])) AS s_en,
+           len(list_intersect(toks, ['el','la','los','y','es'])) AS s_es,
+           len(list_intersect(toks, ['le','la','les','et','est'])) AS s_fr,
+           len(list_intersect(toks, ['de5','shi4','le5','zai4','he2'])) AS s_zh
+         FROM lt),
+         lm AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM ls),
+         lang AS (SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_de = best THEN 'de'
+                WHEN s_en = best THEN 'en'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM lm)
+         SELECT d.doc_id, lang.lang_pred, scr.n_tok,
+           CAST(scr.score AS BIGINT) AS score, cl.cluster_id
+         FROM documents d
+           JOIN lang USING (doc_id) JOIN scr USING (doc_id) JOIN cl USING (doc_id)
+         WHERE lang.lang_pred <> 'und' AND scr.score > 0
+           AND cl.cluster_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_sttm_xref" ->
+      s"""WITH $sttmOracleCte
+         SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
+         FROM xref ORDER BY USER_ID""",
+    // streamed upsert converges to the batch latest-by-key — same mirror
+    "q_stream_sttm" ->
       s"""WITH $sttmOracleCte
          SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
          FROM xref ORDER BY USER_ID""",
