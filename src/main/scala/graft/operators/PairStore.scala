@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, least, lit, max, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, greatest, hash, least, lit, max, pmod, when}
 
 /** Maintained verified near-duplicate pair graph — the third stored
   * curation artifact, closing the loop the other two opened: the
@@ -108,11 +108,31 @@ object PairStore {
   def currentGenDir(dir: String): String =
     GenStore.readOrFail(dir, "PairStore").genDir(dir)
 
+  /** Default id-pfx partition count of the labels table (the
+    * [[DedupIndex]] knob); recorded in the manifest, persisted value wins. */
+  val DefaultPfx = 64
+
+  private def labelPfx(nPfx: Int) = pmod(hash(col("id")), lit(nPfx))
+
+  private def writeLabels(labels: DataFrame, path: String, nPfx: Int): Unit =
+    labels.withColumn("pfx", labelPfx(nPfx))
+      .write.mode("overwrite").partitionBy("pfx").parquet(path)
+
+  // scan-pruning evidence for PairStoreSpec (files selected by the last
+  // ungated append's old-endpoint labels resolve read); flag-gated — the
+  // capture builds an extra physical plan, a per-batch driver cost
+  // production never pays
+  @volatile private[graft] var scanDiagnostics = false
+  private[graft] val lastPrunedLabelFiles =
+    new java.util.concurrent.atomic.AtomicLong(-1L)
+
   def exists(dir: String): Boolean =
     GenStore.read(dir).exists(st =>
-      GenStore.tableComplete(dir, st, "pairs", required = st.segs.toSet) &&
-        // labels materialized per segment since round 9 — stores from
-        // before the column read as absent and rebuild once
+      // labels (id-pfx partitioned, nPfx recorded) materialized per
+      // segment since round 9 — stores from before read as absent and
+      // rebuild once
+      st.props.contains("nPfx") &&
+        GenStore.tableComplete(dir, st, "pairs", required = st.segs.toSet) &&
         GenStore.tableComplete(dir, st, "labels", required = st.segs.toSet)) &&
       DedupIndex.exists(s"$dir/index")
 
@@ -120,7 +140,8 @@ object PairStore {
     * self-join pair set plus the index future appends match against. */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
             minJaccard: Double = 0.6, maxBucket: Int = 4096,
-            oracleParity: Boolean = true): Unit = {
+            oracleParity: Boolean = true, nPfx: Int = DefaultPfx): Unit = {
+    require(nPfx > 0, s"nPfx must be positive, got $nPfx")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // rebuild window: marker dropped before any data is touched, so a
     // crash mid-build reads as absent (same discipline as DedupIndex);
@@ -138,11 +159,14 @@ object PairStore {
     // fixpoint runs once at build over the just-written pairs (read back
     // with the explicit schema, so it is never recomputed from the corpus
     // and an edge-free corpus still round-trips), not once per consumer
-    // session. Appends keep them current via per-segment deltas.
+    // session. Appends keep them current via per-segment deltas; the
+    // id-pfx directory partitions let the append's old-endpoint resolve
+    // join prune its read to the touched ids (the DedupIndex discipline).
     val stored = docs.sparkSession.read.schema(p.schema).parquet(s"$seg/pairs")
-    TextDedup.ccLabels(stored.select(col("id1"), col("id2")))
-      .write.mode("overwrite").parquet(s"$seg/labels")
-    GenStore.init(dir, GenStore.State(0, Vector(GenStore.BaseSeg), Map.empty))
+    writeLabels(TextDedup.ccLabels(stored.select(col("id1"), col("id2"))),
+      s"$seg/labels", nPfx)
+    GenStore.init(dir,
+      GenStore.State(0, Vector(GenStore.BaseSeg), Map("nPfx" -> nPfx)))
   }
 
   /** Grow the graph by one accepted batch (ids disjoint from the stored
@@ -192,20 +216,31 @@ object PairStore {
     *              away. Min-id semantics hold globally because a stored
     *              label IS the min of its members, so the mini-CC min
     *              over {batch ids, old labels} is the true cluster min.
-    * One stored-labels scan per UNGATED append (the old-endpoint resolve
-    * join) — same order as the cross-edge pass itself; gated appends
+    * The old-endpoint resolve read is PRUNED to the touched old ids'
+    * id-pfx partitions (one metadata-scale collect over the batch-bounded
+    * edge endpoints — the DedupIndex discipline; without it every ungated
+    * append paid a stored-labels corpus scan); gated appends
     * ([[appendGated]]) have no cross edges and skip `cur` entirely. */
   private def writeLabelDelta(batch: DataFrame, idCol: String, dir: String,
                               st: GenStore.State, segDir: String,
                               pairSchema: org.apache.spark.sql.types.StructType)
                              : Unit = {
     val spark = batch.sparkSession
+    val nPfx = st.props("nPfx")
     // read the just-written pairs back (explicit schema: an edge-free
     // batch leaves a data-less dir) — never recompute the match
     val e = spark.read.schema(pairSchema).parquet(s"$segDir/pairs")
       .select(col("id1"), col("id2"))
-    val cur = labelsFor(spark, dir, st)
+      .localCheckpoint() // feeds the pfx collect AND the node-map joins
     val bIds = batch.select(col(idCol).as("bid")).distinct()
+    // metadata-scale collect: the touched OLD endpoints' pfx values (at
+    // most nPfx small ints off a batch-bounded edge list)
+    val oldPfx = e.select(col("id1").as("id"))
+      .unionByName(e.select(col("id2").as("id"))).distinct()
+      .join(bIds.withColumnRenamed("bid", "id"), Seq("id"), "left_anti")
+      .select(labelPfx(nPfx).as("pfx")).distinct()
+      .collect().map(_.getInt(0))
+    val cur = labelsFor(spark, dir, st, Some(oldPfx))
     def side(c: String, l: String, b: String): Seq[org.apache.spark.sql.Column] =
       Seq(when(coalesce(col(b), lit(false)), col(c))
             .otherwise(coalesce(col(l), col(c))).as(c),
@@ -227,9 +262,8 @@ object PairStore {
       .unionByName(m.select(col("id2").as("id"), col("_b2").as("isB"), col("_hadid2").as("had")))
       .groupBy("id").agg(max(col("isB")).as("isB"), max(col("had")).as("had"))
     val tagged = mini.join(nodeMeta, Seq("id"))
-    tagged.filter(col("isB") || !col("had"))
-      .select(col("id"), col("lbl"))
-      .write.mode("overwrite").parquet(s"$segDir/labels")
+    writeLabels(tagged.filter(col("isB") || !col("had"))
+      .select(col("id"), col("lbl")), s"$segDir/labels", nPfx)
     tagged.filter(!col("isB") && col("had") && col("lbl") =!= col("id"))
       .select(col("id").as("frm"), col("lbl").as("to"))
       .write.mode("overwrite").parquet(s"$segDir/remaps")
@@ -238,18 +272,36 @@ object PairStore {
   /** Resolved cluster labels pinned to `st`: the stored per-segment label
     * rows with the remap closure applied. The closure input is the
     * merges-since-compact table — tiny, and absent entirely for
-    * build-only or gated-append stores, where this is ONE table read. */
+    * build-only or gated-append stores, where this is ONE table read.
+    * `pfxIn` prunes the read to the given id-pfx partitions (the append's
+    * touched-old-ids cut; files of untouched pfx are statically skipped —
+    * a strict superset of the resolve equi-join, so results per touched
+    * id are identical). */
   private def labelsFor(spark: SparkSession, dir: String,
-                        st: GenStore.State): DataFrame = {
-    val labels = GenStore.readTable(spark, dir, st, "labels")
+                        st: GenStore.State,
+                        pfxIn: Option[Array[Int]] = None): DataFrame = {
+    val labels0 = GenStore.readTable(spark, dir, st, "labels")
+    val labels = pfxIn match {
+      case None => labels0
+      case Some(ps) =>
+        val cut = labels0.filter(if (ps.isEmpty) lit(false)
+          else col("pfx").isin(ps.map(Integer.valueOf): _*))
+        if (scanDiagnostics) lastPrunedLabelFiles.set(
+          cut.queryExecution.sparkPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.selectedPartitions.totalNumberOfFiles
+          }.sum)
+        cut
+    }
+    val flat = labels.select(col("id"), col("lbl"))
     GenStore.readTableIfAny(spark, dir, st, "remaps") match {
-      case None => labels
+      case None => flat
       case Some(r) =>
         // remap chains only ever merge downward to the component min, so
         // the closure of frm is exactly its CC label over the remap edges
         val closure = TextDedup.ccLabels(
           r.select(col("frm").as("id1"), col("to").as("id2")))
-        labels.join(
+        flat.join(
             closure.select(col("id").as("lbl"), col("lbl").as("_r")),
             Seq("lbl"), "left")
           .select(col("id"), coalesce(col("_r"), col("lbl")).as("lbl"))
@@ -284,7 +336,7 @@ object PairStore {
     require(exists(dir), s"no complete PairStore at $dir")
     val (thr, cap) = effectiveParams(dir, minJaccard, maxBucket)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
-    GenStore.appendSeg(dir, "PairStore", seg) { (_, segDir) =>
+    GenStore.appendSeg(dir, "PairStore", seg) { (st, segDir) =>
       val p = TextDedup.nearDuplicatePairs(batch, idCol, textCol, thr,
         cap, oracleParity)
       p.write.mode("overwrite").parquet(s"$segDir/pairs")
@@ -295,8 +347,8 @@ object PairStore {
       // touches a stored one.
       val stored = batch.sparkSession.read.schema(p.schema)
         .parquet(s"$segDir/pairs")
-      TextDedup.ccLabels(stored.select(col("id1"), col("id2")))
-        .write.mode("overwrite").parquet(s"$segDir/labels")
+      writeLabels(TextDedup.ccLabels(stored.select(col("id1"), col("id2"))),
+        s"$segDir/labels", st.props("nPfx"))
     }
     DedupIndex.append(batch, idCol, textCol, s"$dir/index", oracleParity,
       batchId)
@@ -325,9 +377,9 @@ object PairStore {
       GenStore.readTable(spark, dir, st, "pairs").repartition(pairFiles)
         .write.mode("overwrite").parquet(s"$base/pairs")
       // materialize the remap closure into the labels themselves; the
-      // next generation starts remap-free
-      labelsFor(spark, dir, st).repartition(pairFiles)
-        .write.mode("overwrite").parquet(s"$base/labels")
+      // next generation starts remap-free (~one file per pfx partition)
+      writeLabels(labelsFor(spark, dir, st).repartition(pairFiles),
+        s"$base/labels", st.props("nPfx"))
     }
     DedupIndex.compact(spark, s"$dir/index")
   }

@@ -261,14 +261,25 @@ class PairStoreSpec extends AnyFunSuite {
     val aTxt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val bTxt = "north south east west upper lower inner outer front back"
     val sTxt = "solitary unique standalone document nothing matches this one"
+    val cTxt = "quiet untouched family persists far away from every merge"
     val seed = Seq(
       (10L, aTxt), (11L, aTxt),            // cluster A, label 10
       (20L, bTxt), (21L, bTxt),            // cluster B, label 20
-      (30L, sTxt)                           // singleton
+      (30L, sTxt),                          // singleton
+      (50L, cTxt), (51L, cTxt)             // cluster C — never touched
     ).toDF("doc_id", "text")
     val dir = Files.createTempDirectory("graft_pairs_labels").toString
     // floor 0.4: the A+B bridge doc sits near jac 0.5 to each family
     PairStore.build(seed, "doc_id", "text", dir, minJaccard = 0.4)
+    def labelFiles: Long = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(PairStore.currentGenDir(dir)))
+      try s.iterator().asScala.count(p =>
+        p.getFileName.toString.endsWith(".parquet") &&
+          p.toString.contains("/labels/")).toLong
+      finally s.close()
+    }
 
     def labelsNow: Map[Long, Long] = PairStore
       .clusterLabels(spark, dir).collect()
@@ -282,11 +293,20 @@ class PairStoreSpec extends AnyFunSuite {
     assert(!labelsNow.contains(30L), "singleton must have no label row")
 
     // append: a bridge doc near both families (MERGES clusters 10 and 20
-    // -> remap 20 -> 10) plus a near-copy of the old singleton 30
-    PairStore.append(Seq(
+    // -> remap 20 -> 10) plus a near-copy of the old singleton 30. The
+    // old-endpoint resolve read must prune to the TOUCHED ids' pfx
+    // partitions — cluster C is labeled but untouched, so its files stay
+    // unread (flag-gated evidence, the IncrIndexSpec discipline).
+    val total = labelFiles
+    PairStore.scanDiagnostics = true
+    try PairStore.append(Seq(
         (40L, s"$aTxt $bTxt"),
         (41L, sTxt.replaceFirst("^\\S+", "isolated"))
       ).toDF("doc_id", "text"), "doc_id", "text", dir)
+    finally PairStore.scanDiagnostics = false
+    val scanned = PairStore.lastPrunedLabelFiles.get()
+    assert(scanned > 0 && scanned < total,
+      s"labels resolve read not pruned: $scanned of $total files")
     val afterMerge = labelsNow
     assert(afterMerge == recomputed,
       s"label delta diverged from recompute: $afterMerge vs $recomputed")
