@@ -90,15 +90,20 @@ object AnnIndexStore {
   // generation instead of per micro-batch (VERDICT r08 #4). build()
   // drops the dir's entries; an in-place rebuild from another process
   // already deletes files under any live reader and is out of contract.
-  private val coarseCache = scala.collection.concurrent.TrieMap
-    .empty[String, Seq[(Int, Array[Long])]]
-  private val pqCache = scala.collection.concurrent.TrieMap
-    .empty[String, Map[Int, Seq[(Int, Array[Long])]]]
+  // Bounded LRU (keys are generation-qualified paths: cross-process rebuilds
+  // bump the generation and would otherwise accumulate dead-gen codebooks).
+  private def lru[V](max: Int) =
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
+        size() > max
+    }
+  private val coarseCache = lru[Seq[(Int, Array[Long])]](64)
+  private val pqCache = lru[Map[Int, Seq[(Int, Array[Long])]]](64)
 
   private def dropCodebooks(dir: String): Unit = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
-    coarseCache.keys.filter(_.startsWith(abs)).foreach(coarseCache.remove)
-    pqCache.keys.filter(_.startsWith(abs)).foreach(pqCache.remove)
+    coarseCache.synchronized(coarseCache.keySet.removeIf(_.startsWith(abs)))
+    pqCache.synchronized(pqCache.keySet.removeIf(_.startsWith(abs)))
   }
 
   // pre-v3 layouts at the store root: flat tables, swap debris, meta.json
@@ -552,16 +557,24 @@ object AnnIndexStore {
       GenStore.readTableCached(spark, dir, st, "vectors").filter(pfxIsin))
   }
 
+  private def cached[V](cache: java.util.LinkedHashMap[String, V],
+                        base: String)(load: => V): V = {
+    val k = java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString
+    cache.synchronized(Option(cache.get(k))).getOrElse {
+      val v = load // outside the lock: load runs Spark jobs
+      cache.synchronized(cache.put(k, v))
+      v
+    }
+  }
+
   private def coarseCents(spark: SparkSession, base: String): Seq[(Int, Array[Long])] =
-    coarseCache.getOrElseUpdate(
-      java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString,
+    cached(coarseCache, base)(
       spark.read.parquet(s"$base/coarse").select("j", "q").collect()
         .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)).sortBy(_._1).toSeq)
 
   private def pqCents(spark: SparkSession,
                       base: String): Map[Int, Seq[(Int, Array[Long])]] =
-    pqCache.getOrElseUpdate(
-      java.nio.file.Paths.get(base).toAbsolutePath.normalize.toString,
+    cached(pqCache, base)(
       spark.read.parquet(s"$base/pqcents").select("sub", "j", "q").collect()
         .groupBy(_.getInt(0))
         .map { case (s, rows) => s -> rows

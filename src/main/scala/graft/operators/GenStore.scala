@@ -289,9 +289,22 @@ private[graft] object GenStore {
   // left is an in-place rebuild from ANOTHER process producing the exact
   // same (gen, segs) — which already deletes files under any live reader
   // and is out of contract for every maintained store.
+  // Bounded, access-ordered (LRU): the cached DataFrame strongly references
+  // its SparkSession, so an unbounded session-keyed map would pin every
+  // `newSession()` a serving loop ever creates (and weak keys can't help —
+  // the value would keep its own key alive). 64 entries covers many stores
+  // x 3 tables for the handful of live sessions a real process holds;
+  // churning sessions just cycle the tail out and become collectable.
+  private val TableCacheMax = 64
   private val tableCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, String), (Int, Vector[String], DataFrame)]
+    new java.util.LinkedHashMap[
+        (SparkSession, String, String), (Int, Vector[String], DataFrame)](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, String),
+                                 (Int, Vector[String], DataFrame)]): Boolean =
+        size() > TableCacheMax
+    }
 
   /** [[readTable]] with the constructed frame memoized per (session, dir,
     * table) while the manifest's (gen, segs) are unchanged — the serving
@@ -300,14 +313,19 @@ private[graft] object GenStore {
   def readTableCached(spark: SparkSession, dir: String, st: State,
                       table: String): DataFrame = {
     val key = (spark, Paths.get(dir).toAbsolutePath.normalize.toString, table)
-    tableCache.get(key) match {
+    val hit = tableCache.synchronized { Option(tableCache.get(key)) }
+    hit match {
       case Some((g, segs, df)) if g == st.gen && segs == st.segs => df
       case _ =>
         val df = readTable(spark, dir, st, table)
-        tableCache.put(key, (st.gen, st.segs, df))
+        tableCache.synchronized { tableCache.put(key, (st.gen, st.segs, df)) }
         df
     }
   }
+
+  /** Visible size for the eviction spec. */
+  private[graft] def tableCacheSize: Int =
+    tableCache.synchronized(tableCache.size())
 
   /** [[readTable]] tolerating a table with no data in ANY segment (e.g. a
     * store whose optional side-table only materializes when non-empty):
@@ -321,7 +339,9 @@ private[graft] object GenStore {
 
   private def dropCached(dir: String): Unit = {
     val abs = Paths.get(dir).toAbsolutePath.normalize.toString
-    tableCache.keys.filter(_._2 == abs).foreach(tableCache.remove)
+    tableCache.synchronized {
+      tableCache.keySet.removeIf(_._2 == abs)
+    }
   }
 
   // a segment table dir with no data files (an empty-frame write leaves

@@ -35,6 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * key / JSON `null` -> null. Exotic paths (brackets, `$[...]`, nested dots)
   * are left as `get_json_object` — the planned fallback.
   *
+  * Known, pinned divergence: an object with DUPLICATE keys (invalid per
+  * RFC 8259 §4, undetectable statically) yields the FIRST occurrence from
+  * `get_json_object` (streaming first-match) but the LAST from the fused
+  * `from_json` (row-builder overwrite). ViewFusionSpec pins both behaviors.
+  *
   * Installed via `spark.experimental.extraOptimizations`, which runs AFTER
   * Spark's own `OptimizeCsvJsonExprs` batch — important, because that rule
   * would otherwise split `GetStructField(JsonToStructs(wide))` back into one
@@ -140,9 +145,17 @@ object FuseJsonAccess extends Rule[LogicalPlan] {
     if (groups.isEmpty) None
     else {
       val parsed = mkParsed(groups, reprs)
-      val lowerNew = rewrite(lower, identity, parsed) ++ parsed.values.map(_._1)
+      // The parse alias gets its OWN Project below the rewritten lower one:
+      // rewrite(lower) references the parse attribute, so defining the alias
+      // in the same Project would be an invalid sibling reference (binds fine
+      // at analysis replay but fails BindReferences at execution whenever the
+      // hoisted common-expr column is materialized).
+      val parseAliases = parsed.values.map(_._1).toSeq
+      val lowest = Project(child.output ++ parseAliases, child)
+      val lowerNew =
+        rewrite(lower, identity, parsed) ++ parseAliases.map(_.toAttribute)
       val upperNew = rewrite(upper, subst, parsed)
-      Some(Project(upperNew, Project(lowerNew, child)))
+      Some(Project(upperNew, Project(lowerNew, lowest)))
     }
   }
 

@@ -142,4 +142,30 @@ class GenStoreSpec extends AnyFunSuite {
       "manifest must not pick up uncommitted directories")
     assert(!GenStore.batchApplied(dir, 13))
   }
+
+  test("readTableCached is bounded: newSession-per-call serving cannot pin sessions") {
+    // ADVICE r9 #4: the frame cache keys on SparkSession and each cached
+    // DataFrame strongly references its session, so an unbounded map would
+    // accumulate every newSession() a long-running serving loop creates.
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val dir = newStore()
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/g0/${GenStore.BaseSeg}/t")
+    val st = GenStore.read(dir).get
+    (1 to 100).foreach { _ =>
+      val s = spark.newSession()
+      assert(GenStore.readTableCached(s, dir, st, "t").count() == 2)
+    }
+    assert(GenStore.tableCacheSize <= 64,
+      s"cache grew unboundedly: ${GenStore.tableCacheSize}")
+    // the hot entry still serves from cache: same session+gen returns the
+    // identical frame object
+    val s = spark.newSession()
+    val a = GenStore.readTableCached(s, dir, st, "t")
+    val b = GenStore.readTableCached(s, dir, st, "t")
+    assert(a eq b)
+  }
 }

@@ -112,9 +112,13 @@ class ViewFusionSpec extends AnyFunSuite {
     // the colspec shape: one topic payload column, k JSON-mapped columns —
     // the plan the reference compiles to k JSON_VALUE re-parses per row.
     val dir = "/root/testdata/sf0.001"
-    Tables.events(spark, dir).select(to_json(struct(
-      lit("evt").as("tbl"), col("event_id"), col("user_id"), col("event_type"),
-      col("value").cast("decimal(10,2)").cast("string").as("amt"))).as("val"))
+    // `k` is a typed passthrough of the PK so ground-truth queries can key
+    // their rows with a SINGLE JSON access (two would fuse and test nothing).
+    Tables.events(spark, dir).select(
+      col("event_id").as("k"),
+      to_json(struct(
+        lit("evt").as("tbl"), col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("decimal(10,2)").cast("string").as("amt"))).as("val"))
       .createOrReplaceTempView("vf_topic")
     graft.functions.FlinkCompat.register(spark)
     val vw = spark.sql(
@@ -132,11 +136,55 @@ class ViewFusionSpec extends AnyFunSuite {
       f.condition.collect { case _: GetJsonObject => 1 }.sum
     }.sum
     assert(filterParses >= 1)
-    assert(vw.count() > 0)
-    // semantics spot-check against the typed source
+    // Full materialization of EVERY view column (a count() re-optimizes and
+    // prunes the hoisted-common-expr AMT column away before the rule runs,
+    // which is exactly how the sibling-alias execution crash stayed
+    // invisible): collect all columns and value-compare against per-column
+    // single-access ground truth (single distinct path => unfused).
+    val got = vw.collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getString(2),
+          if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .toMap
+    assert(got.nonEmpty)
+    def groundTruth(expr: String): Map[Long, Any] = {
+      val df = spark.sql(s"SELECT k AS K, $expr AS V FROM vf_topic")
+      assert(jsonToStructsCount(df.queryExecution.optimizedPlan) == 0,
+        "ground-truth query must stay unfused: " +
+          df.queryExecution.optimizedPlan.toString)
+      df.collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    }
+    val gtUser = groundTruth(
+      "CAST(TRIM(JSON_VALUE(CAST(val AS STRING), '$.user_id')) AS BIGINT)")
+    val gtType = groundTruth(
+      "CAST(TRIM(JSON_VALUE(CAST(val AS STRING), '$.event_type')) AS STRING)")
+    val gtAmt = groundTruth(
+      "CAST(NULLIF(TRIM(JSON_VALUE(CAST(val AS STRING), '$.amt')), '') AS DOUBLE)")
     val n = Tables.events(spark, dir).count()
-    assert(vw.count() == n)
-    assert(vw.filter(col("EVENT_ID").isNull || col("USER_ID").isNull).count() == 0)
+    assert(got.size == n)
+    got.foreach { case (id, (u, t, a)) =>
+      assert(u == gtUser(id), s"row $id USER_ID")
+      assert(t == gtType(id), s"row $id EVENT_TYPE")
+      assert(a == gtAmt(id), s"row $id AMT: got $a want ${gtAmt(id)}")
+    }
+  }
+
+  test("duplicate-key payloads: fused takes the LAST occurrence (documented divergence)") {
+    // get_json_object (Jackson streaming, first match wins) returns the FIRST
+    // duplicate; from_json's row builder overwrites, so the fused plan
+    // returns the LAST. This is a pinned, documented divergence (duplicate
+    // keys are invalid per RFC 8259 §4 "names within an object SHOULD be
+    // unique"); see the FuseJsonAccess scaladoc.
+    import spark.implicits._
+    viaParquet(Seq((1, """{"a":"first","b":"y","a":"second"}"""))
+      .toDF("id", "p"), "dup").createOrReplaceTempView("vf_dup")
+    val fused = spark.sql(
+      "SELECT get_json_object(p, '$.a') AS a, get_json_object(p, '$.b') AS b FROM vf_dup")
+    assert(jsonToStructsCount(fused.queryExecution.optimizedPlan) == 1)
+    val r = fused.collect()(0)
+    assert(r.getString(0) == "second" && r.getString(1) == "y")
+    val unfused = spark.sql("SELECT get_json_object(p, '$.a') AS a FROM vf_dup")
+    assert(jsonToStructsCount(unfused.queryExecution.optimizedPlan) == 0)
+    assert(unfused.collect()(0).getString(0) == "first")
   }
 
   test("demo pipeline still runs green end-to-end with the rule installed") {
