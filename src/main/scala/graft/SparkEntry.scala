@@ -63,6 +63,34 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // P1 at production width (VERDICT r9 #2): a 32-mapped-column JSON view —
+    // the reference's wide-STTM shape (scripts/sttm_to_flink_v22.py:218-228
+    // emits one JSON_VALUE re-parse per mapped column; real STTM workbooks
+    // carry dozens). FuseJsonAccess collapses the 33 accesses (32 typed
+    // fields + the NULLIF(TRIM(..)) hoisted-common-expr column, the shape
+    // that crashed pre-r10) into ONE from_json parse. Payload is synthesized
+    // by string concat so the oracle sees identical bytes; NULL event_type
+    // nulls the whole payload in both engines (the NULL-payload path).
+    // SPARK_GRAFT_NO_FUSE=1 disables the rule for the recorded width-32 A/B.
+    "q_view_parse_wide" -> ((s, dir) => {
+      graft.plans.FuseJsonAccess.install(s)
+      val parts: Seq[org.apache.spark.sql.Column] =
+        (lit("{\"typ\":\"") +: col("event_type") +: lit("\"") +:
+          (0 until 32).flatMap(i => Seq(
+            lit(s""","f$i":"""),
+            (col("event_id") + lit(i)).cast("string")))) :+ lit("}")
+      Tables.events(s, dir)
+        .withColumn("payload", concat(parts: _*))
+        .select(
+          col("event_id") +:
+          nullif(trim(get_json_object(col("payload"), "$.typ")), lit(""))
+            .as("typ") +:
+          (0 until 32).map(i =>
+            get_json_object(col("payload"), s"$$.f$i")
+              .cast("bigint").as(s"f$i")): _*)
+        .orderBy("event_id")
+    }),
+
     // A1+A2 — XREF latest-by-key snapshot (row_number over pk, rn=1).
     // Pre-projection before the aggregate: max_by(struct(*)) would otherwise
     // carry the unused props payload through the shuffle.
@@ -2411,6 +2439,20 @@ object SparkEntry {
            split_part(payload, '|', 3) AS f2,
            CAST(split_part(payload, '|', 1) AS BIGINT) AS f0_id
          FROM p ORDER BY event_id""",
+    "q_view_parse_wide" -> {
+      val payload = "'{\"typ\":\"' || event_type || '\"' || " +
+        (0 until 32).map(i =>
+          s"""',"f$i":' || CAST(event_id + $i AS VARCHAR)""")
+          .mkString(" || ") + " || '}'"
+      val fields = (0 until 32).map(i =>
+        s"CAST(json_extract_string(payload, '$$.f$i') AS BIGINT) AS f$i")
+        .mkString(", ")
+      s"""WITH p AS (SELECT event_id, $payload AS payload FROM events)
+         SELECT event_id,
+           nullif(trim(json_extract_string(payload, '$$.typ')), '') AS typ,
+           $fields
+         FROM p ORDER BY event_id"""
+    },
     "q_xref_latest" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
          FROM (SELECT *, row_number() OVER

@@ -51,8 +51,11 @@ object FuseJsonAccess extends Rule[LogicalPlan] {
 
   private val SimpleDotPath = """^\$\.([A-Za-z_][A-Za-z0-9_]*)$""".r
 
-  /** Install into the session's extraOptimizations exactly once. */
+  /** Install into the session's extraOptimizations exactly once.
+    * `SPARK_GRAFT_NO_FUSE=1` skips installation — the measurement knob for
+    * the recorded fused/unfused bench A/B (BASELINE.md round 10). */
   def install(spark: SparkSession): Unit = synchronized {
+    if (sys.env.get("SPARK_GRAFT_NO_FUSE").exists(_.nonEmpty)) return
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(this))
       spark.experimental.extraOptimizations = cur :+ this

@@ -187,6 +187,19 @@ class ViewFusionSpec extends AnyFunSuite {
     assert(unfused.collect()(0).getString(0) == "first")
   }
 
+  test("width-32 production view (q_view_parse_wide) plans exactly one parse") {
+    val df = SparkEntry.queries("q_view_parse_wide")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    assert(jsonToStructsCount(plan) == 1, plan.toString)
+    assert(projectGetJsonCount(plan) == 0, plan.toString)
+    // the crashing pre-r10 shape: materialize every column, incl. the
+    // NULLIF hoisted-common-expr one
+    val rows = df.collect()
+    assert(rows.length > 0)
+    assert(rows.exists(r => !r.isNullAt(1)))   // typ
+    assert(rows.exists(r => !r.isNullAt(33)))  // f31
+  }
+
   test("demo pipeline still runs green end-to-end with the rule installed") {
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("events")
     Tables.customer(spark, "/root/testdata/sf0.001").createOrReplaceTempView("customer")
