@@ -856,6 +856,27 @@ object SparkEntry {
           10000.0).as("recall"))
     }),
 
+    // Standing recall audit of the STORED text gate (VERDICT r9 #8 — the
+    // q_ann_gate_recall discipline for DedupIndex.matchBatch): found =
+    // the index-backed cross-side verified pairs, truth = the exact
+    // AllPairs cross-side ground truth at the same threshold. found ⊆
+    // true (every gate pair is exact-verified), so recall = found/true;
+    // a banding/ceiling regression now fails the gate, not the eyeball.
+    "q_dedup_gate_recall" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val truth = memo(s, s"exact:$dir")(TextDedup.exactJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
+        .filter((col("id1") % 5 === 0) =!= (col("id2") % 5 === 0))
+      val found = operators.DedupIndex.matchBatchPairs(
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        incrDedupIndexDir(s, dir))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          (floor(col("n_found").cast("double") / col("n_true") * 10000) /
+            10000.0).as("recall"))
+    }),
+
     // Incremental corpus dedup (the batch-N+1 ingestion shape): incoming
     // docs (doc_id % 5 == 0) matched against the existing corpus (the rest)
     // through the minhash band index — cross-side equi-join only, never
@@ -3336,6 +3357,36 @@ object SparkEntry {
     "q_incr_dedup" ->
       incrDedupOracle("WHERE doc_id % 5 = 0", "WHERE doc_id % 5 <> 0",
         "d.doc_id % 5 = 0"),
+    // gate recall: found = the banded cross-side mirror (vf); truth = the
+    // exact AllPairs cross-side set over the same slices (prefix-filtered
+    // candidate generation is complete at jac >= 0.6, same scheme as the
+    // q_lsh_recall truth CTE)
+    "q_dedup_gate_recall" ->
+      s"""WITH ${crossVerifiedCtes("WHERE doc_id % 5 = 0", "WHERE doc_id % 5 <> 0")},
+         ttok AS (SELECT doc_id, unnest(sh) AS tok
+                  FROM (SELECT * FROM vshi UNION ALL SELECT * FROM vshe)),
+         tdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM ttok GROUP BY tok),
+         tord AS (SELECT t.doc_id, array_agg(t.tok ORDER BY d.df, t.tok) AS toks
+                  FROM ttok t JOIN tdf d ON d.tok = t.tok GROUP BY t.doc_id),
+         tpre AS (SELECT doc_id, len(toks) AS ln,
+                    unnest(toks[1 : len(toks) - CAST(ceil(len(toks) * 0.6) AS INT) + 1]) AS tok
+                  FROM tord),
+         tcand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                   FROM tpre a
+                     JOIN (SELECT doc_id FROM vshi) tin ON tin.doc_id = a.doc_id
+                     JOIN tpre b ON b.tok = a.tok
+                     JOIN (SELECT doc_id FROM vshe) tex ON tex.doc_id = b.doc_id),
+         ttr AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+                 FROM tcand JOIN vshi x ON x.doc_id = new_id
+                   JOIN vshe y ON y.doc_id = old_id
+                 WHERE floor(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.sh, y.sh))) * 10000)
+                         / 10000 >= 0.6),
+         nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM vf)
+         SELECT ttr.n_true, nf.n_found,
+           floor(CAST(nf.n_found AS DOUBLE) / ttr.n_true * 10000) / 10000 AS recall
+         FROM ttr, nf""",
     // pair-store mirror: hybrid self-join pairs per slice (vpa over the
     // 3/4 build corpus, vpb over the appended batch) UNION the cross-side
     // verified all-pairs set (vf, the same CTE chain the incr-dedup
@@ -4764,7 +4815,8 @@ object SparkEntry {
     * timing it alongside the headline queries would misstate the
     * pipeline's cost. Excluded queries remain in `queries`/`oracleSql`
     * and are oracle-checked at sf0.01 by the correctness gate. */
-  val benchExclude: Set[String] = Set("q_lsh_recall", "q_ann_gate_recall")
+  val benchExclude: Set[String] = Set("q_lsh_recall", "q_ann_gate_recall",
+    "q_dedup_gate_recall")
 
   /** Drop this session's memoized intermediates so the next query rebuilds
     * them from source. Used by `graft.Bench` between timing runs so every
