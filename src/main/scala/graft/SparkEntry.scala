@@ -2022,6 +2022,18 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // Production-scale batched BPE (VERDICT r9 #4): 256 merges — enough to
+    // show the batch factor 16 can't (realized rounds: 78 at sf0.01 / 83
+    // at sf0.1 = ~31% of sequential; the disjoint-prefix constraint binds
+    // before maxBatch, so avg batch ≈ 3.3 merges/round on this corpus).
+    // Bit-identical to sequential train by the same proof, so the oracle
+    // is the 256-step sequential merge-CTE mirror.
+    "q_bpe_train_prod" -> ((s, dir) => {
+      operators.Bpe.trainBatched(Tables.documents(s, dir), "text",
+          nMerges = 256, maxBatch = 8)
+        .orderBy("step")
+    }),
+
     // Apply the learned merges corpus-wide: per-doc char vs BPE token
     // counts — the compression audit of the trained vocabulary (the 16
     // merges ride along as replace literals; one corpus scan).
@@ -4314,6 +4326,12 @@ object SparkEntry {
     "q_bpe_train_batched" ->
       s"""WITH ${bpeCtes(16)}
          SELECT * FROM (${(0 until 16).map(i =>
+           s"SELECT CAST($i AS INT) AS step, l AS l_tok, r AS r_tok, c AS cnt FROM b$i")
+           .mkString(" UNION ALL ")})
+         ORDER BY step""",
+    "q_bpe_train_prod" ->
+      s"""WITH ${bpeCtes(256)}
+         SELECT * FROM (${(0 until 256).map(i =>
            s"SELECT CAST($i AS INT) AS step, l AS l_tok, r AS r_tok, c AS cnt FROM b$i")
            .mkString(" UNION ALL ")})
          ORDER BY step""",

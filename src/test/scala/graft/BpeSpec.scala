@@ -82,6 +82,22 @@ class BpeSpec extends AnyFunSuite {
     assert(rounds < 16, s"batching never fired: $rounds rounds for 16 merges")
   }
 
+  test("256-merge production depth: batched == sequential to vocabulary saturation") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // q_bpe_train_prod's contract: at a merge budget beyond what the corpus
+    // supports, both paths emit the identical merge table and stop at the
+    // same saturation point (no pair left to merge) — the exhaustion edge a
+    // 16-merge test never reaches.
+    val seqM = Bpe.train(testdataDocs, "text", 256).orderBy("step")
+      .collect().map(_.toSeq).toSeq
+    val batM = Bpe.trainBatched(testdataDocs, "text", 256, maxBatch = 8)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    assert(batM == seqM, s"prod-depth divergence at ${
+      batM.zip(seqM).indexWhere { case (x, y) => x != y }}")
+    assert(seqM.length < 256, "corpus unexpectedly supports 256 merges; " +
+      "saturation edge untested")
+  }
+
   private def testdataDocs =
     Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
 }
