@@ -112,6 +112,18 @@ class StreamingAnnSpec extends AnyFunSuite {
       "a verdict row was appended twice")
     assert(streamed.toSet == batchAns,
       s"missing=${batchAns -- streamed.toSet} extra=${streamed.toSet -- batchAns}")
+
+    // retry shape (VERDICT r9 #5): re-running a batch's labeling sink
+    // action replaces its batchId-keyed output, log unchanged
+    AnnIndexStore.knnClassify(
+        queryRows.take(3).toDF("vec_id", "embedding"), "vec_id", "embedding",
+        idxDir, spark.read.parquet(s"$work/labels"), "vec_id", "label",
+        k = 5, nProbe = 2, refine = 30)
+      .write.mode("overwrite").parquet(s"$work/out/batch=0")
+    val retried = StreamingAnn.answers(spark, s"$work/out")
+      .collect().map(_.toSeq)
+    assert(retried.toSet == batchAns && retried.length == streamed.length,
+      "a retried labeling micro-batch changed the verdict log")
   }
 
   test("vector gate-and-maintain: duplicates drop, survivors screen later batches") {

