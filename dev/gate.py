@@ -74,6 +74,24 @@ except ValueError:
     fingerprints = {}
     fp_rc = fp_rc or 1
 
+# Commit-time artifact self-check (VERDICT r9 #6): the driver's collection
+# clobbered CORRECTNESS_r{N}.json back to `{}` four rounds running. Embed
+# the full driver-schema record + its md5 INSIDE the local record (which
+# the driver never touches), so the authoritative copy always survives a
+# clobber and `dev/seal.py` can verify/re-emit it at round close.
+driver_record, driver_md5 = {}, None
+if driver_path and os.path.exists(driver_path):
+    raw = open(driver_path, "rb").read()
+    import hashlib
+    driver_md5 = hashlib.md5(raw).hexdigest()
+    try:
+        driver_record = json.loads(raw)
+    except ValueError:
+        driver_record = {}
+if not driver_record:
+    check_rc = check_rc or 1
+    print(f"[gate] ERROR: driver-schema record {driver_path} is empty/missing")
+
 record = {
     "sf": sfdir,
     "verify_rc": verify_rc,
@@ -81,11 +99,19 @@ record = {
     "fingerprint_rc": fp_rc,
     "oracle": oracle,
     "fingerprints": fingerprints,
+    "driver_record_md5": driver_md5,
+    "driver_record": driver_record,
 }
 with open(out_record, "w") as f:
     json.dump(record, f, indent=1)
+import hashlib
+local_md5 = hashlib.md5(open(out_record, "rb").read()).hexdigest()
 ok = oracle.get("n_pass", 0)
 tot = oracle.get("n_oracle", 0)
 print(f"[gate] record -> {out_record}: oracle {ok}/{tot}, "
       f"rc verify={verify_rc} check={check_rc} fp={fp_rc}")
+print(f"[gate] md5 {os.path.basename(out_record)}={local_md5} "
+      f"{os.path.basename(driver_path) if driver_path else '?'}={driver_md5} "
+      f"({len(driver_record)} entries) — quote both in the commit body; "
+      f"run dev/seal.py at round close to re-emit after a driver clobber")
 sys.exit(0 if (verify_rc == 0 and check_rc == 0 and fp_rc == 0) else 1)

@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+"""Round-close artifact self-check (VERDICT r9 #6): the driver's collection
+clobbered CORRECTNESS_r{N}.json back to `{}` after the round commit in
+rounds 6-9. dev/gate.py embeds the authoritative driver-schema record (and
+its md5) inside CORRECTNESS_local_r{N}.json, which the driver never touches;
+this script verifies the sibling CORRECTNESS_r{N}.json against that copy and
+re-emits it if it was clobbered.
+
+Usage: python3 dev/seal.py CORRECTNESS_local_r10.json
+Exit 0 = intact; exit 2 = repaired (re-run `git add` + commit); exit 1 = the
+local record itself carries no embedded copy (pre-r10 gate.py — re-run gate).
+"""
+import hashlib, json, os, sys
+
+local_path = sys.argv[1]
+local = json.load(open(local_path))
+embedded = local.get("driver_record") or {}
+want_md5 = local.get("driver_record_md5")
+if not embedded:
+    print(f"[seal] {local_path} has no embedded driver record — re-run dev/gate.py")
+    sys.exit(1)
+
+driver_path = os.path.join(
+    os.path.dirname(os.path.abspath(local_path)),
+    os.path.basename(local_path).replace("_local", "", 1))
+cur_md5, cur_entries = None, 0
+if os.path.exists(driver_path):
+    raw = open(driver_path, "rb").read()
+    cur_md5 = hashlib.md5(raw).hexdigest()
+    try:
+        cur_entries = len(json.loads(raw))
+    except ValueError:
+        cur_entries = 0
+
+if cur_entries == len(embedded) and (want_md5 is None or cur_md5 == want_md5):
+    print(f"[seal] {driver_path} intact: md5={cur_md5}, {cur_entries} entries")
+    sys.exit(0)
+
+with open(driver_path, "w") as f:
+    json.dump(embedded, f, indent=1)
+new_md5 = hashlib.md5(open(driver_path, "rb").read()).hexdigest()
+print(f"[seal] REPAIRED {driver_path}: was md5={cur_md5} ({cur_entries} "
+      f"entries), re-emitted {len(embedded)} entries md5={new_md5} "
+      f"(recorded {want_md5})")
+sys.exit(2)
