@@ -80,7 +80,7 @@ object ColumnSpecCompiler {
 
   /** One CREATE VIEW per distinct source table: JSON_VALUE projection of all
     * referenced source columns from the shared topic, demuxed on `$.tbl`. */
-  def emitViews(rows: Seq[Row], cfg: Config): Seq[(String, String)] = {
+  private def viewColumns(rows: Seq[Row]): Seq[(String, Seq[String])] = {
     val srcMap = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     rows.foreach { r =>
       if (r.sourceTable.nonEmpty && r.sourceColumn.nonEmpty) {
@@ -89,7 +89,11 @@ object ColumnSpecCompiler {
           srcMap(r.sourceTable) = cur :+ r.sourceColumn
       }
     }
-    srcMap.toSeq.map { case (tbl, cols) =>
+    srcMap.toSeq
+  }
+
+  def emitViews(rows: Seq[Row], cfg: Config): Seq[(String, String)] =
+    viewColumns(rows).map { case (tbl, cols) =>
       val name = viewName(cfg, tbl)
       val selects = cols.map(c => s"  JSON_VALUE(${cfg.jsonColumn}, '$$.$c') AS `$c`")
       val sql = s"CREATE VIEW `$name` AS\nSELECT\n" + selects.mkString(",\n") +
@@ -97,7 +101,23 @@ object ColumnSpecCompiler {
         s"\nWHERE JSON_VALUE(${cfg.jsonColumn}, '${cfg.tblPath}') = '$tbl';"
       name -> sql
     }
-  }
+
+  /** The export-artifact flavor of [[emitViews]]: byte-for-byte the
+    * reference's emitted view style (final-output.sql:3-31 — header column
+    * list, un-aliased selects, lowercase keywords, `where` on its own
+    * line). [[emitViews]]' backticked/aliased flavor stays the execution
+    * path; GoldenSqlSpec byte-compares this one against the golden file. */
+  def emitViewsGolden(rows: Seq[Row], cfg: Config): Seq[(String, String)] =
+    viewColumns(rows).map { case (tbl, cols) =>
+      val name = viewName(cfg, tbl)
+      val json = cfg.jsonColumn.toLowerCase
+      val selects = cols.map(c => s"  json_value($json, '$$.$c')")
+      val sql = s"create view $name (${cols.mkString(", ")}) as\nselect\n" +
+        selects.mkString(",\n") +
+        s"\nfrom ${cfg.sourceViewFrom}\nwhere\n" +
+        s"  json_value($json, '${cfg.tblPath}') = '$tbl';"
+      name -> sql
+    }
 
   /** INSERT for one target: UNION-ALL arms with shared column list. Returns
     * (columnList, selectSql). */
@@ -187,15 +207,17 @@ object ColumnSpecCompiler {
     * artifact GoldenSqlSpec shape-diffs against the reference's committed
     * golden output. */
   def emitBundle(rows: Seq[Row], cfg: Config): String = {
-    val views = emitViews(rows, cfg).map(_._2).mkString("\n\n")
+    val views = emitViewsGolden(rows, cfg).map(_._2).mkString("\n\n")
     val targets = rows.map(_.targetTable).filter(_.nonEmpty).distinct
     val ddls = targets.map(t => emitTableDdl(rows, t, cfg)).mkString("\n\n")
     val inserts = targets.map { t =>
       val (cols, select) = buildInsertSelect(rows, t, cfg)
       s"INSERT INTO $t (${cols.mkString(", ")})\n$select;"
     }.mkString("\n\n")
-    s"-- ===== VIEWS =====\n\n$views\n\n" +
-      s"-- ===== SINK TABLES =====\n\n$ddls\n\n" +
+    // separators are part of the byte contract: each section ends with the
+    // final statement's `;`, one blank line, one more blank line, header
+    s"-- ===== VIEWS =====\n\n$views\n\n\n" +
+      s"-- ===== SINK TABLES =====\n\n$ddls\n\n\n" +
       s"-- ===== INSERTS =====\nexecute statement set\nbegin\n$inserts\nend;\n"
   }
 

@@ -53,18 +53,19 @@ class GoldenSqlSpec extends AnyFunSuite {
     assert(results.count(_.ok) >= 6)
   }
 
-  test("bundle shape-diff against the reference's committed final-output.sql") {
+  test("bundle is BYTE-IDENTICAL to the reference's committed final-output.sql") {
     // Regenerate the golden bundle from a column-spec sheet describing the
     // same pipeline (the repo's STTM_v5 workbook is itself a lossy re-
     // derivation "from final SQL images", so the spec is authored here) and
-    // compare STRUCTURE + normalized statement text. Pinned divergences:
-    //  1. final-output.sql:98 is missing `then` in a CASE arm (the genuine
-    //     reference bug GoldenSqlSpec already pins) — patched before diff.
-    //  2. golden CREATE VIEW carries a header column list with un-aliased
-    //     selects; ours aliases each select instead — views are compared as
-    //     (name, columns, source, discriminator) shapes, not text.
-    //  3. backticks, keyword case, and the view's `AS e` source alias are
-    //     normalization-level differences.
+    // byte-compare. The complete divergence list (VERDICT r9 #7):
+    //  1. final-output.sql:98 is missing `then` in a CASE arm — the genuine
+    //     reference bug this suite pins in its parse test; our compile emits
+    //     the arm CORRECTLY, so the golden side is patched before compare.
+    //  That is the whole list. In particular the reference's latent
+    //  12-hour-clock bug (SURVEY §7.5.7: 'yyyy-MM-dd hh:mm:ss.SSS' uses
+    //  hh where HH is meant) is reproduced VERBATIM — the pattern string
+    //  is workbook data carried through the compile, so byte-identity
+    //  covers it rather than diverging on it.
     import graft.compile.ColumnSpecCompiler
     import graft.compile.ColumnSpecCompiler.Config
     val golden = Files.readString(
@@ -75,56 +76,16 @@ class GoldenSqlSpec extends AnyFunSuite {
       ColumnSpecCompiler.fromCsv(rowsIn),
       Config(viewPrefix = "hm_", viewSuffix = "_vw", sourceViewFrom = "hm_db",
         jsonColumn = "CAST(val AS STRING)", tblPath = "$.tbl"))
-
-    def norm(s: String): String =
-      s.replace("`", "").toLowerCase
-        .split("\\s+").filter(_.nonEmpty).mkString(" ").trim
-    def sections(text: String): Map[String, String] = {
-      val parts = "-- ===== ([A-Za-z ()+&]+) =====".r.split(text)
-      val names = "-- ===== ([A-Za-z ()+&]+) =====".r
-        .findAllMatchIn(text).map(_.group(1).trim).toSeq
-      names.zip(parts.tail).toMap
-    }
-    val gs = sections(golden)
-    val os = sections(ours)
-    // 1. section order + titles identical
-    assert(gs.keySet == os.keySet && gs.keySet ==
-      Set("VIEWS", "SINK TABLES", "INSERTS"))
-
-    // 2. views: same (name, columns, source table, discriminator) shapes
-    def goldenViewShapes(sec: String) =
-      SqlValidation.splitStatements(sec).map { st =>
-        val n = norm(st)
-        val name = "create view (\\S+) \\(".r.findFirstMatchIn(n).get.group(1)
-        val cols = n.substring(n.indexOf("(") + 1, n.indexOf(") as select"))
-          .split(",\\s*").map(_.trim).toSeq
-        val src = "from (\\S+) where".r.findFirstMatchIn(n).get.group(1)
-        val disc = "= '([a-z0-9_]+)'$".r.findFirstMatchIn(n).get.group(1)
-        (name, cols, src, disc)
-      }
-    def ourViewShapes(sec: String) =
-      SqlValidation.splitStatements(sec).map { st =>
-        val n = norm(st)
-        val name = "create view (\\S+) as".r.findFirstMatchIn(n).get.group(1)
-        val cols = "as ([a-z0-9_]+)[,\\s]".r.findAllMatchIn(n + " ")
-          .map(_.group(1)).filter(c => c != "select" && c != "e").toSeq
-        val src = "from (\\S+)".r.findFirstMatchIn(n).get.group(1)
-        val disc = "= '([a-z0-9_]+)'$".r.findFirstMatchIn(n).get.group(1)
-        (name, cols, src, disc)
-      }
-    assert(goldenViewShapes(gs("VIEWS")) == ourViewShapes(os("VIEWS")))
-
-    // 3. sink DDL + inserts: normalized text identical (after the pinned
-    //    missing-`then` patch on the golden side)
-    val goldenFixed = norm(gs("SINK TABLES") + gs("INSERTS")).replace(
-      "is_decimal(cba_ci_modifiedon) to_timestamp_ltz(coalesce(try_cast(cba_ci_modifiedon as bigint)*1000",
-      "is_decimal(cba_ci_modifiedon) then to_timestamp_ltz(coalesce(try_cast(cba_ci_modifiedon as bigint)*1000")
-    val oursNorm = norm(os("SINK TABLES") + os("INSERTS"))
-    assert(goldenFixed == oursNorm, {
-      val g = goldenFixed; val o = oursNorm
-      val i = g.zip(o).indexWhere { case (a, b) => a != b }
-      val at = if (i < 0) math.min(g.length, o.length) else i
-      s"bundle text diverges at char $at:\n  golden: ...${g.slice(at - 60, at + 80)}\n  ours:   ...${o.slice(at - 60, at + 80)}"
+    val goldenFixed = golden.replace(
+      "is_decimal(cba_ci_modifiedon)\n     to_timestamp_ltz(",
+      "is_decimal(cba_ci_modifiedon)\n    then to_timestamp_ltz(")
+    assert(goldenFixed != golden, "the missing-then patch must apply")
+    assert(ours == goldenFixed, {
+      val i = ours.zip(goldenFixed).indexWhere { case (a, b) => a != b }
+      val at = if (i < 0) math.min(ours.length, goldenFixed.length) else i
+      s"bundle bytes diverge at char $at:\n  golden: ${
+        goldenFixed.slice(at - 80, at + 80)}\n  ours:   ${
+        ours.slice(at - 80, at + 80)}"
     })
   }
 
