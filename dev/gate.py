@@ -9,7 +9,7 @@ artifact collection.
 Usage: python3 dev/gate.py <outRecord.json> [sfDir] [verifyOutDir]
 Run `sbt compile` first (reads target/scala-2.13/classes directly).
 """
-import json, os, subprocess, sys, tempfile
+import hashlib, json, os, subprocess, sys, tempfile
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 out_record = sys.argv[1]
@@ -82,7 +82,6 @@ except ValueError:
 driver_record, driver_md5 = {}, None
 if driver_path and os.path.exists(driver_path):
     raw = open(driver_path, "rb").read()
-    import hashlib
     driver_md5 = hashlib.md5(raw).hexdigest()
     try:
         driver_record = json.loads(raw)
@@ -104,7 +103,6 @@ record = {
 }
 with open(out_record, "w") as f:
     json.dump(record, f, indent=1)
-import hashlib
 local_md5 = hashlib.md5(open(out_record, "rb").read()).hexdigest()
 ok = oracle.get("n_pass", 0)
 tot = oracle.get("n_oracle", 0)

@@ -92,13 +92,10 @@ object AnnIndexStore {
   // already deletes files under any live reader and is out of contract.
   // Bounded LRU (keys are generation-qualified paths: cross-process rebuilds
   // bump the generation and would otherwise accumulate dead-gen codebooks).
-  private def lru[V](max: Int) =
-    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[String, V]) =
-        size() > max
-    }
-  private val coarseCache = lru[Seq[(Int, Array[Long])]](64)
-  private val pqCache = lru[Map[Int, Seq[(Int, Array[Long])]]](64)
+  private val coarseCache =
+    GenStore.boundedLru[String, Seq[(Int, Array[Long])]](64)
+  private val pqCache =
+    GenStore.boundedLru[String, Map[Int, Seq[(Int, Array[Long])]]](64)
 
   private def dropCodebooks(dir: String): Unit = {
     val abs = java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString

@@ -295,16 +295,17 @@ private[graft] object GenStore {
   // the value would keep its own key alive). 64 entries covers many stores
   // x 3 tables for the handful of live sessions a real process holds;
   // churning sessions just cycle the tail out and become collectable.
-  private val TableCacheMax = 64
-  private val tableCache =
-    new java.util.LinkedHashMap[
-        (SparkSession, String, String), (Int, Vector[String], DataFrame)](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String, String),
-                                 (Int, Vector[String], DataFrame)]): Boolean =
-        size() > TableCacheMax
+  /** Bounded access-order (LRU) map — the shared shape for every
+    * driver-side serving cache (this table cache, AnnIndexStore's
+    * codebooks). All access must hold the map's own monitor. */
+  private[operators] def boundedLru[K, V](max: Int): java.util.LinkedHashMap[K, V] =
+    new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > max
     }
+
+  private val tableCache =
+    boundedLru[(SparkSession, String, String), (Int, Vector[String], DataFrame)](64)
 
   /** [[readTable]] with the constructed frame memoized per (session, dir,
     * table) while the manifest's (gen, segs) are unchanged — the serving

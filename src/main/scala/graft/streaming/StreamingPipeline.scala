@@ -88,11 +88,15 @@ object StreamingPipeline {
     //    downstream stages then join against an empty frame.
     val touched = store.mergePrepared(vbB, xref.keys, xref.orderCols)
     // 3. upsert delta: post-merge snapshot rows for THIS batch's keys —
-    //    file-pruned to the touched buckets, then an exact key semi-join
-    //    (the batch key set is batch-sized, so Spark broadcasts it).
+    //    file-pruned to the touched buckets, then an exact key semi-join.
+    //    The batch key set is batch-sized BY DEFINITION, so broadcast it
+    //    explicitly: checkpoint-RDD size estimates are fragile, and a bad
+    //    one would shuffle the touched-bucket read per batch — exactly the
+    //    cost this path exists to delete.
+    import org.apache.spark.sql.functions.{broadcast, col}
     val delta = store.readBuckets(spark, touched)
-      .map(_.join(vb.select(xref.keys.map(org.apache.spark.sql.functions.col): _*)
-        .distinct(), xref.keys, "left_semi"))
+      .map(_.join(broadcast(vb.select(xref.keys.map(col): _*).distinct()),
+        xref.keys, "left_semi"))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], vb.schema))
     // 3+4. statement-set fan-out from the shared batch scan, idempotent
@@ -101,6 +105,22 @@ object StreamingPipeline {
     writeIdempotent(quarantine(vb, delta), s"$workDir/quarantine_out", batchId)
   }
 
-  private def writeIdempotent(df: DataFrame, dir: String, batchId: Long): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/batch=$batchId")
+  private def writeIdempotent(df: DataFrame, dir: String, batchId: Long): Unit = {
+    val path = s"$dir/batch=$batchId"
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    // An all-empty batch can plan to 0 partitions (AQE-coalesced joins over
+    // an empty delta) -> zero part files -> `spark.read.parquet(sinkRoot)`
+    // — the documented reader pattern — cannot infer a schema until the
+    // first non-empty batch. Land one schema-bearing empty file instead.
+    // The check is a driver metadata listing, not a job.
+    val spark = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+    if (!hasData)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq.empty[Row], numSlices = 1),
+          df.schema)
+        .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

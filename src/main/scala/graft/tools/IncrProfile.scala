@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{DedupIndex, GenStore, TextDedup}
 
 /** Dev tool: stage-timed replica of DedupIndex.matchBatch at sf0.1 —
-  * prints per-stage wall seconds to locate the bandK=16 verify cost. */
+  * prints per-stage wall seconds to locate the bandK=16 verify cost.
+  * FROZEN SNAPSHOT of the measured plan (BASELINE.md round-10 third wave):
+  * if DedupIndex's pruning scheme changes, re-derive before re-measuring. */
 object IncrProfile {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

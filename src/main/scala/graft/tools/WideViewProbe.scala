@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev probe: where does q_view_parse_wide's time go — payload synthesis
-  * (concat) vs the fused parse vs export. */
+  * (concat) vs the fused parse vs export. FROZEN SNAPSHOT of the payload
+  * builder as measured for BASELINE.md round 10; re-derive from SparkEntry
+  * if the query's payload shape changes. */
 object WideViewProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -172,6 +172,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(p1 == p1Again)
   }
 
+  test("all-filtered first batch still leaves readable sinks (schema-bearing empty file)") {
+    // An empty enrich/quarantine output can plan to 0 partitions -> zero
+    // part files; the documented reader pattern spark.read.parquet(root)
+    // must still work before the first non-empty batch lands.
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_stream_empty").toString
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def view(b: DataFrame): DataFrame =
+      b.filter(col("event_type") === "no_such_type")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
+      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+        .select(col("user_id"), col("event_id"), col("c_mktsegment"))
+    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+      v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
+        .select(col("user_id"), col("event_id"))
+    val store = new SnapshotStore(s"$work/xref_snapshot")
+    StreamingPipeline.processBatch(store, work, view,
+      XrefConfig(Seq("user_id"), Seq("ts", "event_id")), enrich, quarantine,
+      ev, 0L)
+    assert(spark.read.parquet(s"$work/fgac_out").count() == 0)
+    assert(spark.read.parquet(s"$work/quarantine_out").count() == 0)
+  }
+
   test("per-batch enrichment read is file-pruned to the touched buckets") {
     // VERDICT r9 #3: the J3 join must not scan the full snapshot per batch.
     spark.sparkContext.setLogLevel("ERROR")
