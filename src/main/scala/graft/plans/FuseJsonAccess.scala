@@ -35,6 +35,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * key / JSON `null` -> null. Exotic paths (brackets, `$[...]`, nested dots)
   * are left as `get_json_object` — the planned fallback.
   *
+  * Deliberate non-fusion: the demux Filter's single discriminator access
+  * (`JSON_VALUE(payload,'$.tbl') = 'x'`) stays on `get_json_object` even
+  * though it re-parses the payload the Project then parses again. Folding
+  * it in would move the wide all-fields parse BELOW the filter, paying it
+  * on every row instead of survivors: with per-field single-access cost
+  * ~f and k-field parse ~F (measured F ≈ 3f at k = 32), the current plan
+  * costs N·f + s·N·F vs the folded N·F — a REGRESSION whenever
+  * selectivity s < 1 − f/F ≈ 2/3, and multi-entity demux typically keeps
+  * 1/#entities of the stream. No static signal distinguishes the cases,
+  * so the filter access is left narrow by design.
+  *
   * Known, pinned divergence: an object with DUPLICATE keys (invalid per
   * RFC 8259 §4, undetectable statically) yields the FIRST occurrence from
   * `get_json_object` (streaming first-match) but the LAST from the fused
