@@ -1168,13 +1168,13 @@ object SparkEntry {
           nullif(trim(get_json_object(col("props"), "$.k")), lit(""))
             .cast("int").as("K"),
           col("value").as("VALUE"))
-      def enrich(v: DataFrame, snap: DataFrame): DataFrame =
-        snap.join(cust, snap("USER_ID") === cust("c_custkey"), "left")
+      def enrich(v: DataFrame, d: streaming.StreamingPipeline.UpsertDelta): DataFrame =
+        d.rows.join(cust, d.rows("USER_ID") === cust("c_custkey"), "left")
           .select(col("USER_ID"), col("EVENT_ID"),
             when(col("c_acctbal") >= 0, col("c_name")).otherwise(lit("***"))
               .as("C_NAME_MASKED"),
             col("c_mktsegment").as("C_MKTSEGMENT"), col("VALUE"))
-      def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+      def quarantine(v: DataFrame, d: streaming.StreamingPipeline.UpsertDelta): DataFrame =
         v.join(cust.filter(col("c_acctbal") >= 0),
             v("USER_ID") === col("c_custkey"), "left_anti")
           .select(col("USER_ID"), col("EVENT_ID"))

@@ -143,6 +143,14 @@ private[graft] object GenStore {
     withLock(dir) { writeState(dir, s) }
   }
 
+  /** [[init]] only when no manifest exists yet — the check runs under the
+    * manifest lock so two concurrent first-appends cannot both "win" and
+    * the loser wipe the winner's just-committed segment. */
+  def initIfAbsent(dir: String, s: State): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    withLock(dir) { if (read(dir).isEmpty) writeState(dir, s) }
+  }
+
   /** Atomically add a committed segment to the manifest. Throws if the
     * store was compacted since the caller pinned `expectGen` — the data
     * landed in a generation that is no longer live and must be re-applied
@@ -236,7 +244,9 @@ private[graft] object GenStore {
     * [[withCompactLock]]; the loser then re-pins the winner's generation
     * and compacts on top of it instead of corrupting it. */
   def compact(dir: String, what: String, legacy: String => Boolean,
-              maxAttempts: Int = 3)(rewrite: (State, String) => Unit): Unit =
+              maxAttempts: Int = 3,
+              newProps: Map[String, Int] => Map[String, Int] = identity)
+             (rewrite: (State, String) => Unit): Unit =
     withCompactLock(dir) {
     var attempt = 0
     var done = false
@@ -255,7 +265,7 @@ private[graft] object GenStore {
           if (cur.gen != st.gen || cur.segs != st.segs)
             throw new java.util.ConcurrentModificationException(
               s"store at $dir changed during compaction; retrying")
-          writeState(dir, State(next, Vector(BaseSeg), st.props))
+          writeState(dir, State(next, Vector(BaseSeg), newProps(st.props)))
         }
         done = true
         // previous-generation retention: keep g<st.gen> for in-flight
@@ -347,7 +357,7 @@ private[graft] object GenStore {
 
   // a segment table dir with no data files (an empty-frame write leaves
   // only _SUCCESS) carries no rows and no inferable schema — skip it
-  private[operators] def hasData(p: String): Boolean = {
+  private[graft] def hasData(p: String): Boolean = {
     val root = Paths.get(p)
     if (!Files.isDirectory(root)) false
     else {

@@ -1,186 +1,248 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.SttmOps
+import graft.operators.{GenStore, SttmOps}
 
-/** Key-hash-bucketed parquet "current snapshot" table — the engine's
-  * stand-in for Flink's PRIMARY KEY + changelog.mode=upsert XREF table
-  * (resources/sql/xref-queries.sql:13-23; SURVEY §2 A2/T2), shaped like a
-  * Delta/Iceberg MERGE: each micro-batch rewrites ONLY the hash buckets
-  * containing the batch's keys, so per-batch write cost is
-  * O(|batch| + |touched buckets|), not O(|snapshot|).
+/** Key-hash-bucketed LSM "current snapshot" table — the engine's stand-in
+  * for Flink's PRIMARY KEY + changelog.mode=upsert XREF table
+  * (resources/sql/xref-queries.sql:13-23; SURVEY §2 A2/T2).
   *
-  * Layout: `root/g<gen>/_bucket=<b>/part-*.parquet` data directories plus a
-  * `_CURRENT` manifest (`bucket:relative/path` lines) naming each bucket's
-  * live directory. A merge writes generation g+1 for the touched buckets and
-  * atomically swings the manifest; untouched buckets keep pointing at their
-  * old generation — their files are never rewritten (asserted byte-identical
-  * in StreamingPipelineSpec). The previous manifest is retained as
-  * `_PREVIOUS` and its generations are kept on disk, so a reader holding the
-  * old manifest never observes missing files; anything older is pruned.
+  * Shape (the [[graft.operators.GenStore]] discipline, VERDICT r10 #1):
+  * every micro-batch APPENDS one `b<batchId>` delta segment holding only
+  * that batch's rows — per-batch write cost is O(|batch|), independent of
+  * snapshot size. Reads are merge-on-read: latest-by-key over
+  * (base ∪ live delta segments). When live segments exceed
+  * `maxLiveSegments`, [[compact]] folds them into a fresh `g<next>/base`
+  * generation — amortized write cost O(snapshot / maxLiveSegments) per
+  * batch. The previous design REWROTE every touched hash bucket per batch;
+  * Kafka keys are hash-random, so a batch of b keys touches
+  * ≈ nBuckets·(1−e^(−b/nBuckets)) buckets and any batch ≳3·nBuckets keys
+  * rewrote ~the whole snapshot every trigger — an O(snapshot) write per
+  * trigger at scale, where Flink's RocksDB upsert state does point writes.
   *
-  * Scale note: the per-bucket merge is latest-by-key over
-  * (old bucket rows ∪ batch rows) — max_by partial aggregation, shuffle
-  * carries ~|keys in touched buckets| rows. The touched-bucket list is a
-  * `collect()` of at most `nBuckets` small values (bounded by construction,
-  * not by data volume), which is the manifest bookkeeping, not a data path.
+  * Layout under `root/` (shared GenStore manifest machinery):
+  *
+  *   `_META`                         `v3 gen=<g> segs=base,b0,… nBuckets=<n>`
+  *   `_KEYS`                         `keys=<k,…>` + `order=<o,…>` (the
+  *                                   table's primary key + ranking, needed
+  *                                   by merge-on-read; immutable per store)
+  *   `g<g>/<seg>/rows/_bucket=<b>/`  parquet, hash-bucket partitioned
+  *
+  * Segment appends are atomic + idempotent (a `b<batchId>` segment already
+  * in the manifest is a no-op replay — GenStore.appendSeg); compaction
+  * retains the previous generation for in-flight readers and CAS-fails
+  * against racing appends (GenStore.compact). A replayed batch whose
+  * segment was already compacted away re-appends; latest-by-key makes the
+  * duplicate rows value-invisible.
+  *
+  * Bucketing exists for READ pruning: [[readBuckets]] resolves the leaf
+  * `_bucket=<b>` directories of the wanted buckets across the live
+  * segments, so a per-batch serving join scans O(touched buckets ×
+  * (1 + live segments)) files, never the whole snapshot. [[reshard]]
+  * rewrites the store under a new bucket count (a compaction variant) for
+  * stores whose data outgrew their creation-time layout.
+  *
+  * Scale notes: the touched-bucket list is a `collect()` of at most
+  * `nBuckets` ints (bounded by construction — manifest bookkeeping, not a
+  * data path). Merge-on-read pays one latest-by-key aggregation per read;
+  * a fully-compacted store (segs == [base]) skips it, since the base is
+  * written deduped.
   */
-final class SnapshotStore(root: String, nBuckets: Int = 16) {
+final class SnapshotStore(root: String, nBuckets: Int = 16,
+                          maxLiveSegments: Int = 8) {
 
   private val BucketCol = "_bucket"
-  private val rootPath = Paths.get(root)
-  private val pointer = rootPath.resolve("_CURRENT")
-  private val prevPointer = rootPath.resolve("_PREVIOUS")
-  private val metaPath = rootPath.resolve("_META")
+  private val Rows = "rows"
+  private val What = "xref snapshot"
+  private val keysPath = Paths.get(root, "_KEYS")
 
-  /** Bucket count is part of the on-disk layout: it is persisted on first
-    * merge and the PERSISTED value wins on reopen — reopening an existing
-    * store with a different constructor value would otherwise re-hash keys
-    * into different buckets and silently split/lose rows. */
+  private def state: Option[GenStore.State] = GenStore.read(root)
+
+  /** Bucket count is part of the on-disk layout: persisted at creation, and
+    * the PERSISTED value wins on reopen — reopening an existing store with a
+    * different constructor value would otherwise re-hash keys into different
+    * buckets and silently split/lose rows. [[reshard]] is the one legal way
+    * to change it. */
   private def effectiveBuckets: Int =
-    if (Files.exists(metaPath))
-      Files.readString(metaPath).trim.stripPrefix("nBuckets=").toInt
-    else nBuckets
+    state.flatMap(_.props.get("nBuckets")).getOrElse(nBuckets)
 
-  /** bucket -> live relative data dir, e.g. 3 -> "g2/_bucket=3". */
-  private def manifest: Map[Int, String] =
-    if (!Files.exists(pointer)) Map.empty
-    else Files.readString(pointer).linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(b, p) = l.split(":", 2)
-      b.toInt -> p
-    }.toMap
+  /** The store's primary key + ranking columns, persisted at first merge —
+    * merge-on-read needs them at READ time, so they are a table property
+    * (like a PRIMARY KEY), not a per-call argument. */
+  private def keyOrder: (Seq[String], Seq[String]) = {
+    val kv = Files.readString(keysPath).linesIterator.filter(_.nonEmpty)
+      .map { l =>
+        val Array(k, v) = l.split("=", 2)
+        k -> v.split(",").toSeq
+      }.toMap
+    (kv("keys"), kv("order"))
+  }
 
-  /** Current snapshot, or None before the first commit. */
-  def read(spark: SparkSession): Option[DataFrame] = {
-    val m = manifest
-    if (m.isEmpty) None
-    else readPaths(spark, m.toSeq)
+  /** Leaf data dirs for the wanted buckets across every live segment.
+    * Leaf dirs are read directly: partition discovery roots at each path,
+    * so the `_bucket=N` segment never surfaces as a column. A segment only
+    * has leaf dirs for the buckets its batch touched. */
+  private def leafDirs(st: GenStore.State, buckets: Seq[Int]): Seq[String] =
+    for {
+      seg <- st.segs
+      b <- buckets.sorted
+      p = Paths.get(root, s"g${st.gen}", seg, Rows, s"$BucketCol=$b")
+      if Files.isDirectory(p)
+    } yield p.toString
+
+  /** Current snapshot (merge-on-read latest-by-key over the live
+    * segments), or None before the first commit. */
+  def read(spark: SparkSession): Option[DataFrame] = state.flatMap { st =>
+    readLeafs(spark, st, leafDirs(st, 0 until effectiveBuckets))
   }
 
   /** The snapshot restricted to the given hash buckets — the file-pruned
     * read for per-batch serving: a batch that touched k of n buckets joins
-    * against k buckets' files, not the whole snapshot (VERDICT r9 #3; the
-    * DedupIndex pfx-pruning discipline applied to the XREF store). */
-  def readBuckets(spark: SparkSession, buckets: Seq[Int]): Option[DataFrame] = {
-    val want = buckets.toSet
-    val sel = manifest.filter { case (b, _) => want(b) }
-    if (sel.isEmpty) None
-    else readPaths(spark, sel.toSeq)
-  }
+    * against k buckets' leaf dirs, not the whole snapshot (the DedupIndex
+    * pfx-pruning discipline applied to the XREF store). */
+  def readBuckets(spark: SparkSession, buckets: Seq[Int]): Option[DataFrame] =
+    state.flatMap(st => readLeafs(spark, st, leafDirs(st, buckets)))
 
-  private def readPaths(spark: SparkSession,
-                        m: Seq[(Int, String)]): Option[DataFrame] = {
-    // leaf dirs are passed directly: partition discovery roots at each
-    // path, so the _bucket=N segment never surfaces as a column
-    val paths = m.sortBy(_._1)
-      .map { case (_, rel) => rootPath.resolve(rel).toString }
-    Some(spark.read.parquet(paths: _*))
-  }
+  private def readLeafs(spark: SparkSession, st: GenStore.State,
+                        paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else {
+      val raw = spark.read.parquet(paths: _*)
+      // a fully-compacted store's base is written deduped — skip the agg
+      if (st.segs == Vector(GenStore.BaseSeg)) Some(raw)
+      else {
+        val (k, o) = keyOrder
+        Some(SttmOps.latestByKey(raw, k, o))
+      }
+    }
 
   private def bucketOf(keys: Seq[String], buckets: Int) =
     pmod(hash(keys.map(col): _*), lit(buckets))
 
-  /** Upsert `batch` into the snapshot: latest-by-key over
-    * (old rows ∪ batch rows), computed and rewritten ONLY for the hash
-    * buckets the batch touches. `order` must rank each key uniquely
-    * (ts + seq tie-break), exactly as in [[SttmOps.latestByKey]].
+  /** Upsert `batch` into the snapshot by appending it as a delta segment.
+    * `order` must rank each key uniquely ACROSS batches (ts + seq
+    * tie-break), exactly as in [[SttmOps.latestByKey]] — merge-on-read
+    * resolves each key to its order-maximal row regardless of which
+    * segment carries it.
     *
+    * @param batchId keys the segment (`b<id>`) so a streaming replay of an
+    *                already-applied micro-batch is a no-op; None appends a
+    *                fresh uniquely-named segment (batch API).
     * @return the touched bucket ids (empty for an all-filtered batch) —
     *         feed these to [[readBuckets]] for a pruned post-merge read.
     */
-  def merge(batch: DataFrame, keys: Seq[String], order: Seq[String]): Seq[Int] =
-    mergePrepared(prepare(batch, keys), keys, order)
+  def merge(batch: DataFrame, keys: Seq[String], order: Seq[String],
+            batchId: Option[Long] = None): Seq[Int] =
+    mergePrepared(prepare(batch, keys), keys, order, batchId)
 
   /** Bucket-tag and materialize a batch for [[mergePrepared]]. Exposed so a
     * caller that needs the batch materialized anyway (StreamingPipeline
-    * feeds it to three sinks) pays ONE localCheckpoint instead of two. */
-  private[streaming] def prepare(batch: DataFrame, keys: Seq[String]): DataFrame = {
-    Files.createDirectories(rootPath)
-    if (!Files.exists(metaPath))
-      Files.writeString(metaPath, s"nBuckets=$nBuckets")
-    // Materialize the batch ONCE: `touched` (first action) and the merged
-    // write (second action) MUST observe the same rows. Without this, a
-    // non-deterministic or retried input frame re-evaluates per action and
-    // can write rows into a g<gen>/_bucket=X directory the manifest never
-    // points at — silent row loss.
+    * feeds it to three sinks) pays ONE localCheckpoint instead of two.
+    * Materializing matters for correctness too: `touched` (first action)
+    * and the segment write (second action) MUST observe the same rows —
+    * a non-deterministic or retried input frame re-evaluates per action
+    * and could write rows into buckets `touched` never reported. */
+  private[streaming] def prepare(batch: DataFrame, keys: Seq[String]): DataFrame =
     batch.withColumn(BucketCol, bucketOf(keys, effectiveBuckets))
       .localCheckpoint()
-  }
 
   /** [[prepare]]'s counterpart: the column [[prepare]] added, for callers
     * that project it away before reusing the materialized frame. */
   private[streaming] def bucketCol: String = BucketCol
 
   private[streaming] def mergePrepared(
-      b: DataFrame, keys: Seq[String], order: Seq[String]): Seq[Int] = {
-    val buckets = effectiveBuckets
-    val spark = b.sparkSession
-    val m = manifest
+      b: DataFrame, keys: Seq[String], order: Seq[String],
+      batchId: Option[Long]): Seq[Int] = {
+    ensureInit(keys, order)
+    // bounded by construction: ≤ nBuckets distinct values
     val touched = b.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return Seq.empty
-    val touchedSet = touched.toSet
-    val oldPaths = m.collect {
-      case (bk, rel) if touchedSet(bk) => rootPath.resolve(rel).toString
-    }.toSeq
-    val unioned =
-      if (oldPaths.isEmpty) b
-      else spark.read.parquet(oldPaths: _*)
-        .withColumn(BucketCol, bucketOf(keys, buckets))
-        .unionByName(b)
-    val merged = SttmOps.latestByKey(unioned, keys, order)
-    val gen = 1 + m.values
-      .flatMap(_.split("/").headOption)
-      .collect { case g if g.startsWith("g") => g.drop(1).toInt }
-      .maxOption.getOrElse(-1)
-    // Overwrite: a crash between a generation write and the pointer swing
-    // leaves an orphan g<gen> dir that the next merge must be able to
-    // replace, or the store would brick on "path already exists".
-    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
-      .parquet(rootPath.resolve(s"g$gen").toString)
-    val next = m ++ touched.map(bk => bk -> s"g$gen/$BucketCol=$bk")
-    swingPointer(next, m)
-    prune(next, m)
-    touched.toSeq
-  }
-
-  /** Write the new manifest atomically, retaining the replaced one. */
-  private def swingPointer(next: Map[Int, String], prev: Map[Int, String]): Unit = {
-    val render = (mm: Map[Int, String]) =>
-      mm.toSeq.sortBy(_._1).map { case (bk, p) => s"$bk:$p" }.mkString("\n")
-    if (prev.nonEmpty) {
-      val tmpPrev = rootPath.resolve("_PREVIOUS.tmp")
-      Files.writeString(tmpPrev, render(prev))
-      Files.move(tmpPrev, prevPointer, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
+    // append protocol: overwrite-write the segment dir (a crashed attempt's
+    // partial files are invisible and fully replaced), then atomically
+    // commit it to the manifest; an already-committed b<batchId> segment
+    // (a replayed, fully-applied micro-batch) is a no-op. If a reshard
+    // swung the generation between prepare() and here, the commit CAS
+    // throws instead of landing rows tagged with the OLD bucket count.
+    val applied = GenStore.appendSeg(root, What, seg) { (_, segDir) =>
+      // within-batch dedup keeps the segment minimal; cross-segment dedup
+      // happens at read/compact time. The repartition bounds the segment's
+      // file count at nBuckets (one writer task per bucket) — without it a
+      // t-task batch writes up to t×nBuckets tiny files per segment, and
+      // merge-on-read cost is file-listing-bound across live segments.
+      SttmOps.latestByKey(b, keys, order)
+        .repartition(effectiveBuckets, col(BucketCol))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(s"$segDir/$Rows")
     }
-    val tmp = rootPath.resolve("_CURRENT.tmp")
-    Files.writeString(tmp, render(next))
-    Files.move(tmp, pointer, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    if (applied) {
+      val st = GenStore.readOrFail(root, What)
+      if (st.segs.length > maxLiveSegments) compact(b.sparkSession)
+    }
+    touched
   }
 
-  /** Drop generation dirs referenced by neither the current nor the
-    * previous manifest (two-manifest retention for in-flight readers). */
-  private def listDir(p: Path): List[Path] = {
-    val s = Files.list(p)
-    try s.iterator().asScala.toList finally s.close()
+  private def ensureInit(keys: Seq[String], order: Seq[String]): Unit = {
+    if (state.isEmpty)
+      GenStore.initIfAbsent(root,
+        GenStore.State(0, Vector.empty, Map("nBuckets" -> nBuckets)))
+    if (!Files.exists(keysPath)) {
+      val tmp = Paths.get(root, "_KEYS.tmp")
+      Files.writeString(tmp,
+        s"keys=${keys.mkString(",")}\norder=${order.mkString(",")}")
+      Files.move(tmp, keysPath, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val (k, o) = keyOrder
+      require(k == keys && o == order,
+        s"snapshot store at $root was created with keys=$k order=$o; " +
+          s"merging with keys=$keys order=$order would corrupt upsert semantics")
+    }
   }
 
-  private def prune(cur: Map[Int, String], prev: Map[Int, String]): Unit = {
-    val live: Set[String] =
-      (cur.values ++ prev.values).flatMap(_.split("/").headOption).toSet
-    listDir(rootPath)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("g"))
-      .filterNot(p => live(p.getFileName.toString))
-      .foreach(deleteRecursively)
+  /** Fold the live segments into a fresh deduped base generation
+    * (amortized O(snapshot / maxLiveSegments) per batch; serve-through-
+    * compact — in-flight readers keep the retained previous generation).
+    * Runs automatically from [[mergePrepared]] past the segment budget;
+    * public for maintenance windows. */
+  def compact(spark: SparkSession): Unit = rewriteAs(spark, effectiveBuckets)
+
+  /** Rewrite the store under a NEW bucket count (VERDICT r10 #6): a store
+    * created at 16 buckets would otherwise serve 100× data at 1/16 read
+    * granularity forever — nBuckets is persisted and can never drift, so
+    * resharding is an explicit full rewrite (one compaction), swung
+    * atomically with the new bucket count in the manifest. Readers pinned
+    * to the previous generation are unharmed (two-generation retention);
+    * a merge racing the swing fails its commit CAS and replays. */
+  def reshard(spark: SparkSession, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    rewriteAs(spark, newBuckets)
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
+  private def rewriteAs(spark: SparkSession, buckets: Int): Unit = {
+    val (k, o) = keyOrder
+    GenStore.compact(root, What, legacy = _ => false,
+      newProps = _ + ("nBuckets" -> buckets)) { (st, baseDir) =>
+      // segment TABLE roots (not leafs): partition discovery re-surfaces
+      // _bucket, which the rewrite re-derives under the target count
+      val paths = st.segTableDirs(root, Rows).filter(GenStore.hasData)
+      if (paths.nonEmpty) {
+        val raw = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        SttmOps.latestByKey(raw, k, o)
+          .drop(BucketCol)
+          .withColumn(BucketCol, bucketOf(k, buckets))
+          .repartition(buckets, col(BucketCol))
+          .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+          .parquet(s"$baseDir/$Rows")
+      }
+    }
   }
+
+  /** Live segment names (manifest order) — exposed for the write-
+    * amplification and compaction-cadence assertions in SnapshotStoreSpec. */
+  private[graft] def liveSegments: Vector[String] =
+    state.map(_.segs).getOrElse(Vector.empty)
 }

@@ -12,8 +12,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Stage semantics per micro-batch:
   *  1. view projection/filter of the raw batch (VIEW)
-  *  2. XREF upsert: latest-by-key over (current snapshot ∪ batch) ->
-  *     [[SnapshotStore]] (A2/T2; Flink state TTL maps to snapshot retention)
+  *  2. XREF upsert: the batch appends as a delta segment of the LSM
+  *     [[SnapshotStore]]; merge-on-read resolves latest-by-key (A2/T2;
+  *     Flink state TTL maps to snapshot retention). Per-batch write cost
+  *     is O(|batch|) + amortized compaction, never O(snapshot).
   *  3. enrichment of the batch's upsert DELTA — the post-merge snapshot
   *     rows for exactly the keys this batch carried (J3). The read is
   *     file-pruned to the merge's touched buckets then key-semi-joined, so
@@ -26,7 +28,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Delivery: each sink write lands in a `batch=<batchId>` Hive-style
   * subdirectory with Overwrite mode, so a retried micro-batch rewrites its
   * own directory instead of double-appending — effectively-once per sink
-  * (the GenStore batchId-idempotence discipline; VERDICT r9 #2). Readers
+  * (the GenStore batchId-idempotence discipline; VERDICT r9 #2), and the
+  * snapshot append itself is batchId-keyed and replay-idempotent. Readers
   * `spark.read.parquet(dir)` the sink root and see `batch` as a provenance
   * partition column.
   */
@@ -35,6 +38,23 @@ object StreamingPipeline {
   final case class XrefConfig(
       keys: Seq[String],
       orderCols: Seq[String])
+
+  /** The second argument the enrich/quarantine callbacks receive: the
+    * post-merge snapshot rows for THE CURRENT BATCH'S KEYS ONLY — the
+    * upsert-changelog delta, NOT the full snapshot. A distinct type so a
+    * lambda written against full-snapshot semantics (e.g. one that
+    * consults rows for keys outside the batch) fails to compile instead of
+    * silently producing reduced output (ADVICE r10 #2 — the r10 delta
+    * rework changed this argument's meaning without a type-level signal). */
+  final case class UpsertDelta(rows: DataFrame)
+
+  /** Keys-per-batch ceiling for broadcasting the delta semi-join's key set.
+    * The batch key set is batch-sized at steady state, but the FIRST
+    * AvailableNow micro-batch of a backfill can be the entire source — an
+    * oversized broadcast fails the whole streaming query, where a shuffled
+    * semi-join merely degrades (ADVICE r10 #1). 1M keys ≈ tens of MB
+    * broadcast — safely under driver/executor headroom at default configs. */
+  private val MaxBroadcastKeys = 1000000L
 
   /** Run a micro-batch statement set over a file-stream source.
     *
@@ -50,8 +70,8 @@ object StreamingPipeline {
       source: DataFrame,
       view: DataFrame => DataFrame,
       xref: XrefConfig,
-      enrich: (DataFrame, DataFrame) => DataFrame,
-      quarantine: (DataFrame, DataFrame) => DataFrame,
+      enrich: (DataFrame, UpsertDelta) => DataFrame,
+      quarantine: (DataFrame, UpsertDelta) => DataFrame,
       workDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val store = new SnapshotStore(s"$workDir/xref_snapshot")
@@ -72,8 +92,8 @@ object StreamingPipeline {
       workDir: String,
       view: DataFrame => DataFrame,
       xref: XrefConfig,
-      enrich: (DataFrame, DataFrame) => DataFrame,
-      quarantine: (DataFrame, DataFrame) => DataFrame,
+      enrich: (DataFrame, UpsertDelta) => DataFrame,
+      quarantine: (DataFrame, UpsertDelta) => DataFrame,
       batch: DataFrame,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -82,23 +102,32 @@ object StreamingPipeline {
     // vb is a free narrow projection dropping the bucket tag.
     val vbB = store.prepare(view(batch), xref.keys)
     val vb = vbB.drop(store.bucketCol)
-    // 2. incremental upsert merge: only snapshot buckets containing
-    //    batch keys are read + rewritten (Delta-MERGE shape). An
-    //    all-filtered first batch leaves no snapshot on disk yet —
-    //    downstream stages then join against an empty frame.
-    val touched = store.mergePrepared(vbB, xref.keys, xref.orderCols)
+    // 2. incremental upsert: the batch appends as one batchId-keyed delta
+    //    segment (O(|batch|) write; replay-idempotent). An all-filtered
+    //    first batch leaves no snapshot on disk yet — downstream stages
+    //    then join against an empty frame.
+    val touched = store.mergePrepared(vbB, xref.keys, xref.orderCols, Some(batchId))
     // 3. upsert delta: post-merge snapshot rows for THIS batch's keys —
     //    file-pruned to the touched buckets, then an exact key semi-join.
-    //    The batch key set is batch-sized BY DEFINITION, so broadcast it
-    //    explicitly: checkpoint-RDD size estimates are fragile, and a bad
-    //    one would shuffle the touched-bucket read per batch — exactly the
-    //    cost this path exists to delete.
+    //    The key set is broadcast only under a count ceiling: steady-state
+    //    batches are small (and checkpoint-RDD size estimates too fragile
+    //    to trust for the hint), but a backfill's first batch can be the
+    //    whole source — past the ceiling the join falls back to a shuffle
+    //    instead of failing the query on an oversized broadcast.
     import org.apache.spark.sql.functions.{broadcast, col}
-    val delta = store.readBuckets(spark, touched)
-      .map(_.join(broadcast(vb.select(xref.keys.map(col): _*).distinct()),
-        xref.keys, "left_semi"))
+    val delta = UpsertDelta(store.readBuckets(spark, touched)
+      .map { snapRows =>
+        // localCheckpoint: the distinct is computed once for the count AND
+        // the join instead of re-shuffling inside each
+        val batchKeys =
+          vb.select(xref.keys.map(col): _*).distinct().localCheckpoint()
+        val keySide =
+          if (batchKeys.count() <= MaxBroadcastKeys) broadcast(batchKeys)
+          else batchKeys
+        snapRows.join(keySide, xref.keys, "left_semi")
+      }
       .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], vb.schema))
+        spark.sparkContext.emptyRDD[Row], vb.schema)))
     // 3+4. statement-set fan-out from the shared batch scan, idempotent
     //      per batchId: a retry overwrites its own directory.
     writeIdempotent(enrich(vb, delta), s"$workDir/fgac_out", batchId)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SttmOps
 import graft.streaming.{SnapshotStore, StreamingPipeline}
-import graft.streaming.StreamingPipeline.XrefConfig
+import graft.streaming.StreamingPipeline.{UpsertDelta, XrefConfig}
 
 /** Streaming/batch parity: the micro-batch statement set (view -> xref
   * upsert -> enrich + quarantine) over a file stream must converge to the
@@ -41,10 +41,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
     def view(b: DataFrame): DataFrame =
       b.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
-      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+    def enrich(v: DataFrame, d: UpsertDelta): DataFrame =
+      d.rows.join(cust, d.rows("user_id") === cust("c_custkey"), "left")
         .select(col("user_id"), col("event_id"), col("c_mktsegment"))
-    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+    def quarantine(v: DataFrame, d: UpsertDelta): DataFrame =
       v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
         .select(col("user_id"), col("event_id"))
 
@@ -100,10 +100,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
     def view(b: DataFrame): DataFrame =
       b.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
-      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+    def enrich(v: DataFrame, d: UpsertDelta): DataFrame =
+      d.rows.join(cust, d.rows("user_id") === cust("c_custkey"), "left")
         .select(col("user_id"), col("event_id"), col("c_mktsegment"))
-    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+    def quarantine(v: DataFrame, d: UpsertDelta): DataFrame =
       v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
         .select(col("user_id"), col("event_id"))
 
@@ -141,10 +141,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
     def view(b: DataFrame): DataFrame =
       b.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
-      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+    def enrich(v: DataFrame, d: UpsertDelta): DataFrame =
+      d.rows.join(cust, d.rows("user_id") === cust("c_custkey"), "left")
         .select(col("user_id"), col("event_id"), col("c_mktsegment"))
-    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+    def quarantine(v: DataFrame, d: UpsertDelta): DataFrame =
       v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
         .select(col("user_id"), col("event_id"))
     val store = new SnapshotStore(s"$work/xref_snapshot")
@@ -183,10 +183,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
     def view(b: DataFrame): DataFrame =
       b.filter(col("event_type") === "no_such_type")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-    def enrich(v: DataFrame, snap: DataFrame): DataFrame =
-      snap.join(cust, snap("user_id") === cust("c_custkey"), "left")
+    def enrich(v: DataFrame, d: UpsertDelta): DataFrame =
+      d.rows.join(cust, d.rows("user_id") === cust("c_custkey"), "left")
         .select(col("user_id"), col("event_id"), col("c_mktsegment"))
-    def quarantine(v: DataFrame, snap: DataFrame): DataFrame =
+    def quarantine(v: DataFrame, d: UpsertDelta): DataFrame =
       v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
         .select(col("user_id"), col("event_id"))
     val store = new SnapshotStore(s"$work/xref_snapshot")
@@ -223,7 +223,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(pruned.filter(col("k") === 5L).select("v").as[String].head() == "v5b")
   }
 
-  test("incremental snapshot merge rewrites only touched buckets (byte-identical rest)") {
+  test("incremental snapshot merge appends a delta segment; existing files byte-identical") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val work = Files.createTempDirectory("graft_snap").toString
@@ -248,19 +248,20 @@ class StreamingPipelineSpec extends AnyFunSuite {
     }
     val before = fileState()
 
-    // batch 2: update ONE key -> exactly one bucket rewritten
+    // batch 2: update ONE key -> a one-row delta segment appends; NOTHING
+    // already on disk is rewritten or deleted (LSM append-only until
+    // compaction — VERDICT r10 #1's write-amplification fix)
     val b2 = Seq((5L, 2L, "v5-new")).toDF("k", "ts", "v")
     store.merge(b2, Seq("k"), Seq("ts"))
 
     val after = fileState()
-    // every pre-existing file that still exists is byte-identical, and at
-    // least 7 of 8 bucket dirs kept all their original files
-    val survivors = before.keySet.intersect(after.keySet)
-    assert(survivors.nonEmpty)
-    survivors.foreach(p => assert(before(p) == after(p), s"file rewritten: $p"))
-    val rewrittenDirs = before.keySet.diff(after.keySet)
+    assert(before.keySet.subsetOf(after.keySet),
+      s"append deleted files: ${before.keySet.diff(after.keySet)}")
+    before.keySet.foreach(p => assert(before(p) == after(p), s"file rewritten: $p"))
+    // the new files are exactly one segment's worth, under ONE bucket dir
+    val newDirs = after.keySet.diff(before.keySet)
       .map(p => p.split("/_bucket=").last.takeWhile(_ != '/'))
-    assert(rewrittenDirs.size <= 1, s"more than one bucket rewritten: $rewrittenDirs")
+    assert(newDirs.size == 1, s"one-key batch touched buckets: $newDirs")
 
     // merge semantics: updated key has new value, all others unchanged
     val rows = store.read(spark).get.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -277,16 +278,21 @@ class StreamingPipelineSpec extends AnyFunSuite {
     store.merge(Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("k", "ts", "v"),
       Seq("k"), Seq("ts"))
 
-    // simulate a crash: the next generation dir exists on disk but the
-    // manifest never swung to it — the following merge must overwrite it
-    // instead of failing on "path already exists"
-    val orphan = java.nio.file.Paths.get(s"$work/snap/g1/_bucket=0")
+    // simulate a crash: the next generation dir exists on disk with garbage
+    // but the manifest never swung to it — merges must ignore it and the
+    // next compaction must clear + replace it instead of failing on "path
+    // already exists" or reading the debris
+    val orphan = java.nio.file.Paths.get(s"$work/snap/g1/base/rows/_bucket=0")
     Files.createDirectories(orphan)
     Files.writeString(orphan.resolve("part-orphan.parquet"), "garbage")
     store.merge(Seq((1L, 2L, "a2")).toDF("k", "ts", "v"), Seq("k"), Seq("ts"))
     val rows = store.read(spark).get.collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(rows == Map(1L -> "a2", 2L -> "b"))
+    store.compact(spark) // folds into g1 — the orphan debris is cleared first
+    val rowsC = store.read(spark).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rowsC == Map(1L -> "a2", 2L -> "b"))
 
     // reopening with a DIFFERENT constructor bucket count must not re-hash:
     // the persisted _META value wins, keys stay consistent
