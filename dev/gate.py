@@ -104,6 +104,22 @@ record = {
 with open(out_record, "w") as f:
     json.dump(record, f, indent=1)
 local_md5 = hashlib.md5(open(out_record, "rb").read()).hexdigest()
+
+# Per-query bench record (VERDICT r10 #4): the driver's BENCH_r{N}.json has
+# `parsed: null` every round, so per-query timings survived only in the
+# UNTRACKED bench.json and round-over-round regression auditing depended on
+# BASELINE.md prose. Publish the latest full bench run as a committed
+# bench_r{N}.json sibling (refresh bench.json with a full sf0.1 Bench run
+# before the round-close gate).
+import re, shutil
+m = re.search(r"_r(\d+)", base)
+bench_src = os.path.join(repo, "bench.json")
+if m and os.path.exists(bench_src):
+    bench_dst = os.path.join(repo, f"bench_r{m.group(1)}.json")
+    shutil.copyfile(bench_src, bench_dst)
+    print(f"[gate] per-query bench record -> {bench_dst} "
+          f"(from bench.json, mtime {os.path.getmtime(bench_src):.0f}) — "
+          f"git add it with the correctness records")
 ok = oracle.get("n_pass", 0)
 tot = oracle.get("n_oracle", 0)
 print(f"[gate] record -> {out_record}: oracle {ok}/{tot}, "

@@ -32,14 +32,44 @@ if os.path.exists(driver_path):
     except ValueError:
         cur_entries = 0
 
+repaired = False
 if cur_entries == len(embedded) and (want_md5 is None or cur_md5 == want_md5):
     print(f"[seal] {driver_path} intact: md5={cur_md5}, {cur_entries} entries")
-    sys.exit(0)
+else:
+    # Stale-record guard (ADVICE r10 #3): running seal.py against an OLD
+    # local record must not clobber a NEWER legitimate driver record from a
+    # later gate run. A driver file that is both newer than the local record
+    # and non-trivially populated is refused, not overwritten.
+    if (os.path.exists(driver_path) and cur_entries > 0
+            and os.path.getmtime(driver_path) > os.path.getmtime(local_path)):
+        print(f"[seal] REFUSED: {driver_path} ({cur_entries} entries) is "
+              f"NEWER than {local_path} — your local record looks stale; "
+              f"re-run dev/gate.py instead of sealing against it")
+        sys.exit(1)
+    if os.path.exists(driver_path) and cur_entries > 0:
+        os.replace(driver_path, driver_path + ".clobbered")
+    with open(driver_path, "w") as f:
+        json.dump(embedded, f, indent=1)
+    new_md5 = hashlib.md5(open(driver_path, "rb").read()).hexdigest()
+    print(f"[seal] REPAIRED {driver_path}: was md5={cur_md5} ({cur_entries} "
+          f"entries), re-emitted {len(embedded)} entries md5={new_md5} "
+          f"(recorded {want_md5})")
+    repaired = True
 
-with open(driver_path, "w") as f:
-    json.dump(embedded, f, indent=1)
-new_md5 = hashlib.md5(open(driver_path, "rb").read()).hexdigest()
-print(f"[seal] REPAIRED {driver_path}: was md5={cur_md5} ({cur_entries} "
-      f"entries), re-emitted {len(embedded)} entries md5={new_md5} "
-      f"(recorded {want_md5})")
-sys.exit(2)
+# Per-query bench coverage (VERDICT r10 #4): the committed bench_r{N}.json
+# must carry the round's per-query timing map; restore it from the
+# untracked bench.json if the copy is missing.
+import re, shutil
+m = re.search(r"_r(\d+)", os.path.basename(local_path))
+bench_src = os.path.join(os.path.dirname(os.path.abspath(local_path)), "bench.json")
+if m:
+    bench_dst = os.path.join(os.path.dirname(os.path.abspath(local_path)),
+                             f"bench_r{m.group(1)}.json")
+    if not os.path.exists(bench_dst) and os.path.exists(bench_src):
+        shutil.copyfile(bench_src, bench_dst)
+        print(f"[seal] RESTORED {bench_dst} from bench.json — git add it")
+        repaired = True
+    elif os.path.exists(bench_dst):
+        print(f"[seal] {bench_dst} present")
+
+sys.exit(2 if repaired else 0)

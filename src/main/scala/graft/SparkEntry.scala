@@ -850,10 +850,14 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text").localCheckpoint())
       val nTrue = truth.agg(count(lit(1)).as("n_true"))
       val nFound = nearDupPairs(s, dir).agg(count(lit(1)).as("n_found"))
+      // n_true = 0 guard (ADVICE r10 #4): found ⊆ true, so an empty truth
+      // set means found is empty too — recall is vacuously perfect (1.0),
+      // not Infinity/engine-divergent
       nTrue.crossJoin(nFound).select(
         col("n_true"), col("n_found"),
-        (floor(col("n_found").cast("double") / col("n_true") * 10000) /
-          10000.0).as("recall"))
+        when(col("n_true") === 0, lit(1.0)).otherwise(
+          floor(col("n_found").cast("double") / col("n_true") * 10000) /
+            10000.0).as("recall"))
     }),
 
     // Standing recall audit of the STORED text gate (VERDICT r9 #8 — the
@@ -870,11 +874,14 @@ object SparkEntry {
       val found = operators.DedupIndex.matchBatchPairs(
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text",
         incrDedupIndexDir(s, dir))
+      // n_true = 0 guard (ADVICE r10 #4): vacuously-perfect recall on an
+      // empty cross-side truth set, mirrored in the oracle's CASE
       truth.agg(count(lit(1)).as("n_true"))
         .crossJoin(found.agg(count(lit(1)).as("n_found")))
         .select(col("n_true"), col("n_found"),
-          (floor(col("n_found").cast("double") / col("n_true") * 10000) /
-            10000.0).as("recall"))
+          when(col("n_true") === 0, lit(1.0)).otherwise(
+            floor(col("n_found").cast("double") / col("n_true") * 10000) /
+              10000.0).as("recall"))
     }),
 
     // Incremental corpus dedup (the batch-N+1 ingestion shape): incoming
@@ -3397,7 +3404,9 @@ object SparkEntry {
                          / 10000 >= 0.6),
          nf AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM vf)
          SELECT ttr.n_true, nf.n_found,
-           floor(CAST(nf.n_found AS DOUBLE) / ttr.n_true * 10000) / 10000 AS recall
+           CASE WHEN ttr.n_true = 0 THEN 1.0
+                ELSE floor(CAST(nf.n_found AS DOUBLE) / ttr.n_true * 10000) / 10000
+           END AS recall
          FROM ttr, nf""",
     // pair-store mirror: hybrid self-join pairs per slice (vpa over the
     // 3/4 build corpus, vpb over the appended batch) UNION the cross-side
@@ -3674,7 +3683,9 @@ object SparkEntry {
                         / len(list_distinct(list_concat(x.sh, y.sh))) * 10000)
                         / 10000 >= 0.6)
          SELECT tr.n_true, fo.n_found,
-           floor(CAST(fo.n_found AS DOUBLE) / tr.n_true * 10000) / 10000 AS recall
+           CASE WHEN tr.n_true = 0 THEN 1.0
+                ELSE floor(CAST(fo.n_found AS DOUBLE) / tr.n_true * 10000) / 10000
+           END AS recall
          FROM tr, fo""",
     // min-reachable-id connected components via recursive-CTE transitive
     // closure (the Spark side's hash-min fixpoint is order-independent, so
