@@ -74,13 +74,8 @@ object SparkEntry {
     // SPARK_GRAFT_NO_FUSE=1 disables the rule for the recorded width-32 A/B.
     "q_view_parse_wide" -> ((s, dir) => {
       graft.plans.FuseJsonAccess.install(s)
-      val parts: Seq[org.apache.spark.sql.Column] =
-        (lit("{\"typ\":\"") +: col("event_type") +: lit("\"") +:
-          (0 until 32).flatMap(i => Seq(
-            lit(s""","f$i":"""),
-            (col("event_id") + lit(i)).cast("string")))) :+ lit("}")
       Tables.events(s, dir)
-        .withColumn("payload", concat(parts: _*))
+        .withColumn("payload", widePayload)
         .select(
           col("event_id") +:
           nullif(trim(get_json_object(col("payload"), "$.typ")), lit(""))
@@ -750,6 +745,24 @@ object SparkEntry {
       p.run(s)("XREF_USER_DF")
         .select(col("USER_ID"), col("EVENT_ID"), col("EVENT_TYPE"))
         .orderBy("USER_ID")
+    }),
+
+    // Production-width COMPILED view (VERDICT r10 #5): the same 32-field
+    // synthesized payload as q_view_parse_wide, but driven through the
+    // actual spec->compile->SQL->Catalyst path (PipelineCompiler over the
+    // DemoSpecs.wideJsonPipeline workbook fixture), so the oracle locks the
+    // COMPILED wide shape — the one whose hoisted-common-expr fusion
+    // crashed pre-r10 — not a hand-built equivalent. ViewFusionSpec
+    // asserts the compiled plan carries exactly one JsonToStructs.
+    "q_sttm_wide" -> ((s, dir) => {
+      graft.plans.FuseJsonAccess.install(s)
+      Tables.events(s, dir)
+        .select(col("event_id"), widePayload.as("payload"))
+        .createOrReplaceTempView("events_wide")
+      val p = compile.PipelineCompiler.compile(
+        compile.DemoSpecs.wideJsonPipeline, compile.DemoSpecs.wideOptions)
+      require(p.errors.isEmpty, s"spec validation errors: ${p.errors}")
+      p.run(s)("WIDE_VW").orderBy("EVENT_ID")
     }),
 
     // CSV view through the compiler (SPLIT_INDEX + auto index assignment).
@@ -2490,6 +2503,23 @@ object SparkEntry {
       s"""WITH p AS (SELECT event_id, $payload AS payload FROM events)
          SELECT event_id,
            nullif(trim(json_extract_string(payload, '$$.typ')), '') AS typ,
+           $fields
+         FROM p ORDER BY event_id"""
+    },
+    // compiled wide view: the compiler's STRING columns are TRIM-only (no
+    // NULLIF — ExprCompiler.chooseExpr norm rule), numerics NULLIF+TRIM;
+    // EVENT_ID is an ExprOverride passthrough CAST
+    "q_sttm_wide" -> {
+      val payload = "'{\"typ\":\"' || event_type || '\"' || " +
+        (0 until 32).map(i =>
+          s"""',"f$i":' || CAST(event_id + $i AS VARCHAR)""")
+          .mkString(" || ") + " || '}'"
+      val fields = (0 until 32).map(i =>
+        s"CAST(nullif(trim(json_extract_string(payload, '$$.f$i')), '') AS BIGINT) AS F$i")
+        .mkString(", ")
+      s"""WITH p AS (SELECT event_id, $payload AS payload FROM events)
+         SELECT CAST(event_id AS BIGINT) AS EVENT_ID,
+           trim(json_extract_string(payload, '$$.typ')) AS TYP,
            $fields
          FROM p ORDER BY event_id"""
     },
@@ -5134,6 +5164,18 @@ object SparkEntry {
 
   /** Register raw tables and execute the bundled JSON STTM pipeline
     * (view -> xref upsert -> fgac/quarantine) on `dir`. */
+  /** The synthesized 32-field JSON payload shared by q_view_parse_wide and
+    * q_sttm_wide: string-concat so the oracle sees identical bytes; a NULL
+    * event_type nulls the whole payload in both engines. */
+  private def widePayload: org.apache.spark.sql.Column = {
+    val parts: Seq[org.apache.spark.sql.Column] =
+      (lit("{\"typ\":\"") +: col("event_type") +: lit("\"") +:
+        (0 until 32).flatMap(i => Seq(
+          lit(s""","f$i":"""),
+          (col("event_id") + lit(i)).cast("string")))) :+ lit("}")
+    concat(parts: _*)
+  }
+
   private def sttmRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
     Tables.events(s, dir).createOrReplaceTempView("events")
     Tables.customer(s, dir).createOrReplaceTempView("customer")

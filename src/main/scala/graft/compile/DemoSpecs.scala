@@ -60,6 +60,31 @@ object DemoSpecs {
     graft.spec.SttmSpec(rows, base.matrix, prefixedConfig)
   }
 
+  /** Production-width JSON view (VERDICT r10 #5): 32 JSON-mapped BIGINT
+    * columns + a STRING discriminator + an override PK passthrough —
+    * real STTM workbooks carry dozens of mapped columns, and the generator
+    * emits one JSON_VALUE re-parse per column (sttm_to_flink_v22.py:218-228).
+    * This fixture drives the COMPILED spec->SQL->Catalyst path through
+    * FuseJsonAccess at width, not a hand-built equivalent: q_sttm_wide's
+    * oracle + ViewFusionSpec's one-JsonToStructs plan assertion lock that
+    * spec->compile->fuse->execute stays a single parse end-to-end. */
+  lazy val wideJsonPipeline: SttmSpec = {
+    val header = "PipelineStage,TargetTable,TargetColumn,TargetDataType," +
+      "IsTargetPK,TargetPK,MessageFormat,FieldSelector,SourcePrimaryTable," +
+      "SourcePrimaryAlias,SourceField,ExprOverride,SourceTransformExpr," +
+      "FilterPredicate,JoinTable,JoinAlias,JoinType,JoinCondition,Notes"
+    val rows = Seq(
+      "View,WIDE_VW,EVENT_ID,BIGINT,Y,EVENT_ID,,,events_wide,e,,event_id,,,,,,,driving id",
+      "View,WIDE_VW,TYP,STRING,N,,JSON,,events_wide,e,typ,,,,,,,,type discriminator") ++
+      (0 until 32).map(i =>
+        s"View,WIDE_VW,F$i,BIGINT,N,,JSON,,events_wide,e,f$i,,,,,,,,payload field $i")
+    SttmSpec(
+      SttmParser.mappingFromCsv((header +: rows).mkString("\n")),
+      SttmParser.matrixFromCsv("Key,WIDE_VW\nvalue.format,json"))
+  }
+
+  lazy val wideOptions: CompilerOptions = CompilerOptions(payloadCol = "payload")
+
   /** CSV view with one explicit positional index and two auto-assigned. */
   lazy val csvPipeline: SttmSpec = SttmSpec(
     SttmParser.mappingFromCsv(resource("/graft/demo_csv_sttm.csv")),

@@ -200,6 +200,31 @@ class ViewFusionSpec extends AnyFunSuite {
     assert(rows.exists(r => !r.isNullAt(33)))  // f31
   }
 
+  test("COMPILED width-32 STTM view (q_sttm_wide) plans exactly one parse") {
+    // VERDICT r10 #5: the fusion's pre-r10 crash was on the COMPILED shape
+    // (RewriteWithExpression splits the NULLIF columns across Projects);
+    // q_view_parse_wide locks the hand-built equivalent, this locks
+    // spec -> PipelineCompiler -> FuseJsonAccess -> execution at width.
+    val df = SparkEntry.queries("q_sttm_wide")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan
+    assert(jsonToStructsCount(plan) == 1, plan.toString)
+    assert(projectGetJsonCount(plan) == 0, plan.toString)
+    // materialize EVERY column (count() would re-optimize and prune the
+    // hoisted-common-expr columns away before the rule runs). Column order
+    // is the compiler's deterministic lexicographic order, so index by name.
+    val iId = df.schema.fieldIndex("EVENT_ID")
+    val iTyp = df.schema.fieldIndex("TYP")
+    val iF31 = df.schema.fieldIndex("F31")
+    val rows = df.collect()
+    assert(rows.length > 0)
+    assert(rows.exists(r => !r.isNullAt(iTyp)))
+    assert(rows.exists(r => !r.isNullAt(iF31)))
+    // spot value: F31 = event_id + 31 wherever the payload is non-null
+    rows.filter(r => !r.isNullAt(iF31)).take(5).foreach { r =>
+      assert(r.getLong(iF31) == r.getLong(iId) + 31)
+    }
+  }
+
   test("demo pipeline still runs green end-to-end with the rule installed") {
     Tables.events(spark, "/root/testdata/sf0.001").createOrReplaceTempView("events")
     Tables.customer(spark, "/root/testdata/sf0.001").createOrReplaceTempView("customer")
