@@ -32,8 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * `GetJsonObject` uses (nested values come back as minified JSON text,
   * numbers normalize identically); NULL payload -> null struct -> null
   * field; malformed payload -> PERMISSIVE null row -> null field; missing
-  * key / JSON `null` -> null. Exotic paths (brackets, `$[...]`, nested dots)
-  * are left as `get_json_object` — the planned fallback.
+  * key / JSON `null` -> null. Single-level BRACKET paths (`$['name']` — the
+  * reference's quoted-field escape for names needing quoting,
+  * sttm_to_flink_v22.py:54-67) fuse too: the bracket selector names a
+  * literal top-level key, which is exactly a StructField name (dots/spaces
+  * inside the quotes are literal key characters, not path steps), so the
+  * substitution is identical to the dot case. Measured before extending
+  * (VERDICT r10 #7, MixedPathProbe at sf0.1 width 33): 30 simple + 3
+  * bracket paths paid 1 wide + 3 narrow parses = 2.95 s vs 1.75 s
+  * all-fused — a 1.69x tax on the realistic mixed workbook, gone after
+  * this extension. Remaining exotic paths (nested dots `$.a.b`, array
+  * steps `$[0]`) are left as `get_json_object` — the planned fallback;
+  * their fused form needs nested schemas, and no reference STTM emits them.
   *
   * Deliberate non-fusion: the demux Filter's single discriminator access
   * (`JSON_VALUE(payload,'$.tbl') = 'x'`) stays on `get_json_object` even
@@ -61,6 +71,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object FuseJsonAccess extends Rule[LogicalPlan] {
 
   private val SimpleDotPath = """^\$\.([A-Za-z_][A-Za-z0-9_]*)$""".r
+  // single-level quoted bracket selector: a LITERAL top-level key (allow-
+  // listed charset; dots/spaces here are key characters, not path steps)
+  private val BracketPath = """^\$\['([A-Za-z0-9_ .\-]+)'\]$""".r
 
   /** Install into the session's extraOptimizations exactly once.
     * `SPARK_GRAFT_NO_FUSE=1` skips installation — the measurement knob for
@@ -79,6 +92,7 @@ object FuseJsonAccess extends Rule[LogicalPlan] {
     case Literal(p: UTF8String, StringType) =>
       p.toString match {
         case SimpleDotPath(name) => Some(name)
+        case BracketPath(name) => Some(name)
         case _ => None
       }
     case _ => None

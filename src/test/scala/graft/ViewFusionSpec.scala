@@ -83,18 +83,53 @@ class ViewFusionSpec extends AnyFunSuite {
 
   test("exotic paths stay on get_json_object (fallback), simple ones fuse") {
     import spark.implicits._
-    viaParquet(Seq((1, """{"a":"x","b":"y","weird key":"w"}"""))
+    viaParquet(Seq((1, """{"a":"x","b":"y","n":{"m":"deep"}}"""))
       .toDF("id", "p"), "w").createOrReplaceTempView("vf_w")
+    // nested dot + array-step paths are the remaining unfused classes
     val df = spark.sql(
       """SELECT get_json_object(p, '$.a') AS a,
                 get_json_object(p, '$.b') AS b,
-                get_json_object(p, "$['weird key']") AS w
+                get_json_object(p, '$.n.m') AS nm,
+                get_json_object(p, '$[0]') AS arr
          FROM vf_w""")
     val plan = df.queryExecution.optimizedPlan
     assert(jsonToStructsCount(plan) == 1)
-    assert(projectGetJsonCount(plan) == 1) // the bracket path survives as-is
+    assert(projectGetJsonCount(plan) == 2) // nested + array survive as-is
     val r = df.collect()(0)
-    assert(r.getString(0) == "x" && r.getString(1) == "y" && r.getString(2) == "w")
+    assert(r.getString(0) == "x" && r.getString(1) == "y" &&
+      r.getString(2) == "deep" && r.isNullAt(3))
+  }
+
+  test("single-level bracket paths fuse as literal keys (VERDICT r10 #7)") {
+    // the reference's quoted-field escape: $['weird key'] / $['a.b'] name
+    // LITERAL top-level keys (the dot is a key character, not a path step)
+    import spark.implicits._
+    viaParquet(Seq((1, """{"a":"x","weird key":"w","a.b":"dotted"}"""))
+      .toDF("id", "p"), "bk").createOrReplaceTempView("vf_bk")
+    val df = spark.sql(
+      """SELECT get_json_object(p, '$.a') AS a,
+                get_json_object(p, "$['weird key']") AS w,
+                get_json_object(p, "$['a.b']") AS d
+         FROM vf_bk""")
+    val plan = df.queryExecution.optimizedPlan
+    assert(jsonToStructsCount(plan) == 1, plan.toString)
+    assert(projectGetJsonCount(plan) == 0, plan.toString)
+    val r = df.collect()(0)
+    assert(r.getString(0) == "x" && r.getString(1) == "w" &&
+      r.getString(2) == "dotted")
+    // parity on the null/missing cases: bracket access of a missing key and
+    // of a NULL payload, unfused ground truth vs fused
+    viaParquet(Seq((1, """{"z":"only"}"""), (2, null))
+      .toDF("id", "p"), "bk2").createOrReplaceTempView("vf_bk2")
+    val f2 = spark.sql(
+      """SELECT id, get_json_object(p, "$['weird key']") AS w,
+                get_json_object(p, "$['z']") AS z
+         FROM vf_bk2""")
+    assert(jsonToStructsCount(f2.queryExecution.optimizedPlan) == 1)
+    val rows = f2.collect().map(r => r.getInt(0) ->
+      (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    assert(rows(1) == (None, Some("only")))
+    assert(rows(2) == (None, None))
   }
 
   test("a single distinct path does not trigger the rewrite") {
