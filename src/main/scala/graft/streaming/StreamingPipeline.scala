@@ -8,7 +8,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Flink's EXECUTE STATEMENT SET (v22:397; SURVEY §2 T1/§4 "statement-set =
   * shared source scan"). Spark would otherwise run one independent scan per
   * `writeStream`; `foreachBatch` gives a shared scan and per-batch
-  * multi-sink writes.
+  * multi-sink writes. Measured, not argued (StmtSetAbProbe, sf0.1 events,
+  * 3 sinks): the fan-out reads exactly 1/3 the source rows of three
+  * independent queries (100k vs 300k `numInputRows`); at toy scale the
+  * independent variant is wall-clock FASTER (1.98 s vs 4.26 s — re-scans
+  * are free on idle cores + warm page cache while the fan-out serializes
+  * its sink writes), so the shared scan is an I/O-bound win: it pays off
+  * where the source read dominates — a 100 TB topic, not a 100 MB file.
+  * Note the sharing is real only because the batch is materialized once
+  * (prepare()'s localCheckpoint): each action on a raw foreachBatch frame
+  * re-reads the source files.
   *
   * Stage semantics per micro-batch:
   *  1. view projection/filter of the raw batch (VIEW)
