@@ -52,7 +52,9 @@ class StreamingPipelineSpec extends AnyFunSuite {
       source, view,
       XrefConfig(Seq("user_id"), Seq("ts", "event_id")),
       enrich, quarantine, work)
-    q.awaitTermination(120000)
+    // stop on timeout: a lingering query dumps a decoy cancellation stack
+    // at JVM shutdown (VERDICT r10 #8)
+    if (!q.awaitTermination(120000)) q.stop()
 
     val snapshot = new SnapshotStore(s"$work/xref_snapshot").read(spark).get
     val expected = SttmOps.latestByKey(view(ev), Seq("user_id"), Seq("ts", "event_id"))
@@ -75,7 +77,7 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val q2 = StreamingPipeline.run(
       source, view, XrefConfig(Seq("user_id"), Seq("ts", "event_id")),
       enrich, quarantine, work)
-    q2.awaitTermination(60000)
+    if (!q2.awaitTermination(60000)) q2.stop()
     val snapshot2 = new SnapshotStore(s"$work/xref_snapshot").read(spark).get
     assert(snapshot2.count() == expected.count())
   }
@@ -111,15 +113,23 @@ class StreamingPipelineSpec extends AnyFunSuite {
     val q = StreamingPipeline.run(
       source, view, XrefConfig(Seq("user_id"), Seq("ts", "event_id")),
       enrich, quarantine, work)
-    q.awaitTermination(600000)
+    if (!q.awaitTermination(600000)) q.stop()
     val totalSec = (System.nanoTime() - t0) / 1e9
-    val durs = q.recentProgress.toSeq
+    val dursInOrder = q.recentProgress.toSeq
       .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong))
-      .sorted
-    // recorded in BASELINE.md (streaming scale exercise)
+    val durs = dursInOrder.sorted
+    // recorded in BASELINE.md (streaming scale exercise). The half-medians
+    // are the LSM flatness evidence (VERDICT r10 #1): with the old
+    // touched-bucket rewrite, later batches paid a growing O(snapshot)
+    // write; with delta segments the second half should track the first.
+    def med(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s.lift(s.length / 2).getOrElse(0L)
+    }
+    val (h1, h2) = dursInOrder.splitAt(dursInOrder.length / 2)
     println(f"[stream-scale] sf0.1: ${durs.length} batches, " +
-      f"total ${totalSec}%.1f s, median batch ${durs.lift(durs.length / 2).getOrElse(0L)} ms, " +
-      f"max batch ${durs.lastOption.getOrElse(0L)} ms")
+      f"total ${totalSec}%.1f s, median batch ${med(dursInOrder)} ms, " +
+      f"max batch ${durs.lastOption.getOrElse(0L)} ms, " +
+      f"first-half median ${med(h1)} ms, second-half median ${med(h2)} ms")
     assert(durs.length >= 20, s"expected >= 20 micro-batches, got ${durs.length}")
 
     val snapshot = new SnapshotStore(s"$work/xref_snapshot").read(spark).get
