@@ -111,15 +111,26 @@ local_md5 = hashlib.md5(open(out_record, "rb").read()).hexdigest()
 # BASELINE.md prose. Publish the latest full bench run as a committed
 # bench_r{N}.json sibling (refresh bench.json with a full sf0.1 Bench run
 # before the round-close gate).
-import re, shutil
+import filecmp, re, shutil
 m = re.search(r"_r(\d+)", base)
 bench_src = os.path.join(repo, "bench.json")
 if m and os.path.exists(bench_src):
     bench_dst = os.path.join(repo, f"bench_r{m.group(1)}.json")
-    shutil.copyfile(bench_src, bench_dst)
-    print(f"[gate] per-query bench record -> {bench_dst} "
-          f"(from bench.json, mtime {os.path.getmtime(bench_src):.0f}) — "
-          f"git add it with the correctness records")
+    # staleness guard: the gate itself never refreshes bench.json (it runs
+    # Bench with RUNS=0 for fingerprints only), so copying without checking
+    # would relabel the PREVIOUS round's timings as this round's. Refuse
+    # when bench.json is byte-identical to the prior round's committed
+    # record — that means no full Bench ran since round close.
+    prev = os.path.join(repo, f"bench_r{int(m.group(1)) - 1:02d}.json")
+    if os.path.exists(prev) and filecmp.cmp(bench_src, prev, shallow=False):
+        print(f"[gate] SKIPPED bench_r{m.group(1)}.json: bench.json is "
+              f"byte-identical to {os.path.basename(prev)} — run a full "
+              f"sf0.1 Bench first, then re-run gate or dev/seal.py")
+    else:
+        shutil.copyfile(bench_src, bench_dst)
+        print(f"[gate] per-query bench record -> {bench_dst} "
+              f"(from bench.json, mtime {os.path.getmtime(bench_src):.0f}) — "
+              f"git add it with the correctness records")
 ok = oracle.get("n_pass", 0)
 tot = oracle.get("n_oracle", 0)
 print(f"[gate] record -> {out_record}: oracle {ok}/{tot}, "

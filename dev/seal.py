@@ -38,12 +38,16 @@ if cur_entries == len(embedded) and (want_md5 is None or cur_md5 == want_md5):
 else:
     # Stale-record guard (ADVICE r10 #3): running seal.py against an OLD
     # local record must not clobber a NEWER legitimate driver record from a
-    # later gate run. A driver file that is both newer than the local record
-    # and non-trivially populated is refused, not overwritten.
-    if (os.path.exists(driver_path) and cur_entries > 0
+    # later gate run. Refuse only when the driver file is newer AND at least
+    # as populated as the embedded copy (a richer record a later gate wrote);
+    # a newer-but-SMALLER record is the driver-clobber failure class this
+    # script exists to repair (historically `{}`, but partial clobbers
+    # qualify too) — repair it, keeping the .clobbered backup as evidence.
+    if (os.path.exists(driver_path) and cur_entries >= len(embedded)
             and os.path.getmtime(driver_path) > os.path.getmtime(local_path)):
         print(f"[seal] REFUSED: {driver_path} ({cur_entries} entries) is "
-              f"NEWER than {local_path} — your local record looks stale; "
+              f"NEWER than {local_path} and at least as populated "
+              f"({len(embedded)} embedded) — your local record looks stale; "
               f"re-run dev/gate.py instead of sealing against it")
         sys.exit(1)
     if os.path.exists(driver_path) and cur_entries > 0:

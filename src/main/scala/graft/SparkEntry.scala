@@ -5162,12 +5162,11 @@ object SparkEntry {
         expr("CAST(_ns AS BIGINT) * 10000 div _nt").as("q_bp"))
   }
 
-  /** Register raw tables and execute the bundled JSON STTM pipeline
-    * (view -> xref upsert -> fgac/quarantine) on `dir`. */
-  /** The synthesized 32-field JSON payload shared by q_view_parse_wide and
-    * q_sttm_wide: string-concat so the oracle sees identical bytes; a NULL
-    * event_type nulls the whole payload in both engines. */
-  private def widePayload: org.apache.spark.sql.Column = {
+  /** The synthesized 32-field JSON payload shared by q_view_parse_wide,
+    * q_sttm_wide, and tools.MixedPathProbe: string-concat so the oracle
+    * sees identical bytes; a NULL event_type nulls the whole payload in
+    * both engines. */
+  private[graft] def widePayload: org.apache.spark.sql.Column = {
     val parts: Seq[org.apache.spark.sql.Column] =
       (lit("{\"typ\":\"") +: col("event_type") +: lit("\"") +:
         (0 until 32).flatMap(i => Seq(
@@ -5176,6 +5175,8 @@ object SparkEntry {
     concat(parts: _*)
   }
 
+  /** Register raw tables and execute the bundled JSON STTM pipeline
+    * (view -> xref upsert -> fgac/quarantine) on `dir`. */
   private def sttmRun(s: SparkSession, dir: String): Map[String, DataFrame] = {
     Tables.events(s, dir).createOrReplaceTempView("events")
     Tables.customer(s, dir).createOrReplaceTempView("customer")

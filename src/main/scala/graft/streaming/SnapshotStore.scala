@@ -92,10 +92,17 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       if Files.isDirectory(p)
     } yield p.toString
 
+  /** The bucket count of a PINNED manifest state — enumeration and layout
+    * must come from the same snapshot of the manifest, or a reshard racing
+    * the read would enumerate the new count against the old generation's
+    * directories and silently drop buckets. */
+  private def bucketsOf(st: GenStore.State): Int =
+    st.props.getOrElse("nBuckets", nBuckets)
+
   /** Current snapshot (merge-on-read latest-by-key over the live
     * segments), or None before the first commit. */
   def read(spark: SparkSession): Option[DataFrame] = state.flatMap { st =>
-    readLeafs(spark, st, leafDirs(st, 0 until effectiveBuckets))
+    readLeafs(spark, st, leafDirs(st, 0 until bucketsOf(st)))
   }
 
   /** The snapshot restricted to the given hash buckets — the file-pruned
@@ -137,6 +144,13 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
             batchId: Option[Long] = None): Seq[Int] =
     mergePrepared(prepare(batch, keys), keys, order, batchId)
 
+  /** A bucket-tagged, materialized batch PLUS the bucket count its tags
+    * were derived under — carried together so the append can validate the
+    * count against the pinned manifest state: a reshard landing between
+    * prepare and append would otherwise commit rows tagged under the OLD
+    * layout, invisible to every read until the next compaction. */
+  private[streaming] final case class Prepared(df: DataFrame, buckets: Int)
+
   /** Bucket-tag and materialize a batch for [[mergePrepared]]. Exposed so a
     * caller that needs the batch materialized anyway (StreamingPipeline
     * feeds it to three sinks) pays ONE localCheckpoint instead of two.
@@ -144,43 +158,52 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * and the segment write (second action) MUST observe the same rows —
     * a non-deterministic or retried input frame re-evaluates per action
     * and could write rows into buckets `touched` never reported. */
-  private[streaming] def prepare(batch: DataFrame, keys: Seq[String]): DataFrame =
-    batch.withColumn(BucketCol, bucketOf(keys, effectiveBuckets))
-      .localCheckpoint()
+  private[streaming] def prepare(batch: DataFrame, keys: Seq[String]): Prepared = {
+    val n = effectiveBuckets
+    Prepared(batch.withColumn(BucketCol, bucketOf(keys, n)).localCheckpoint(), n)
+  }
 
   /** [[prepare]]'s counterpart: the column [[prepare]] added, for callers
     * that project it away before reusing the materialized frame. */
   private[streaming] def bucketCol: String = BucketCol
 
   private[streaming] def mergePrepared(
-      b: DataFrame, keys: Seq[String], order: Seq[String],
+      p: Prepared, keys: Seq[String], order: Seq[String],
       batchId: Option[Long]): Seq[Int] = {
     ensureInit(keys, order)
     // bounded by construction: ≤ nBuckets distinct values
-    val touched = b.select(BucketCol).distinct()
+    val touched = p.df.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return touched
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     // append protocol: overwrite-write the segment dir (a crashed attempt's
     // partial files are invisible and fully replaced), then atomically
     // commit it to the manifest; an already-committed b<batchId> segment
-    // (a replayed, fully-applied micro-batch) is a no-op. If a reshard
-    // swung the generation between prepare() and here, the commit CAS
-    // throws instead of landing rows tagged with the OLD bucket count.
-    val applied = GenStore.appendSeg(root, What, seg) { (_, segDir) =>
+    // (a replayed, fully-applied micro-batch) is a no-op. Reshard safety
+    // has two halves: the PINNED state's bucket count must match the count
+    // the batch was tagged under (checked here — a reshard before the pin),
+    // and the generation must not move between pin and commit (commitSeg's
+    // CAS — a reshard racing the append). Either failure aborts the batch
+    // and the streaming engine's replay re-prepares under the new layout.
+    val applied = GenStore.appendSeg(root, What, seg) { (st, segDir) =>
+      val cur = bucketsOf(st)
+      if (cur != p.buckets)
+        throw new java.util.ConcurrentModificationException(
+          s"store at $root was resharded ($cur buckets) after the batch " +
+            s"was prepared under ${p.buckets}; retry the batch")
       // within-batch dedup keeps the segment minimal; cross-segment dedup
       // happens at read/compact time. The repartition bounds the segment's
       // file count at nBuckets (one writer task per bucket) — without it a
       // t-task batch writes up to t×nBuckets tiny files per segment, and
       // merge-on-read cost is file-listing-bound across live segments.
-      SttmOps.latestByKey(b, keys, order)
-        .repartition(effectiveBuckets, col(BucketCol))
+      SttmOps.latestByKey(p.df, keys, order)
+        .repartition(p.buckets, col(BucketCol))
         .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
         .parquet(s"$segDir/$Rows")
     }
     if (applied) {
       val st = GenStore.readOrFail(root, What)
-      if (st.segs.length > maxLiveSegments) compact(b.sparkSession)
+      if (st.segs.length > maxLiveSegments) compact(p.df.sparkSession)
     }
     touched
   }
@@ -207,8 +230,11 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * (amortized O(snapshot / maxLiveSegments) per batch; serve-through-
     * compact — in-flight readers keep the retained previous generation).
     * Runs automatically from [[mergePrepared]] past the segment budget;
-    * public for maintenance windows. */
-  def compact(spark: SparkSession): Unit = rewriteAs(spark, effectiveBuckets)
+    * public for maintenance windows. The bucket count is taken from the
+    * PINNED state inside the rewrite (not read up front): an auto-compact
+    * racing an explicit reshard must not silently revert it. */
+  def compact(spark: SparkSession): Unit =
+    rewriteAs(spark, bucketsOf, identity)
 
   /** Rewrite the store under a NEW bucket count (VERDICT r10 #6): a store
     * created at 16 buckets would otherwise serve 100× data at 1/16 read
@@ -219,13 +245,19 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * a merge racing the swing fails its commit CAS and replays. */
   def reshard(spark: SparkSession, newBuckets: Int): Unit = {
     require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
-    rewriteAs(spark, newBuckets)
+    rewriteAs(spark, _ => newBuckets, _ + ("nBuckets" -> newBuckets))
   }
 
-  private def rewriteAs(spark: SparkSession, buckets: Int): Unit = {
+  private def rewriteAs(spark: SparkSession,
+                        targetBuckets: GenStore.State => Int,
+                        newProps: Map[String, Int] => Map[String, Int]): Unit = {
+    require(Files.exists(keysPath),
+      s"snapshot store at $root has never been merged into — nothing to " +
+        "compact/reshard (no _KEYS)")
     val (k, o) = keyOrder
     GenStore.compact(root, What, legacy = _ => false,
-      newProps = _ + ("nBuckets" -> buckets)) { (st, baseDir) =>
+      newProps = newProps) { (st, baseDir) =>
+      val buckets = targetBuckets(st)
       // segment TABLE roots (not leafs): partition discovery re-surfaces
       // _bucket, which the rewrite re-derives under the target count
       val paths = st.segTableDirs(root, Rows).filter(GenStore.hasData)

@@ -109,13 +109,13 @@ object StreamingPipeline {
     // The view batch feeds three sinks AND the merge: prepare() bucket-tags
     // and localCheckpoints it ONCE (merge would otherwise re-materialize);
     // vb is a free narrow projection dropping the bucket tag.
-    val vbB = store.prepare(view(batch), xref.keys)
-    val vb = vbB.drop(store.bucketCol)
+    val prep = store.prepare(view(batch), xref.keys)
+    val vb = prep.df.drop(store.bucketCol)
     // 2. incremental upsert: the batch appends as one batchId-keyed delta
     //    segment (O(|batch|) write; replay-idempotent). An all-filtered
     //    first batch leaves no snapshot on disk yet — downstream stages
     //    then join against an empty frame.
-    val touched = store.mergePrepared(vbB, xref.keys, xref.orderCols, Some(batchId))
+    val touched = store.mergePrepared(prep, xref.keys, xref.orderCols, Some(batchId))
     // 3. upsert delta: post-merge snapshot rows for THIS batch's keys —
     //    file-pruned to the touched buckets, then an exact key semi-join.
     //    The key set is broadcast only under a count ceiling: steady-state

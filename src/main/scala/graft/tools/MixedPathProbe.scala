@@ -25,13 +25,8 @@ object MixedPathProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.plans.FuseJsonAccess.install(spark)
     val dir = "/root/testdata/sf0.1"
-    val parts: Seq[org.apache.spark.sql.Column] =
-      (lit("{\"typ\":\"") +: col("event_type") +: lit("\"") +:
-        (0 until 32).flatMap(i => Seq(
-          lit(s""","f$i":"""),
-          (col("event_id") + lit(i)).cast("string")))) :+ lit("}")
     val base = graft.Tables.events(spark, dir)
-      .withColumn("payload", concat(parts: _*))
+      .withColumn("payload", graft.SparkEntry.widePayload)
       .localCheckpoint() // isolate parse cost from synthesis + scan
 
     def run(label: String, paths: Seq[String]): Unit = {
