@@ -97,6 +97,37 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // A2 at the storage layer, end-to-end through the LSM snapshot store:
+    // two delta-segment merges (odd/even event halves), an explicit
+    // reshard 4 -> 16 buckets (the full-rewrite compaction variant), then
+    // a merge-on-read serve. The oracle is the plain batch latest-by-key
+    // mirror — a hash match proves segment append + cross-segment
+    // latest-by-key + reshard are collectively value-neutral, in the gate
+    // every round (the spec-level bit-identity case, promoted to an
+    // oracle row). Fresh temp store per invocation; cleaned up after the
+    // serve materializes.
+    "q_xref_reshard" -> ((s, dir) => {
+      val work = java.nio.file.Files.createTempDirectory("graft_reshard_q")
+      val store = new streaming.SnapshotStore(s"$work/snap", nBuckets = 4)
+      val ev = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts", "value")
+      val keys = Seq("user_id")
+      val order = Seq("ts", "event_id")
+      store.merge(ev.filter(pmod(col("event_id"), lit(2)) === 0), keys, order)
+      store.merge(ev.filter(pmod(col("event_id"), lit(2)) === 1), keys, order)
+      store.reshard(s, 16)
+      val res = store.read(s).get
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("user_id")
+        .localCheckpoint()
+      val walk = java.nio.file.Files.walk(work)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally walk.close()
+      res
+    }),
+
     // F6+A1 — delete-flag exclusion before ranking ('error' plays the
     // delete_flag role; sttm-requirements.md:77-84).
     "q_xref_delete_flag" -> ((s, dir) => {
@@ -2525,6 +2556,13 @@ object SparkEntry {
     },
     "q_xref_latest" ->
       """SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+         FROM (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 ORDER BY user_id""",
+    // storage-layer twin: segment merges + reshard + merge-on-read must
+    // collectively equal the one-shot batch latest-by-key
+    "q_xref_reshard" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
          FROM (SELECT *, row_number() OVER
                  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) WHERE rn = 1 ORDER BY user_id""",
