@@ -122,10 +122,21 @@ if m and os.path.exists(bench_src):
     # when bench.json is byte-identical to the prior round's committed
     # record — that means no full Bench ran since round close.
     prev = os.path.join(repo, f"bench_r{int(m.group(1)) - 1:02d}.json")
+    # Bootstrap case: bench_r{N-1}.json doesn't exist (first round with the
+    # feature, or a round the guard skipped), so byte-comparison can't catch
+    # a leftover previous-round bench.json. The driver refreshes every
+    # tracked artifact's mtime at round START, so a bench.json OLDER than
+    # the driver's BENCH_r{N-1}.json record predates this round — refuse it.
+    round_start = os.path.join(repo, f"BENCH_r{int(m.group(1)) - 1:02d}.json")
     if os.path.exists(prev) and filecmp.cmp(bench_src, prev, shallow=False):
         print(f"[gate] SKIPPED bench_r{m.group(1)}.json: bench.json is "
               f"byte-identical to {os.path.basename(prev)} — run a full "
               f"sf0.1 Bench first, then re-run gate or dev/seal.py")
+    elif (os.path.exists(round_start)
+          and os.path.getmtime(bench_src) < os.path.getmtime(round_start)):
+        print(f"[gate] SKIPPED bench_r{m.group(1)}.json: bench.json predates "
+              f"this round (older than {os.path.basename(round_start)}) — "
+              f"run a full sf0.1 Bench first")
     else:
         shutil.copyfile(bench_src, bench_dst)
         print(f"[gate] per-query bench record -> {bench_dst} "

@@ -63,16 +63,32 @@ else:
 # Per-query bench coverage (VERDICT r10 #4): the committed bench_r{N}.json
 # must carry the round's per-query timing map; restore it from the
 # untracked bench.json if the copy is missing.
-import re, shutil
+import filecmp, re, shutil
 m = re.search(r"_r(\d+)", os.path.basename(local_path))
-bench_src = os.path.join(os.path.dirname(os.path.abspath(local_path)), "bench.json")
+repo_dir = os.path.dirname(os.path.abspath(local_path))
+bench_src = os.path.join(repo_dir, "bench.json")
 if m:
-    bench_dst = os.path.join(os.path.dirname(os.path.abspath(local_path)),
-                             f"bench_r{m.group(1)}.json")
+    bench_dst = os.path.join(repo_dir, f"bench_r{m.group(1)}.json")
+    # Same staleness guards as gate.py — restoring unconditionally would
+    # relabel the PREVIOUS round's timings as this round's (the exact
+    # failure VERDICT r10 #4 was fixed to prevent): refuse a bench.json
+    # byte-identical to the prior round's committed record, or one older
+    # than the driver's round-start artifact refresh.
+    prev = os.path.join(repo_dir, f"bench_r{int(m.group(1)) - 1:02d}.json")
+    round_start = os.path.join(repo_dir, f"BENCH_r{int(m.group(1)) - 1:02d}.json")
     if not os.path.exists(bench_dst) and os.path.exists(bench_src):
-        shutil.copyfile(bench_src, bench_dst)
-        print(f"[seal] RESTORED {bench_dst} from bench.json — git add it")
-        repaired = True
+        if os.path.exists(prev) and filecmp.cmp(bench_src, prev, shallow=False):
+            print(f"[seal] REFUSED bench restore: bench.json is byte-identical "
+                  f"to {os.path.basename(prev)} — run a full sf0.1 Bench first")
+        elif (os.path.exists(round_start)
+              and os.path.getmtime(bench_src) < os.path.getmtime(round_start)):
+            print(f"[seal] REFUSED bench restore: bench.json predates this "
+                  f"round (older than {os.path.basename(round_start)}) — "
+                  f"run a full sf0.1 Bench first")
+        else:
+            shutil.copyfile(bench_src, bench_dst)
+            print(f"[seal] RESTORED {bench_dst} from bench.json — git add it")
+            repaired = True
     elif os.path.exists(bench_dst):
         print(f"[seal] {bench_dst} present")
 

@@ -121,10 +121,7 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy("user_id")
         .localCheckpoint()
-      val walk = java.nio.file.Files.walk(work)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
+      graft.operators.GenStore.deleteRecursively(work)
       res
     }),
 
@@ -1176,11 +1173,7 @@ object SparkEntry {
           col("id2"), unix_micros(col("ts2")).as("ts2"))
         .orderBy("id1", "id2")
         .localCheckpoint()
-      // delete children before parents
-      val walk = java.nio.file.Files.walk(work)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
+      graft.operators.GenStore.deleteRecursively(work)
       res
     }),
 
@@ -1239,10 +1232,7 @@ object SparkEntry {
           unix_micros(col("TS")).as("TS_US"), col("K"), col("VALUE"))
         .orderBy("USER_ID")
         .localCheckpoint()
-      val walk = java.nio.file.Files.walk(work)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      finally walk.close()
+      graft.operators.GenStore.deleteRecursively(work)
       res
     }),
 

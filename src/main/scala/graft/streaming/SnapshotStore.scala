@@ -58,7 +58,19 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
   private val What = "xref snapshot"
   private val keysPath = Paths.get(root, "_KEYS")
 
-  private def state: Option[GenStore.State] = GenStore.read(root)
+  /** A `_META` that exists but fails the v3 parse is a pre-LSM (or corrupt)
+    * layout — fail LOUD instead of reading as an absent store: "absent"
+    * would report an empty snapshot while the old generation's data sits on
+    * disk, and the next merge would overwrite the old manifest — silent
+    * loss of every pre-upgrade row under a green pipeline. */
+  private def state: Option[GenStore.State] = {
+    val st = GenStore.read(root)
+    if (st.isEmpty && Files.exists(Paths.get(root, "_META")))
+      sys.error(s"snapshot store at $root has an unreadable/pre-v3 _META — " +
+        "the LSM refactor changed the on-disk layout; rebuild the store " +
+        "(delete the directory and replay) instead of merging over it")
+    st
+  }
 
   /** Bucket count is part of the on-disk layout: persisted at creation, and
     * the PERSISTED value wins on reopen — reopening an existing store with a
@@ -108,17 +120,33 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
   /** The snapshot restricted to the given hash buckets — the file-pruned
     * read for per-batch serving: a batch that touched k of n buckets joins
     * against k buckets' leaf dirs, not the whole snapshot (the DedupIndex
-    * pfx-pruning discipline applied to the XREF store). */
-  def readBuckets(spark: SparkSession, buckets: Seq[Int]): Option[DataFrame] =
-    state.flatMap(st => readLeafs(spark, st, leafDirs(st, buckets)))
+    * pfx-pruning discipline applied to the XREF store).
+    *
+    * @param preFilter applied to the RAW segment union BEFORE the
+    *        merge-on-read latest-by-key. A per-KEY row restriction (a key
+    *        semi-join, a key predicate) commutes with per-key dedup, and
+    *        applying it first shrinks the agg's input from every row in the
+    *        touched buckets to just the wanted keys' rows — at scale the
+    *        difference between aggregating a bucket and aggregating a
+    *        batch. Catalyst cannot push a join through the aggregate on its
+    *        own. Must not filter WITHIN a key's rows (e.g. on ts) — that
+    *        would change which row wins the dedup. */
+  def readBuckets(spark: SparkSession, buckets: Seq[Int],
+                  preFilter: DataFrame => DataFrame = identity): Option[DataFrame] =
+    state.flatMap(st => readLeafs(spark, st, leafDirs(st, buckets), preFilter))
 
   private def readLeafs(spark: SparkSession, st: GenStore.State,
-                        paths: Seq[String]): Option[DataFrame] =
+                        paths: Seq[String],
+                        preFilter: DataFrame => DataFrame = identity): Option[DataFrame] =
     if (paths.isEmpty) None
     else {
-      val raw = spark.read.parquet(paths: _*)
-      // a fully-compacted store's base is written deduped — skip the agg
-      if (st.segs == Vector(GenStore.BaseSeg)) Some(raw)
+      val raw = preFilter(spark.read.parquet(paths: _*))
+      // EVERY segment is written deduped within itself (mergePrepared's
+      // latestByKey before the append; compact's deduped base), so any
+      // single-live-segment state is globally deduped — skip the
+      // latest-by-key shuffle, not just for a compacted [base] store but
+      // also for the common first-delta / one-batch states.
+      if (st.segs.size == 1) Some(raw)
       else {
         val (k, o) = keyOrder
         Some(SttmOps.latestByKey(raw, k, o))
@@ -213,17 +241,26 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       GenStore.initIfAbsent(root,
         GenStore.State(0, Vector.empty, Map("nBuckets" -> nBuckets)))
     if (!Files.exists(keysPath)) {
-      val tmp = Paths.get(root, "_KEYS.tmp")
+      // Unique tmp name per writer: two racing first-merges each stage
+      // their own complete file and ATOMIC_MOVE it — last wins, and _KEYS
+      // is never observable partially written (a SHARED tmp name let one
+      // writer truncate the file under the other's move). No manifest lock
+      // needed: the verify below makes a lost race with DIFFERENT keys
+      // loud instead of silently corrupting upsert semantics.
+      val tmp = Paths.get(root,
+        s"_KEYS.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       Files.writeString(tmp,
         s"keys=${keys.mkString(",")}\norder=${order.mkString(",")}")
       Files.move(tmp, keysPath, StandardCopyOption.REPLACE_EXISTING,
         StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      val (k, o) = keyOrder
-      require(k == keys && o == order,
-        s"snapshot store at $root was created with keys=$k order=$o; " +
-          s"merging with keys=$keys order=$order would corrupt upsert semantics")
     }
+    // verify on EVERY merge (including the one that just wrote): the
+    // persisted record is the table's primary key — a mismatch means this
+    // caller would corrupt upsert semantics, whoever won the write.
+    val (k, o) = keyOrder
+    require(k == keys && o == order,
+      s"snapshot store at $root was created with keys=$k order=$o; " +
+        s"merging with keys=$keys order=$order would corrupt upsert semantics")
   }
 
   /** Fold the live segments into a fresh deduped base generation

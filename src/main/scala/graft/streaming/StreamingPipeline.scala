@@ -117,24 +117,28 @@ object StreamingPipeline {
     //    then join against an empty frame.
     val touched = store.mergePrepared(prep, xref.keys, xref.orderCols, Some(batchId))
     // 3. upsert delta: post-merge snapshot rows for THIS batch's keys —
-    //    file-pruned to the touched buckets, then an exact key semi-join.
+    //    file-pruned to the touched buckets, key-semi-joined BEFORE the
+    //    merge-on-read dedup (see readBuckets' preFilter contract).
     //    The key set is broadcast only under a count ceiling: steady-state
     //    batches are small (and checkpoint-RDD size estimates too fragile
     //    to trust for the hint), but a backfill's first batch can be the
     //    whole source — past the ceiling the join falls back to a shuffle
     //    instead of failing the query on an oversized broadcast.
     import org.apache.spark.sql.functions.{broadcast, col}
-    val delta = UpsertDelta(store.readBuckets(spark, touched)
-      .map { snapRows =>
-        // localCheckpoint: the distinct is computed once for the count AND
-        // the join instead of re-shuffling inside each
-        val batchKeys =
-          vb.select(xref.keys.map(col): _*).distinct().localCheckpoint()
+    // localCheckpoint: the distinct is computed once for the count AND
+    // the join instead of re-shuffling inside each
+    lazy val batchKeys =
+      vb.select(xref.keys.map(col): _*).distinct().localCheckpoint()
+    val delta = UpsertDelta(store.readBuckets(spark, touched, preFilter = { raw =>
+        // key semi-join BEFORE the merge-on-read latest-by-key (it commutes
+        // with per-key dedup): the agg then runs over just this batch's
+        // keys' rows instead of every row in the touched buckets — at scale
+        // the difference between aggregating a bucket and a batch.
         val keySide =
           if (batchKeys.count() <= MaxBroadcastKeys) broadcast(batchKeys)
           else batchKeys
-        snapRows.join(keySide, xref.keys, "left_semi")
-      }
+        raw.join(keySide, xref.keys, "left_semi")
+      })
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], vb.schema)))
     // 3+4. statement-set fan-out from the shared batch scan, idempotent

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * this probe measures whether that bracket tax is material at width 33
   * before any rule extension is considered.
   *
+  * The measurement drove a rule extension: single-level brackets now fuse
+  * as literal keys, so the variants below record the POST-extension space.
+  *
   * Variants over the same synthesized 33-field payload (sf0.1 events):
-  *   fused    — 33 simple dot paths  -> 1 JsonToStructs
-  *   mixed    — 30 simple + 3 bracket -> 1 JsonToStructs + 3 GetJsonObject
-  *   unfused  — 33 bracket paths      -> 33 GetJsonObject (the reference
-  *              emission shape, lower bound of no fusion at all)
+  *   fused      — 33 simple dot paths   -> 1 JsonToStructs
+  *   mixed-brkt — 30 simple + 3 bracket -> 1 JsonToStructs (was 1 + 3)
+  *   mixed-nest — 30 simple + 3 nested  -> 1 JsonToStructs + 3 GetJsonObject
+  *   unfused    — 33 nested dot paths   -> 33 GetJsonObject (the still-
+  *                unfused class; each narrow parse rescans the payload even
+  *                though the flat fixture yields null for every nested path)
   */
 object MixedPathProbe {
   def main(args: Array[String]): Unit = {

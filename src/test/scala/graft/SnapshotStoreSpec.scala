@@ -117,6 +117,48 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/snap/g1/base/rows").count() == 51)
   }
 
+  test("single live segment skips the merge-on-read aggregation") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_snap_oneseg").toString
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 4, maxLiveSegments = 64)
+    store.merge(Seq((1L, 2L, "new"), (1L, 1L, "old"), (2L, 1L, "b"))
+      .toDF("k", "ts", "v"), Seq("k"), Seq("ts"), batchId = Some(0L))
+    def aggs(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    // one delta segment: written deduped within the batch, so the read is a
+    // plain scan — no latest-by-key shuffle
+    val one = store.read(spark).get
+    assert(aggs(one) == 0, "single-segment read should skip latestByKey")
+    assert(one.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "new", 2L -> "b"))
+    // two segments: cross-segment dedup must come back
+    store.merge(Seq((2L, 2L, "b2")).toDF("k", "ts", "v"),
+      Seq("k"), Seq("ts"), batchId = Some(1L))
+    val two = store.read(spark).get
+    assert(aggs(two) == 1, "multi-segment read must dedup latest-by-key")
+    assert(two.collect().map(r => r.getLong(0) -> r.getString(2)).toMap ==
+      Map(1L -> "new", 2L -> "b2"))
+  }
+
+  test("a pre-v3 _META fails loud instead of reading as an absent store") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_snap_prev3").toString
+    Files.createDirectories(Paths.get(s"$work/snap"))
+    // the pre-LSM layout's manifest shape — unparseable as v3
+    Files.writeString(Paths.get(s"$work/snap/_META"), "nBuckets=16")
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 4)
+    val e = intercept[RuntimeException] { store.read(spark) }
+    assert(e.getMessage.contains("pre-v3"))
+    // the merge path must refuse too — it would otherwise overwrite the
+    // old manifest and silently orphan every pre-upgrade row
+    val e2 = intercept[RuntimeException] {
+      store.merge(Seq((1L, 1L, "a")).toDF("k", "ts", "v"), Seq("k"), Seq("ts"))
+    }
+    assert(e2.getMessage.contains("pre-v3"))
+  }
+
   test("reshard rewrites under a new bucket count, bit-identical, readers unharmed") {
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory("graft_snap_reshard").toString
