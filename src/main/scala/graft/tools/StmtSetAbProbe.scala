@@ -56,6 +56,24 @@ object StmtSetAbProbe {
     val wallA = (System.nanoTime() - tA) / 1e9
     val rowsA = qA.recentProgress.map(_.numInputRows).sum
 
+    // A2: statement set with CONCURRENT sink writes (the StreamingPipeline
+    // shape since r11) — still one scan, but the three actions overlap
+    val tA2 = System.nanoTime()
+    val qA2 = source().writeStream
+      .option("checkpointLocation", s"$work/_cpA2")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val v = view(b).localCheckpoint()
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val fs = (1 to 3).map(i => Future(v.write.mode("overwrite")
+          .parquet(s"$work/outA2_$i/batch=$id")))
+        fs.foreach(Await.result(_, Duration.Inf))
+      }.start()
+    qA2.awaitTermination()
+    val wallA2 = (System.nanoTime() - tA2) / 1e9
+
     // B: three independent queries — three scans of the same source
     val tB = System.nanoTime()
     val qs = (1 to 3).map { i =>
@@ -73,6 +91,7 @@ object StmtSetAbProbe {
       spark.read.parquet(s"$work/outA$i").count() ->
         spark.read.parquet(s"$work/outB$i").count())
     println(f"STMTSET_AB shared: wall=$wallA%.2f s rowsScanned=$rowsA " +
+      f"| sharedParallel: wall=$wallA2%.2f s " +
       f"| independent: wall=$wallB%.2f s rowsScanned=$rowsB " +
       f"| scanRatio=${rowsB.toDouble / rowsA}%.2f wallRatio=${wallB / wallA}%.2f " +
       f"| outRows=${outRows.mkString(",")}")
