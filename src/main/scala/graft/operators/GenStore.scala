@@ -70,6 +70,12 @@ private[graft] object GenStore {
   def freshSeg(): String =
     "a-" + java.util.UUID.randomUUID().toString.take(8)
 
+  /** Name for a minor-fold output segment (a merged tier of append
+    * segments) — distinguishable from fresh appends so a tiered store can
+    * count each tier against its own budget. */
+  def mergedSeg(): String =
+    "m-" + java.util.UUID.randomUUID().toString.take(8)
+
   private def metaPath(dir: String) = Paths.get(s"$dir/_META")
 
   /** Parse the manifest; None for absent stores AND for any pre-v3 layout
@@ -186,6 +192,30 @@ private[graft] object GenStore {
     * committed — the replay-detection half of the idempotent gate loop. */
   def batchApplied(dir: String, batchId: Long): Boolean =
     read(dir).exists(_.segs.contains(batchSeg(batchId)))
+
+  /** Minor-fold commit: atomically replace the already-written `fold`
+    * segments with `merged` in the manifest, SAME generation — the cheap
+    * tier compaction (the caller merges only the folded segments' data, so
+    * the write is O(folded bytes), never O(snapshot); a full generation
+    * swing is [[compact]]). The folded segment DIRECTORIES are retained on
+    * disk for readers pinned to the pre-fold listing and are cleaned when
+    * the whole generation is pruned at the next [[compact]]; a crashed
+    * fold's orphan merged dir is likewise invisible (not in the manifest)
+    * and pruned with its generation. Returns false — fold abandoned, no
+    * manifest change — if the generation moved or any folded segment left
+    * the manifest since the caller pinned its state (a racing compact or
+    * fold won); the orphan dir is debris, not damage. */
+  def foldSegs(dir: String, what: String, expectGen: Int,
+               fold: Seq[String], merged: String): Boolean =
+    withLock(dir) {
+      val cur = readOrFail(dir, what)
+      if (cur.gen != expectGen || !fold.forall(cur.segs.contains)) false
+      else {
+        writeState(dir, cur.copy(
+          segs = cur.segs.filterNot(fold.contains) :+ merged))
+        true
+      }
+    }
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -13,10 +13,18 @@ import graft.operators.{GenStore, SttmOps}
   * every micro-batch APPENDS one `b<batchId>` delta segment holding only
   * that batch's rows — per-batch write cost is O(|batch|), independent of
   * snapshot size. Reads are merge-on-read: latest-by-key over
-  * (base ∪ live delta segments). When live segments exceed
-  * `maxLiveSegments`, [[compact]] folds them into a fresh `g<next>/base`
-  * generation — amortized write cost O(snapshot / maxLiveSegments) per
-  * batch. The previous design REWROTE every touched hash bucket per batch;
+  * (base ∪ merged tier ∪ fresh delta segments). Compaction is TIERED
+  * (two-level LSM): past `maxLiveSegments` FRESH segments, a minor fold
+  * merges just them into one deduped `m-<uuid>` segment in the SAME
+  * generation — an O(recent batches) write, base untouched, folded dirs
+  * retained for pinned readers until the generation is pruned; only when
+  * MERGED segments themselves reach the budget does [[compact]] rewrite
+  * the base (O(snapshot), budget× rarer than folding everything every
+  * budget appends). Read width stays ≤ 1 + 2×budget. A batchId replayed
+  * after its segment folded re-appends value-invisibly; the replay
+  * overwrites its own retained directory — the same crash-retry overwrite
+  * exposure the plain append path already carries.
+  * The pre-LSM design REWROTE every touched hash bucket per batch;
   * Kafka keys are hash-random, so a batch of b keys touches
   * ≈ nBuckets·(1−e^(−b/nBuckets)) buckets and any batch ≳3·nBuckets keys
   * rewrote ~the whole snapshot every trigger — an O(snapshot) write per
@@ -230,10 +238,45 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
         .parquet(s"$segDir/$Rows")
     }
     if (applied) {
+      // Tiered compaction (two-level LSM): FRESH append segments fold into
+      // one deduped MERGED segment past the budget — an O(recent batches)
+      // write, same generation, base untouched; only when MERGED segments
+      // themselves exceed the budget does the O(snapshot) base rewrite run.
+      // vs folding everything every `maxLiveSegments` appends, the
+      // full-snapshot latency spike is budget× rarer while read width stays
+      // ≤ 1 + 2×budget (SnapReadProbe: width is the cheap dimension).
       val st = GenStore.readOrFail(root, What)
-      if (st.segs.length > maxLiveSegments) compact(p.df.sparkSession)
+      val (mergedSegs, freshSegs) =
+        st.segs.filterNot(_ == GenStore.BaseSeg).partition(_.startsWith("m-"))
+      if (mergedSegs.length >= maxLiveSegments) compact(p.df.sparkSession)
+      else if (freshSegs.length > maxLiveSegments)
+        minorFold(p.df.sparkSession, st, freshSegs)
     }
     touched
+  }
+
+  /** Fold the given fresh append segments into one deduped merged-tier
+    * segment (see the [[GenStore.foldSegs]] contract): merge-on-read cost
+    * drops back under the budget without touching the base. A lost commit
+    * race (compact/reshard/another fold won) abandons the fold — the next
+    * append re-triggers it against the new state. */
+  private def minorFold(spark: SparkSession, st: GenStore.State,
+                        fresh: Seq[String]): Unit = {
+    val (k, o) = keyOrder
+    val paths = fresh.map(s => s"$root/g${st.gen}/$s/$Rows")
+      .filter(GenStore.hasData)
+    if (paths.isEmpty) return
+    val merged = GenStore.mergedSeg()
+    // segment TABLE roots: partition discovery re-surfaces _bucket, which
+    // the fold preserves as-is (key->bucket mapping is stable within a
+    // generation; a racing reshard bumps the generation and fails the CAS)
+    val raw = paths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    SttmOps.latestByKey(raw, k, o)
+      .repartition(bucketsOf(st), col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(s"$root/g${st.gen}/$merged/$Rows")
+    GenStore.foldSegs(root, What, st.gen, fold = fresh, merged = merged)
+    ()
   }
 
   private def ensureInit(keys: Seq[String], order: Seq[String]): Unit = {

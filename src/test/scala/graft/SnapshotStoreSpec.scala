@@ -44,7 +44,7 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // run while batch size stays constant; keys are hash-spread so every
     // batch touches ~all 8 buckets (the regime that made the old
     // touched-bucket REWRITE an O(snapshot) write per trigger)
-    var compactions = 0
+    var folds = 0
     val perBatchNewBytes = (0 until nBatches).map { i =>
       val before = du(s"$work/snap")
       val segsBefore = store.liveSegments.length
@@ -53,19 +53,24 @@ class SnapshotStoreSpec extends AnyFunSuite {
         .toDF("k", "ts", "v")
       store.merge(b, Seq("k"), Seq("ts"), batchId = Some(i.toLong))
       val after = du(s"$work/snap")
-      val compacted = store.liveSegments.length <= segsBefore
-      if (compacted) compactions += 1
-      // append-only between compactions: nothing pre-existing is rewritten
-      if (!compacted) {
-        assert(before.keySet.subsetOf(after.keySet))
-        before.keySet.foreach(p => assert(before(p) == after(p)))
-      }
+      val folded = store.liveSegments.length <= segsBefore
+      if (folded) folds += 1
+      // append-only between folds: nothing pre-existing is rewritten
+      // (and even a FOLD never rewrites — folded dirs are retained, the
+      // merged tier is a new dir — but a fold batch legitimately writes
+      // more than |batch|, so it is excluded from the flatness assert)
+      assert(before.keySet.subsetOf(after.keySet))
+      before.keySet.foreach(p => assert(before(p) == after(p)))
       val newBytes = after.keySet.diff(before.keySet).map(after).sum
-      (newBytes, compacted)
+      (newBytes, folded)
     }
-    // segment budget 4 -> a compaction roughly every 4 appends, not never
-    // and not every batch
-    assert(compactions >= 2 && compactions <= 4, s"compactions=$compactions")
+    // tiered cadence: a MINOR fold roughly every 4 appends (budget 4),
+    // not never and not every batch; 12 batches never accumulate 4 merged
+    // tiers, so the O(snapshot) base rewrite must not have fired (no base)
+    assert(folds >= 2 && folds <= 4, s"folds=$folds")
+    assert(store.liveSegments.count(_ == "base") == 0,
+      s"major compaction fired too early: ${store.liveSegments}")
+    assert(store.liveSegments.count(_.startsWith("m-")) == folds)
     val appendBytes = perBatchNewBytes.collect { case (n, false) => n }
     assert(appendBytes.size >= 6)
     // THE r10 #1 assertion: append cost is flat while the snapshot grows
@@ -115,6 +120,44 @@ class SnapshotStoreSpec extends AnyFunSuite {
     // (g0 compacted into g1; read the base table directly, bypassing the
     // store's merge-on-read)
     assert(spark.read.parquet(s"$work/snap/g1/base/rows").count() == 51)
+  }
+
+  test("tiered compaction: minor folds never touch the base; major fires at the merged budget") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_snap_tier").toString
+    // budget 2: a minor fold every 3rd append, a major when 2 merged tiers
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 4, maxLiveSegments = 2)
+    def appendBatch(i: Int): Unit =
+      store.merge((0 until 50).map(j => (i.toLong * 1000 + j, 1L, s"v$i-$j"))
+        .toDF("k", "ts", "v"), Seq("k"), Seq("ts"), batchId = Some(i.toLong))
+
+    // build a base first so minor folds have a base NOT to touch
+    (0 until 3).foreach(appendBatch) // 3 fresh > 2 -> fold -> [m1]
+    store.compact(spark)             // -> [base]
+    assert(store.liveSegments == Vector("base"))
+    val baseFiles = du(s"$work/snap").filter(_._1.contains("/base/"))
+
+    (3 until 6).foreach(appendBatch) // fold #2 -> [base, m2]
+    assert(store.liveSegments.count(_.startsWith("m-")) == 1,
+      s"segs=${store.liveSegments}")
+    // the minor fold did NOT rewrite the base: same files, same bytes
+    val baseAfter = du(s"$work/snap").filter(_._1.contains("/base/"))
+    assert(baseAfter == baseFiles, "minor fold must not touch the base")
+    // folded fresh dirs are retained on disk for pinned readers
+    assert(du(s"$work/snap").keys.exists(_.contains("/b3/")),
+      "folded segment dirs must be retained for pinned readers")
+
+    (6 until 9).foreach(appendBatch) // fold #3 -> merged count 2 == budget
+    appendBatch(9)                   // next append sees 2 merged -> MAJOR
+    assert(store.liveSegments.count(_ == "base") == 1)
+    assert(store.liveSegments.count(_.startsWith("m-")) == 0,
+      s"major compact should fold the merged tiers: ${store.liveSegments}")
+
+    // all 10 batches' keys served exactly once with the right values
+    val got = store.read(spark).get.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got.size == 10 * 50)
+    assert(got(0L) == "v0-0" && got(9L * 1000 + 49) == "v9-49")
   }
 
   test("single live segment skips the merge-on-read aggregation") {
