@@ -309,7 +309,8 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
   /** Fold the live segments into a fresh deduped base generation
     * (amortized O(snapshot / maxLiveSegments) per batch; serve-through-
     * compact — in-flight readers keep the retained previous generation).
-    * Runs automatically from [[mergePrepared]] past the segment budget;
+    * Runs automatically from [[mergePrepared]] when the MERGED tier count
+    * reaches the budget (fresh segments fold via the cheaper minorFold);
     * public for maintenance windows. The bucket count is taken from the
     * PINNED state inside the rewrite (not read up front): an auto-compact
     * racing an explicit reshard must not silently revert it. */

@@ -231,6 +231,22 @@ class StreamingPipelineSpec extends AnyFunSuite {
     // and the pruned rows are exactly that bucket's key set
     assert(pruned.count() < full.count())
     assert(pruned.filter(col("k") === 5L).select("v").as[String].head() == "v5b")
+
+    // SHAPE guard for the r11 filter-below-dedup win: a key preFilter must
+    // land UNDER the merge-on-read aggregation (the agg then runs over the
+    // batch's keys' rows, not the bucket's) — a refactor that lifts the
+    // join back above the agg re-creates the bucket-sized agg silently.
+    val keySide = Seq(Tuple1(5L)).toDF("k")
+    val filtered = store.readBuckets(spark, touched,
+      preFilter = _.join(keySide, Seq("k"), "left_semi")).get
+    val plan = filtered.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1)
+    val joinsBelowAgg = aggs.head.collect { case j: Join => j }
+    assert(joinsBelowAgg.nonEmpty,
+      "preFilter semi-join must stay below the merge-on-read aggregate")
+    assert(filtered.collect().map(_.getString(2)).toSeq == Seq("v5b"))
   }
 
   test("incremental snapshot merge appends a delta segment; existing files byte-identical") {
