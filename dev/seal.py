@@ -91,5 +91,12 @@ if m:
             repaired = True
     elif os.path.exists(bench_dst):
         print(f"[seal] {bench_dst} present")
+    # A round must not seal green without its per-query bench record — a
+    # refused (or impossible) restore is a FAILURE that forces a full
+    # sf0.1 Bench + gate rerun, not a warning to scroll past.
+    if not os.path.exists(bench_dst):
+        print(f"[seal] FAILED: no {os.path.basename(bench_dst)} — run a "
+              f"full sf0.1 Bench, then dev/gate.py (or re-run seal)")
+        sys.exit(1)
 
 sys.exit(2 if repaired else 0)

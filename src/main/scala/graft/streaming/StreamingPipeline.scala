@@ -148,18 +148,32 @@ object StreamingPipeline {
     //      scheduler): both read the same cached batch + delta plans, so
     //      serializing them only serializes sink I/O — the overlap is what
     //      the StmtSetAbProbe A/B showed independent queries winning at toy
-    //      scale. Await.result on both rethrows either side's failure so a
-    //      failed write still fails the whole micro-batch (retry semantics
-    //      unchanged).
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val fEnrich = Future(
-      writeIdempotent(enrich(vb, delta), s"$workDir/fgac_out", batchId))
-    val fQuar = Future(
-      writeIdempotent(quarantine(vb, delta), s"$workDir/quarantine_out", batchId))
-    try Await.result(fEnrich, Duration.Inf)
-    finally Await.result(fQuar, Duration.Inf)
+    //      scale. The second action runs on a thread SPAWNED HERE, not a
+    //      shared pool: a child thread inherits the micro-batch thread's
+    //      InheritableThreadLocals (active session, job group) at creation,
+    //      deterministically — so query.stop()'s cancelJobGroup still kills
+    //      BOTH sink jobs, and user callbacks see the same thread-local
+    //      Spark context they did when the writes were sequential. join()
+    //      is interruptible, so stop() doesn't hang behind a stuck sink.
+    //      Either side's failure fails the whole micro-batch (retry
+    //      semantics unchanged); if both fail, the enrich error is primary
+    //      and the quarantine error rides along as suppressed.
+    val enrichErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val t = new Thread(() =>
+      try writeIdempotent(enrich(vb, delta), s"$workDir/fgac_out", batchId)
+      catch { case e: Throwable => enrichErr.set(e) },
+      s"graft-sink-enrich-b$batchId")
+    t.start()
+    val quarErr =
+      try { writeIdempotent(quarantine(vb, delta), s"$workDir/quarantine_out", batchId); null }
+      catch { case e: Throwable => e }
+    t.join()
+    (enrichErr.get, quarErr) match {
+      case (null, null) =>
+      case (e, null) => throw e
+      case (null, q) => throw q
+      case (e, q) => e.addSuppressed(q); throw e
+    }
   }
 
   private def writeIdempotent(df: DataFrame, dir: String, batchId: Long): Unit = {

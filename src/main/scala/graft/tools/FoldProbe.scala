@@ -15,7 +15,7 @@ import graft.streaming.SnapshotStore
   *            maxLiveSegments -> compact` did)
   *
   * Setup isolates the claim "fold cost is independent of snapshot size":
-  * a 2M-key compacted base (~400x one batch), then 20 appends x 5k fresh
+  * a 20M-key compacted base (~4000x one batch), then 20 appends x 5k fresh
   * keys, budget 8 — each policy crosses the budget twice. A JVM warm-up
   * run precedes both (order effects dominated the first cut of this probe).
   * Reported per variant: median batch, worst batch, total, and every batch
