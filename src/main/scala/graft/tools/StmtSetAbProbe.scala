@@ -64,12 +64,12 @@ object StmtSetAbProbe {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
         val v = view(b).localCheckpoint()
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val fs = (1 to 3).map(i => Future(v.write.mode("overwrite")
+        // spawned threads, not a shared pool — the shipped processBatch
+        // shape (InheritableThreadLocals keep session + job group; join is
+        // interruptible so stop() can still cancel)
+        val ts = (1 to 3).map(i => new Thread(() => v.write.mode("overwrite")
           .parquet(s"$work/outA2_$i/batch=$id")))
-        fs.foreach(Await.result(_, Duration.Inf))
+        ts.foreach(_.start()); ts.foreach(_.join())
       }.start()
     qA2.awaitTermination()
     val wallA2 = (System.nanoTime() - tA2) / 1e9
@@ -88,8 +88,9 @@ object StmtSetAbProbe {
     val rowsB = qs.flatMap(_.recentProgress).map(_.numInputRows).sum
 
     val outRows = (1 to 3).map(i =>
-      spark.read.parquet(s"$work/outA$i").count() ->
-        spark.read.parquet(s"$work/outB$i").count())
+      (spark.read.parquet(s"$work/outA$i").count(),
+        spark.read.parquet(s"$work/outA2_$i").count(),
+        spark.read.parquet(s"$work/outB$i").count()))
     println(f"STMTSET_AB shared: wall=$wallA%.2f s rowsScanned=$rowsA " +
       f"| sharedParallel: wall=$wallA2%.2f s " +
       f"| independent: wall=$wallB%.2f s rowsScanned=$rowsB " +
