@@ -76,6 +76,44 @@ private[graft] object GenStore {
   def mergedSeg(): String =
     "m-" + java.util.UUID.randomUUID().toString.take(8)
 
+  /** Manifest property: the highest streaming batchId whose `b<id>`
+    * segment has been folded or compacted away. A replay at or below this
+    * watermark is already fully applied and must be a NO-OP — its retained
+    * `b<id>` directory may still be read by a reader pinned to the
+    * pre-fold manifest, so re-writing it mid-read would serve a partial
+    * segment (ADVICE r11 #2); and for stores without merge-on-read dedup
+    * (the changelog sinks) a re-append would duplicate rows outright.
+    * Stored as the manifest's Int property type: 2^31 one-second triggers
+    * is ~68 years of stream time; ids past that skip the watermark (they
+    * fall back to the value-invisible re-append path where one exists). */
+  val MaxFoldedProp = "maxFoldedBatch"
+
+  /** The highest `b<id>` batch segment id in `segs` that fits the manifest
+    * Int property type (None when there are none). */
+  def maxBatchIdOf(segs: Seq[String]): Option[Int] = {
+    val ids = segs.flatMap { s =>
+      if (s.length > 1 && s.head == 'b' && s.tail.forall(_.isDigit))
+        scala.util.Try(s.tail.toLong).toOption
+          .filter(_ <= Int.MaxValue).map(_.toInt)
+      else None
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** The folded-batch watermark of a manifest (−1 = nothing folded yet). */
+  def foldedWatermark(props: Map[String, Int]): Long =
+    props.getOrElse(MaxFoldedProp, -1).toLong
+
+  /** Raise the folded-batch watermark in `props` to cover the `b<id>`
+    * segments among `folded` (identity when there are none). */
+  def raiseWatermark(props: Map[String, Int],
+                     folded: Seq[String]): Map[String, Int] =
+    maxBatchIdOf(folded) match {
+      case Some(m) if m.toLong > foldedWatermark(props) =>
+        props + (MaxFoldedProp -> m)
+      case _ => props
+    }
+
   private def metaPath(dir: String) = Paths.get(s"$dir/_META")
 
   /** Parse the manifest; None for absent stores AND for any pre-v3 layout
@@ -206,13 +244,15 @@ private[graft] object GenStore {
     * the manifest since the caller pinned its state (a racing compact or
     * fold won); the orphan dir is debris, not damage. */
   def foldSegs(dir: String, what: String, expectGen: Int,
-               fold: Seq[String], merged: String): Boolean =
+               fold: Seq[String], merged: String,
+               newProps: Map[String, Int] => Map[String, Int] = identity): Boolean =
     withLock(dir) {
       val cur = readOrFail(dir, what)
       if (cur.gen != expectGen || !fold.forall(cur.segs.contains)) false
       else {
         writeState(dir, cur.copy(
-          segs = cur.segs.filterNot(fold.contains) :+ merged))
+          segs = cur.segs.filterNot(fold.contains) :+ merged,
+          props = newProps(cur.props)))
         true
       }
     }

@@ -21,9 +21,12 @@ import graft.operators.{GenStore, SttmOps}
   * MERGED segments themselves reach the budget does [[compact]] rewrite
   * the base (O(snapshot), budget× rarer than folding everything every
   * budget appends). Read width stays ≤ 1 + 2×budget. A batchId replayed
-  * after its segment folded re-appends value-invisibly; the replay
-  * overwrites its own retained directory — the same crash-retry overwrite
-  * exposure the plain append path already carries.
+  * after its segment folded/compacted is a pure NO-OP: folds and
+  * compactions raise a manifest watermark ([[GenStore.MaxFoldedProp]])
+  * covering the batch ids they absorbed, so the replay never re-writes a
+  * retained `b<id>` directory a pre-fold-pinned reader may be scanning
+  * (ADVICE r11 #2) — only a crashed, never-committed attempt's directory
+  * is ever overwritten.
   * The pre-LSM design REWROTE every touched hash bucket per batch;
   * Kafka keys are hash-random, so a batch of b keys touches
   * ≈ nBuckets·(1−e^(−b/nBuckets)) buckets and any batch ≳3·nBuckets keys
@@ -42,8 +45,10 @@ import graft.operators.{GenStore, SttmOps}
   * in the manifest is a no-op replay — GenStore.appendSeg); compaction
   * retains the previous generation for in-flight readers and CAS-fails
   * against racing appends (GenStore.compact). A replayed batch whose
-  * segment was already compacted away re-appends; latest-by-key makes the
-  * duplicate rows value-invisible.
+  * segment was already folded/compacted away is detected by the
+  * watermark and skipped (its rows are already in the merged data);
+  * a replayed id PAST the Int watermark range re-appends, and
+  * latest-by-key makes the duplicate rows value-invisible.
   *
   * Bucketing exists for READ pruning: [[readBuckets]] resolves the leaf
   * `_bucket=<b>` directories of the wanted buckets across the live
@@ -73,11 +78,19 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * loss of every pre-upgrade row under a green pipeline. */
   private def state: Option[GenStore.State] = {
     val st = GenStore.read(root)
-    if (st.isEmpty && Files.exists(Paths.get(root, "_META")))
-      sys.error(s"snapshot store at $root has an unreadable/pre-v3 _META — " +
-        "the LSM refactor changed the on-disk layout; rebuild the store " +
-        "(delete the directory and replay) instead of merging over it")
-    st
+    if (st.isEmpty && Files.exists(Paths.get(root, "_META"))) {
+      // TOCTOU (ADVICE r11 #1): the first read can return None because the
+      // file was ABSENT, and a racing first-merge then creates a perfectly
+      // valid _META before the exists() check — re-read once and only fail
+      // if the file is present AND still unparseable (genuinely pre-v3 or
+      // corrupt, not just freshly born).
+      val retry = GenStore.read(root)
+      if (retry.isEmpty)
+        sys.error(s"snapshot store at $root has an unreadable/pre-v3 _META — " +
+          "the LSM refactor changed the on-disk layout; rebuild the store " +
+          "(delete the directory and replay) instead of merging over it")
+      retry
+    } else st
   }
 
   /** Bucket count is part of the on-disk layout: persisted at creation, and
@@ -211,6 +224,15 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     val touched = p.df.select(BucketCol).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     if (touched.isEmpty) return touched
+    // A batchId at or below the folded watermark was committed AND then
+    // folded/compacted into merged data — the replay is a no-op on the
+    // append side (ADVICE r11 #2: re-writing the retained b<id> dir could
+    // serve a partial segment to a reader pinned to the pre-fold
+    // manifest). Touched buckets are still returned so the caller's delta
+    // read + sink stages re-run (their writes are batchId-idempotent).
+    if (batchId.exists(id =>
+        state.exists(st => GenStore.foldedWatermark(st.props) >= id)))
+      return touched
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     // append protocol: overwrite-write the segment dir (a crashed attempt's
     // partial files are invisible and fully replaced), then atomically
@@ -275,7 +297,10 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       .repartition(bucketsOf(st), col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(s"$root/g${st.gen}/$merged/$Rows")
-    GenStore.foldSegs(root, What, st.gen, fold = fresh, merged = merged)
+    // the watermark rises atomically with the fold commit, so there is no
+    // window where a folded batch's replay could overwrite its retained dir
+    GenStore.foldSegs(root, What, st.gen, fold = fresh, merged = merged,
+      newProps = GenStore.raiseWatermark(_, fresh))
     ()
   }
 
@@ -336,8 +361,15 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       s"snapshot store at $root has never been merged into — nothing to " +
         "compact/reshard (no _KEYS)")
     val (k, o) = keyOrder
+    // The compaction also absorbs any live `b<id>` segments, so it raises
+    // the folded watermark with them. The rewrite callback captures the
+    // pinned state's segment list; GenStore.compact invokes the callback
+    // before newProps within each attempt, so the capture is per-attempt
+    // consistent with the props it amends.
+    @volatile var absorbed: Seq[String] = Nil
     GenStore.compact(root, What, legacy = _ => false,
-      newProps = newProps) { (st, baseDir) =>
+      newProps = p => GenStore.raiseWatermark(newProps(p), absorbed)) { (st, baseDir) =>
+      absorbed = st.segs
       val buckets = targetBuckets(st)
       // segment TABLE roots (not leafs): partition discovery re-surfaces
       // _bucket, which the rewrite re-derives under the target count

@@ -160,6 +160,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(got(0L) == "v0-0" && got(9L * 1000 + 49) == "v9-49")
   }
 
+  test("replay of a FOLDED batchId is a no-op: retained dir untouched, no new segment") {
+    // ADVICE r11 #2: a replayed batch whose b<id> segment was minor-folded
+    // must not overwrite the retained directory (a reader pinned to the
+    // pre-fold manifest may be scanning it) — the fold's watermark makes
+    // the replay append-side no-op while still reporting touched buckets.
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_snap_foldreplay").toString
+    val store = new SnapshotStore(s"$work/snap", nBuckets = 4, maxLiveSegments = 2)
+    def batch(i: Int) = (0 until 20).map(j => (i.toLong * 100 + j, 1L, s"v$i-$j"))
+      .toDF("k", "ts", "v")
+    (0 until 3).foreach(i => store.merge(batch(i), Seq("k"), Seq("ts"),
+      batchId = Some(i.toLong)))           // 3 fresh > 2 -> fold -> [m-*]
+    assert(store.liveSegments.forall(_.startsWith("m-")),
+      s"expected folded state, got ${store.liveSegments}")
+    assert(du(s"$work/snap").keys.exists(_.contains("/b1/")),
+      "folded b<id> dirs must be retained")
+    val before = du(s"$work/snap")
+    val segsBefore = store.liveSegments
+    // replay a FOLDED batch: bytes on disk identical (no overwrite of the
+    // retained dir, no junk segment), manifest unchanged, buckets reported
+    val touched = store.merge(batch(1), Seq("k"), Seq("ts"), batchId = Some(1L))
+    assert(touched.nonEmpty)
+    assert(du(s"$work/snap") == before, "folded replay must not write")
+    assert(store.liveSegments == segsBefore)
+    assert(store.read(spark).get.count() == 60)
+  }
+
   test("single live segment skips the merge-on-read aggregation") {
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory("graft_snap_oneseg").toString
