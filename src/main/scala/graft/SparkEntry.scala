@@ -1236,6 +1236,85 @@ object SparkEntry {
       res
     }),
 
+    // The statement set at REFERENCE ARITY (VERDICT r11 #2; reference
+    // shape resources/output/final-output.sql:81-145 — several
+    // discriminated views over ONE topic feeding straight INSERTs, a join
+    // INSERT and a quarantine INSERT, all in one EXECUTE STATEMENT SET):
+    // 3 views (event_type is the discriminator, like the reference's
+    // $.tbl), 2 XREF upsert stores, 5 changelog sinks — 10 stages sharing
+    // one scan per micro-batch. The oracle mirrors the two final XREF
+    // snapshots (streamed == batch latest-by-key, per xref) plus each
+    // straight sink's accumulated changelog row count (effectively-once:
+    // every event delivered exactly once across the 5-batch replay).
+    "q_stream_sttm_multi" -> ((s, dir) => {
+      val in = s"/tmp/graft_cache/${new java.io.File(dir).getName}/sttm_stream_in"
+      withPathLock(in) {
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$in/_SUCCESS")))
+          Tables.events(s, dir)
+            .withColumn("part", pmod(col("event_id"), lit(5)))
+            .write.partitionBy("part").mode("overwrite").parquet(in)
+      }
+      val work = java.nio.file.Files.createTempDirectory("graft_sttm_multi")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "8")
+      val source = s2.readStream
+        .schema(s.read.parquet(in).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in)
+      import streaming.StreamingPipeline.{SinkDef, StatementSet, ViewDef, XrefDef}
+      def entity(t: String)(b: DataFrame): DataFrame =
+        b.filter(col("event_type") === t).select(
+          col("user_id").as("USER_ID"), col("event_id").as("EVENT_ID"),
+          col("ts").as("TS"), col("value").as("VALUE"))
+      val cust = Tables.customer(s2, dir)
+      val set = StatementSet(
+        views = Seq(
+          ViewDef("v_purchase", entity("purchase")),
+          ViewDef("v_click", entity("click")),
+          ViewDef("v_signup", entity("signup"))),
+        xrefs = Seq(
+          XrefDef("x_purchase", "v_purchase", Seq("USER_ID"), Seq("TS", "EVENT_ID")),
+          XrefDef("x_click", "v_click", Seq("USER_ID"), Seq("TS", "EVENT_ID"))),
+        sinks = Seq(
+          SinkDef("s_purchase", (v, _) => v("v_purchase")),
+          SinkDef("s_click", (v, _) => v("v_click")),
+          SinkDef("s_signup", (v, _) => v("v_signup")),
+          SinkDef("s_fgac", (_, d) =>
+            d("x_purchase").rows
+              .join(cust, col("USER_ID") === col("c_custkey"), "left")
+              .select(col("USER_ID"), col("EVENT_ID"),
+                when(col("c_acctbal") >= 0, col("c_name")).otherwise(lit("***"))
+                  .as("C_NAME_MASKED"),
+                col("VALUE"))),
+          SinkDef("s_quarantine", (v, _) =>
+            v("v_purchase").join(cust.filter(col("c_acctbal") >= 0),
+                col("USER_ID") === col("c_custkey"), "left_anti")
+              .select(col("USER_ID"), col("EVENT_ID")))))
+      val q = streaming.StreamingPipeline.runSet(source, set, work.toString)
+      q.awaitTermination()
+      def snap(name: String, tag: String): DataFrame =
+        new streaming.SnapshotStore(
+            streaming.StreamingPipeline.xrefStorePath(work.toString, name))
+          .read(s2).get
+          .select(lit(tag).as("src"), col("USER_ID"), col("EVENT_ID"),
+            unix_micros(col("TS")).as("TS_US"), col("VALUE"))
+      import s2.implicits._
+      val sinkCounts = Seq("s_purchase", "s_click", "s_signup").map { n =>
+        val c = streaming.ChangelogSink.read(s2,
+          streaming.StreamingPipeline.sinkPath(work.toString, n)).count()
+        (s"sink_$n", None: Option[Long], None: Option[Long],
+          None: Option[Long], c.toDouble)
+      }.toDF("src", "USER_ID", "EVENT_ID", "TS_US", "VALUE")
+      val res = snap("x_purchase", "purchase")
+        .unionByName(snap("x_click", "click"))
+        .unionByName(sinkCounts)
+        .orderBy("src", "USER_ID")
+        .localCheckpoint()
+      graft.operators.GenStore.deleteRecursively(work)
+      res
+    }),
+
     // As-of join: for each purchase, the latest click by the same user at
     // or before purchase time — the time-series enrichment join, encoded
     // as UNION + one per-key ordered window (linear, sessionization plan
@@ -3940,6 +4019,35 @@ object SparkEntry {
       s"""WITH $sttmOracleCte
          SELECT USER_ID, EVENT_ID, epoch_us(TS) AS TS_US, K, VALUE
          FROM xref ORDER BY USER_ID""",
+    // reference-arity statement set: each xref snapshot mirrors the batch
+    // latest-by-key of its discriminated view; each straight sink's
+    // accumulated changelog holds every view row exactly once
+    "q_stream_sttm_multi" ->
+      """WITH ev AS (
+           SELECT event_type,
+                  CAST(user_id AS BIGINT) AS USER_ID,
+                  CAST(event_id AS BIGINT) AS EVENT_ID,
+                  ts AS TS, CAST(value AS DOUBLE) AS VALUE
+           FROM events),
+         latest AS (
+           SELECT event_type, USER_ID, EVENT_ID, TS, VALUE
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY event_type, USER_ID
+                    ORDER BY TS DESC, EVENT_ID DESC) AS rn
+                 FROM ev) WHERE rn = 1)
+         SELECT 'purchase' AS src, USER_ID, EVENT_ID,
+                epoch_us(TS) AS TS_US, VALUE
+         FROM latest WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT 'click', USER_ID, EVENT_ID, epoch_us(TS), VALUE
+         FROM latest WHERE event_type = 'click'
+         UNION ALL
+         SELECT 'sink_s_' || event_type,
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(count(*) AS DOUBLE)
+         FROM ev WHERE event_type IN ('purchase', 'click', 'signup')
+         GROUP BY event_type
+         ORDER BY src, USER_ID""",
     "q_sttm_fgac" ->
       s"""WITH $sttmOracleCte
          SELECT x.USER_ID, x.EVENT_ID,

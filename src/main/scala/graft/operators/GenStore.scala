@@ -257,6 +257,78 @@ private[graft] object GenStore {
       }
     }
 
+  /** Total bytes of regular files under `p` (0 for a missing dir) —
+    * driver-side fs metadata, used to size fold outputs and the reshard
+    * advisory. */
+  private[graft] def dirBytes(p: String): Long = {
+    val root = Paths.get(p)
+    if (!Files.isDirectory(root)) 0L
+    else {
+      val walk = Files.walk(root)
+      try {
+        var total = 0L
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val q = it.next()
+          if (Files.isRegularFile(q)) total += Files.size(q)
+        }
+        total
+      } finally walk.close()
+    }
+  }
+
+  /** VACUUM: delete LIVE-generation segment directories that are no longer
+    * in the manifest (minor-folded away, or a crashed fold/append's orphan)
+    * once their last modification is older than `graceMs`. This is the
+    * lakehouse retention discipline: folded dirs are retained for readers
+    * pinned to a pre-fold manifest, but a store that only ever minor-folds
+    * (the changelog sinks — no dedup, so no base rewrite to prune the
+    * generation) would otherwise accrete one dead directory per fold
+    * forever. A reader pinned longer than the grace window is out of
+    * contract, the same caveat every table format's VACUUM carries. Runs
+    * under the manifest lock so the listing cannot race a fold commit;
+    * concurrent APPENDS to the same store must use a grace comfortably
+    * above their write duration (an uncommitted in-flight segment dir is
+    * also "unlisted"). Previous generations are untouched (that retention
+    * belongs to [[compact]]/[[pruneGens]]). Returns deleted dir count. */
+  def vacuum(dir: String, graceMs: Long): Int = withLock(dir) {
+    val st = readOrFail(dir, "store manifest")
+    val gen = Paths.get(st.genDir(dir))
+    var deleted = 0
+    if (Files.isDirectory(gen)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      val ls = Files.list(gen)
+      val entries = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toList
+      } finally ls.close()
+      entries.foreach { p =>
+        val name = p.getFileName.toString
+        if (!st.segs.contains(name) && Files.isDirectory(p)
+            && lastModifiedUnder(p) <= cutoff) {
+          deleteRecursively(p)
+          deleted += 1
+        }
+      }
+    }
+    deleted
+  }
+
+  // newest mtime under a segment dir — a dir whose files are still being
+  // written reports fresh, so a generous grace keeps in-flight appends safe
+  private def lastModifiedUnder(p: Path): Long = {
+    val walk = Files.walk(p)
+    try {
+      var newest = 0L
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val t = Files.getLastModifiedTime(it.next()).toMillis
+        if (t > newest) newest = t
+      }
+      newest
+    } finally walk.close()
+  }
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val walk = Files.walk(p)

@@ -193,23 +193,21 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
             batchId: Option[Long] = None): Seq[Int] =
     mergePrepared(prepare(batch, keys), keys, order, batchId)
 
-  /** A bucket-tagged, materialized batch PLUS the bucket count its tags
-    * were derived under — carried together so the append can validate the
-    * count against the pinned manifest state: a reshard landing between
-    * prepare and append would otherwise commit rows tagged under the OLD
-    * layout, invisible to every read until the next compaction. */
-  private[streaming] final case class Prepared(df: DataFrame, buckets: Int)
-
-  /** Bucket-tag and materialize a batch for [[mergePrepared]]. Exposed so a
-    * caller that needs the batch materialized anyway (StreamingPipeline
-    * feeds it to three sinks) pays ONE localCheckpoint instead of two.
-    * Materializing matters for correctness too: `touched` (first action)
-    * and the segment write (second action) MUST observe the same rows —
-    * a non-deterministic or retried input frame re-evaluates per action
-    * and could write rows into buckets `touched` never reported. */
-  private[streaming] def prepare(batch: DataFrame, keys: Seq[String]): Prepared = {
+  /** Bucket-tag a batch for [[mergePrepared]], by default materializing it
+    * (localCheckpoint). Materializing matters for correctness: `touched`
+    * (first action) and the segment write (second action) MUST observe the
+    * same rows — a non-deterministic or retried input frame re-evaluates
+    * per action and could write rows into buckets `touched` never
+    * reported. A caller whose frame is ALREADY deterministic (a pure
+    * transform of an upstream localCheckpoint — the statement set's shared
+    * raw-batch scan) passes `materialize = false` and skips the extra
+    * eager job + block-manager copy; the transform then recomputes per
+    * action over the upstream's cached blocks, identically each time. */
+  private[streaming] def prepare(batch: DataFrame, keys: Seq[String],
+                                 materialize: Boolean = true): SnapshotStore.Prepared = {
     val n = effectiveBuckets
-    Prepared(batch.withColumn(BucketCol, bucketOf(keys, n)).localCheckpoint(), n)
+    val tagged = batch.withColumn(BucketCol, bucketOf(keys, n))
+    SnapshotStore.Prepared(if (materialize) tagged.localCheckpoint() else tagged, n)
   }
 
   /** [[prepare]]'s counterpart: the column [[prepare]] added, for callers
@@ -217,13 +215,24 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
   private[streaming] def bucketCol: String = BucketCol
 
   private[streaming] def mergePrepared(
-      p: Prepared, keys: Seq[String], order: Seq[String],
-      batchId: Option[Long]): Seq[Int] = {
+      p: SnapshotStore.Prepared, keys: Seq[String], order: Seq[String],
+      batchId: Option[Long]): Seq[Int] =
+    mergePreparedCounted(p, keys, order, batchId)._1
+
+  /** [[mergePrepared]] also reporting the batch's ROW COUNT — piggybacked
+    * on the touched-bucket aggregation (one job reports both), so the
+    * caller's broadcast-or-shuffle decision for the delta semi-join needs
+    * no separate count()+localCheckpoint pass over the batch. */
+  private[streaming] def mergePreparedCounted(
+      p: SnapshotStore.Prepared, keys: Seq[String], order: Seq[String],
+      batchId: Option[Long]): (Seq[Int], Long) = {
     ensureInit(keys, order)
-    // bounded by construction: ≤ nBuckets distinct values
-    val touched = p.df.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    if (touched.isEmpty) return touched
+    // bounded by construction: ≤ nBuckets groups
+    val perBucket = p.df.groupBy(BucketCol).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val touched = perBucket.map(_._1).sorted.toSeq
+    val nRows = perBucket.map(_._2).sum
+    if (touched.isEmpty) return (touched, 0L)
     // A batchId at or below the folded watermark was committed AND then
     // folded/compacted into merged data — the replay is a no-op on the
     // append side (ADVICE r11 #2: re-writing the retained b<id> dir could
@@ -232,7 +241,7 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     // read + sink stages re-run (their writes are batchId-idempotent).
     if (batchId.exists(id =>
         state.exists(st => GenStore.foldedWatermark(st.props) >= id)))
-      return touched
+      return (touched, nRows)
     val seg = batchId.map(GenStore.batchSeg).getOrElse(GenStore.freshSeg())
     // append protocol: overwrite-write the segment dir (a crashed attempt's
     // partial files are invisible and fully replaced), then atomically
@@ -274,7 +283,7 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       else if (freshSegs.length > maxLiveSegments)
         minorFold(p.df.sparkSession, st, freshSegs)
     }
-    touched
+    (touched, nRows)
   }
 
   /** Fold the given fresh append segments into one deduped merged-tier
@@ -390,4 +399,15 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * amplification and compaction-cadence assertions in SnapshotStoreSpec. */
   private[graft] def liveSegments: Vector[String] =
     state.map(_.segs).getOrElse(Vector.empty)
+}
+
+object SnapshotStore {
+  /** A bucket-tagged batch PLUS the bucket count its tags were derived
+    * under — carried together so the append can validate the count against
+    * the pinned manifest state: a reshard landing between prepare and
+    * append would otherwise commit rows tagged under the OLD layout,
+    * invisible to every read until the next compaction. Top-level (not
+    * path-dependent) so the statement set can carry one per (store, xref)
+    * pair. */
+  private[streaming] final case class Prepared(df: DataFrame, buckets: Int)
 }

@@ -1,47 +1,50 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-/** Streaming execution of the 3-stage pipeline: one source scan fanned out
-  * to N sinks inside a single `foreachBatch` — the engine's equivalent of
-  * Flink's EXECUTE STATEMENT SET (v22:397; SURVEY §2 T1/§4 "statement-set =
-  * shared source scan"). Spark would otherwise run one independent scan per
-  * `writeStream`; `foreachBatch` gives a shared scan and per-batch
-  * multi-sink writes. Measured, not argued (StmtSetAbProbe, sf0.1 events,
-  * 3 sinks): the fan-out reads exactly 1/3 the source rows of three
-  * independent queries (100k vs 300k `numInputRows`). The fan-out's sink
-  * writes run CONCURRENTLY (since r11): sequentially they serialized
-  * behind one another (4.38 s vs independent queries' 1.72 s at toy
-  * scale); overlapped, the fan-out matches the independent variant
-  * (1.95 s) while still paying 1/3 the scan — the shared scan now wins
-  * or ties at every scale instead of only where source I/O dominates.
-  * Note the sharing is real only because the batch is materialized once
-  * (prepare()'s localCheckpoint): each action on a raw foreachBatch frame
-  * re-reads the source files.
+/** Streaming execution of an N-stage statement set: one source scan fanned
+  * out to N views, M XREF upserts and K sinks inside a single
+  * `foreachBatch` — the engine's equivalent of Flink's EXECUTE STATEMENT
+  * SET (v22:397; reference shape resources/output/final-output.sql:81-145:
+  * three discriminated views over one topic feeding three straight INSERTs,
+  * one join INSERT and one bidirectional quarantine INSERT). Spark would
+  * otherwise run one independent scan per `writeStream`; `foreachBatch`
+  * gives a shared scan and per-batch multi-sink writes. Measured, not
+  * argued (StmtSetAbProbe, sf0.1 events): the fan-out reads 1/N the source
+  * rows of N independent queries, and with the sink writes running
+  * CONCURRENTLY (r11) it matches the independent variant's wall-clock while
+  * paying 1/N the scan — at reference arity N=8, not just the original 3.
+  * The sharing is real only because the RAW batch is materialized once
+  * (localCheckpoint): each action on a raw foreachBatch frame re-reads the
+  * source files. View transforms recompute per downstream action over the
+  * cached raw blocks — codegen'd row work traded for not paying one eager
+  * materialization job per view per trigger (the commit-floor knob,
+  * VERDICT r11 #5); they MUST therefore be deterministic functions of the
+  * batch, which every compiled STTM view is.
   *
   * Stage semantics per micro-batch:
-  *  1. view projection/filter of the raw batch (VIEW)
-  *  2. XREF upsert: the batch appends as a delta segment of the LSM
-  *     [[SnapshotStore]]; merge-on-read resolves latest-by-key (A2/T2;
-  *     Flink state TTL maps to snapshot retention). Per-batch write cost
-  *     is O(|batch|) + amortized compaction, never O(snapshot).
-  *  3. enrichment of the batch's upsert DELTA — the post-merge snapshot
-  *     rows for exactly the keys this batch carried (J3). The read is
-  *     file-pruned to the merge's touched buckets then key-semi-joined, so
-  *     per-batch join cost is O(|batch| + |touched buckets|), never a full
-  *     snapshot scan (VERDICT r9 #3); the accumulated sink is the enriched
-  *     upsert changelog, matching Flink's continuous-join emission (changed
-  *     rows per checkpoint, not a full re-emit).
-  *  4. quarantine anti-join side output (S5/T6 dead-lettering)
+  *  1. each VIEW projects/filters the shared raw batch (discriminator
+  *     filters, JSON extraction, casts)
+  *  2. each XREF upserts its view's batch as a delta segment of its LSM
+  *     [[SnapshotStore]] (A2/T2); merges run concurrently across stores
+  *     (independent manifests). Per-batch write cost is O(|batch|) +
+  *     amortized compaction, never O(snapshot).
+  *  3. each xref exposes its upsert DELTA — the post-merge snapshot rows
+  *     for exactly the keys this batch carried (J3), file-pruned to the
+  *     touched buckets and key-semi-joined BELOW the merge-on-read dedup
+  *  4. each SINK emits from the batch's views + deltas into its
+  *     [[ChangelogSink]]; all sink writes run concurrently (r11: actions
+  *     from separate threads share the scheduler, so serializing them only
+  *     serialized sink I/O)
   *
-  * Delivery: each sink write lands in a `batch=<batchId>` Hive-style
-  * subdirectory with Overwrite mode, so a retried micro-batch rewrites its
-  * own directory instead of double-appending — effectively-once per sink
-  * (the GenStore batchId-idempotence discipline; VERDICT r9 #2), and the
-  * snapshot append itself is batchId-keyed and replay-idempotent. Readers
-  * `spark.read.parquet(dir)` the sink root and see `batch` as a provenance
-  * partition column.
+  * Delivery is effectively-once per stage: XREF appends are batchId-keyed
+  * and replay-idempotent (watermarked against folds), and each sink append
+  * is a batchId-keyed [[ChangelogSink]] segment — a retried micro-batch
+  * re-applies every stage as a no-op. Readers get the accumulated enriched
+  * changelog via [[ChangelogSink.read]] (same rows + `batch` provenance
+  * column the old one-directory-per-trigger layout served, without the
+  * unbounded small-files growth — VERDICT r11 #4).
   */
 object StreamingPipeline {
 
@@ -49,33 +52,92 @@ object StreamingPipeline {
       keys: Seq[String],
       orderCols: Seq[String])
 
-  /** The second argument the enrich/quarantine callbacks receive: the
-    * post-merge snapshot rows for THE CURRENT BATCH'S KEYS ONLY — the
-    * upsert-changelog delta, NOT the full snapshot. A distinct type so a
-    * lambda written against full-snapshot semantics (e.g. one that
-    * consults rows for keys outside the batch) fails to compile instead of
-    * silently producing reduced output (ADVICE r10 #2 — the r10 delta
-    * rework changed this argument's meaning without a type-level signal). */
+  /** The delta a sink's emit receives per xref: the post-merge snapshot
+    * rows for THE CURRENT BATCH'S KEYS ONLY — the upsert-changelog delta,
+    * NOT the full snapshot. A distinct type so a lambda written against
+    * full-snapshot semantics (e.g. one that consults rows for keys outside
+    * the batch) fails to compile instead of silently producing reduced
+    * output (ADVICE r10 #2). */
   final case class UpsertDelta(rows: DataFrame)
 
-  /** Keys-per-batch ceiling for broadcasting the delta semi-join's key set.
-    * The batch key set is batch-sized at steady state, but the FIRST
-    * AvailableNow micro-batch of a backfill can be the entire source — an
-    * oversized broadcast fails the whole streaming query, where a shuffled
-    * semi-join merely degrades (ADVICE r10 #1). 1M keys ≈ tens of MB
-    * broadcast — safely under driver/executor headroom at default configs. */
+  /** One named view over the shared raw batch. `transform` must be a
+    * DETERMINISTIC function of its input frame (see class doc — it
+    * recomputes per downstream action over the cached raw blocks). */
+  final case class ViewDef(name: String, transform: DataFrame => DataFrame)
+
+  /** One keyed-upsert XREF table maintained from `view`'s batches, stored
+    * at `<workDir>/<name>_snapshot`. `keys`+`orderCols` are the table's
+    * primary key and ranking, exactly as in [[SnapshotStore.merge]]. */
+  final case class XrefDef(name: String, view: String,
+                           keys: Seq[String], orderCols: Seq[String])
+
+  /** One INSERT of the statement set: emit rows for this batch from the
+    * batch's view frames and upsert deltas (both by name), landing in the
+    * [[ChangelogSink]] at `<workDir>/<name>`. */
+  final case class SinkDef(
+      name: String,
+      emit: (Map[String, DataFrame], Map[String, UpsertDelta]) => DataFrame)
+
+  /** The full statement set. Name collisions and dangling view references
+    * fail at construction, not mid-stream; one xref per view keeps each
+    * view's bucket-tagging unambiguous. */
+  final case class StatementSet(views: Seq[ViewDef], xrefs: Seq[XrefDef],
+                                sinks: Seq[SinkDef]) {
+    require(views.map(_.name).distinct.size == views.size,
+      s"duplicate view names: ${views.map(_.name)}")
+    require(xrefs.map(_.name).distinct.size == xrefs.size,
+      s"duplicate xref names: ${xrefs.map(_.name)}")
+    require(sinks.map(_.name).distinct.size == sinks.size,
+      s"duplicate sink names: ${sinks.map(_.name)}")
+    require(xrefs.groupBy(_.view).values.forall(_.size == 1),
+      "at most one xref per view")
+    xrefs.find(x => !views.exists(_.name == x.view)).foreach(x =>
+      sys.error(s"xref ${x.name} references unknown view ${x.view}"))
+  }
+
+  /** Rows-per-batch ceiling for broadcasting the delta semi-join's key
+    * set. Steady-state batches are small, but the FIRST AvailableNow
+    * micro-batch of a backfill can be the entire source — an oversized
+    * broadcast fails the whole streaming query, where a shuffled semi-join
+    * merely degrades (ADVICE r10 #1). The batch ROW count (≥ its key
+    * count, piggybacked on the merge's touched-bucket aggregation — no
+    * extra counting job) gates conservatively: 1M rows ≈ tens of MB
+    * broadcast, safely under driver/executor headroom. */
   private val MaxBroadcastKeys = 1000000L
+
+  def xrefStorePath(workDir: String, xrefName: String): String =
+    s"$workDir/${xrefName}_snapshot"
+  def sinkPath(workDir: String, sinkName: String): String =
+    s"$workDir/$sinkName"
 
   /** Run a micro-batch statement set over a file-stream source.
     *
-    * @param source     streaming DataFrame (e.g. readStream.parquet / kafka)
-    * @param view       VIEW-stage transform applied to each raw batch
-    * @param xref       keyed-upsert config for the snapshot stage
-    * @param enrich     (viewBatch, upsertDelta) => enriched output rows
-    * @param quarantine (viewBatch, upsertDelta) => quarantined rows
-    * @param workDir    root for the snapshot store + sink directories
-    * @return the started query (AvailableNow trigger unless `continuous`)
+    * @param source  streaming DataFrame (e.g. readStream.parquet / kafka)
+    * @param set     the views/xrefs/sinks to execute per micro-batch
+    * @param workDir root for the snapshot stores + sink directories
+    * @return the started query (AvailableNow trigger unless overridden)
     */
+  def runSet(
+      source: DataFrame,
+      set: StatementSet,
+      workDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stores = set.xrefs
+      .map(x => x.name -> new SnapshotStore(xrefStorePath(workDir, x.name)))
+      .toMap
+    source.writeStream
+      .option("checkpointLocation", s"$workDir/_checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSet(stores, workDir, set, batch, batchId)
+      }
+      .start()
+  }
+
+  /** The original 3-stage shape (one view -> one xref -> enrich +
+    * quarantine), now a 2-sink statement set; kept as the API the
+    * single-table STTM compiles to. Store lands at
+    * `<workDir>/xref_snapshot`, sinks at `fgac_out`/`quarantine_out`. */
   def run(
       source: DataFrame,
       view: DataFrame => DataFrame,
@@ -83,19 +145,22 @@ object StreamingPipeline {
       enrich: (DataFrame, UpsertDelta) => DataFrame,
       quarantine: (DataFrame, UpsertDelta) => DataFrame,
       workDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val store = new SnapshotStore(s"$workDir/xref_snapshot")
-    source.writeStream
-      .option("checkpointLocation", s"$workDir/_checkpoint")
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(store, workDir, view, xref, enrich, quarantine,
-          batch, batchId)
-      }
-      .start()
-  }
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    runSet(source, legacySet(view, xref, enrich, quarantine), workDir, trigger)
 
-  /** One micro-batch of the statement set — package-visible so the
+  private def legacySet(
+      view: DataFrame => DataFrame,
+      xref: XrefConfig,
+      enrich: (DataFrame, UpsertDelta) => DataFrame,
+      quarantine: (DataFrame, UpsertDelta) => DataFrame): StatementSet =
+    StatementSet(
+      views = Seq(ViewDef("view", view)),
+      xrefs = Seq(XrefDef("xref", "view", xref.keys, xref.orderCols)),
+      sinks = Seq(
+        SinkDef("fgac_out", (v, d) => enrich(v("view"), d("xref"))),
+        SinkDef("quarantine_out", (v, d) => quarantine(v("view"), d("xref")))))
+
+  /** One micro-batch of the legacy 3-stage set — package-visible so the
     * replay-idempotence spec can re-run a batchId directly. */
   private[graft] def processBatch(
       store: SnapshotStore,
@@ -105,93 +170,103 @@ object StreamingPipeline {
       enrich: (DataFrame, UpsertDelta) => DataFrame,
       quarantine: (DataFrame, UpsertDelta) => DataFrame,
       batch: DataFrame,
+      batchId: Long): Unit =
+    processSet(Map("xref" -> store), workDir,
+      legacySet(view, xref, enrich, quarantine), batch, batchId)
+
+  /** One micro-batch of the full statement set. */
+  private[graft] def processSet(
+      stores: Map[String, SnapshotStore],
+      workDir: String,
+      set: StatementSet,
+      batch: DataFrame,
       batchId: Long): Unit = {
     val spark = batch.sparkSession
-    // The view batch feeds three sinks AND the merge: prepare() bucket-tags
-    // and localCheckpoints it ONCE (merge would otherwise re-materialize);
-    // vb is a free narrow projection dropping the bucket tag.
-    val prep = store.prepare(view(batch), xref.keys)
-    val vb = prep.df.drop(store.bucketCol)
-    // 2. incremental upsert: the batch appends as one batchId-keyed delta
-    //    segment (O(|batch|) write; replay-idempotent). An all-filtered
-    //    first batch leaves no snapshot on disk yet — downstream stages
-    //    then join against an empty frame.
-    val touched = store.mergePrepared(prep, xref.keys, xref.orderCols, Some(batchId))
-    // 3. upsert delta: post-merge snapshot rows for THIS batch's keys —
-    //    file-pruned to the touched buckets, key-semi-joined BEFORE the
-    //    merge-on-read dedup (see readBuckets' preFilter contract).
-    //    The key set is broadcast only under a count ceiling: steady-state
-    //    batches are small (and checkpoint-RDD size estimates too fragile
-    //    to trust for the hint), but a backfill's first batch can be the
-    //    whole source — past the ceiling the join falls back to a shuffle
-    //    instead of failing the query on an oversized broadcast.
+    // the SHARED SCAN, materialized exactly once per trigger: every view,
+    // merge and sink below reads cached blocks, never the source files
+    // again. With MULTIPLE views the checkpoint sits below the view split
+    // (raw batch); with ONE view it sits above the transform instead —
+    // same job count, but the cached blocks then hold the view's filtered
+    // projection rather than the full-width raw rows (the r11 shape; at
+    // N=1 there is nothing to share below the transform).
+    val views: Map[String, DataFrame] =
+      if (set.views.size == 1) {
+        val v = set.views.head
+        Map(v.name -> v.transform(batch).localCheckpoint())
+      } else {
+        val raw = batch.localCheckpoint()
+        set.views.map(v => v.name -> v.transform(raw)).toMap
+      }
+
+    // 2+3. XREF upserts run concurrently across stores; each yields its
+    //      batch-keyed upsert delta (bucket-pruned, semi-joined BELOW the
+    //      merge-on-read dedup — see readBuckets' preFilter contract)
     import org.apache.spark.sql.functions.{broadcast, col}
-    // localCheckpoint: the distinct is computed once for the count AND
-    // the join instead of re-shuffling inside each
-    lazy val batchKeys =
-      vb.select(xref.keys.map(col): _*).distinct().localCheckpoint()
-    val delta = UpsertDelta(store.readBuckets(spark, touched, preFilter = { raw =>
-        // key semi-join BEFORE the merge-on-read latest-by-key (it commutes
-        // with per-key dedup): the agg then runs over just this batch's
-        // keys' rows instead of every row in the touched buckets — at scale
-        // the difference between aggregating a bucket and a batch.
-        val keySide =
-          if (batchKeys.count() <= MaxBroadcastKeys) broadcast(batchKeys)
-          else batchKeys
-        raw.join(keySide, xref.keys, "left_semi")
-      })
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], vb.schema)))
-    // 3+4. statement-set fan-out from the shared batch scan, idempotent
-    //      per batchId: a retry overwrites its own directory. The sink
-    //      writes run CONCURRENTLY (actions from separate threads share the
-    //      scheduler): both read the same cached batch + delta plans, so
-    //      serializing them only serializes sink I/O — the overlap is what
-    //      the StmtSetAbProbe A/B showed independent queries winning at toy
-    //      scale. The second action runs on a thread SPAWNED HERE, not a
-    //      shared pool: a child thread inherits the micro-batch thread's
-    //      InheritableThreadLocals (active session, job group) at creation,
-    //      deterministically — so query.stop()'s cancelJobGroup still kills
-    //      BOTH sink jobs, and user callbacks see the same thread-local
-    //      Spark context they did when the writes were sequential. join()
-    //      is interruptible, so stop() doesn't hang behind a stuck sink.
-    //      Either side's failure fails the whole micro-batch (retry
-    //      semantics unchanged); if both fail, the enrich error is primary
-    //      and the quarantine error rides along as suppressed.
-    val enrichErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
-    val t = new Thread(() =>
-      try writeIdempotent(enrich(vb, delta), s"$workDir/fgac_out", batchId)
-      catch { case e: Throwable => enrichErr.set(e) },
-      s"graft-sink-enrich-b$batchId")
-    t.start()
-    val quarErr =
-      try { writeIdempotent(quarantine(vb, delta), s"$workDir/quarantine_out", batchId); null }
-      catch { case e: Throwable => e }
-    t.join()
-    (enrichErr.get, quarErr) match {
-      case (null, null) =>
-      case (e, null) => throw e
-      case (null, q) => throw q
-      case (e, q) => e.addSuppressed(q); throw e
-    }
+    val deltas: Map[String, UpsertDelta] =
+      concurrently[(String, UpsertDelta)]("merge", batchId, set.xrefs.map { x =>
+        (x.name, () => {
+          val store = stores(x.name)
+          val vb = views(x.view)
+          val prep = store.prepare(vb, x.keys, materialize = false)
+          val (touched, nRows) =
+            store.mergePreparedCounted(prep, x.keys, x.orderCols, Some(batchId))
+          val delta = store.readBuckets(spark, touched, preFilter = { rawSeg =>
+              // key semi-join BEFORE the latest-by-key (it commutes with
+              // per-key dedup): the agg runs over just this batch's keys'
+              // rows instead of every row in the touched buckets — at scale
+              // the difference between aggregating a bucket and a batch.
+              val keySide = vb.select(x.keys.map(col): _*).distinct()
+              val side =
+                if (nRows <= MaxBroadcastKeys) broadcast(keySide) else keySide
+              rawSeg.join(side, x.keys, "left_semi")
+            })
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], vb.schema))
+          x.name -> UpsertDelta(delta)
+        })
+      }).toMap
+
+    // 4. statement-set fan-out: every INSERT runs concurrently from the
+    //    shared batch, each landing batchId-idempotently in its sink
+    concurrently[Unit]("sink", batchId, set.sinks.map { sd =>
+      (sd.name, () => ChangelogSink.write(
+        sd.emit(views, deltas), sinkPath(workDir, sd.name), batchId))
+    })
+    ()
   }
 
-  private def writeIdempotent(df: DataFrame, dir: String, batchId: Long): Unit = {
-    val path = s"$dir/batch=$batchId"
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-    // An all-empty batch can plan to 0 partitions (AQE-coalesced joins over
-    // an empty delta) -> zero part files -> `spark.read.parquet(sinkRoot)`
-    // — the documented reader pattern — cannot infer a schema until the
-    // first non-empty batch. Land one schema-bearing empty file instead.
-    // The check is a driver metadata listing, not a job.
-    val spark = df.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
-    if (!hasData)
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq.empty[Row], numSlices = 1),
-          df.schema)
-        .write.mode(SaveMode.Overwrite).parquet(path)
+  /** Run the named tasks concurrently and return their results in order.
+    * The first task runs on the CALLING thread; the rest on threads
+    * SPAWNED HERE, not a shared pool: a child thread inherits the
+    * micro-batch thread's InheritableThreadLocals (active session, job
+    * group) at creation, deterministically — so `query.stop()`'s
+    * cancelJobGroup still kills every stage's jobs, and user callbacks see
+    * the same thread-local Spark context they would single-threaded.
+    * join() is interruptible, so stop() doesn't hang behind a stuck sink.
+    * Any task's failure fails the whole micro-batch (retry semantics
+    * unchanged); the first failure is primary, the rest ride along as
+    * suppressed. */
+  private[graft] def concurrently[T](
+      label: String, batchId: Long,
+      tasks: Seq[(String, () => T)]): Seq[T] = {
+    if (tasks.isEmpty) return Seq.empty
+    val results = new Array[Any](tasks.size)
+    val errs = new Array[Throwable](tasks.size)
+    val threads = tasks.zipWithIndex.drop(1).map { case ((name, f), i) =>
+      new Thread(() =>
+        try results(i) = f()
+        catch { case e: Throwable => errs(i) = e },
+        s"graft-$label-$name-b$batchId")
+    }
+    threads.foreach(_.start())
+    try results(0) = tasks.head._2()
+    catch { case e: Throwable => errs(0) = e }
+    threads.foreach(_.join())
+    val es = errs.filter(_ != null)
+    if (es.nonEmpty) {
+      es.tail.foreach(es.head.addSuppressed)
+      throw es.head
+    }
+    results.toSeq.map(_.asInstanceOf[T])
   }
 }

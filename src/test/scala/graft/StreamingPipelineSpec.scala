@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.SttmOps
-import graft.streaming.{SnapshotStore, StreamingPipeline}
+import graft.streaming.{ChangelogSink, SnapshotStore, StreamingPipeline}
 import graft.streaming.StreamingPipeline.{UpsertDelta, XrefConfig}
 
 /** Streaming/batch parity: the micro-batch statement set (view -> xref
@@ -63,9 +63,10 @@ class StreamingPipelineSpec extends AnyFunSuite {
       .join(expected.select(col("user_id"), col("event_id").as("want")), Seq("user_id"))
     assert(joined.filter(col("got") =!= col("want")).count() == 0)
 
-    // fan-out sinks produced output; each batch lands in its own batch=<id>
-    // partition (idempotent-retry layout)
-    val fgac = spark.read.parquet(s"$work/fgac_out")
+    // fan-out sinks produced output; each batch landed as its own b<id>
+    // sink segment stamped with the `batch` provenance column (the
+    // idempotent-retry layout, ChangelogSink since r12)
+    val fgac = ChangelogSink.read(spark, s"$work/fgac_out")
     assert(fgac.count() > 0)
     assert(fgac.columns.contains("batch"))
     assert(fgac.select("batch").distinct().count() >= 3)
@@ -164,19 +165,19 @@ class StreamingPipelineSpec extends AnyFunSuite {
     StreamingPipeline.processBatch(store, work, view, xref, enrich, quarantine, b0, 0L)
     StreamingPipeline.processBatch(store, work, view, xref, enrich, quarantine, b1, 1L)
     def state(): (Long, Long, Long) = (
-      spark.read.parquet(s"$work/fgac_out").count(),
-      spark.read.parquet(s"$work/quarantine_out").count(),
+      ChangelogSink.read(spark, s"$work/fgac_out").count(),
+      ChangelogSink.read(spark, s"$work/quarantine_out").count(),
       store.read(spark).get.count())
     val before = state()
     // the retry: batch 1 replays after a simulated sink-side crash
     StreamingPipeline.processBatch(store, work, view, xref, enrich, quarantine, b1, 1L)
     assert(state() == before, s"retry changed output: $before -> ${state()}")
     // value-level: the replayed batch partition holds the same row set
-    val p1 = spark.read.parquet(s"$work/fgac_out")
+    val p1 = ChangelogSink.read(spark, s"$work/fgac_out")
       .filter(col("batch") === 1).drop("batch")
       .collect().map(_.toString).sorted.toSeq
     StreamingPipeline.processBatch(store, work, view, xref, enrich, quarantine, b1, 1L)
-    val p1Again = spark.read.parquet(s"$work/fgac_out")
+    val p1Again = ChangelogSink.read(spark, s"$work/fgac_out")
       .filter(col("batch") === 1).drop("batch")
       .collect().map(_.toString).sorted.toSeq
     assert(p1 == p1Again)
@@ -184,8 +185,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
 
   test("all-filtered first batch still leaves readable sinks (schema-bearing empty file)") {
     // An empty enrich/quarantine output can plan to 0 partitions -> zero
-    // part files; the documented reader pattern spark.read.parquet(root)
-    // must still work before the first non-empty batch lands.
+    // part files; the documented reader pattern ChangelogSink.read must
+    // still serve the schema before the first non-empty batch lands.
     spark.sparkContext.setLogLevel("ERROR")
     val work = Files.createTempDirectory("graft_stream_empty").toString
     val ev = Tables.events(spark, dir)
@@ -203,8 +204,8 @@ class StreamingPipelineSpec extends AnyFunSuite {
     StreamingPipeline.processBatch(store, work, view,
       XrefConfig(Seq("user_id"), Seq("ts", "event_id")), enrich, quarantine,
       ev, 0L)
-    assert(spark.read.parquet(s"$work/fgac_out").count() == 0)
-    assert(spark.read.parquet(s"$work/quarantine_out").count() == 0)
+    assert(ChangelogSink.read(spark, s"$work/fgac_out").count() == 0)
+    assert(ChangelogSink.read(spark, s"$work/quarantine_out").count() == 0)
   }
 
   test("per-batch enrichment read is file-pruned to the touched buckets") {
