@@ -67,9 +67,19 @@ object StreamingPipeline {
 
   /** One keyed-upsert XREF table maintained from `view`'s batches, stored
     * at `<workDir>/<name>_snapshot`. `keys`+`orderCols` are the table's
-    * primary key and ranking, exactly as in [[SnapshotStore.merge]]. */
+    * primary key and ranking, exactly as in [[SnapshotStore.merge]];
+    * `nBuckets`/`maxLiveSegments` are that table's layout + LSM-budget
+    * deployment knobs (size buckets to the TABLE's volume, the budget to
+    * the fold-spike tolerance — BASELINE.md SnapReadProbe/FoldProbe). */
   final case class XrefDef(name: String, view: String,
-                           keys: Seq[String], orderCols: Seq[String])
+                           keys: Seq[String], orderCols: Seq[String],
+                           nBuckets: Int = 16, maxLiveSegments: Int = 8)
+
+  /** Per-sink ChangelogSink knobs (see [[ChangelogSink.write]]); one set
+    * for the whole statement set. */
+  final case class SinkOptions(maxLiveSegments: Int = 8,
+                               targetFileBytes: Long = 128L << 20,
+                               vacuumGraceMs: Long = 10 * 60 * 1000L)
 
   /** One INSERT of the statement set: emit rows for this batch from the
     * batch's view frames and upsert deltas (both by name), landing in the
@@ -121,15 +131,17 @@ object StreamingPipeline {
       source: DataFrame,
       set: StatementSet,
       workDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      sinkOpts: SinkOptions = SinkOptions()): StreamingQuery = {
     val stores = set.xrefs
-      .map(x => x.name -> new SnapshotStore(xrefStorePath(workDir, x.name)))
+      .map(x => x.name -> new SnapshotStore(xrefStorePath(workDir, x.name),
+        nBuckets = x.nBuckets, maxLiveSegments = x.maxLiveSegments))
       .toMap
     source.writeStream
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processSet(stores, workDir, set, batch, batchId)
+        processSet(stores, workDir, set, batch, batchId, sinkOpts)
       }
       .start()
   }
@@ -180,7 +192,8 @@ object StreamingPipeline {
       workDir: String,
       set: StatementSet,
       batch: DataFrame,
-      batchId: Long): Unit = {
+      batchId: Long,
+      sinkOpts: SinkOptions = SinkOptions()): Unit = {
     val spark = batch.sparkSession
     // the SHARED SCAN, materialized exactly once per trigger: every view,
     // merge and sink below reads cached blocks, never the source files
@@ -230,7 +243,10 @@ object StreamingPipeline {
     //    shared batch, each landing batchId-idempotently in its sink
     concurrently[Unit]("sink", batchId, set.sinks.map { sd =>
       (sd.name, () => ChangelogSink.write(
-        sd.emit(views, deltas), sinkPath(workDir, sd.name), batchId))
+        sd.emit(views, deltas), sinkPath(workDir, sd.name), batchId,
+        maxLiveSegments = sinkOpts.maxLiveSegments,
+        targetFileBytes = sinkOpts.targetFileBytes,
+        vacuumGraceMs = sinkOpts.vacuumGraceMs))
     })
     ()
   }
