@@ -1199,6 +1199,10 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft_sttm_q")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
+      // micro-batch jobs are small and uniform: AQE's per-job re-planning
+      // costs more than it saves here (CommitFloorProbe: -16% addBatch);
+      // deployments with mixed/backfill batch sizes keep it on
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
       val source = s2.readStream
         .schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1")
@@ -1222,9 +1226,12 @@ object SparkEntry {
         v.join(cust.filter(col("c_acctbal") >= 0),
             v("USER_ID") === col("c_custkey"), "left_anti")
           .select(col("USER_ID"), col("EVENT_ID"))
+      // buckets sized to the TABLE's volume, not the default (the
+      // CommitFloorProbe knob): the replay's xref is batch-scale
       val q = streaming.StreamingPipeline.run(
         source, view,
-        streaming.StreamingPipeline.XrefConfig(Seq("USER_ID"), Seq("TS", "EVENT_ID")),
+        streaming.StreamingPipeline.XrefConfig(Seq("USER_ID"),
+          Seq("TS", "EVENT_ID"), nBuckets = 8),
         enrich, quarantine, work.toString)
       q.awaitTermination()
       val res = new streaming.SnapshotStore(s"$work/xref_snapshot").read(s2).get
@@ -1258,6 +1265,7 @@ object SparkEntry {
       val work = java.nio.file.Files.createTempDirectory("graft_sttm_multi")
       val s2 = s.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", "8")
+      s2.conf.set("spark.sql.adaptive.enabled", "false") // see q_stream_sttm
       val source = s2.readStream
         .schema(s.read.parquet(in).schema)
         .option("maxFilesPerTrigger", "1")
@@ -1274,8 +1282,10 @@ object SparkEntry {
           ViewDef("v_click", entity("click")),
           ViewDef("v_signup", entity("signup"))),
         xrefs = Seq(
-          XrefDef("x_purchase", "v_purchase", Seq("USER_ID"), Seq("TS", "EVENT_ID")),
-          XrefDef("x_click", "v_click", Seq("USER_ID"), Seq("TS", "EVENT_ID"))),
+          XrefDef("x_purchase", "v_purchase", Seq("USER_ID"),
+            Seq("TS", "EVENT_ID"), nBuckets = 8),
+          XrefDef("x_click", "v_click", Seq("USER_ID"),
+            Seq("TS", "EVENT_ID"), nBuckets = 8)),
         sinks = Seq(
           SinkDef("s_purchase", (v, _) => v("v_purchase")),
           SinkDef("s_click", (v, _) => v("v_click")),

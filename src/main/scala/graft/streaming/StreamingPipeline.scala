@@ -48,9 +48,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingPipeline {
 
+  /** The legacy single-xref config; `nBuckets`/`maxLiveSegments` are the
+    * same per-table knobs as [[XrefDef]]'s — size buckets to the TABLE's
+    * volume (CommitFloorProbe: a 16-bucket layout for a batch-sized table
+    * pays 4× the write tasks and delta-read files it needs; reshard as the
+    * table grows). */
   final case class XrefConfig(
       keys: Seq[String],
-      orderCols: Seq[String])
+      orderCols: Seq[String],
+      nBuckets: Int = 16,
+      maxLiveSegments: Int = 8)
 
   /** The delta a sink's emit receives per xref: the post-merge snapshot
     * rows for THE CURRENT BATCH'S KEYS ONLY — the upsert-changelog delta,
@@ -167,7 +174,8 @@ object StreamingPipeline {
       quarantine: (DataFrame, UpsertDelta) => DataFrame): StatementSet =
     StatementSet(
       views = Seq(ViewDef("view", view)),
-      xrefs = Seq(XrefDef("xref", "view", xref.keys, xref.orderCols)),
+      xrefs = Seq(XrefDef("xref", "view", xref.keys, xref.orderCols,
+        nBuckets = xref.nBuckets, maxLiveSegments = xref.maxLiveSegments)),
       sinks = Seq(
         SinkDef("fgac_out", (v, d) => enrich(v("view"), d("xref"))),
         SinkDef("quarantine_out", (v, d) => quarantine(v("view"), d("xref")))))

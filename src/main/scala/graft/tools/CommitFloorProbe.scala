@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Per-trigger commit-floor decomposition (VERDICT r11 #5): q_stream_sttm
+  * and q_stream_range_join pay ~1.2-1.4 s per micro-batch at sf0.1
+  * regardless of batch content. This probe separates the ENGINE floor
+  * (offset/commit WAL, micro-batch planning, source listing) from the
+  * PIPELINE's own per-batch work, and A/Bs the tuning knobs the verdict
+  * named — state-store provider (RocksDB vs default HDFS-backed) for the
+  * stateful range join, AQE on/off and shuffle-partition count for the
+  * foreachBatch statement set.
+  *
+  * Fixture: the 20-batch sf0.1 replay every streaming record uses (events
+  * split into 20 files, maxFilesPerTrigger=1, AvailableNow). Reported per
+  * variant: wall, median/max triggerExecution, and medians of the engine's
+  * own durationMs components — addBatch (the data plane), walCommit +
+  * commitOffsets (the commit logs), queryPlanning, latestOffset/getBatch
+  * (source). Everything outside addBatch is the irreducible OSS floor. */
+object CommitFloorProbe {
+
+  private def medianL(xs: Seq[Long]): Long = {
+    val s = xs.sorted; s.lift(s.length / 2).getOrElse(0L)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    val work = Files.createTempDirectory("graft_floor").toString
+    graft.Tables.events(spark, dir)
+      .withColumn("part", pmod(col("event_id"), lit(20)))
+      .write.partitionBy("part").parquet(s"$work/in")
+    val schema = spark.read.parquet(s"$work/in").schema
+
+    def report(name: String, s: SparkSession,
+               run: (SparkSession, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val vwork = s"$work/$name"
+      val t0 = System.nanoTime()
+      val q = run(s, vwork)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val prog = q.recentProgress.toSeq
+      def comp(k: String): Long =
+        medianL(prog.flatMap(p => Option(p.durationMs.get(k)).map(_.toLong)))
+      val trig = prog.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong))
+      println(f"FLOOR $name%-28s wall=$wall%6.1f s batches=${trig.size}%3d " +
+        f"medTrig=${medianL(trig)}%5d maxTrig=${trig.max}%5d ms | " +
+        f"addBatch=${comp("addBatch")} walCommit=${comp("walCommit")} " +
+        f"commitOffsets=${comp("commitOffsets")} planning=${comp("queryPlanning")} " +
+        f"latestOffset=${comp("latestOffset")} getBatch=${comp("getBatch")}")
+    }
+
+    def src(s: SparkSession) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in")
+
+    def sess(confs: (String, String)*): SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      s
+    }
+
+    // ---- the statement-set family ----
+    def noop(s: SparkSession, w: String) =
+      src(s).writeStream.option("checkpointLocation", s"$w/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    def countOnly(s: SparkSession, w: String) =
+      src(s).writeStream.option("checkpointLocation", s"$w/_cp")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) => { b.count(); () } }.start()
+    def pipeline(nBuckets: Int)(s: SparkSession, w: String) = {
+      val cust = graft.Tables.customer(s, dir)
+      import graft.streaming.StreamingPipeline
+      import graft.streaming.StreamingPipeline.{SinkDef, StatementSet, UpsertDelta, ViewDef, XrefDef}
+      def view(b: DataFrame): DataFrame =
+        b.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      def enrich(v: DataFrame, d: UpsertDelta): DataFrame =
+        d.rows.join(cust, d.rows("user_id") === cust("c_custkey"), "left")
+          .select(col("user_id"), col("event_id"), col("c_mktsegment"))
+      def quarantine(v: DataFrame, d: UpsertDelta): DataFrame =
+        v.join(cust, v("user_id") === cust("c_custkey"), "left_anti")
+          .select(col("user_id"), col("event_id"))
+      StreamingPipeline.runSet(src(s),
+        StatementSet(
+          views = Seq(ViewDef("view", view)),
+          xrefs = Seq(XrefDef("xref", "view", Seq("user_id"),
+            Seq("ts", "event_id"), nBuckets = nBuckets)),
+          sinks = Seq(
+            SinkDef("fgac_out", (v, d) => enrich(v("view"), d("xref"))),
+            SinkDef("quarantine_out", (v, d) => quarantine(v("view"), d("xref"))))),
+        w)
+    }
+
+    // ---- the stateful stream-stream range join ----
+    def rangeJoin(s: SparkSession, w: String) = {
+      val joined = graft.streaming.StreamingRangeJoin.withinWindowPairsStream(
+        src(s), "user_id", "ts", "event_id",
+        windowSec = 7200L, delaySec = 315360000L)
+      joined.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$w/out").option("checkpointLocation", s"$w/_cp")
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // JVM/codegen warm-up, discarded
+    report("warmup(discard)", sess(), noop)
+
+    report("noop", sess(), noop)
+    report("count-only", sess(), countOnly)
+    report("pipeline sp=8 aqe=on", sess(), pipeline(16))
+    report("pipeline sp=8 aqe=off",
+      sess("spark.sql.adaptive.enabled" -> "false"), pipeline(16))
+    report("pipeline sp=4 aqe=on",
+      sess("spark.sql.shuffle.partitions" -> "4"), pipeline(16))
+    report("pipeline aqe=off nb=4",
+      sess("spark.sql.adaptive.enabled" -> "false"), pipeline(4))
+    report("rangejoin hdfs-state", sess(), rangeJoin)
+    report("rangejoin rocksdb-state",
+      sess("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      rangeJoin)
+    spark.stop()
+  }
+}
