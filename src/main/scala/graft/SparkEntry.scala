@@ -1372,17 +1372,39 @@ object SparkEntry {
     // Sketch twin of the exact report — ONE aggregation pass over the raw
     // values (KLL/GK-style percentile_approx, error bounded by the
     // accuracy parameter), no histogram, no second phase: the cheapest
-    // 100-TB path when the SLA tolerates approximate quantiles. Rows-only
-    // (sketch internals differ across engines, like the xxhash64 twins);
-    // the exact q_value_percentiles is the cross-engine-verified form.
+    // 100-TB path when the SLA tolerates approximate quantiles. Oracle-
+    // gated AS A BOUND (VERDICT r11 #6; sketch internals have no
+    // cross-engine mirror, but the accuracy guarantee does): the returned
+    // value's rank must sit within n/accuracy of the target rank, so one
+    // exact counting pass turns the guarantee into integer rows DuckDB
+    // hash-verifies — ok = the approx value's [count(<v)+1, count(<=v)]
+    // rank interval overlaps target ± (n/accuracy + 1). Production runs
+    // the sketch pass alone; the exact pass IS the gate. Driver-side
+    // collects are two 1-row aggregates (metadata-bounded).
     "q_value_percentiles_approx" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("value"))
-      ev.agg(percentile_approx(col("value"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("ps"))
-        .select(posexplode(col("ps")).as(Seq("i", "value")))
-        .select(element_at(array(lit(50L), lit(90L), lit(99L)),
-          col("i") + 1).as("pct"), col("value"))
-        .orderBy("pct")
+      val acc = 10000
+      val head = ev.agg(
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(acc)).as("ps"),
+        count(lit(1)).as("n")).head()
+      val ps = head.getSeq[Double](0)
+      val n = head.getLong(1)
+      val rankExprs = Seq(0, 1, 2).flatMap { i =>
+        Seq(sum(when(col("value") < ps(i), 1L).otherwise(0L)).as(s"lt$i"),
+          sum(when(col("value") <= ps(i), 1L).otherwise(0L)).as(s"le$i"))
+      }
+      val ranks = ev.agg(rankExprs.head, rankExprs.tail: _*).head()
+      val tol = n / acc + 1
+      val rows = Seq(50L, 90L, 99L).zipWithIndex.map { case (p, i) =>
+        val lt = ranks.getLong(2 * i)
+        val le = ranks.getLong(2 * i + 1)
+        val target = p * n / 100.0
+        val ok = (le + tol) >= target && (lt + 1 - tol) <= target
+        (p, n, if (ok) 1 else 0)
+      }
+      import s.implicits._
+      rows.toDF("pct", "n", "ok").orderBy("pct")
     }),
 
     // Salted skew join: the explicit, planner-independent skew mitigation
@@ -2458,8 +2480,12 @@ object SparkEntry {
     // HyperLogLog++ distinct counts (relative sd 0.02) replace the exact
     // distinct-value shuffles, so source/vocab cardinalities come from a
     // constant-size sketch per partition instead of a distinct-row
-    // exchange. Rows-only check (sketch estimates have no cross-engine
-    // oracle); PackingSessionizeSpec bounds the error vs exact at sf0.01.
+    // exchange. Oracle-gated AS A BOUND (VERDICT r11 #6): the exact twins
+    // run alongside and the emitted rows assert |hll − exact| <= 3·rsd·
+    // exact as integer flags DuckDB hash-verifies, next to the exact
+    // n_docs/n_tok_total the sketch pass produces anyway. HLL estimates
+    // are deterministic for fixed data, so the gate is stable; production
+    // runs the sketch pass alone (the exact pass IS the gate).
     "q_corpus_stats_approx" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
       val toks = d.select(explode(split(col("text"), " ")).as("token"))
@@ -2467,10 +2493,17 @@ object SparkEntry {
       val a = d.agg(
         count(lit(1)).as("n_docs"),
         approx_count_distinct(col("source"), 0.02).as("n_sources_approx"),
+        countDistinct(col("source")).as("n_sources"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tok_total"))
       val b = toks.agg(
-        approx_count_distinct(col("token"), 0.02).as("n_vocab_approx"))
-      a.crossJoin(b)
+        approx_count_distinct(col("token"), 0.02).as("n_vocab_approx"),
+        countDistinct(col("token")).as("n_vocab"))
+      a.crossJoin(b).select(
+        col("n_docs"), col("n_tok_total"),
+        (abs(col("n_sources_approx") - col("n_sources"))
+          <= ceil(col("n_sources") * 0.06)).cast("int").as("sources_ok"),
+        (abs(col("n_vocab_approx") - col("n_vocab"))
+          <= ceil(col("n_vocab") * 0.06)).cast("int").as("vocab_ok"))
     }),
 
     // Filter-funnel audit (the "where did my documents go" table every
@@ -3742,6 +3775,15 @@ object SparkEntry {
          SELECT 99, min(value) FROM c CROSS JOIN n
          WHERE cum >= (99 * n + 99) // 100
          ORDER BY pct""",
+    // bound gate: the Spark side computes ok from the sketch's rank
+    // guarantee against an exact counting pass; the mirror states the
+    // invariant (ok = 1 for every pct, n exact) — a sketch drifting out of
+    // its accuracy bound hash-mismatches here
+    "q_value_percentiles_approx" ->
+      """SELECT CAST(pct AS BIGINT) AS pct,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n,
+           CAST(1 AS INT) AS ok
+         FROM (VALUES (50), (90), (99)) t(pct) ORDER BY pct""",
     "q_group_percentiles" ->
       """WITH t AS (SELECT source,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
@@ -4902,6 +4944,14 @@ object SparkEntry {
          SELECT a.n_docs, a.n_sources, a.n_tok_total, b.n_vocab,
            floor(n_tok_total * 10000 / n_docs) / 10000 AS mean_tok
          FROM a, b""",
+    // bound gate: exact n_docs/n_tok_total mirrored directly; the HLL
+    // flags state the 3-sigma invariant the Spark side computes against
+    // its exact twins
+    "q_corpus_stats_approx" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok_total,
+           CAST(1 AS INT) AS sources_ok, CAST(1 AS INT) AS vocab_ok
+         FROM documents""",
     "q_filter_funnel" ->
       s"""WITH $langQualCtes,
          fl AS (SELECT lang.lang_pred <> 'und' AS r_lang,
