@@ -348,8 +348,14 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * public for maintenance windows. The bucket count is taken from the
     * PINNED state inside the rewrite (not read up front): an auto-compact
     * racing an explicit reshard must not silently revert it. */
-  def compact(spark: SparkSession): Unit =
+  def compact(spark: SparkSession): Unit = {
     rewriteAs(spark, bucketsOf, identity)
+    // compaction already paid an O(snapshot) pass — the advisory's fs walk
+    // is free by comparison, and this is the natural moment an operator
+    // learns the table outgrew its creation-time bucket layout
+    adviseReshard()
+    ()
+  }
 
   /** Rewrite the store under a NEW bucket count (VERDICT r10 #6): a store
     * created at 16 buckets would otherwise serve 100× data at 1/16 read
@@ -399,9 +405,69 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
     * amplification and compaction-cadence assertions in SnapshotStoreSpec. */
   private[graft] def liveSegments: Vector[String] =
     state.map(_.segs).getOrElse(Vector.empty)
+
+  /** Reshard advisory (VERDICT r11 #7): `nBuckets` freezes at creation
+    * and only an explicit [[reshard]] changes it — so a store whose data
+    * outgrows its creation-time layout silently serves 100× data at the
+    * original read granularity forever unless an operator notices. This
+    * computes mean live bytes per bucket (driver fs metadata over the
+    * pinned manifest's segments) and recommends a power-of-two bucket
+    * count sized to `targetBucketBytes`, with 4× hysteresis in both
+    * directions so advice never flaps (a reshard is an O(snapshot)
+    * rewrite; the SnapReadProbe curve shows read width is the CHEAP
+    * dimension, so mild drift costs little).
+    *
+    * The default target matches the parquet split size
+    * (`spark.sql.files.maxPartitionBytes`, 128 MB): per-batch serving
+    * reads O(touched buckets × live segments) leaf dirs, and a
+    * task-sized bucket keeps each pruned read one scan task without
+    * splitting — more buckets than that only multiplies per-segment file
+    * count, fewer leaves read tasks oversized.
+    *
+    * None = the layout is within 4× of target (no action); Some = act.
+    * Logged by [[compact]] (which already pays an O(snapshot) pass) and
+    * surfaced operationally by [[graft.tools.IndexMaintain]]. */
+  def reshardAdvice(
+      targetBucketBytes: Long = 128L << 20): Option[SnapshotStore.ReshardAdvice] =
+    state.flatMap { st =>
+      val bytes = st.segs
+        .map(s => GenStore.dirBytes(s"$root/g${st.gen}/$s/$Rows")).sum
+      val n = bucketsOf(st)
+      val ideal = math.max(1L, (bytes + targetBucketBytes - 1) / targetBucketBytes)
+      val rec = Integer.highestOneBit(math.min(ideal, 1 << 30).toInt) match {
+        case p if p.toLong < ideal => p << 1
+        case p => p
+      }
+      if (rec >= 4L * n || n >= 4L * rec)
+        Some(SnapshotStore.ReshardAdvice(n, rec, bytes, bytes / n))
+      else None
+    }
+
+  /** Log-emit the advisory if one stands (called from compact; public for
+    * maintenance jobs). Returns it for queryable use. */
+  def adviseReshard(
+      targetBucketBytes: Long = 128L << 20): Option[SnapshotStore.ReshardAdvice] = {
+    val a = reshardAdvice(targetBucketBytes)
+    a.foreach(ad => SnapshotStore.log.warn(
+      s"snapshot store at $root: mean bucket size ${ad.meanBucketBytes} B " +
+        s"over ${ad.nBuckets} buckets has drifted >=4x from the " +
+        s"$targetBucketBytes B/bucket target — reshard(spark, " +
+        s"${ad.recommended}) recommended (${ad.liveBytes} live bytes)"))
+    a
+  }
 }
 
 object SnapshotStore {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[SnapshotStore])
+
+  /** A complete snapshot store: v3 manifest + persisted key spec. */
+  def exists(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_KEYS")) && GenStore.read(dir).nonEmpty
+
+  /** One standing reshard recommendation (see [[SnapshotStore.reshardAdvice]]). */
+  final case class ReshardAdvice(nBuckets: Int, recommended: Int,
+                                 liveBytes: Long, meanBucketBytes: Long)
+
   /** A bucket-tagged batch PLUS the bucket count its tags were derived
     * under — carried together so the append can validate the count against
     * the pinned manifest state: a reshard landing between prepare and

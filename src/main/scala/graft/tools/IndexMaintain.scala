@@ -23,7 +23,17 @@ object IndexMaintain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (graft.operators.DedupIndex.exists(dir)) {
+    if (graft.streaming.SnapshotStore.exists(dir)) {
+      val store = new graft.streaming.SnapshotStore(dir)
+      store.compact(spark)
+      store.adviseReshard() match {
+        case Some(a) => println(s"COMPACTED $dir (xref snapshot store); " +
+          s"ADVISE reshard ${a.nBuckets} -> ${a.recommended} buckets " +
+          s"(${a.liveBytes} live bytes, mean ${a.meanBucketBytes} B/bucket)")
+        case None => println(s"COMPACTED $dir (xref snapshot store); " +
+          "bucket layout within 4x of target")
+      }
+    } else if (graft.operators.DedupIndex.exists(dir)) {
       graft.operators.DedupIndex.compact(spark, dir)
       println(s"COMPACTED $dir nPfx=${graft.operators.DedupIndex.numPfx(dir)}")
     } else if (graft.operators.AnnIndexStore.exists(dir)) {
