@@ -124,23 +124,34 @@ if m and os.path.exists(bench_src):
     prev = os.path.join(repo, f"bench_r{int(m.group(1)) - 1:02d}.json")
     # Bootstrap case: bench_r{N-1}.json doesn't exist (first round with the
     # feature, or a round the guard skipped), so byte-comparison can't catch
-    # a leftover previous-round bench.json. The driver refreshes every
-    # tracked artifact's mtime at round START, so a bench.json OLDER than
-    # the driver's BENCH_r{N-1}.json record predates this round — refuse it.
+    # a leftover previous-round bench.json. Staleness is judged by CONTENT
+    # first (ADVICE r11 #3): Bench stamps recorded_at_ms into bench.json
+    # (since r12), which survives clones/checkouts where every mtime is the
+    # checkout time; records without the stamp fall back to mtime, with
+    # both timestamps printed so a false refusal is diagnosable.
     round_start = os.path.join(repo, f"BENCH_r{int(m.group(1)) - 1:02d}.json")
+    try:
+        bench_when = json.load(open(bench_src)).get("recorded_at_ms", 0) / 1000.0
+    except ValueError:
+        bench_when = 0
+    when_src = "recorded_at_ms" if bench_when else "mtime"
+    if not bench_when:
+        bench_when = os.path.getmtime(bench_src)
     if os.path.exists(prev) and filecmp.cmp(bench_src, prev, shallow=False):
         print(f"[gate] SKIPPED bench_r{m.group(1)}.json: bench.json is "
               f"byte-identical to {os.path.basename(prev)} — run a full "
               f"sf0.1 Bench first, then re-run gate or dev/seal.py")
     elif (os.path.exists(round_start)
-          and os.path.getmtime(bench_src) < os.path.getmtime(round_start)):
+          and bench_when < os.path.getmtime(round_start)):
         print(f"[gate] SKIPPED bench_r{m.group(1)}.json: bench.json predates "
-              f"this round (older than {os.path.basename(round_start)}) — "
-              f"run a full sf0.1 Bench first")
+              f"this round (bench {when_src}={bench_when:.0f} < "
+              f"{os.path.basename(round_start)} mtime="
+              f"{os.path.getmtime(round_start):.0f}) — run a full sf0.1 "
+              f"Bench first")
     else:
         shutil.copyfile(bench_src, bench_dst)
         print(f"[gate] per-query bench record -> {bench_dst} "
-              f"(from bench.json, mtime {os.path.getmtime(bench_src):.0f}) — "
+              f"(from bench.json, {when_src} {bench_when:.0f}) — "
               f"git add it with the correctness records")
 ok = oracle.get("n_pass", 0)
 tot = oracle.get("n_oracle", 0)

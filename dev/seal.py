@@ -99,4 +99,53 @@ if m:
               f"full sf0.1 Bench, then dev/gate.py (or re-run seal)")
         sys.exit(1)
 
+# Driver bench-artifact integrity (VERDICT r11 #1): BENCH_r{K}.json has
+# repeatedly lost its per-query map ("parsed": null / absent — only the
+# stdout tail survived), and r11's official map was measured inside the
+# Verify gate's sbt session (3-7x contention inflation on unchanged
+# queries). For every BENCH_r{K}.json with a committed bench_r{K}.json
+# sibling: restore a missing/null parsed map from the sibling, and flag a
+# parsed map that diverges >3x from the sibling on shared >=1s queries.
+# Divergence only BLOCKS (exit 1) for the round being sealed — historic
+# records get a warning, not a permanent seal veto.
+import glob
+diverged_now = False
+for bpath in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+    k = re.search(r"BENCH_r(\d+)\.json$", bpath)
+    if not k:
+        continue
+    sib = os.path.join(repo_dir, f"bench_r{k.group(1)}.json")
+    if not os.path.exists(sib):
+        continue
+    try:
+        bench = json.load(open(bpath))
+        clean = json.loads(open(sib).read().strip())
+    except ValueError:
+        continue
+    if not bench.get("parsed"):
+        bench["parsed"] = clean
+        with open(bpath, "w") as f:
+            json.dump(bench, f, indent=1)
+        print(f"[seal] RESTORED parsed map in {os.path.basename(bpath)} "
+              f"from {os.path.basename(sib)} — git add it")
+        repaired = True
+        continue
+    got = (bench.get("parsed") or {}).get("queries") or {}
+    want = clean.get("queries") or {}
+    bad = sorted(q for q in set(got) & set(want)
+                 if min(got[q], want[q]) > 0
+                 and max(got[q], want[q]) >= 1.0
+                 and max(got[q], want[q]) / min(got[q], want[q]) > 3.0)
+    if bad:
+        this_round = m and k.group(1) == m.group(1)
+        tag = "REFUSED (this round)" if this_round else "WARNING (historic)"
+        print(f"[seal] {tag}: {os.path.basename(bpath)} per-query map "
+              f"diverges >3x from {os.path.basename(sib)} on {bad[:6]} — "
+              f"contention-skewed official bench; re-run Bench in its own "
+              f"sbt invocation, never inside the Verify gate session")
+        if this_round:
+            diverged_now = True
+if diverged_now:
+    sys.exit(1)
+
 sys.exit(2 if repaired else 0)

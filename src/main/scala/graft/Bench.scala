@@ -176,8 +176,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // recorded_at_ms: a CONTENT timestamp for dev/gate.py's staleness
+    // guard (ADVICE r11 #3 — file mtimes reset on clone/checkout, so the
+    // guard now reads the marker the bench run itself wrote)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cpus":$cpus,"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cpus":$cpus,"recorded_at_ms":${System.currentTimeMillis()},"errors":$errJson}"""
     println(json)
     // Also persist the full parsed record to a known path: the driver's
     // BENCH_r{N}.json artifacts were truncating the stdout tail and losing
