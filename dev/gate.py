@@ -132,7 +132,9 @@ if m and os.path.exists(bench_src):
     round_start = os.path.join(repo, f"BENCH_r{int(m.group(1)) - 1:02d}.json")
     try:
         bench_when = json.load(open(bench_src)).get("recorded_at_ms", 0) / 1000.0
-    except ValueError:
+    except (ValueError, AttributeError, TypeError):
+        # clobbered-but-parseable JSON (null, [], a string) must degrade to
+        # the mtime fallback, not crash the gate before it writes its record
         bench_when = 0
     when_src = "recorded_at_ms" if bench_when else "mtime"
     if not bench_when:

@@ -77,13 +77,24 @@ if m:
     prev = os.path.join(repo_dir, f"bench_r{int(m.group(1)) - 1:02d}.json")
     round_start = os.path.join(repo_dir, f"BENCH_r{int(m.group(1)) - 1:02d}.json")
     if not os.path.exists(bench_dst) and os.path.exists(bench_src):
+        # same content-first staleness reading as gate.py (ADVICE r11 #3):
+        # recorded_at_ms survives clones/copies where mtimes reset
+        try:
+            bench_when = (json.load(open(bench_src))
+                          .get("recorded_at_ms", 0) / 1000.0)
+        except (ValueError, AttributeError, TypeError):
+            bench_when = 0
+        if not bench_when:
+            bench_when = os.path.getmtime(bench_src)
         if os.path.exists(prev) and filecmp.cmp(bench_src, prev, shallow=False):
             print(f"[seal] REFUSED bench restore: bench.json is byte-identical "
                   f"to {os.path.basename(prev)} — run a full sf0.1 Bench first")
         elif (os.path.exists(round_start)
-              and os.path.getmtime(bench_src) < os.path.getmtime(round_start)):
+              and bench_when < os.path.getmtime(round_start)):
             print(f"[seal] REFUSED bench restore: bench.json predates this "
-                  f"round (older than {os.path.basename(round_start)}) — "
+                  f"round (bench {bench_when:.0f} < "
+                  f"{os.path.basename(round_start)} mtime "
+                  f"{os.path.getmtime(round_start):.0f}) — "
                   f"run a full sf0.1 Bench first")
         else:
             shutil.copyfile(bench_src, bench_dst)
@@ -123,11 +134,16 @@ for bpath in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
     except ValueError:
         continue
     if not bench.get("parsed"):
+        # preserve the artifact's mtime: gate.py/seal.py use BENCH_r{N-1}'s
+        # mtime as the round-start anchor, and bumping it here would make
+        # them falsely refuse the round's own fresh bench.json (r12 review)
+        stat = os.stat(bpath)
         bench["parsed"] = clean
         with open(bpath, "w") as f:
             json.dump(bench, f, indent=1)
+        os.utime(bpath, (stat.st_atime, stat.st_mtime))
         print(f"[seal] RESTORED parsed map in {os.path.basename(bpath)} "
-              f"from {os.path.basename(sib)} — git add it")
+              f"from {os.path.basename(sib)} (mtime preserved) — git add it")
         repaired = True
         continue
     got = (bench.get("parsed") or {}).get("queries") or {}

@@ -58,6 +58,14 @@ object ChangelogSink {
             maxLiveSegments: Int = 8,
             targetFileBytes: Long = 128L << 20,
             vacuumGraceMs: Long = 10 * 60 * 1000L): Unit = {
+    // The fold watermark is the ONLY thing standing between a
+    // folded-segment replay and duplicated rows (no merge-on-read dedup
+    // here), and it cannot cover ids past the manifest's Int property
+    // range — reject those loudly rather than duplicate silently. 2^31
+    // one-second triggers is ~68 years of stream time.
+    require(batchId <= Int.MaxValue,
+      s"changelog sink batchId $batchId exceeds the replay watermark's " +
+        "Int range; restart the stream with a fresh checkpoint/sink")
     GenStore.initIfAbsent(root, GenStore.State(0, Vector.empty, Map.empty))
     val st0 = GenStore.readOrFail(root, What)
     if (GenStore.foldedWatermark(st0.props) >= batchId) return // folded replay
@@ -113,7 +121,11 @@ object ChangelogSink {
       fold(spark, root, st, freshSegs, targetFileBytes)
     else if (mergedSegs.size > budget) {
       val bySize = mergedSegs.sortBy(s => GenStore.dirBytes(segDir(root, st, s)))
-      fold(spark, root, st, bySize.take((budget + 2) / 2), targetFileBytes)
+      // at least 2: a 1-segment "fold" rewrites without shrinking the
+      // tier, so a budget of 1 would grow unboundedly while paying a
+      // rewrite every trigger (r12 review)
+      fold(spark, root, st, bySize.take(math.max(2, (budget + 2) / 2)),
+        targetFileBytes)
     }
   }
 

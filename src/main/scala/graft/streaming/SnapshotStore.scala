@@ -434,8 +434,12 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
         .map(s => GenStore.dirBytes(s"$root/g${st.gen}/$s/$Rows")).sum
       val n = bucketsOf(st)
       val ideal = math.max(1L, (bytes + targetBucketBytes - 1) / targetBucketBytes)
-      val rec = Integer.highestOneBit(math.min(ideal, 1 << 30).toInt) match {
-        case p if p.toLong < ideal => p << 1
+      // clamp BEFORE rounding up to the next power of two: rounding the
+      // unclamped ideal at 2^30 would shift into Int.MinValue and emit a
+      // negative recommendation (r12 review)
+      val clamped = math.min(ideal, 1L << 30).toInt
+      val rec = Integer.highestOneBit(clamped) match {
+        case p if p < clamped => p << 1
         case p => p
       }
       if (rec >= 4L * n || n >= 4L * rec)

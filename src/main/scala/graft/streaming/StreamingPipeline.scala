@@ -110,6 +110,15 @@ object StreamingPipeline {
       "at most one xref per view")
     xrefs.find(x => !views.exists(_.name == x.view)).foreach(x =>
       sys.error(s"xref ${x.name} references unknown view ${x.view}"))
+    // CROSS-namespace path collisions corrupt silently, not loudly: a sink
+    // named "<xref>_snapshot" shares the xref store's GenStore root, and
+    // whichever writes its b<id> segment second is a manifest-level no-op —
+    // rows lost under a green stream. Fail at construction instead.
+    private val sinkDirs = sinks.map(_.name).toSet
+    xrefs.map(x => s"${x.name}_snapshot").find(sinkDirs).foreach(d =>
+      sys.error(s"sink name $d collides with an xref store directory"))
+    require(!sinkDirs("_checkpoint"),
+      "sink name _checkpoint collides with the streaming checkpoint dir")
   }
 
   /** Rows-per-batch ceiling for broadcasting the delta semi-join's key

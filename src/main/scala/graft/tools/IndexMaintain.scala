@@ -25,8 +25,10 @@ object IndexMaintain {
     spark.sparkContext.setLogLevel("WARN")
     if (graft.streaming.SnapshotStore.exists(dir)) {
       val store = new graft.streaming.SnapshotStore(dir)
-      store.compact(spark)
-      store.adviseReshard() match {
+      store.compact(spark) // compact itself WARN-logs any standing advice
+      // non-logging variant for the operator-facing line (the duplicate
+      // fs metadata walk is trivial next to the compaction)
+      store.reshardAdvice() match {
         case Some(a) => println(s"COMPACTED $dir (xref snapshot store); " +
           s"ADVISE reshard ${a.nBuckets} -> ${a.recommended} buckets " +
           s"(${a.liveBytes} live bytes, mean ${a.meanBucketBytes} B/bucket)")
