@@ -30,14 +30,17 @@ object CompilerOptions {
 
 /** One compiled target: its emitted name, stage, column list, PK, matrix
   * props, and the SELECT statement (Flink-flavored scalar functions; runs
-  * verbatim on Spark once [[FlinkCompat]] is registered). */
+  * verbatim on Spark once [[FlinkCompat]] is registered). `sourceTable` is
+  * the FROM table as authored in the sheet — the streaming bridge uses it
+  * to tell topic-fed views from static dim views. */
 final case class CompiledTable(
     name: String,
     stage: String,
     columns: Seq[(String, String)],
     pk: Seq[String],
     props: Map[String, String],
-    selectSql: String) {
+    selectSql: String,
+    sourceTable: String = "") {
 
   private def q(s: String): String =
     if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
@@ -61,6 +64,32 @@ final case class CompiledTable(
   /** INSERT artifact (build_insert_sql shape, v22:260-281). */
   def insertSql: String =
     s"INSERT INTO ${q(name)} (${columns.map(_._1).mkString(", ")})\n$selectSql;"
+
+  /** F6: delete-flag exclusion BEFORE ranking (sttm-requirements.md:
+    * 77-84,129-133) — matrix keys graft.delete.flag (column) and
+    * graft.delete.values (CSV truthy list, default "Y,1,true"). Shared by
+    * the batch runner and the streaming bridge so both execute the same
+    * semantics. */
+  def deleteCleaned(base: DataFrame): DataFrame =
+    props.get("graft.delete.flag").map(_.trim).filter(_.nonEmpty)
+      .map { flagCol =>
+        val values = props.get("graft.delete.values")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq("Y", "1", "true"))
+        SttmOps.excludeDeleted(base, flagCol, values)
+      }.getOrElse(base)
+
+  /** The `graft.upsert.order` ranking columns (empty when unset). */
+  def upsertOrder: Seq[String] =
+    props.get("graft.upsert.order")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** An upsert-changelog XREF with a usable snapshot key + ranking — the
+    * targets the streaming bridge materializes as SnapshotStore tables. */
+  def isUpsertXref: Boolean =
+    stage == "XREF" && pk.nonEmpty && upsertOrder.nonEmpty &&
+      props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
 }
 
 final case class CompiledPipeline(
@@ -113,20 +142,9 @@ final case class CompiledPipeline(
       val df = t.stage match {
         case "XREF" if t.props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
             && t.pk.nonEmpty =>
-          // F6: delete-flag exclusion BEFORE ranking (sttm-requirements.md:
-          // 77-84,129-133) — matrix keys graft.delete.flag (column) and
-          // graft.delete.values (CSV truthy list, default "Y,1,true")
-          val cleaned = t.props.get("graft.delete.flag").map(_.trim).filter(_.nonEmpty)
-            .map { flagCol =>
-              val values = t.props.get("graft.delete.values")
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .getOrElse(Seq("Y", "1", "true"))
-              SttmOps.excludeDeleted(base, flagCol, values)
-            }.getOrElse(base)
-          val order = t.props.get("graft.upsert.order")
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq.empty)
-          if (order.nonEmpty) SttmOps.latestByKey(cleaned, t.pk, order) else cleaned
+          val cleaned = t.deleteCleaned(base)
+          if (t.upsertOrder.nonEmpty) SttmOps.latestByKey(cleaned, t.pk, t.upsertOrder)
+          else cleaned
         case _ => base
       }
       df.createOrReplaceTempView(t.name)
@@ -234,6 +252,8 @@ object PipelineCompiler {
     // ${table_name} macros expand to the EMITTED (decorated) name
     val emitted = applyPrefixSuffix(logical, spec.config, isView)
     val props = spec.matrix.propsFor(logical, emitted)
-    CompiledTable(emitted, stage, colDefs, pk, props, selectSql)
+    CompiledTable(emitted, stage, colDefs, pk, props, selectSql,
+      sourceTable = rows.find(_.sourcePrimaryTable.nonEmpty)
+        .map(_.sourcePrimaryTable).getOrElse(""))
   }
 }

