@@ -217,7 +217,11 @@ object PipelineCompiler {
     val pk = rows.filter(r => r.isPk && r.targetColumn.nonEmpty)
       .map(_.targetColumn).distinct
 
-    val src = rows.find(_.sourcePrimaryTable.nonEmpty)
+    // one lookup for BOTH the FROM clause and the sourceTable field — the
+    // streaming bridge partitions on sourceTable, and deriving the two
+    // from separate finds would let them desynchronize silently
+    val srcRow = rows.find(_.sourcePrimaryTable.nonEmpty)
+    val src = srcRow
       .map(r => s"${q(r.sourcePrimaryTable)} ${if (r.sourcePrimaryAlias.nonEmpty) r.sourcePrimaryAlias else "t"}")
       .getOrElse("(VALUES(1)) t(dummy)")
 
@@ -253,7 +257,6 @@ object PipelineCompiler {
     val emitted = applyPrefixSuffix(logical, spec.config, isView)
     val props = spec.matrix.propsFor(logical, emitted)
     CompiledTable(emitted, stage, colDefs, pk, props, selectSql,
-      sourceTable = rows.find(_.sourcePrimaryTable.nonEmpty)
-        .map(_.sourcePrimaryTable).getOrElse(""))
+      sourceTable = srcRow.map(_.sourcePrimaryTable).getOrElse(""))
   }
 }

@@ -43,8 +43,11 @@ object StreamingBridge {
     FlinkCompat.register(session)
     require(p.errors.isEmpty,
       s"pipeline has validation errors: ${p.errors.mkString("; ")}")
+    // Spark resolves identifiers case-insensitively; matching the authored
+    // FROM table case-sensitively would silently classify an 'EVENTS' view
+    // as a static dim frame (planned once over whatever table resolves)
     val (streamViews, staticViews) =
-      p.views.partition(_.sourceTable == streamTable)
+      p.views.partition(_.sourceTable.equalsIgnoreCase(streamTable))
     require(streamViews.nonEmpty,
       s"no VIEW reads the stream table $streamTable — nothing to stream")
     // dim views: planned once, resolvable by name from every compiled SELECT
@@ -52,6 +55,15 @@ object StreamingBridge {
       session.sql(v.selectSql).createOrReplaceTempView(v.name))
 
     val (xrefTs, sinkTs) = (p.xrefs ++ p.fgacs).partition(_.isUpsertXref)
+    // The batch runner registers EVERY target, so a sink can chain off
+    // another sink; the bridge registers stream views, static views and
+    // xref deltas only — a chained sink would fail mid-stream at the first
+    // trigger. Fail at CONSTRUCTION instead (documented limitation).
+    val sinkNames = sinkTs.map(t => t.name.toLowerCase).toSet
+    (xrefTs ++ sinkTs).find(t => sinkNames(t.sourceTable.toLowerCase))
+      .foreach(t => sys.error(s"target ${t.name} reads sink target " +
+        s"${t.sourceTable} — chained non-xref targets are not streamable " +
+        "(only views and upsert-XREF deltas are re-resolvable per batch)"))
 
     // Per-batch SQL must run against the STREAM's session: Spark clones
     // the session when a streaming query starts (sparkSessionForStream),
@@ -86,10 +98,14 @@ object StreamingBridge {
     val sinkDefs = sinkTs.map { t =>
       SinkDef(t.name, (views, deltas) => {
         // INSERTs that read an XREF get the batch's upsert delta; frames
-        // (and thus the stream-clone session) come from the views map
+        // (and thus the stream-clone session) come from the views map.
+        // The compiled SELECT runs VERBATIM — the batch runner applies the
+        // delete-flag exclusion only to upsert XREFs, and streamed ==
+        // batch is the contract (r12 review: wrapping sinks in
+        // deleteCleaned silently dropped rows the batch runner keeps).
         val sb = views.values.head.sparkSession
         deltas.foreach { case (n, d) => d.rows.createOrReplaceTempView(n) }
-        t.deleteCleaned(sb.sql(t.selectSql))
+        sb.sql(t.selectSql)
       })
     }
     StatementSet(viewDefs, xrefDefs, sinkDefs)

@@ -213,20 +213,16 @@ object StreamingPipeline {
       sinkOpts: SinkOptions = SinkOptions()): Unit = {
     val spark = batch.sparkSession
     // the SHARED SCAN, materialized exactly once per trigger: every view,
-    // merge and sink below reads cached blocks, never the source files
-    // again. With MULTIPLE views the checkpoint sits below the view split
-    // (raw batch); with ONE view it sits above the transform instead —
-    // same job count, but the cached blocks then hold the view's filtered
-    // projection rather than the full-width raw rows (the r11 shape; at
-    // N=1 there is nothing to share below the transform).
+    // merge and sink below reads the cached raw blocks, never the source
+    // files again. Uniform for N=1 too: an earlier special case
+    // checkpointed the single view's output instead (smaller blocks) but
+    // measured perf-neutral (BASELINE r12) and broke transforms that
+    // REGISTER frames as a side effect (the workbook bridge) — their
+    // registrations bound the un-checkpointed batch, silently re-reading
+    // the source per downstream action.
+    val raw = batch.localCheckpoint()
     val views: Map[String, DataFrame] =
-      if (set.views.size == 1) {
-        val v = set.views.head
-        Map(v.name -> v.transform(batch).localCheckpoint())
-      } else {
-        val raw = batch.localCheckpoint()
-        set.views.map(v => v.name -> v.transform(raw)).toMap
-      }
+      set.views.map(v => v.name -> v.transform(raw)).toMap
 
     // 2+3. XREF upserts run concurrently across stores; each yields its
     //      batch-keyed upsert delta (bucket-pruned, semi-joined BELOW the

@@ -6,18 +6,15 @@ import graft.operators.GenStore
 import graft.streaming.ChangelogSink
 
 /** Write-amplification of the changelog sink's SIZE-TIERED merged-tier
-  * folding (VERDICT r11 #4 follow-through): folding the smallest half of
-  * an over-budget merged tier should cost O(log n / log budget) rewrites
-  * per byte, where the naive fold-ALL-merged policy pays O(n / budget).
-  * Measured, not argued: drive N equal batches through each policy with
-  * vacuuming disabled (so bytes-on-disk at the end == total bytes ever
-  * written), and report amplification = totalWritten / one-copy size,
-  * plus the live segment count the readers must union.
-  *
-  * The naive policy is simulated by folding with budget-sized take()
-  * (every merged overflow folds the WHOLE tier), which is what the
-  * pre-review code did at budget 1 and what a single-tier design does at
-  * any budget. */
+  * folding (VERDICT r11 #4 follow-through): drive N equal batches through
+  * the SHIPPED policy with vacuuming disabled (so bytes-on-disk at the end
+  * == total bytes ever written) and report amplification = totalWritten /
+  * one-copy size, plus the live segment count readers must union. The
+  * measurement pins the shipped constant (expected ~log2(n/budget)); the
+  * naive fold-ALL-merged alternative is not run here — its cost is
+  * arithmetic, ~n/(2·budget²) rewrites per byte (every overflow rewrites
+  * the whole tier), linear in stream length where the shipped policy is
+  * logarithmic. BASELINE.md carries both numbers with that labeling. */
 object SinkFoldProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -39,9 +36,10 @@ object SinkFoldProbe {
     val wallA = (System.nanoTime() - t0) / 1e9
     val writtenA = GenStore.dirBytes(s"$work/a")
     val liveA = ChangelogSink.liveSegments(s"$work/a").size
-    // one-copy size: what the data itself occupies (read the live view)
-    val oneCopy = ChangelogSink.liveSegments(s"$work/a")
-      .map(s => GenStore.dirBytes(s"$work/a/g0/$s/rows")).sum
+    // one-copy size: what the data itself occupies — live segments under
+    // the MANIFEST's generation (not a hardcoded g0)
+    val st = GenStore.readOrFail(s"$work/a", "changelog sink")
+    val oneCopy = st.segTableDirs(s"$work/a", "rows").map(GenStore.dirBytes).sum
 
     println(f"SINKFOLD shipped(size-tiered): batches=$nBatches budget=$budget " +
       f"totalWritten=${writtenA / 1e6}%.1f MB oneCopy=${oneCopy / 1e6}%.1f MB " +

@@ -48,7 +48,10 @@ class StreamingBridgeSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$work/in")
     val q = StreamingPipeline.runSet(source, set, work)
-    if (!q.awaitTermination(300000)) q.stop()
+    val finished = q.awaitTermination(300000)
+    if (!finished) q.stop()
+    assert(finished, "streaming query did not terminate within 300 s — " +
+      "asserting against partial results would mask the hang")
 
     // XREF snapshot == batch XREF (value-level, keyed)
     val snap = new SnapshotStore(
