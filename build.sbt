@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through VERBATIM instead of re-logging each line
+// with an "[info] " prefix (VERDICT r12 #2: every driver BENCH_r*.json ever
+// collected has "parsed": null — a line-wise json.loads can never succeed on
+// "[info] {...}", so the machine-readable lines Bench/Verify print must
+// reach the real stdout unprefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

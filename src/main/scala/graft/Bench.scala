@@ -176,11 +176,38 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // Quiet-tail isolated medians for the commit-bound streaming replays
+    // (VERDICT r12 #3): the full-set medians above ride whatever GC/page-
+    // cache state the preceding ~170 queries left behind and swing ~1.5x
+    // between host windows; re-timing each SparkEntry.benchIsolate query
+    // back-to-back at the END of the run — nothing else interleaved, heap
+    // settled by an explicit GC — is the same shape as the builder's ad-hoc
+    // SPARK_GRAFT_BENCH_ONLY adjudication runs. Recorded alongside (never
+    // replacing) the full-set medians, so a diff can consult both.
+    val isolated: Seq[(String, Double)] =
+      if (runs == 0 || only.nonEmpty) Seq.empty
+      else SparkEntry.benchIsolate.toSeq.sorted
+        .flatMap(n => benchQueries.get(n).map(n -> _))
+        .map { case (name, fn) =>
+          System.gc()
+          val samples = (1 to runs).flatMap { _ =>
+            SparkEntry.resetMemos(spark)
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).queryExecution.toRdd.count()
+                  Some((System.nanoTime() - t0) / 1e9) }
+            catch { case _: Throwable => None }
+          }
+          val med = if (samples.length < runs) -1.0
+                    else samples.sorted.apply((samples.length - 1) / 2)
+          name -> med
+        }
+    val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     // recorded_at_ms: a CONTENT timestamp for dev/gate.py's staleness
     // guard (ADVICE r11 #3 — file mtimes reset on clone/checkout, so the
     // guard now reads the marker the bench run itself wrote)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cpus":$cpus,"recorded_at_ms":${System.currentTimeMillis()},"errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$isoJson,"sf":"$sfDir","runs":$runs,"cpus":$cpus,"recorded_at_ms":${System.currentTimeMillis()},"errors":$errJson}"""
     println(json)
     // Also persist the full parsed record to a known path: the driver's
     // BENCH_r{N}.json artifacts were truncating the stdout tail and losing

@@ -5124,6 +5124,16 @@ object SparkEntry {
   val benchExclude: Set[String] = Set("q_lsh_recall", "q_ann_gate_recall",
     "q_dedup_gate_recall")
 
+  /** The commit-bound streaming replays — the noisiest rows in every round
+    * record (q_stream_range_join's recorded full-set band is 4.7-7.0 s
+    * across host windows, ~1.5x swings on unchanged code). Bench times
+    * these a SECOND time in a quiet tail pass after the full set finishes
+    * and records both numbers (VERDICT r12 #3), so round-over-round diffs
+    * can adjudicate a mover against its isolated median instead of crying
+    * wolf on contention. */
+  val benchIsolate: Set[String] = Set("q_stream_sttm", "q_stream_sttm_multi",
+    "q_stream_sttm_compiled", "q_stream_range_join")
+
   /** Drop this session's memoized intermediates so the next query rebuilds
     * them from source. Used by `graft.Bench` between timing runs so every
     * run pays the full signature+verify cost (apples-to-apples medians). */

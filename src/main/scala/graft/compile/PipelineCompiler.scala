@@ -85,11 +85,19 @@ final case class CompiledTable(
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** Upsert-mode XREF with a PK — the shape `run()` applies deleteCleaned
+    * to, with or without ranking columns. The streaming bridge must apply
+    * the same exclusion on this shape even when it can't snapshot it
+    * (ADVICE r12 #1: a PK+delete-flag XREF without `graft.upsert.order`
+    * lands on the sink path, and a verbatim SELECT there would stream
+    * delete-flagged rows the batch runner drops). */
+  def isUpsertLike: Boolean =
+    stage == "XREF" && pk.nonEmpty &&
+      props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
+
   /** An upsert-changelog XREF with a usable snapshot key + ranking — the
     * targets the streaming bridge materializes as SnapshotStore tables. */
-  def isUpsertXref: Boolean =
-    stage == "XREF" && pk.nonEmpty && upsertOrder.nonEmpty &&
-      props.get("changelog.mode").map(_.toLowerCase).contains("upsert")
+  def isUpsertXref: Boolean = isUpsertLike && upsertOrder.nonEmpty
 }
 
 final case class CompiledPipeline(

@@ -64,6 +64,17 @@ object StreamingBridge {
       .foreach(t => sys.error(s"target ${t.name} reads sink target " +
         s"${t.sourceTable} — chained non-xref targets are not streamable " +
         "(only views and upsert-XREF deltas are re-resolvable per batch)"))
+    // ADVICE r12 #3: an XREF reading another XREF also dies mid-stream —
+    // xref deltas are registered only during SINK emits, after every
+    // xref-INPUT view has evaluated, so the inner xref's name is unresolvable
+    // when the outer xref's __in view plans on the first trigger. Same
+    // fail-at-construction contract as the sink-chain check above.
+    val xrefNames = xrefTs.map(t => t.name.toLowerCase).toSet
+    xrefTs.find(t => xrefNames(t.sourceTable.toLowerCase))
+      .foreach(t => sys.error(s"XREF ${t.name} reads XREF target " +
+        s"${t.sourceTable} — xref deltas resolve only inside sink emits, " +
+        "so a chained XREF would fail on the first trigger (run the inner " +
+        "XREF as its own statement set, or read the view it ranks)"))
 
     // Per-batch SQL must run against the STREAM's session: Spark clones
     // the session when a streaming query starts (sparkSessionForStream),
@@ -100,12 +111,18 @@ object StreamingBridge {
         // INSERTs that read an XREF get the batch's upsert delta; frames
         // (and thus the stream-clone session) come from the views map.
         // The compiled SELECT runs VERBATIM — the batch runner applies the
-        // delete-flag exclusion only to upsert XREFs, and streamed ==
-        // batch is the contract (r12 review: wrapping sinks in
+        // delete-flag exclusion only to upsert-mode XREFs, and streamed ==
+        // batch is the contract (r12 review: wrapping ALL sinks in
         // deleteCleaned silently dropped rows the batch runner keeps).
+        // The one sink shape the batch runner DOES clean is an upsert-mode
+        // PK XREF without ranking columns (isUpsertLike but not
+        // isUpsertXref — no snapshot possible, so it lands here): apply the
+        // same exclusion or streamed output retains delete-flagged rows the
+        // batch path drops (ADVICE r12 #1).
         val sb = views.values.head.sparkSession
         deltas.foreach { case (n, d) => d.rows.createOrReplaceTempView(n) }
-        sb.sql(t.selectSql)
+        val planned = sb.sql(t.selectSql)
+        if (t.isUpsertLike) t.deleteCleaned(planned) else planned
       })
     }
     StatementSet(viewDefs, xrefDefs, sinkDefs)

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{GenStore, SttmOps}
@@ -267,6 +268,38 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
         .repartition(p.buckets, col(BucketCol))
         .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
         .parquet(s"$segDir/$Rows")
+      // Determinism guard (ADVICE r12 #2): with materialize=false, `touched`
+      // (first action) and this write (second action) evaluated the input
+      // frame INDEPENDENTLY — the no-re-materialization contract is that the
+      // frame is a pure transform of cached blocks, and until now that was
+      // documented, not enforced. A non-deterministic view (rand() salting,
+      // current_timestamp) can write rows into buckets `touched` never
+      // reported, invisible to every delta read until the next compaction.
+      // The written partition dirs are ground truth for what this action
+      // produced; compare them to `touched` and fail BEFORE the manifest
+      // commit (the segment stays invisible, the micro-batch fails loudly,
+      // and a deterministic retry succeeds). Driver-side listing of
+      // ≤ nBuckets dirs — metadata cost only.
+      val written = {
+        val d = java.nio.file.Paths.get(s"$segDir/$Rows")
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty[Int]
+        else {
+          val ls = java.nio.file.Files.list(d)
+          try ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith(s"$BucketCol="))
+            .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
+          finally ls.close()
+        }
+      }
+      if (written != touched.toSet)
+        throw new IllegalStateException(
+          s"store at $root: segment write produced buckets " +
+            s"${written.toSeq.sorted.mkString("[", ",", "]")} but the " +
+            s"touched-bucket pass saw ${touched.mkString("[", ",", "]")} — " +
+            "the input frame is non-deterministic across actions (see " +
+            "prepare()'s materialize contract); make the view a pure " +
+            "transform of the shared raw batch, or merge via the " +
+            "materializing merge() path")
     }
     if (applied) {
       // Tiered compaction (two-level LSM): FRESH append segments fold into

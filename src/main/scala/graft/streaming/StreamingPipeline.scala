@@ -83,10 +83,22 @@ object StreamingPipeline {
                            nBuckets: Int = 16, maxLiveSegments: Int = 8)
 
   /** Per-sink ChangelogSink knobs (see [[ChangelogSink.write]]); one set
-    * for the whole statement set. */
+    * for the whole statement set — plus the checkpoint-retention knobs
+    * [[runSet]] applies to the checkpoint it owns (VERDICT r12 #6: the
+    * 220-batch soak found the stock defaults retain offset/commit entries
+    * for 100 batches and hold superseded file-source log entries for a
+    * 10-minute cleanupDelay — 2 files/trigger of growth a long-running set
+    * never needs). Spark reads both from the SESSION conf at query start
+    * (there is no per-query option surface), so runSet sets them on the
+    * source's session; one-statement-set-per-dedicated-session is already
+    * the documented discipline (see [[StatementSet]] usage docs). Set
+    * minBatchesToRetain <= 0 / cleanupDelay < 0 to leave the session's
+    * existing conf untouched. */
   final case class SinkOptions(maxLiveSegments: Int = 8,
                                targetFileBytes: Long = 128L << 20,
-                               vacuumGraceMs: Long = 10 * 60 * 1000L)
+                               vacuumGraceMs: Long = 10 * 60 * 1000L,
+                               minBatchesToRetain: Int = 10,
+                               fileSourceLogCleanupDelayMs: Long = 0L)
 
   /** One INSERT of the statement set: emit rows for this batch from the
     * batch's view frames and upsert deltas (both by name), landing in the
@@ -153,6 +165,16 @@ object StreamingPipeline {
       .map(x => x.name -> new SnapshotStore(xrefStorePath(workDir, x.name),
         nBuckets = x.nBuckets, maxLiveSegments = x.maxLiveSegments))
       .toMap
+    // checkpoint-retention defaults for the checkpoint this query owns
+    // (see SinkOptions scaladoc; session-level because Spark offers no
+    // per-query surface for these — negative values opt out)
+    if (sinkOpts.minBatchesToRetain > 0)
+      source.sparkSession.conf.set("spark.sql.streaming.minBatchesToRetain",
+        sinkOpts.minBatchesToRetain.toString)
+    if (sinkOpts.fileSourceLogCleanupDelayMs >= 0)
+      source.sparkSession.conf.set(
+        "spark.sql.streaming.fileSource.log.cleanupDelay",
+        sinkOpts.fileSourceLogCleanupDelayMs.toString)
     source.writeStream
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .trigger(trigger)

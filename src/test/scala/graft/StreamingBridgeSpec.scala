@@ -80,4 +80,89 @@ class StreamingBridgeSpec extends AnyFunSuite {
     assert(gotKeys.count() == expKeys.count())
     assert(gotKeys.join(expKeys, Seq("USER_ID"), "left_anti").count() == 0)
   }
+
+  /** ADVICE r12 #1: an upsert-mode XREF with a PK and a delete flag but NO
+    * `graft.upsert.order` can't be snapshotted (no ranking), so the bridge
+    * routes it to the changelog-sink path — which must still apply the
+    * delete-flag exclusion the batch runner applies to that same target,
+    * or streamed output silently retains rows the batch path drops. */
+  test("upsert XREF without ranking still drops delete-flagged rows when streamed") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = Files.createTempDirectory("graft_bridge_df").toString
+
+    val noOrderSpec = graft.spec.SttmSpec(
+      DemoSpecs.deleteFlagPipeline.rows,
+      graft.spec.SttmParser.matrixFromCsv(
+        "Key,EVENTS_ALL_VW,XREF_USER_DF\n" +
+          "changelog.mode,,upsert\n" +
+          "graft.delete.flag,,EVENT_TYPE\n" +
+          "graft.delete.values,,error\n" +
+          "value.format,json,avro-registry\n"))
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    val pipeline = PipelineCompiler.compile(noOrderSpec)
+    // upsert-without-order is a compile WARNING (snapshot semantics
+    // degraded), not an error — the bridge must still execute it faithfully
+    assert(pipeline.errors.isEmpty)
+    val batchOut = pipeline.run(spark)("XREF_USER_DF")
+    assert(batchOut.filter(col("EVENT_TYPE") === "error").count() == 0)
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    Tables.events(spark, dir)
+      .withColumn("part", pmod(col("event_id"), lit(4)))
+      .write.partitionBy("part").parquet(s"$work/in")
+    val set = StreamingBridge.toStatementSet(pipeline, "events", s2, nBuckets = 4)
+    // classified as a sink (no ranking -> no SnapshotStore), not an xref
+    assert(set.xrefs.isEmpty && set.sinks.map(_.name) == Seq("XREF_USER_DF"))
+    val source = s2.readStream
+      .schema(s2.read.parquet(s"$work/in").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$work/in")
+    val q = StreamingPipeline.runSet(source, set, work)
+    assert(q.awaitTermination(300000), "streaming query did not terminate")
+
+    // streamed == batch: each event row rides exactly one micro-batch and
+    // the view/exclusion are row-wise, so the accumulated changelog must be
+    // the batch output as a multiset
+    val streamed = ChangelogSink
+      .read(s2, StreamingPipeline.sinkPath(work, "XREF_USER_DF"))
+      .select(batchOut.columns.map(col).toSeq: _*)
+    assert(streamed.filter(col("EVENT_TYPE") === "error").count() == 0,
+      "streamed sink retained delete-flagged rows the batch runner drops")
+    assert(streamed.exceptAll(batchOut).count() == 0)
+    assert(batchOut.exceptAll(streamed).count() == 0)
+  }
+
+  /** ADVICE r12 #3: an XREF whose FROM table is another XREF would die with
+    * an AnalysisException on the FIRST TRIGGER (xref deltas register only
+    * during sink emits, after xref-input views evaluate) — the bridge must
+    * reject it at construction, same contract as the sink-chain check. */
+  test("XREF chained on another XREF fails at construction, not mid-stream") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val header = "PipelineStage,TargetTable,TargetColumn,TargetDataType," +
+      "IsTargetPK,TargetPK,MessageFormat,FieldSelector,SourcePrimaryTable," +
+      "SourcePrimaryAlias,SourceField,ExprOverride,SourceTransformExpr," +
+      "FilterPredicate,JoinTable,JoinAlias,JoinType,JoinCondition,Notes"
+    val mapping = Seq(
+      "View,EV_VW,USER_ID,BIGINT,Y,USER_ID,,,events,e,,user_id,,,,,,,",
+      "View,EV_VW,TS,TIMESTAMP,N,,,,events,e,,ts,,,,,,,",
+      "XREF,XREF_A,USER_ID,BIGINT,Y,USER_ID,,,EV_VW,v,USER_ID,,,,,,,,",
+      "XREF,XREF_A,TS,TIMESTAMP,N,,,,EV_VW,v,TS,,,,,,,,",
+      "XREF,XREF_B,USER_ID,BIGINT,Y,USER_ID,,,XREF_A,x,USER_ID,,,,,,,,",
+      "XREF,XREF_B,TS,TIMESTAMP,N,,,,XREF_A,x,TS,,,,,,,,")
+    val chained = graft.spec.SttmSpec(
+      graft.spec.SttmParser.mappingFromCsv((header +: mapping).mkString("\n")),
+      graft.spec.SttmParser.matrixFromCsv(
+        "Key,EV_VW,XREF_A,XREF_B\n" +
+          "changelog.mode,,upsert,upsert\n" +
+          "\"graft.upsert.order\",,TS,TS\n" +
+          "value.format,json,avro-registry,avro-registry\n"))
+    val pipeline = PipelineCompiler.compile(chained)
+    assert(pipeline.errors.isEmpty, pipeline.errors.mkString("; "))
+    val s2 = spark.newSession()
+    val ex = intercept[RuntimeException] {
+      StreamingBridge.toStatementSet(pipeline, "events", s2, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("reads XREF target"), ex.getMessage)
+  }
 }

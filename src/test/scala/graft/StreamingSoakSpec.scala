@@ -34,13 +34,10 @@ class StreamingSoakSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     // keep every trigger's progress event (default retains 100 of 220)
     .config("spark.sql.streaming.numRecentProgressUpdates", "300")
-    // the checkpoint-retention deployment knobs: offset/commit log entries
-    // for at most 10 completed batches are retained (default 100), and the
-    // file-source metadata log reclaims superseded entries at its next
-    // compaction instead of holding them for the default 10-minute
-    // cleanupDelay (within which a 220-trigger run retains 2 files/trigger)
-    .config("spark.sql.streaming.minBatchesToRetain", "10")
-    .config("spark.sql.streaming.fileSource.log.cleanupDelay", "0")
+    // checkpoint-retention knobs (minBatchesToRetain=10, cleanupDelay=0)
+    // deliberately NOT set here: runSet applies them itself from
+    // SinkOptions' defaults (VERDICT r12 #6) — this soak's bounded
+    // checkpoint assertion now exercises that path
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
