@@ -53,7 +53,13 @@ object ChangelogSink {
     *        fold of b bytes writes ceil(b / targetFileBytes) files.
     * @param vacuumGraceMs   retention for dead (folded/orphan) dirs; must
     *        exceed both the longest expected pinned-reader scan and any
-    *        concurrent writer's segment write duration. */
+    *        concurrent writer's segment write duration. Violating it is
+    *        LOUD, never silently partial: a reader pinned to a pre-fold
+    *        listing fails its next action with FAILED_READ_FILE (frames
+    *        resolve their file listing at [[read]] time and Spark's
+    *        ignoreMissingFiles defaults to false; do not enable it for
+    *        sink reads) — spec-pinned in ChangelogSinkSpec (VERDICT r12
+    *        #7). Recovery is re-resolution: call [[read]] again. */
   def write(df: DataFrame, root: String, batchId: Long,
             maxLiveSegments: Int = 8,
             targetFileBytes: Long = 128L << 20,

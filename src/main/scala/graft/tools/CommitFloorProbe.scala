@@ -101,6 +101,42 @@ object CommitFloorProbe {
         w)
     }
 
+    // ---- the compiled statement set (StreamingBridge), VERDICT r12 #5:
+    // processSet re-runs session.sql(selectSql) for every view/xref/sink
+    // each trigger (~5 parse+analyze passes per micro-batch at demo arity,
+    // ~10 at reference arity). Decompose that cost two ways: (a) the
+    // bridged pipeline's trigger profile, (b) a driver-side plan-
+    // construction microbench (sql() with no action = parse+analyze only).
+    def bridged(s: SparkSession, w: String) = {
+      graft.Tables.customer(s, dir).createOrReplaceTempView("customer")
+      val pipeline = graft.compile.PipelineCompiler.compile(
+        graft.compile.DemoSpecs.jsonPipeline, graft.compile.DemoSpecs.jsonOptions)
+      val set = graft.compile.StreamingBridge.toStatementSet(
+        pipeline, "events", s, nBuckets = 16)
+      graft.streaming.StreamingPipeline.runSet(src(s), set, w)
+    }
+
+    def sqlCompileBench(): Unit = {
+      val s = sess()
+      graft.functions.FlinkCompat.register(s)
+      graft.Tables.events(s, dir).createOrReplaceTempView("events")
+      graft.Tables.customer(s, dir).createOrReplaceTempView("customer")
+      val pipeline = graft.compile.PipelineCompiler.compile(
+        graft.compile.DemoSpecs.jsonPipeline, graft.compile.DemoSpecs.jsonOptions)
+      // run in stage order so later statements' FROM views resolve
+      pipeline.tables.foreach(t =>
+        s.sql(t.selectSql).createOrReplaceTempView(t.name))
+      val stmts = pipeline.tables.map(t => t.name -> t.selectSql)
+      (1 to 50).foreach(_ => stmts.foreach { case (_, q) => s.sql(q) }) // warm
+      stmts.foreach { case (n, q) =>
+        val reps = 200
+        val t0 = System.nanoTime()
+        (1 to reps).foreach(_ => s.sql(q))
+        val ms = (System.nanoTime() - t0) / 1e6 / reps
+        println(f"FLOOR sqlcompile $n%-14s ${ms}%8.3f ms/statement (parse+analyze)")
+      }
+    }
+
     // ---- the stateful stream-stream range join ----
     def rangeJoin(s: SparkSession, w: String) = {
       val joined = graft.streaming.StreamingRangeJoin.withinWindowPairsStream(
@@ -111,23 +147,36 @@ object CommitFloorProbe {
         .trigger(Trigger.AvailableNow()).start()
     }
 
+    // dev-only subset filter (prefix match), e.g.
+    // SPARK_GRAFT_FLOOR_ONLY=bridged,sqlcompile for the r13 cache A/B
+    val onlyV = sys.env.get("SPARK_GRAFT_FLOOR_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(n: String): Boolean = onlyV.forall(_.exists(n.startsWith))
+
     // JVM/codegen warm-up, discarded
     report("warmup(discard)", sess(), noop)
 
-    report("noop", sess(), noop)
-    report("count-only", sess(), countOnly)
-    report("pipeline sp=8 aqe=on", sess(), pipeline(16))
-    report("pipeline sp=8 aqe=off",
-      sess("spark.sql.adaptive.enabled" -> "false"), pipeline(16))
-    report("pipeline sp=4 aqe=on",
-      sess("spark.sql.shuffle.partitions" -> "4"), pipeline(16))
-    report("pipeline aqe=off nb=4",
-      sess("spark.sql.adaptive.enabled" -> "false"), pipeline(4))
-    report("rangejoin hdfs-state", sess(), rangeJoin)
-    report("rangejoin rocksdb-state",
-      sess("spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
-      rangeJoin)
+    if (want("noop")) report("noop", sess(), noop)
+    if (want("count-only")) report("count-only", sess(), countOnly)
+    if (want("pipeline")) {
+      report("pipeline sp=8 aqe=on", sess(), pipeline(16))
+      report("pipeline sp=8 aqe=off",
+        sess("spark.sql.adaptive.enabled" -> "false"), pipeline(16))
+      report("pipeline sp=4 aqe=on",
+        sess("spark.sql.shuffle.partitions" -> "4"), pipeline(16))
+      report("pipeline aqe=off nb=4",
+        sess("spark.sql.adaptive.enabled" -> "false"), pipeline(4))
+    }
+    if (want("bridged")) report("bridged aqe=off",
+      sess("spark.sql.adaptive.enabled" -> "false"), bridged)
+    if (want("sqlcompile")) sqlCompileBench()
+    if (want("rangejoin")) {
+      report("rangejoin hdfs-state", sess(), rangeJoin)
+      report("rangejoin rocksdb-state",
+        sess("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+        rangeJoin)
+    }
     spark.stop()
   }
 }

@@ -117,4 +117,47 @@ class ChangelogSinkSpec extends AnyFunSuite {
     assert(df.count() == 0)
     assert(df.columns.toSeq == Seq("id", "v", "batch"))
   }
+
+  /** VERDICT r12 #7: the vacuum grace contract ("must exceed the longest
+    * pinned-reader scan") was doc-only. This pins the cross-process edge:
+    * a reader still holding a PRE-FOLD frame after a fold + vacuum(grace=0)
+    * reclaimed its segment dirs must fail LOUDLY on its next action — the
+    * frame's file listing was resolved at read() time, Spark does not
+    * silently re-list, and `ignoreMissingFiles` defaults to false — never
+    * return a silently partial changelog. A fresh read() (re-resolution
+    * through the current manifest) serves the complete content. */
+  test("reader pinned across fold+vacuum(grace=0) fails loudly, never partially") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val root = Files.createTempDirectory("graft_clsink_pin").toString + "/sink"
+    // generous grace during setup: nothing is reclaimed yet
+    (0 until 2).foreach(i => ChangelogSink.write(batchDf(i), root, i.toLong,
+      maxLiveSegments = 2, vacuumGraceMs = Long.MaxValue / 2))
+    val pinned = ChangelogSink.read(spark, root)
+    assert(pinned.count() == 20) // resolves + scans the pre-fold listing
+
+    // two more batches: budget 2 -> the 3rd append folds all fresh
+    // segments; grace=0 lets the SAME write's vacuum reclaim the folded
+    // b<id> dirs immediately (the pathological deployment this spec pins)
+    (2 until 4).foreach(i => ChangelogSink.write(batchDf(i), root, i.toLong,
+      maxLiveSegments = 2, vacuumGraceMs = 0L))
+    assert(ChangelogSink.liveSegments(root).exists(_.startsWith("m-")),
+      s"fold did not run: ${ChangelogSink.liveSegments(root)}")
+
+    // the pinned frame must now throw (missing files), not under-count
+    val thrown =
+      try { val n = pinned.count(); Left(n) }
+      catch { case e: Throwable => Right(e) }
+    thrown match {
+      case Left(n) =>
+        // if Spark ever serves the pinned frame without error it MUST be
+        // complete (a cached/re-resolved listing), never silently partial
+        assert(n == 20, s"pinned reader silently served $n of 20 rows")
+      case Right(e) =>
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(x => s"${x.getClass.getName}: ${x.getMessage}").mkString(" <- ")
+        assert(chain.toLowerCase.contains("file"), s"unexpected failure: $chain")
+    }
+    // re-resolution through the current manifest serves everything
+    assert(ChangelogSink.read(spark, root).count() == 40)
+  }
 }
