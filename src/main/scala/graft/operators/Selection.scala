@@ -50,10 +50,20 @@ object Selection {
 
   /** Per-document importance weight of `raw` against `target`.
     * Output: (idCol, n_tok, dsir_score, mean_score) — parity mode longs, or
-    * doubles when `logRatio`. */
+    * doubles when `logRatio`.
+    *
+    * `invert` (parity mode only) scores the RECIPROCAL bucket ratio
+    * (raw-over-target instead of target-over-raw) in the same exact
+    * integer arithmetic. It exists for the q_dsir_prod consistency gate
+    * (VERDICT r12 #4): with both parity sums, log x <= x-1 and
+    * log x >= 1-1/x bracket the production log-score per document —
+    * sum(log r_b) in [n - invSum/1e6 - eps, paritySum/1e6 - n + eps] —
+    * a mathematically guaranteed band a broken log path cannot stay in. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, nBuckets: Int = 4096,
-                        logRatio: Boolean = false): DataFrame = {
+                        logRatio: Boolean = false,
+                        invert: Boolean = false): DataFrame = {
+    require(!(logRatio && invert), "invert is a parity-mode gate helper")
     val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
     val rawTok = raw
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
@@ -81,18 +91,21 @@ object Selection {
             log(col("rc1").cast("double") / col("R"))).as("score"))
       else {
         // In-plan headroom guard, evaluated on the <= nBuckets model rows
-        // only (no extra corpus scan): 1e6 * tc1 * R must fit a long for
-        // EVERY bucket. The double-typed check is conservative (9.2e12 <
-        // 2^63/1e6) and cannot itself overflow. assert_true yields NULL on
-        // success; folding it into the score (+0) keeps Catalyst from
-        // pruning the unused guard column.
+        // only (no extra corpus scan): 1e6 * tc1 * R (or rc1 * T when
+        // inverted) must fit a long for EVERY bucket. The double-typed
+        // check is conservative (9.2e12 < 2^63/1e6) and cannot itself
+        // overflow. assert_true yields NULL on success; folding it into
+        // the score (+0) keeps Catalyst from pruning the unused guard
+        // column.
+        val (num, den) = if (invert) ("rc1", "tc1") else ("tc1", "rc1")
+        val (numTot, denTot) = if (invert) ("T", "R") else ("R", "T")
         val guard = assert_true(
-          col("tc1").cast("double") * col("R").cast("double") < 9.2e12,
+          col(num).cast("double") * col(numTot).cast("double") < 9.2e12,
           lit("DSIR parity-mode headroom exceeded: max per-bucket smoothed " +
-            "target count x smoothed raw tokens must stay under ~9.2e12; " +
+            "count x smoothed total must stay under ~9.2e12; " +
             "use logRatio = true for corpora this large"))
         model.select(col("b"),
-          (expr("(1000000 * tc1 * R) div (rc1 * T)") +
+          (expr(s"(1000000 * $num * $numTot) div ($den * $denTot)") +
             coalesce(guard.cast("long"), lit(0L))).as("score"))
       }
 
