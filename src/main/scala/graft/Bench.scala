@@ -174,7 +174,6 @@ object Bench {
     }
     val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     // Quiet-tail isolated medians for the commit-bound streaming replays
     // (VERDICT r12 #3): the full-set medians above ride whatever GC/page-
@@ -183,19 +182,27 @@ object Bench {
     // back-to-back at the END of the run — nothing else interleaved, heap
     // settled by an explicit GC — is the same shape as the builder's ad-hoc
     // SPARK_GRAFT_BENCH_ONLY adjudication runs. Recorded alongside (never
-    // replacing) the full-set medians, so a diff can consult both.
+    // replacing) the full-set medians, so a diff can consult both. A
+    // failure here lands in `errors` like any other (r13 review: a
+    // swallowed exception left "-1 with zero diagnostics") and fails the
+    // run — a query that breaks only in the quiet tail is still broken.
     val isolated: Seq[(String, Double)] =
       if (runs == 0 || only.nonEmpty) Seq.empty
       else SparkEntry.benchIsolate.toSeq.sorted
         .flatMap(n => benchQueries.get(n).map(n -> _))
         .map { case (name, fn) =>
           System.gc()
-          val samples = (1 to runs).flatMap { _ =>
+          val samples = (1 to runs).flatMap { r =>
             SparkEntry.resetMemos(spark)
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).queryExecution.toRdd.count()
                   Some((System.nanoTime() - t0) / 1e9) }
-            catch { case _: Throwable => None }
+            catch {
+              case e: Throwable =>
+                errors += s"$name (isolated run $r): ${e.getClass.getName}: " +
+                  String.valueOf(e.getMessage).take(300)
+                None
+            }
           }
           val med = if (samples.length < runs) -1.0
                     else samples.sorted.apply((samples.length - 1) / 2)
@@ -203,6 +210,7 @@ object Bench {
         }
     val isoJson = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map(e => "\"" + jsonEscape(e) + "\"").mkString("[", ",", "]")
     // recorded_at_ms: a CONTENT timestamp for dev/gate.py's staleness
     // guard (ADVICE r11 #3 — file mtimes reset on clone/checkout, so the
     // guard now reads the marker the bench run itself wrote)

@@ -275,12 +275,16 @@ object SparkEntry {
     // exactly; a broken hash/min/winnow path flips a flag and
     // hash-mismatches the oracle.
     //
-    // minhash gate: (a) all 8 components present; (b) min-over-shingles
+    // minhash gate: all 8 components present + min-over-shingles
     // monotonicity — the signature of text||' '||text is component-wise <=
-    // the signature of text, GUARANTEED for any correct MinHash because
-    // self-concatenation only ADDS shingles (boundary n-grams) and a min
-    // over a superset cannot increase. Measured 0 violations at sf0.01 and
-    // sf0.1 before gating (GateProbe r13).
+    // the signature of text, GUARANTEED for any correct MinHash over texts
+    // of at least the shingle width (self-concatenation only ADDS 4-gram
+    // shingles and a min over a superset cannot increase). Texts SHORTER
+    // than one shingle hash a single truncated whole-text gram whose
+    // doubled form genuinely differs (r13 review) — the invariant is
+    // vacuous there, so such docs (and null texts) gate ok=1 to match the
+    // mirror's stated constant. Measured 0 violations at sf0.01 and sf0.1
+    // before gating (GateProbe r13).
     "q_minhash_sig_prod" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = TextDedup.minHashSignature(docs, "doc_id", "text",
@@ -291,13 +295,15 @@ object SparkEntry {
         "doc_id", "text", oracleParity = false)
         .select(col("doc_id") +:
           (0 until 8).map(i => col(s"mh$i").as(s"dh$i")): _*)
-      base.join(dbl, "doc_id")
+      val applicable = docs.select(col("doc_id"),
+        (col("text").isNotNull && length(col("text")) >= 4).as("applies"))
+      base.join(dbl, "doc_id").join(applicable, "doc_id")
         .select(col("doc_id"),
-          (0 until 8).map(i => when(col(s"mh$i").isNotNull, 1).otherwise(0))
-            .reduce(_ + _).as("n_sig"),
-          when((0 until 8).map(i =>
-              col(s"dh$i").isNotNull && col(s"dh$i") <= col(s"mh$i"))
-            .reduce(_ && _), 1).otherwise(0).as("ok"))
+          when(not(col("applies")) ||
+              (0 until 8).map(i =>
+                col(s"mh$i").isNotNull && col(s"dh$i").isNotNull &&
+                  col(s"dh$i") <= col(s"mh$i")).reduce(_ && _), 1)
+            .otherwise(0).as("ok"))
         .orderBy("doc_id")
     }),
     // winnow gate: per-doc production fingerprint count within [1/2, 2]x
@@ -314,11 +320,18 @@ object SparkEntry {
       val prod = TextDedup.winnowingFingerprints(docs, "doc_id", "text",
           oracleParity = false)
         .groupBy("doc_id").agg(count(lit(1)).as("n_prod"))
-      par.join(prod, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_par"),
-          when(col("n_prod").isNotNull &&
-              col("n_prod") * 2 >= col("n_par") &&
-              col("n_prod") <= col("n_par") * 2, 1)
+      // FULL outer (r13 review): a left join from the parity side hid the
+      // prod-fabricates/parity-empty direction entirely — a prod-only doc
+      // now emits a row (n_par=0, ok=0) the mirror does not have, so that
+      // failure is loud twice over (flag + row-count mismatch)
+      par.join(prod, Seq("doc_id"), "full")
+        .select(col("doc_id"), coalesce(col("n_par"), lit(0L)).as("n_par"),
+          when(coalesce(col("n_prod"), lit(0L)) * 2 >=
+              coalesce(col("n_par"), lit(0L)) &&
+            coalesce(col("n_prod"), lit(0L)) <=
+              coalesce(col("n_par"), lit(0L)) * 2 &&
+            coalesce(col("n_par"), lit(0L)) +
+              coalesce(col("n_prod"), lit(0L)) > 0, 1)
             .otherwise(0).as("ok"))
         .orderBy("doc_id")
     }),
@@ -2107,17 +2120,8 @@ object SparkEntry {
     "q_dsir_prod" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val tgt = docs.filter(col("source") === "src0")
-      val prod = operators.Selection.importanceWeights(
-          docs, tgt, "doc_id", "text", logRatio = true)
-        .select(col("doc_id"), col("n_tok"), col("dsir_score").as("lsum"))
-      val par = operators.Selection.importanceWeights(
-          docs, tgt, "doc_id", "text")
-        .select(col("doc_id"), col("dsir_score").as("psum"))
-      val inv = operators.Selection.importanceWeights(
-          docs, tgt, "doc_id", "text", invert = true)
-        .select(col("doc_id"), col("dsir_score").as("isum"))
       val slack = col("n_tok").cast("double") * 2e-6 + 1e-9
-      prod.join(par, "doc_id").join(inv, "doc_id")
+      operators.Selection.importanceWeightGate(docs, tgt, "doc_id", "text")
         .select(col("doc_id"), col("n_tok"),
           when(col("lsum") <= col("psum").cast("double") / 1e6
               - col("n_tok") + slack
@@ -3007,10 +3011,11 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par, CAST(1 AS INT) AS ok
          FROM fps GROUP BY doc_id ORDER BY doc_id""",
     // consistency gate: 8 components present + min-over-shingles
-    // monotonicity under self-concatenation (see the query's comment) —
-    // the mirror states the invariant
+    // monotonicity under self-concatenation, vacuously green for sub-
+    // shingle-width texts (see the query's comment) — the mirror states
+    // the invariant
     "q_minhash_sig_prod" ->
-      """SELECT doc_id, CAST(8 AS INT) AS n_sig, CAST(1 AS INT) AS ok
+      """SELECT doc_id, CAST(1 AS INT) AS ok
          FROM documents ORDER BY doc_id""",
     // consistency gate: the production log-score must land in the exact-
     // integer parity band [n - invSum/1e6 - eps, paritySum/1e6 - n + eps]

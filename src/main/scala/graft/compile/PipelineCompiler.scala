@@ -40,7 +40,16 @@ final case class CompiledTable(
     pk: Seq[String],
     props: Map[String, String],
     selectSql: String,
-    sourceTable: String = "") {
+    sourceTable: String = "",
+    joinTable: String = "") {
+
+  /** Every table this target's FROM clause references (primary + the one
+    * optional JOIN), lowercased — what the streaming bridge's
+    * fail-at-construction chain checks must scan (r13 review: checking
+    * sourceTable alone let a JOIN on a sink/xref target through to die, or
+    * silently bind a stale batch frame, mid-stream). */
+  def referencedTables: Set[String] =
+    Set(sourceTable, joinTable).filter(_.nonEmpty).map(_.toLowerCase)
 
   private def q(s: String): String =
     if (s.isEmpty || s.head == '`' || s.head == '(') s else s"`$s`"
@@ -247,15 +256,16 @@ object PipelineCompiler {
       }
 
     // one join max, from the first row carrying both JoinTable & JoinCondition
-    val join =
-      if (isView) ""
+    val joinRow =
+      if (isView) None
       else rows.find(r => r.joinTable.trim.nonEmpty && r.joinCondition.trim.nonEmpty)
-        .map { r =>
-          val jty0 = r.joinType.trim.toUpperCase
-          val jty = if (Set("INNER", "LEFT", "RIGHT", "FULL").contains(jty0)) jty0 else "LEFT"
-          val ja = if (r.joinAlias.trim.nonEmpty) r.joinAlias.trim else "j"
-          s"\n  $jty JOIN ${q(r.joinTable.trim)} $ja ON ${r.joinCondition.trim}"
-        }.getOrElse("")
+    val join = joinRow
+      .map { r =>
+        val jty0 = r.joinType.trim.toUpperCase
+        val jty = if (Set("INNER", "LEFT", "RIGHT", "FULL").contains(jty0)) jty0 else "LEFT"
+        val ja = if (r.joinAlias.trim.nonEmpty) r.joinAlias.trim else "j"
+        s"\n  $jty JOIN ${q(r.joinTable.trim)} $ja ON ${r.joinCondition.trim}"
+      }.getOrElse("")
 
     val whereSql = if (where.nonEmpty) s"\nWHERE $where" else ""
     val selectSql = "SELECT\n" + selects.mkString(",\n") + s"\nFROM $src$join$whereSql"
@@ -265,6 +275,7 @@ object PipelineCompiler {
     val emitted = applyPrefixSuffix(logical, spec.config, isView)
     val props = spec.matrix.propsFor(logical, emitted)
     CompiledTable(emitted, stage, colDefs, pk, props, selectSql,
-      sourceTable = srcRow.map(_.sourcePrimaryTable).getOrElse(""))
+      sourceTable = srcRow.map(_.sourcePrimaryTable).getOrElse(""),
+      joinTable = joinRow.map(_.joinTable.trim).getOrElse(""))
   }
 }

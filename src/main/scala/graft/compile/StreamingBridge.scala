@@ -67,22 +67,31 @@ object StreamingBridge {
     // another sink; the bridge registers stream views, static views and
     // xref deltas only — a chained sink would fail mid-stream at the first
     // trigger. Fail at CONSTRUCTION instead (documented limitation).
+    // Both chain checks scan EVERY table a target's FROM clause references
+    // (primary + the one optional JOIN, CompiledTable.referencedTables) —
+    // checking sourceTable alone let a JOIN on a forbidden target through
+    // to die (or bind a stale static frame) mid-stream (r13 review).
     val sinkNames = sinkTs.map(t => t.name.toLowerCase).toSet
-    (xrefTs ++ sinkTs).find(t => sinkNames(t.sourceTable.toLowerCase))
-      .foreach(t => sys.error(s"target ${t.name} reads sink target " +
-        s"${t.sourceTable} — chained non-xref targets are not streamable " +
-        "(only views and upsert-XREF deltas are re-resolvable per batch)"))
+    (xrefTs ++ sinkTs)
+      .flatMap(t => t.referencedTables.filter(sinkNames).map(t -> _))
+      .headOption
+      .foreach { case (t, ref) => sys.error(s"target ${t.name} reads sink " +
+        s"target $ref — chained non-xref targets are not streamable " +
+        "(only views and upsert-XREF deltas are re-resolvable per batch)") }
     // ADVICE r12 #3: an XREF reading another XREF also dies mid-stream —
     // xref deltas are registered only during SINK emits, after every
     // xref-INPUT view has evaluated, so the inner xref's name is unresolvable
     // when the outer xref's __in view plans on the first trigger. Same
-    // fail-at-construction contract as the sink-chain check above.
+    // fail-at-construction contract as the sink-chain check above. (Sinks
+    // referencing xrefs are FINE — emits run after delta registration.)
     val xrefNames = xrefTs.map(t => t.name.toLowerCase).toSet
-    xrefTs.find(t => xrefNames(t.sourceTable.toLowerCase))
-      .foreach(t => sys.error(s"XREF ${t.name} reads XREF target " +
-        s"${t.sourceTable} — xref deltas resolve only inside sink emits, " +
+    xrefTs
+      .flatMap(t => t.referencedTables.filter(xrefNames).map(t -> _))
+      .headOption
+      .foreach { case (t, ref) => sys.error(s"XREF ${t.name} reads XREF " +
+        s"target $ref — xref deltas resolve only inside sink emits, " +
         "so a chained XREF would fail on the first trigger (run the inner " +
-        "XREF as its own statement set, or read the view it ranks)"))
+        "XREF as its own statement set, or read the view it ranks)") }
 
     // Per-batch SQL must run against the STREAM's session: Spark clones
     // the session when a streaming query starts (sparkSessionForStream),

@@ -52,18 +52,12 @@ object Selection {
     * Output: (idCol, n_tok, dsir_score, mean_score) — parity mode longs, or
     * doubles when `logRatio`.
     *
-    * `invert` (parity mode only) scores the RECIPROCAL bucket ratio
-    * (raw-over-target instead of target-over-raw) in the same exact
-    * integer arithmetic. It exists for the q_dsir_prod consistency gate
-    * (VERDICT r12 #4): with both parity sums, log x <= x-1 and
-    * log x >= 1-1/x bracket the production log-score per document —
-    * sum(log r_b) in [n - invSum/1e6 - eps, paritySum/1e6 - n + eps] —
-    * a mathematically guaranteed band a broken log path cannot stay in. */
+    * See [[importanceWeightGate]] for the q_dsir_prod consistency-gate
+    * companion (one pass emitting the log sum plus BOTH exact-integer
+    * parity sums). */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, nBuckets: Int = 4096,
-                        logRatio: Boolean = false,
-                        invert: Boolean = false): DataFrame = {
-    require(!(logRatio && invert), "invert is a parity-mode gate helper")
+                        logRatio: Boolean = false): DataFrame = {
     val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
     val rawTok = raw
       .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
@@ -91,21 +85,18 @@ object Selection {
             log(col("rc1").cast("double") / col("R"))).as("score"))
       else {
         // In-plan headroom guard, evaluated on the <= nBuckets model rows
-        // only (no extra corpus scan): 1e6 * tc1 * R (or rc1 * T when
-        // inverted) must fit a long for EVERY bucket. The double-typed
-        // check is conservative (9.2e12 < 2^63/1e6) and cannot itself
-        // overflow. assert_true yields NULL on success; folding it into
-        // the score (+0) keeps Catalyst from pruning the unused guard
-        // column.
-        val (num, den) = if (invert) ("rc1", "tc1") else ("tc1", "rc1")
-        val (numTot, denTot) = if (invert) ("T", "R") else ("R", "T")
+        // only (no extra corpus scan): 1e6 * tc1 * R must fit a long for
+        // EVERY bucket. The double-typed check is conservative (9.2e12 <
+        // 2^63/1e6) and cannot itself overflow. assert_true yields NULL on
+        // success; folding it into the score (+0) keeps Catalyst from
+        // pruning the unused guard column.
         val guard = assert_true(
-          col(num).cast("double") * col(numTot).cast("double") < 9.2e12,
+          col("tc1").cast("double") * col("R").cast("double") < 9.2e12,
           lit("DSIR parity-mode headroom exceeded: max per-bucket smoothed " +
-            "count x smoothed total must stay under ~9.2e12; " +
+            "target count x smoothed raw tokens must stay under ~9.2e12; " +
             "use logRatio = true for corpora this large"))
         model.select(col("b"),
-          (expr(s"(1000000 * $num * $numTot) div ($den * $denTot)") +
+          (expr("(1000000 * tc1 * R) div (rc1 * T)") +
             coalesce(guard.cast("long"), lit(0L))).as("score"))
       }
 
@@ -116,6 +107,50 @@ object Selection {
       perDoc.withColumn("mean_score", col("dsir_score") / col("n_tok"))
     else
       perDoc.withColumn("mean_score", expr("dsir_score div n_tok"))
+  }
+
+  /** One-pass gate companion to [[importanceWeights]] (r13 review: the
+    * q_dsir_prod gate first called the operator three times — prod, parity,
+    * inverted — re-exploding the corpus for each, when the three per-bucket
+    * scores all live on the same <= nBuckets model rows). Emits per doc the
+    * production log-sum together with BOTH exact-integer parity sums:
+    * (idCol, n_tok, lsum, psum, isum) from one corpus explode + one model
+    * build + one broadcast-join aggregation. */
+  def importanceWeightGate(raw: DataFrame, target: DataFrame, idCol: String,
+                           textCol: String, nBuckets: Int = 4096): DataFrame = {
+    val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
+    val rawTok = raw
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+    val tgtTok = target
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+    val tc = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tTot = tgtTok.agg((count(lit(1)) + nBuckets).as("T"))
+    val rTot = rawTok.agg((count(lit(1)) + nBuckets).as("R"))
+    val model = rc
+      .join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("tc1", coalesce(col("tc"), lit(0L)) + 1L)
+      .withColumn("rc1", col("rc") + 1L)
+    // same headroom guard as parity mode, covering both directions
+    val guard = assert_true(
+      col("tc1").cast("double") * col("R").cast("double") < 9.2e12 &&
+        col("rc1").cast("double") * col("T").cast("double") < 9.2e12,
+      lit("DSIR parity-mode headroom exceeded: max per-bucket smoothed " +
+        "count x smoothed total must stay under ~9.2e12; " +
+        "use logRatio = true for corpora this large"))
+    val scored = model.select(col("b"),
+      (log(col("tc1").cast("double") / col("T")) -
+        log(col("rc1").cast("double") / col("R"))).as("lscore"),
+      (expr("(1000000 * tc1 * R) div (rc1 * T)") +
+        coalesce(guard.cast("long"), lit(0L))).as("pscore"),
+      expr("(1000000 * rc1 * T) div (tc1 * R)").as("iscore"))
+    rawTok.join(broadcast(scored), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), sum("lscore").as("lsum"),
+        sum("pscore").as("psum"), sum("iscore").as("isum"))
   }
 
   /** Token-budget-constrained selection: take documents in descending

@@ -91,9 +91,10 @@ object StreamingPipeline {
     * never needs). Spark reads both from the SESSION conf at query start
     * (there is no per-query option surface), so runSet sets them on the
     * source's session; one-statement-set-per-dedicated-session is already
-    * the documented discipline (see [[StatementSet]] usage docs). Set
-    * minBatchesToRetain <= 0 / cleanupDelay < 0 to leave the session's
-    * existing conf untouched. */
+    * the documented discipline (see [[StatementSet]] usage docs). A
+    * session whose conf already carries a NON-stock value keeps it (an
+    * operator's explicit retention tuning wins over these defaults); set
+    * minBatchesToRetain <= 0 / cleanupDelay < 0 to opt out entirely. */
   final case class SinkOptions(maxLiveSegments: Int = 8,
                                targetFileBytes: Long = 128L << 20,
                                vacuumGraceMs: Long = 10 * 60 * 1000L,
@@ -167,13 +168,22 @@ object StreamingPipeline {
       .toMap
     // checkpoint-retention defaults for the checkpoint this query owns
     // (see SinkOptions scaladoc; session-level because Spark offers no
-    // per-query surface for these — negative values opt out)
+    // per-query surface for these). Applied only while the session still
+    // carries Spark's STOCK value (r13 review: unconditionally setting
+    // them silently clobbered a deployment's explicit retention tuning) —
+    // an operator-set non-default value wins; SinkOptions overrides the
+    // stock default either way, and <=0/negative opts out entirely.
+    def setIfStock(key: String, stockForms: Set[String], v: String): Unit = {
+      val conf = source.sparkSession.conf
+      val cur = try Option(conf.get(key)) catch { case _: Exception => None }
+      if (cur.forall(stockForms)) conf.set(key, v)
+    }
     if (sinkOpts.minBatchesToRetain > 0)
-      source.sparkSession.conf.set("spark.sql.streaming.minBatchesToRetain",
+      setIfStock("spark.sql.streaming.minBatchesToRetain", Set("100"),
         sinkOpts.minBatchesToRetain.toString)
     if (sinkOpts.fileSourceLogCleanupDelayMs >= 0)
-      source.sparkSession.conf.set(
-        "spark.sql.streaming.fileSource.log.cleanupDelay",
+      setIfStock("spark.sql.streaming.fileSource.log.cleanupDelay",
+        Set("10m", "600000", "600000ms"),
         sinkOpts.fileSourceLogCleanupDelayMs.toString)
     source.writeStream
       .option("checkpointLocation", s"$workDir/_checkpoint")

@@ -153,8 +153,12 @@ object CommitFloorProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(n: String): Boolean = onlyV.forall(_.exists(n.startsWith))
 
-    // JVM/codegen warm-up, discarded
-    report("warmup(discard)", sess(), noop)
+    // JVM/codegen warm-up, discarded — only when a streaming-replay row is
+    // wanted (sqlCompileBench does its own 50-rep warm; r13 review: a
+    // sqlcompile-only run paid a pointless 20-batch replay first)
+    val wantsReplay = Seq("noop", "count-only", "pipeline", "bridged",
+      "rangejoin").exists(want)
+    if (wantsReplay) report("warmup(discard)", sess(), noop)
 
     if (want("noop")) report("noop", sess(), noop)
     if (want("count-only")) report("count-only", sess(), countOnly)

@@ -14,13 +14,20 @@ import org.apache.spark.sql.functions._
   *     event/user ids, doc_id, vec_id) is offset by k·1e8; nation/region
   *     (fixed 25/5-row dims, int32 keys) are copied verbatim so
   *     c_nationkey/s_nationkey FKs stay valid
-  *   - documents.text gets a copy-k token prefix on EVERY word (k>0):
-  *     without it the copies are byte-identical texts = artificial
-  *     near-duplicate clusters of size `copies`, which would inflate every
-  *     dedup/fuzzy pair count QUADRATICALLY instead of scaling the real
-  *     pair structure linearly (each copy keeps the original corpus's
-  *     internal near-dup pairs; cross-copy Jaccard drops to 0);
-  *     n_chars is recomputed (source invariant: n_chars = length(text))
+  *   - documents.text is re-enciphered per copy with a Caesar letter
+  *     substitution (shift k over [a-z]/[A-Z]; digits/punct/spaces
+  *     unchanged): the copy is ISOMORPHIC to the base corpus — identical
+  *     word lengths, frequencies, within-copy shingle/edit/near-dup
+  *     structure — while sharing (almost) no character n-grams across
+  *     copies. The first rehearsal used a per-WORD copy prefix instead
+  *     and q_incr_dedup went 50x at 10x: the dedup family shingles on
+  *     CHAR 3-grams, which a word prefix mostly preserves, so the copies
+  *     were genuine cross-copy near-duplicates and the giant dup family's
+  *     band buckets went hot (quadratic recovery) — see BASELINE.md r13
+  *     scale-rehearsal wave. Substitution also keeps edit distances
+  *     between cross-copy words large (a prefix kept them at 2, inside
+  *     fuzzy-join thresholds). n_chars is preserved exactly (source
+  *     invariant: n_chars = length(text), translate is length-preserving)
   *   - embeddings.embedding is cyclically shifted by k positions —
   *     preserves norms and within-copy distance structure, decorrelates
   *     across copies (verbatim copies would make every vector's top-k
@@ -38,6 +45,9 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("dev/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // shift k%26 == 0 would make copy k byte-identical to the base text —
+    // exactly the degenerate duplicate corpus the cipher exists to avoid
+    require(copies <= 26, s"copies=$copies: only 25 distinct Caesar shifts")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -72,11 +82,21 @@ object ScaleUp {
       offset("l_orderkey", "l_partkey", "l_suppkey")(fan(read("lineitem"))), 32)
     write("events", offset("event_id", "user_id")(fan(read("events"))), 8)
 
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    def rotAlpha(k: Int): (String, String) = {
+      val s = k % 26
+      (lower, lower.drop(s) + lower.take(s)) match {
+        case (from, to) => (from + upper, to + (upper.drop(s) + upper.take(s)))
+      }
+    }
+    val enciphered = (1 until copies).foldLeft(
+        when(col("_k") === 0, col("text"))) { (acc, k) =>
+      val (from, to) = rotAlpha(k)
+      acc.when(col("_k") === k, translate(col("text"), from, to))
+    }.otherwise(col("text"))
     val docs = offset("doc_id")(fan(read("documents")))
-      .withColumn("text", when(col("_k") === 0, col("text"))
-        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("c"), col("_k"), lit("$1")))))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("text", enciphered)
     write("documents", docs, 8)
 
     val dim = 64 // TESTDATA.md embeddings are fixed-width float[64]

@@ -164,5 +164,31 @@ class StreamingBridgeSpec extends AnyFunSuite {
       StreamingBridge.toStatementSet(pipeline, "events", s2, nBuckets = 4)
     }
     assert(ex.getMessage.contains("reads XREF target"), ex.getMessage)
+
+    // r13 review: the chain must also be caught when the forbidden
+    // reference arrives via the JOIN clause, not the primary FROM table —
+    // XREF_B reads EV_VW but JOINs XREF_A
+    val joinMapping = Seq(
+      "View,EV_VW,USER_ID,BIGINT,Y,USER_ID,,,events,e,,user_id,,,,,,,",
+      "View,EV_VW,TS,TIMESTAMP,N,,,,events,e,,ts,,,,,,,",
+      "XREF,XREF_A,USER_ID,BIGINT,Y,USER_ID,,,EV_VW,v,USER_ID,,,,,,,,",
+      "XREF,XREF_A,TS,TIMESTAMP,N,,,,EV_VW,v,TS,,,,,,,,",
+      "XREF,XREF_B,USER_ID,BIGINT,Y,USER_ID,,,EV_VW,v,USER_ID,,,," +
+        "XREF_A,x,LEFT,v.USER_ID = x.USER_ID,",
+      "XREF,XREF_B,TS,TIMESTAMP,N,,,,EV_VW,v,TS,,,,,,,,")
+    val chainedJoin = graft.spec.SttmSpec(
+      graft.spec.SttmParser.mappingFromCsv((header +: joinMapping).mkString("\n")),
+      graft.spec.SttmParser.matrixFromCsv(
+        "Key,EV_VW,XREF_A,XREF_B\n" +
+          "changelog.mode,,upsert,upsert\n" +
+          "\"graft.upsert.order\",,TS,TS\n" +
+          "value.format,json,avro-registry,avro-registry\n"))
+    val pj = PipelineCompiler.compile(chainedJoin)
+    assert(pj.errors.isEmpty, pj.errors.mkString("; "))
+    assert(pj.xrefs.find(_.name == "XREF_B").exists(_.joinTable == "XREF_A"))
+    val ex2 = intercept[RuntimeException] {
+      StreamingBridge.toStatementSet(pj, "events", spark.newSession(), nBuckets = 4)
+    }
+    assert(ex2.getMessage.contains("reads XREF target"), ex2.getMessage)
   }
 }
