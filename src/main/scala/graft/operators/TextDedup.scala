@@ -518,9 +518,19 @@ object TextDedup {
           .select(col("new_id"), col("old_id"))
         lshCand.unionByName(hotCand).distinct()
       }
+    // Join ORDER is the verify stage's scale lever (r13 scale rehearsal:
+    // q_incr_dedup was the one super-linear query at 10x, exp 1.18).
+    // Attaching the batch-side arrays FIRST shuffled |pairs| rows already
+    // carrying a ~2-3 KB shingle array into the old_id exchange — tens of
+    // GB through the sort buffers at sf1 (GC-locker stalls). Instead:
+    // shuffle the SLIM candidate pairs against the store-side arrays, then
+    // attach the batch side via BROADCAST (the batch is small by
+    // definition — the same bound the bucket semi-join above relies on),
+    // so no array-carrying row ever crosses an exchange twice and the
+    // wide rows flow straight into the codegen'd merge walk.
     cand
-      .join(shI.toDF("new_id", "sh1"), Seq("new_id"))
       .join(shE.toDF("old_id", "sh2"), Seq("old_id"))
+      .join(broadcast(shI.toDF("new_id", "sh1")), Seq("new_id"))
       // same size-ratio prefilter as nearDuplicatePairs: two O(1) length
       // reads skip the merge walk where jac >= t is already impossible
       .filter(size(col("sh1")).cast("double") >= size(col("sh2")) * minJaccard &&
