@@ -287,16 +287,22 @@ object SparkEntry {
     // before gating (GateProbe r13).
     "q_minhash_sig_prod" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // shingle width threaded EXPLICITLY to both signature calls AND the
+      // vacuous-case predicate (r13 review: the invariant's length
+      // boundary is exactly the shingle width — a drifting default would
+      // silently decouple them)
+      val shingleN = 4
       val base = TextDedup.minHashSignature(docs, "doc_id", "text",
-        oracleParity = false)
+        n = shingleN, oracleParity = false)
       val dbl = TextDedup.minHashSignature(
         docs.select(col("doc_id"),
           concat(col("text"), lit(" "), col("text")).as("text")),
-        "doc_id", "text", oracleParity = false)
+        "doc_id", "text", n = shingleN, oracleParity = false)
         .select(col("doc_id") +:
           (0 until 8).map(i => col(s"mh$i").as(s"dh$i")): _*)
       val applicable = docs.select(col("doc_id"),
-        (col("text").isNotNull && length(col("text")) >= 4).as("applies"))
+        (col("text").isNotNull &&
+          length(col("text")) >= shingleN).as("applies"))
       base.join(dbl, "doc_id").join(applicable, "doc_id")
         .select(col("doc_id"),
           when(not(col("applies")) ||
@@ -323,15 +329,15 @@ object SparkEntry {
       // FULL outer (r13 review): a left join from the parity side hid the
       // prod-fabricates/parity-empty direction entirely — a prod-only doc
       // now emits a row (n_par=0, ok=0) the mirror does not have, so that
-      // failure is loud twice over (flag + row-count mismatch)
+      // failure is loud twice over (flag + row-count mismatch). One-sided
+      // absences fail the band arithmetically (0*2 >= n fails for n>0 and
+      // n <= 0*2 fails for n>0), so no extra presence conjunct is needed.
       par.join(prod, Seq("doc_id"), "full")
-        .select(col("doc_id"), coalesce(col("n_par"), lit(0L)).as("n_par"),
-          when(coalesce(col("n_prod"), lit(0L)) * 2 >=
-              coalesce(col("n_par"), lit(0L)) &&
-            coalesce(col("n_prod"), lit(0L)) <=
-              coalesce(col("n_par"), lit(0L)) * 2 &&
-            coalesce(col("n_par"), lit(0L)) +
-              coalesce(col("n_prod"), lit(0L)) > 0, 1)
+        .withColumn("n_par", coalesce(col("n_par"), lit(0L)))
+        .withColumn("n_prod", coalesce(col("n_prod"), lit(0L)))
+        .select(col("doc_id"), col("n_par"),
+          when(col("n_prod") * 2 >= col("n_par") &&
+              col("n_prod") <= col("n_par") * 2, 1)
             .otherwise(0).as("ok"))
         .orderBy("doc_id")
     }),

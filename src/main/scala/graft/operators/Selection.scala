@@ -58,26 +58,7 @@ object Selection {
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
                         textCol: String, nBuckets: Int = 4096,
                         logRatio: Boolean = false): DataFrame = {
-    val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
-    val rawTok = raw
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("b", bucket).drop("t")
-    val tgtTok = target
-      .select(explode(split(col(textCol), " ")).as("t"))
-      .withColumn("b", bucket).drop("t")
-
-    val tc = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
-    val rc = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
-    // Smoothed totals: +nBuckets for the +1 on every bucket.
-    val tTot = tgtTok.agg((count(lit(1)) + nBuckets).as("T"))
-    val rTot = rawTok.agg((count(lit(1)) + nBuckets).as("R"))
-
-    // <= nBuckets rows: the whole fitted model, broadcastable by size.
-    val model = rc
-      .join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .withColumn("tc1", coalesce(col("tc"), lit(0L)) + 1L)
-      .withColumn("rc1", col("rc") + 1L)
+    val (rawTok, model) = bucketModel(raw, target, idCol, textCol, nBuckets)
     val scored =
       if (logRatio)
         model.select(col("b"),
@@ -118,22 +99,7 @@ object Selection {
     * build + one broadcast-join aggregation. */
   def importanceWeightGate(raw: DataFrame, target: DataFrame, idCol: String,
                            textCol: String, nBuckets: Int = 4096): DataFrame = {
-    val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
-    val rawTok = raw
-      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
-      .withColumn("b", bucket).drop("t")
-    val tgtTok = target
-      .select(explode(split(col(textCol), " ")).as("t"))
-      .withColumn("b", bucket).drop("t")
-    val tc = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
-    val rc = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tTot = tgtTok.agg((count(lit(1)) + nBuckets).as("T"))
-    val rTot = rawTok.agg((count(lit(1)) + nBuckets).as("R"))
-    val model = rc
-      .join(tc, Seq("b"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .withColumn("tc1", coalesce(col("tc"), lit(0L)) + 1L)
-      .withColumn("rc1", col("rc") + 1L)
+    val (rawTok, model) = bucketModel(raw, target, idCol, textCol, nBuckets)
     // same headroom guard as parity mode, covering both directions
     val guard = assert_true(
       col("tc1").cast("double") * col("R").cast("double") < 9.2e12 &&
@@ -151,6 +117,36 @@ object Selection {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"), sum("lscore").as("lsum"),
         sum("pscore").as("psum"), sum("iscore").as("isum"))
+  }
+
+  /** The shared tokenize -> bucket-count -> smoothed-model scaffolding of
+    * [[importanceWeights]] and [[importanceWeightGate]] (r13 review: the
+    * gate must validate the SAME model the operator fits — a copy-pasted
+    * scaffold could silently diverge under a future smoothing/hash edit).
+    * Returns (per-token raw frame with bucket column `b`, the <= nBuckets-
+    * row model with tc1/rc1 smoothed counts and T/R smoothed totals). */
+  private def bucketModel(raw: DataFrame, target: DataFrame, idCol: String,
+                          textCol: String, nBuckets: Int)
+      : (DataFrame, DataFrame) = {
+    val bucket = pmod(TextDedup.stableHash(col("t")), lit(nBuckets.toLong))
+    val rawTok = raw
+      .select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+    val tgtTok = target
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .withColumn("b", bucket).drop("t")
+    val tc = tgtTok.groupBy("b").agg(count(lit(1)).as("tc"))
+    val rc = rawTok.groupBy("b").agg(count(lit(1)).as("rc"))
+    // Smoothed totals: +nBuckets for the +1 on every bucket.
+    val tTot = tgtTok.agg((count(lit(1)) + nBuckets).as("T"))
+    val rTot = rawTok.agg((count(lit(1)) + nBuckets).as("R"))
+    // <= nBuckets rows: the whole fitted model, broadcastable by size.
+    val model = rc
+      .join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .withColumn("tc1", coalesce(col("tc"), lit(0L)) + 1L)
+      .withColumn("rc1", col("rc") + 1L)
+    (rawTok, model)
   }
 
   /** Token-budget-constrained selection: take documents in descending

@@ -524,13 +524,20 @@ object TextDedup {
     // carrying a ~2-3 KB shingle array into the old_id exchange — tens of
     // GB through the sort buffers at sf1 (GC-locker stalls). Instead:
     // shuffle the SLIM candidate pairs against the store-side arrays, then
-    // attach the batch side via BROADCAST (the batch is small by
-    // definition — the same bound the bucket semi-join above relies on),
-    // so no array-carrying row ever crosses an exchange twice and the
-    // wide rows flow straight into the codegen'd merge walk.
+    // attach the batch side via broadcast, so no array-carrying row ever
+    // crosses an exchange twice. The broadcast is SIZE-GATED, not forced
+    // (r13 review; the ADVICE r10 #1 discipline): steady-state batches are
+    // tens of MB of arrays, but a first AvailableNow backfill batch can be
+    // the whole corpus, and an oversized forced broadcast FAILS the query
+    // where a shuffled join merely degrades. The localCheckpoint'd shI has
+    // accurate driver-side stats — no counting job.
+    val sh1T = shI.toDF("new_id", "sh1")
+    val sh1Small = sh1T.queryExecution.optimizedPlan.stats.sizeInBytes
+      .isValidLong && sh1T.queryExecution.optimizedPlan.stats.sizeInBytes
+      .toLong <= (64L << 20)
     cand
       .join(shE.toDF("old_id", "sh2"), Seq("old_id"))
-      .join(broadcast(shI.toDF("new_id", "sh1")), Seq("new_id"))
+      .join(if (sh1Small) broadcast(sh1T) else sh1T, Seq("new_id"))
       // same size-ratio prefilter as nearDuplicatePairs: two O(1) length
       // reads skip the merge walk where jac >= t is already impossible
       .filter(size(col("sh1")).cast("double") >= size(col("sh2")) * minJaccard &&

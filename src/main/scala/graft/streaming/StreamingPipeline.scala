@@ -168,23 +168,29 @@ object StreamingPipeline {
       .toMap
     // checkpoint-retention defaults for the checkpoint this query owns
     // (see SinkOptions scaladoc; session-level because Spark offers no
-    // per-query surface for these). Applied only while the session still
-    // carries Spark's STOCK value (r13 review: unconditionally setting
-    // them silently clobbered a deployment's explicit retention tuning) —
-    // an operator-set non-default value wins; SinkOptions overrides the
-    // stock default either way, and <=0/negative opts out entirely.
-    def setIfStock(key: String, stockForms: Set[String], v: String): Unit = {
+    // per-query surface for these). Precedence (r13 review, twice over):
+    // a SinkOptions value the CALLER CHANGED from the case-class default
+    // is an explicit per-call request and always applies; the untouched
+    // SinkOptions default applies only while the session still carries
+    // Spark's STOCK value, so it never clobbers a deployment's explicit
+    // session-level retention tuning. <=0/negative opts out entirely.
+    val optDefaults = SinkOptions()
+    def applyRetention(key: String, stockForms: Set[String], v: String,
+                       explicit: Boolean): Unit = {
       val conf = source.sparkSession.conf
       val cur = try Option(conf.get(key)) catch { case _: Exception => None }
-      if (cur.forall(stockForms)) conf.set(key, v)
+      if (explicit || cur.forall(stockForms)) conf.set(key, v)
     }
     if (sinkOpts.minBatchesToRetain > 0)
-      setIfStock("spark.sql.streaming.minBatchesToRetain", Set("100"),
-        sinkOpts.minBatchesToRetain.toString)
+      applyRetention("spark.sql.streaming.minBatchesToRetain", Set("100"),
+        sinkOpts.minBatchesToRetain.toString,
+        explicit = sinkOpts.minBatchesToRetain != optDefaults.minBatchesToRetain)
     if (sinkOpts.fileSourceLogCleanupDelayMs >= 0)
-      setIfStock("spark.sql.streaming.fileSource.log.cleanupDelay",
+      applyRetention("spark.sql.streaming.fileSource.log.cleanupDelay",
         Set("10m", "600000", "600000ms"),
-        sinkOpts.fileSourceLogCleanupDelayMs.toString)
+        sinkOpts.fileSourceLogCleanupDelayMs.toString,
+        explicit = sinkOpts.fileSourceLogCleanupDelayMs !=
+          optDefaults.fileSourceLogCleanupDelayMs)
     source.writeStream
       .option("checkpointLocation", s"$workDir/_checkpoint")
       .trigger(trigger)

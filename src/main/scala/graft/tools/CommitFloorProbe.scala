@@ -153,12 +153,15 @@ object CommitFloorProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(n: String): Boolean = onlyV.forall(_.exists(n.startsWith))
 
+    // the replay-based variant families — ONE list driving both the
+    // warm-up decision and the dispatch below (a parallel literal would
+    // silently skip the warm-up for a newly added family, r13 review)
+    val replayFamilies = Seq("noop", "count-only", "pipeline", "bridged",
+      "rangejoin")
     // JVM/codegen warm-up, discarded — only when a streaming-replay row is
     // wanted (sqlCompileBench does its own 50-rep warm; r13 review: a
     // sqlcompile-only run paid a pointless 20-batch replay first)
-    val wantsReplay = Seq("noop", "count-only", "pipeline", "bridged",
-      "rangejoin").exists(want)
-    if (wantsReplay) report("warmup(discard)", sess(), noop)
+    if (replayFamilies.exists(want)) report("warmup(discard)", sess(), noop)
 
     if (want("noop")) report("noop", sess(), noop)
     if (want("count-only")) report("count-only", sess(), countOnly)

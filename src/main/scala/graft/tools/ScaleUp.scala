@@ -98,6 +98,23 @@ object ScaleUp {
     val docs = offset("doc_id")(fan(read("documents")))
       .withColumn("text", enciphered)
     write("documents", docs, 8)
+    // Decorrelation guard (r13 review): translate shifts LETTERS only, so
+    // a doc dominated by digits/punct/non-Latin script would ride through
+    // (near-)identical in every copy — re-creating the cross-copy
+    // duplicate blowup the cipher exists to prevent, silently, on a future
+    // corpus. Measure instead of assuming: cross-copy exact-duplicate
+    // texts beyond the base corpus's own dup rate fail the generation.
+    val out = spark.read.parquet(s"$dst/documents.parquet")
+    val nTotal = out.count()
+    val nDistinct = out.select("text").distinct().count()
+    val baseDistinct = read("documents").select("text").distinct().count()
+    val expected = baseDistinct * copies
+    require(nDistinct >= expected - copies, // slack: hash-collision noise
+      s"cipher decorrelation failed: $nDistinct distinct texts of $nTotal " +
+        s"(expected ~$expected) — the corpus carries low-alphabetic docs " +
+        "the Caesar transform cannot decorrelate; extend the transform")
+    println(s"[scaleup] decorrelation check: $nDistinct distinct texts " +
+      s"(base $baseDistinct x $copies copies)")
 
     val dim = 64 // TESTDATA.md embeddings are fixed-width float[64]
     def shifted(e: Column): Column = {
