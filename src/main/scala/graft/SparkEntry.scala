@@ -1767,7 +1767,14 @@ object SparkEntry {
 
     // Production twin of q_count_min: xxhash64 buckets instead of the md5
     // parity hash — the hash IS the dominant cost of the parity sketch
-    // (one md5 per occurrence per row); rows-only like every xxhash twin.
+    // (one md5 per occurrence per row). The raw cells have no DuckDB
+    // analog, so the query emits the count-min THEOREM as a per-key gate
+    // (r13, the VERDICT r12 #4 pattern): for ANY hash choice a correct
+    // sketch satisfies exact <= estimate <= total occurrences (cells only
+    // ever add occurrences; the min of d cells is bounded by any one
+    // cell's total). The mirror states the flag + the exact counts; a
+    // broken min/indexing/overflow path underestimates some key and
+    // hash-mismatches.
     "q_count_min_prod" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(explode(split(col("text"), " ")).as("token"))
@@ -1778,8 +1785,10 @@ object SparkEntry {
           operators.Sketch.countMinEstimate(sk, tok, "token", d = 3, w = 16,
             oracleParity = false),
           Seq("token"))
-        .select(col("token"), col("n_exact"), col("n_est"),
-          (col("n_est") - col("n_exact")).as("overest"))
+        .crossJoin(broadcast(tok.agg(count(lit(1)).as("n_total"))))
+        .select(col("token"), col("n_exact"),
+          when(col("n_est") >= col("n_exact") &&
+              col("n_est") <= col("n_total"), 1).otherwise(0).as("ok"))
         .orderBy("token")
     }),
 
@@ -3565,6 +3574,14 @@ object SparkEntry {
                  GROUP BY t, n)
          SELECT t AS token, n AS n_exact, e AS n_est, e - n AS overest
          FROM est ORDER BY token""",
+    // consistency gate (r13): the mirror recomputes the exact counts and
+    // states the count-min theorem flag (exact <= estimate <= total),
+    // which holds for ANY correct sketch regardless of hash choice
+    "q_count_min_prod" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS n_exact, CAST(1 AS INT) AS ok
+         FROM tok GROUP BY token ORDER BY token""",
     "q_contamination" ->
       s"""WITH bg AS (
            SELECT DISTINCT g

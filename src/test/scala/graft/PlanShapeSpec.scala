@@ -39,6 +39,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_weighted_sample", // two 1-row total-weight crosses (Sampling.weightedSample)
     "q_mix_temperature", // 1-row weight-normalizer cross over O(#sources) stats
     "q_collocations", // two 1-row corpus-total crosses (N tokens, B bigrams)
+    "q_count_min_prod", // 1-row n_total cross for the r13 theorem gate
+    // (exact <= estimate <= total) — O(1) side by construction
     "q_dedup_gate_recall", // 1-row n_true x 1-row n_found audit cross,
     // bench-excluded ground-truth audit like q_lsh_recall
     "q_ann_gate_recall", // 1-row n_true x 1-row n_found audit cross; the
