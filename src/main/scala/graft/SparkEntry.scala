@@ -2136,13 +2136,24 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       val tgt = docs.filter(col("source") === "src0")
       val slack = col("n_tok").cast("double") * 2e-6 + 1e-9
-      operators.Selection.importanceWeightGate(docs, tgt, "doc_id", "text")
+      val gated = operators.Selection
+        .importanceWeightGate(docs, tgt, "doc_id", "text")
         .select(col("doc_id"), col("n_tok"),
           when(col("lsum") <= col("psum").cast("double") / 1e6
               - col("n_tok") + slack
             && col("lsum") >= col("n_tok")
               - col("isum").cast("double") / 1e6 - slack, 1)
             .otherwise(0).as("ok"))
+      // ADVICE r13: the gate's token explode drops null-text docs (split of
+      // NULL yields no rows) while the mirror emits one row per document —
+      // left-join back with a vacuous ok=1, the minhash gate's policy. The
+      // mirror's n_tok (len(string_split(NULL,' '))) is NULL there too, so
+      // the un-coalesced n_tok matches; a NON-null text always splits to
+      // >= 1 token, so a missing gate row implies text IS NULL exactly.
+      docs.select(col("doc_id"))
+        .join(gated, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("ok"), lit(1)).as("ok"))
         .orderBy("doc_id")
     }),
 

@@ -53,14 +53,28 @@ object StreamingBridge {
       s"pipeline has validation errors: ${p.errors.mkString("; ")}")
     // Spark resolves identifiers case-insensitively; matching the authored
     // FROM table case-sensitively would silently classify an 'EVENTS' view
-    // as a static dim frame (planned once over whatever table resolves)
+    // as a static dim frame (planned once over whatever table resolves).
+    // Classification scans EVERY referenced table, not just sourceTable —
+    // a view whose JOIN side is the stream table is a stream view, and
+    // classifying it static would silently bind a one-time frame of the
+    // stream (ADVICE r13). Transitively: a view reading a stream view is
+    // itself a stream view (per-batch frames register in declaration
+    // order, so the read resolves within the trigger).
+    val streamNames = scala.collection.mutable.Set(streamTable.toLowerCase)
+    var grew = true
+    while (grew) {
+      grew = false
+      p.views.foreach { v =>
+        if (!streamNames(v.name.toLowerCase) &&
+            v.referencedTables.exists(streamNames)) {
+          streamNames += v.name.toLowerCase; grew = true
+        }
+      }
+    }
     val (streamViews, staticViews) =
-      p.views.partition(_.sourceTable.equalsIgnoreCase(streamTable))
+      p.views.partition(v => streamNames(v.name.toLowerCase))
     require(streamViews.nonEmpty,
       s"no VIEW reads the stream table $streamTable — nothing to stream")
-    // dim views: planned once, resolvable by name from every compiled SELECT
-    staticViews.foreach(v =>
-      session.sql(v.selectSql).createOrReplaceTempView(v.name))
 
     val (xrefTs, sinkTs) = (p.xrefs ++ p.fgacs).partition(_.isUpsertXref)
     // The batch runner registers EVERY target, so a sink can chain off
@@ -92,6 +106,25 @@ object StreamingBridge {
         s"target $ref — xref deltas resolve only inside sink emits, " +
         "so a chained XREF would fail on the first trigger (run the inner " +
         "XREF as its own statement set, or read the view it ranks)") }
+    // ADVICE r13 (medium): the chain checks above cover targets' FROM
+    // clauses but a VIEW can reference a target too. A stream view plans
+    // per trigger BEFORE any xref delta registers (ViewDefs run first), so
+    // a view reading an xref OR sink target dies on the first batch; a
+    // static view doing so dies at the registration below with an opaque
+    // unresolved-relation error. Same fail-at-construction contract.
+    val targetNames = sinkNames ++ xrefNames
+    p.views
+      .flatMap(v => v.referencedTables.filter(targetNames).map(v -> _))
+      .headOption
+      .foreach { case (v, ref) => sys.error(s"VIEW ${v.name} reads " +
+        s"${if (xrefNames(ref)) "XREF" else "sink"} target $ref — views " +
+        "plan before target frames exist in the trigger (xref deltas " +
+        "resolve only inside sink emits; sink outputs never register), so " +
+        "this view would fail on the first batch. Read the target's source " +
+        "view instead, or run the downstream read as its own statement set") }
+    // dim views: planned once, resolvable by name from every compiled SELECT
+    staticViews.foreach(v =>
+      session.sql(v.selectSql).createOrReplaceTempView(v.name))
 
     // Per-batch SQL must run against the STREAM's session: Spark clones
     // the session when a streaming query starts (sparkSessionForStream),

@@ -264,9 +264,17 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       // file count at nBuckets (one writer task per bucket) — without it a
       // t-task batch writes up to t×nBuckets tiny files per segment, and
       // merge-on-read cost is file-listing-bound across live segments.
+      // partitionOverwriteMode pinned STATIC on the writer (ADVICE r13): a
+      // session-level `dynamic` would leave a crashed attempt's stray
+      // _bucket= dirs alive under this Overwrite, and the guard below would
+      // then misdiagnose the leftover as non-determinism — persistently,
+      // across deterministic retries. Static truncates the whole segment
+      // path first, so a retry always starts from empty.
       SttmOps.latestByKey(p.df, keys, order)
         .repartition(p.buckets, col(BucketCol))
-        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(BucketCol)
         .parquet(s"$segDir/$Rows")
       // Determinism guard (ADVICE r12 #2): with materialize=false, `touched`
       // (first action) and this write (second action) evaluated the input
@@ -280,6 +288,21 @@ final class SnapshotStore(root: String, nBuckets: Int = 16,
       // commit (the segment stays invisible, the micro-batch fails loudly,
       // and a deterministic retry succeeds). Driver-side listing of
       // ≤ nBuckets dirs — metadata cost only.
+      //
+      // No false positive is possible for a deterministic frame (VERDICT
+      // r13 #6): written == touched is an INVARIANT, not a heuristic.
+      // (1) `touched` groups the SAME tagged frame by BucketCol, so every
+      //     touched bucket has >= 1 input row; (2) latestByKey is a per-key
+      //     argmax — it keeps exactly one row per distinct key and never
+      //     drops a key, and BucketCol is a pure function of the keys, so a
+      //     bucket with >= 1 input key yields >= 1 output row (NULLs in
+      //     payload columns ride along inside max_by's struct; parquet
+      //     writes the row — and hence the dir — regardless);
+      //     (3) BucketCol = pmod(hash(keys...), n) is non-null for ANY key
+      //     values including all-NULL (Spark's hash of NULL is the seed,
+      //     non-null), so no row can escape to __HIVE_DEFAULT_PARTITION__.
+      //     SnapshotStoreDeterminismSpec drives the all-NULL-payload and
+      //     all-NULL-key cases end-to-end.
       val written = {
         val d = java.nio.file.Paths.get(s"$segDir/$Rows")
         if (!java.nio.file.Files.isDirectory(d)) Set.empty[Int]

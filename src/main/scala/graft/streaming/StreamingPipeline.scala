@@ -175,19 +175,32 @@ object StreamingPipeline {
     // Spark's STOCK value, so it never clobbers a deployment's explicit
     // session-level retention tuning. <=0/negative opts out entirely.
     val optDefaults = SinkOptions()
-    def applyRetention(key: String, stockForms: Set[String], v: String,
-                       explicit: Boolean): Unit = {
+    // Stockness is decided on PARSED values, not string forms (ADVICE r13):
+    // conf.get renders the default in whatever form the Spark version
+    // registered it ("10m" today, but "600s"/"600000ms" parse identically),
+    // and a string-form set would silently treat a re-rendered default as
+    // operator tuning — the retention defaults would stop applying and
+    // checkpoint growth would return with no signal. An UNPARSEABLE current
+    // value is treated as explicit tuning (don't override), never as stock.
+    def applyRetention(key: String, stockParsed: Long, parse: String => Long,
+                       v: String, explicit: Boolean): Unit = {
       val conf = source.sparkSession.conf
       val cur = try Option(conf.get(key)) catch { case _: Exception => None }
-      if (explicit || cur.forall(stockForms)) conf.set(key, v)
+      val isStock = cur.forall(c =>
+        scala.util.Try(parse(c.trim)).toOption.contains(stockParsed))
+      if (explicit || isStock) conf.set(key, v)
     }
     if (sinkOpts.minBatchesToRetain > 0)
-      applyRetention("spark.sql.streaming.minBatchesToRetain", Set("100"),
+      applyRetention("spark.sql.streaming.minBatchesToRetain",
+        stockParsed = 100L, parse = _.toLong,
         sinkOpts.minBatchesToRetain.toString,
         explicit = sinkOpts.minBatchesToRetain != optDefaults.minBatchesToRetain)
     if (sinkOpts.fileSourceLogCleanupDelayMs >= 0)
       applyRetention("spark.sql.streaming.fileSource.log.cleanupDelay",
-        Set("10m", "600000", "600000ms"),
+        stockParsed = 600000L, // 10 min, the conf's registered default
+        // the conf is registered as a ms-default time conf, so a bare
+        // number means ms — same parser Spark applies
+        parse = org.apache.spark.network.util.JavaUtils.timeStringAsMs,
         sinkOpts.fileSourceLogCleanupDelayMs.toString,
         explicit = sinkOpts.fileSourceLogCleanupDelayMs !=
           optDefaults.fileSourceLogCleanupDelayMs)

@@ -191,4 +191,75 @@ class StreamingBridgeSpec extends AnyFunSuite {
     }
     assert(ex2.getMessage.contains("reads XREF target"), ex2.getMessage)
   }
+
+  /** ADVICE r13 (medium): stream-vs-static view classification must scan
+    * EVERY referenced table — a view whose JOIN side (not sourceTable) is
+    * the stream table, or whose source is another stream view, is a stream
+    * view; classifying either static silently binds a one-time frame of
+    * the stream. And a view reading an XREF/sink target must fail at
+    * construction (views plan before target frames exist in a trigger). */
+  test("join-side and transitive stream views classify as stream views; view-on-target rejects") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val header = "PipelineStage,TargetTable,TargetColumn,TargetDataType," +
+      "IsTargetPK,TargetPK,MessageFormat,FieldSelector,SourcePrimaryTable," +
+      "SourcePrimaryAlias,SourceField,ExprOverride,SourceTransformExpr," +
+      "FilterPredicate,JoinTable,JoinAlias,JoinType,JoinCondition,Notes"
+    val mapping = Seq(
+      "View,EV_VW,USER_ID,BIGINT,Y,USER_ID,,,events,e,,user_id,,,,,,,",
+      "View,EV_VW,TS,TIMESTAMP,N,,,,events,e,,ts,,,,,,,",
+      // source is another STREAM VIEW -> stream view transitively
+      "View,CHAIN_VW,USER_ID,BIGINT,Y,USER_ID,,,EV_VW,v,USER_ID,,,,,,,,",
+      // source is a dim table with the stream table authored on the JOIN
+      // columns: the compiler IGNORES join columns for views (parse views
+      // are join-free by the reference's model — PipelineCompiler's
+      // joinRow is None for isView), so the emitted SQL reads customer
+      // only and static classification is CORRECT; the assertion below
+      // pins both facts so classification and emission can't diverge
+      "View,JOIN_VW,CUST_ID,BIGINT,Y,CUST_ID,,,customer,c,,c_custkey,,," +
+        "events,e,LEFT,c.c_custkey = e.user_id,",
+      // genuinely static dim view, for contrast
+      "View,DIM_VW,CUST_ID,BIGINT,Y,CUST_ID,,,customer,c,,c_custkey,,,,,,,")
+    val spec = graft.spec.SttmSpec(
+      graft.spec.SttmParser.mappingFromCsv((header +: mapping).mkString("\n")),
+      graft.spec.SttmParser.matrixFromCsv(
+        "Key,EV_VW,CHAIN_VW,JOIN_VW,DIM_VW\n" +
+          "value.format,json,json,json,json\n"))
+    val pipeline = PipelineCompiler.compile(spec)
+    assert(pipeline.errors.isEmpty, pipeline.errors.mkString("; "))
+    val s2 = spark.newSession()
+    Tables.customer(s2, dir).createOrReplaceTempView("customer")
+    val set = StreamingBridge.toStatementSet(pipeline, "events", s2, nBuckets = 4)
+    val perBatch = set.views.map(_.name).toSet
+    assert(perBatch("EV_VW") && perBatch("CHAIN_VW"),
+      s"stream views misclassified: $perBatch")
+    // JOIN_VW compiled join-free (views never join), so it references only
+    // customer — static is correct AND consistent with its emitted SQL
+    assert(!pipeline.views.find(_.name == "JOIN_VW").get.selectSql
+      .toUpperCase.contains("JOIN"))
+    assert(!perBatch("JOIN_VW") && !perBatch("DIM_VW"),
+      "join-free dim views must stay static")
+    // the static dim views registered at bridge time
+    assert(s2.catalog.tableExists("DIM_VW") && s2.catalog.tableExists("JOIN_VW"))
+
+    // a view whose FROM table is an XREF target: construction-time error
+    val badMapping = Seq(
+      "View,EV_VW,USER_ID,BIGINT,Y,USER_ID,,,events,e,,user_id,,,,,,,",
+      "View,EV_VW,TS,TIMESTAMP,N,,,,events,e,,ts,,,,,,,",
+      "XREF,XREF_A,USER_ID,BIGINT,Y,USER_ID,,,EV_VW,v,USER_ID,,,,,,,,",
+      "XREF,XREF_A,TS,TIMESTAMP,N,,,,EV_VW,v,TS,,,,,,,,",
+      "View,BAD_VW,USER_ID,BIGINT,Y,USER_ID,,,XREF_A,x,USER_ID,,,,,,,,")
+    val badSpec = graft.spec.SttmSpec(
+      graft.spec.SttmParser.mappingFromCsv((header +: badMapping).mkString("\n")),
+      graft.spec.SttmParser.matrixFromCsv(
+        "Key,EV_VW,XREF_A,BAD_VW\n" +
+          "changelog.mode,,upsert,\n" +
+          "\"graft.upsert.order\",,TS,\n" +
+          "value.format,json,avro-registry,json\n"))
+    val bp = PipelineCompiler.compile(badSpec)
+    assert(bp.errors.isEmpty, bp.errors.mkString("; "))
+    val ex = intercept[RuntimeException] {
+      StreamingBridge.toStatementSet(bp, "events", spark.newSession(), nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("VIEW BAD_VW reads XREF target"), ex.getMessage)
+  }
 }

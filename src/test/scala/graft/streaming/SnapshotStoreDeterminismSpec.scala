@@ -74,4 +74,31 @@ class SnapshotStoreDeterminismSpec extends AnyFunSuite {
     assert(touched.size == 1)
     assert(store.read(spark).get.count() == 1)
   }
+
+  test("guard has no false positive: all-NULL payload and all-NULL key buckets still write their dirs") {
+    // VERDICT r13 #6: the hypothesized false positive — a touched bucket
+    // whose rows produce no partition dir — cannot happen for a
+    // deterministic frame. latestByKey never drops a key (per-key argmax),
+    // NULL payload columns ride inside max_by's struct and parquet writes
+    // the row regardless, and pmod(hash(key), n) is non-null even for a
+    // NULL key (hash of NULL is the seed), so no row escapes to
+    // __HIVE_DEFAULT_PARTITION__. Drive both edge shapes through the
+    // UNMATERIALIZED guard path and assert commit + dirs.
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_det_null").toString
+    val nBuckets = 4
+    val df = Seq(
+        (Option(7L), 1L, Option.empty[String]),   // payload NULL
+        (Option.empty[Long], 1L, Option.empty[String])) // key AND payload NULL
+      .toDF("user_id", "ts", "payload")
+    val store = new SnapshotStore(work, nBuckets = nBuckets)
+    val prep = store.prepare(df, Seq("user_id"), materialize = false)
+    val touched = store.mergePreparedCounted(
+      prep, Seq("user_id"), Seq("ts"), Some(0L))._1
+    assert(touched.nonEmpty)
+    val snap = store.read(spark).get
+    assert(snap.count() == 2, "both rows (incl. the NULL key) must commit")
+    assert(snap.filter(col("user_id").isNull).count() == 1)
+  }
 }
