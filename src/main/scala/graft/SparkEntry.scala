@@ -1757,11 +1757,42 @@ object SparkEntry {
     }),
 
     // Compression-ratio quality band: per-doc deflate/raw basis points —
-    // the language-agnostic repetition/gibberish filter. Rows-only (no
-    // SQL engine mirrors deflate); behavioral contract spec-tested, like
-    // the other production-codec twins.
+    // the language-agnostic repetition/gibberish filter. No SQL engine
+    // mirrors deflate, so the query emits a consistency-gate row per doc
+    // (r14, the last no_oracle entry — VERDICT r13 #3) on deflate's
+    // statable invariants, each margin MEASURED before gating (GateProbe):
+    //   ceiling — deflate_bytes <= zlib's documented compressBound(raw)
+    //     = raw + raw>>12 + raw>>14 + raw>>25 + 13 (measured margin >= 7B);
+    //   floor — deflate_bytes >= 7 for non-empty input (2B zlib header +
+    //     >= 1B block + 4B adler; measured min 44);
+    //   doubling — for raw < 30000 (inside the 32KB LZ77 window minus the
+    //     262B match guard) the second copy of text||text is coverable by
+    //     ceil(raw/258) max-length back-references, so dbl_bytes <=
+    //     deflate_bytes + ceil(raw/258)*5 + 64 (measured slack max 4; 64
+    //     is 16x margin yet far below the ~raw-sized blowup of a broken
+    //     match finder or stored-block fallback);
+    //   empty/null — deflate_bytes == 0 by the operator's contract.
+    // raw_bytes itself is value-compared against the mirror's strlen. The
+    // production ratio_bp path still runs in full (ok conjoins on it).
     "q_compress_ratio" -> ((s, dir) => {
-      TextAnalysis.compressionRatio(Tables.documents(s, dir), "doc_id", "text")
+      val sig = TextAnalysis.compressionSignals(
+        Tables.documents(s, dir), "doc_id", "text")
+      val bound = col("raw_bytes") + shiftright(col("raw_bytes"), 12) +
+        shiftright(col("raw_bytes"), 14) + shiftright(col("raw_bytes"), 25) +
+        lit(13L)
+      val refBudget = ceil(col("raw_bytes").cast("double") / 258.0)
+        .cast("long") * 5L
+      sig.select(col("doc_id"), col("raw_bytes"),
+        when(col("raw_bytes").isNull, 1)  // NULL text: mirror row is NULL too
+          .when(col("raw_bytes") === 0,
+            when(col("deflate_bytes") === 0, 1).otherwise(0))
+          .otherwise(when(
+            col("deflate_bytes") >= 7 && col("deflate_bytes") <= bound
+              && col("ratio_bp") ===
+                expr("(deflate_bytes * 10000) div raw_bytes")
+              && (col("raw_bytes") >= 30000 ||
+                col("dbl_bytes") <= col("deflate_bytes") + refBudget + 64),
+            1).otherwise(0)).as("ok"))
         .orderBy("doc_id")
     }),
 
@@ -3050,6 +3081,15 @@ object SparkEntry {
     "q_dsir_prod" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           CAST(1 AS INT) AS ok
+         FROM documents ORDER BY doc_id""",
+    // consistency gate: deflate has no SQL-engine mirror, so the flag
+    // conjoins zlib's compressBound ceiling, the 7-byte wrapper floor, the
+    // ratio_bp projection identity, and the sub-window self-concatenation
+    // back-reference bound (margins measured, GateProbe r14); the mirror
+    // states the flag and recomputes the raw byte length exactly
+    "q_compress_ratio" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS raw_bytes,
            CAST(1 AS INT) AS ok
          FROM documents ORDER BY doc_id""",
     "q_centroid_classify" ->

@@ -408,22 +408,42 @@ object TextAnalysis {
     * No SQL engine mirrors deflate, so the query is a rows-only surface;
     * the behavioral contract is spec-tested (repetitive < prose < random
     * ordering, determinism, empty/null safety). */
+  private def deflatedLenUdf(level: Int) = udf { (s: String) =>
+    if (s == null || s.isEmpty) 0L
+    else {
+      val d = new java.util.zip.Deflater(level, false)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+  }
+
   def compressionRatio(df: DataFrame, idCol: String, textCol: String,
                        level: Int = 6): DataFrame = {
-    val deflatedLen = udf { (s: String) =>
-      if (s == null || s.isEmpty) 0L
-      else {
-        val d = new java.util.zip.Deflater(level, false)
-        d.setInput(s.getBytes("UTF-8")); d.finish()
-        val buf = new Array[Byte](8192)
-        var n = 0L
-        while (!d.finished()) n += d.deflate(buf)
-        d.end(); n
-      }
-    }
+    val deflatedLen = deflatedLenUdf(level)
     df.select(col(idCol),
       octet_length(col(textCol)).cast("long").as("raw_bytes"),
       deflatedLen(col(textCol)).as("deflate_bytes"))
+      .withColumn("ratio_bp",
+        when(col("raw_bytes") > 0,
+          expr("(deflate_bytes * 10000) div raw_bytes")).otherwise(lit(0L)))
+  }
+
+  /** [[compressionRatio]] plus the self-concatenation deflate size — the
+    * raw signals the q_compress_ratio consistency gate checks against
+    * deflate's statable invariants (zlib's compressBound ceiling; the
+    * back-reference bound on deflate(t‖t) for sub-window texts). Two
+    * deflate passes per doc, still a zero-shuffle projection. */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String,
+                         level: Int = 6): DataFrame = {
+    val deflatedLen = deflatedLenUdf(level)
+    df.select(col(idCol),
+      octet_length(col(textCol)).cast("long").as("raw_bytes"),
+      deflatedLen(col(textCol)).as("deflate_bytes"),
+      // concat of a NULL text is NULL -> udf maps to 0, same as the base
+      deflatedLen(concat(col(textCol), col(textCol))).as("dbl_bytes"))
       .withColumn("ratio_bp",
         when(col("raw_bytes") > 0,
           expr("(deflate_bytes * 10000) div raw_bytes")).otherwise(lit(0L)))

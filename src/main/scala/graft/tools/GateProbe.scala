@@ -65,6 +65,36 @@ object GateProbe {
       val bad = cmp.filter((0 until 8).map(i =>
         col(s"dh$i") > col(s"mh$i")).reduce(_ || _)).count()
       println(s"GATE minhash $dir: monotonicity violations=$bad")
+
+      // ---- deflate (q_compress_ratio gate, r14): measure the margins of
+      // the three statable invariants before gating on them.
+      //   ceiling: deflate_bytes <= zlib compressBound(raw)
+      //            = raw + raw/2^12 + raw/2^14 + raw/2^25 + 13
+      //   floor:   deflate_bytes >= 7 for non-empty input (2B zlib header
+      //            + >=1B block + 4B adler)
+      //   doubling (raw < 30000, inside the 32KB LZ77 window): the second
+      //   copy of text||text is coverable by <=ceil(raw/258) max-length
+      //   back-references, so dbl <= deflate + ceil(raw/258)*5 + slack —
+      //   slack absorbs Huffman-table drift; MEASURE its real max.
+      val sig = TextAnalysis.compressionSignals(docs, "doc_id", "text")
+      val bound = col("raw_bytes") + shiftright(col("raw_bytes"), 12) +
+        shiftright(col("raw_bytes"), 14) + shiftright(col("raw_bytes"), 25) +
+        lit(13L)
+      val refBudget = ceil(col("raw_bytes").cast("double") / 258.0)
+        .cast("long") * 5L
+      val dstats = sig.filter(col("raw_bytes") > 0).agg(
+        count(lit(1)).as("n"),
+        min(col("deflate_bytes")).as("dmin"),
+        max(col("deflate_bytes") - bound).as("over_bound_max"),
+        max(when(col("raw_bytes") < 30000,
+          col("dbl_bytes") - col("deflate_bytes") - refBudget)).as("dbl_slack_max"),
+        sum(when(col("raw_bytes") >= 30000, 1L).otherwise(0L)).as("n_big"),
+        min(col("ratio_bp")).as("bp_min"), max(col("ratio_bp")).as("bp_max"))
+        .head()
+      println(s"GATE deflate $dir: docs=${dstats.getLong(0)} " +
+        s"minDeflate=${dstats.getLong(1)} overBoundMax=${dstats.getLong(2)} " +
+        s"dblSlackMax=${dstats.getLong(3)} nBig=${dstats.getLong(4)} " +
+        s"bp=[${dstats.getLong(5)},${dstats.getLong(6)}]")
     }
     spark.stop()
   }
