@@ -186,9 +186,19 @@ object Bench {
     // failure here lands in `errors` like any other (r13 review: a
     // swallowed exception left "-1 with zero diagnostics") and fails the
     // run — a query that breaks only in the quiet tail is still broken.
+    // SPARK_GRAFT_BENCH_ISOLATE (VERDICT r13 #7): the scale-rehearsal legs
+    // run as BENCH_ONLY subsets, which used to skip the isolated tail
+    // entirely — their records carried full-leg-contention numbers only
+    // (the sf1 q_incr_dedup reading was 2.4x its quiet-tail truth, GC-locker
+    // stalls from neighbors). An explicit isolate list re-enables the tail
+    // for exactly the named queries, subset mode or not.
+    val isoEnv = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val isoNames = isoEnv.getOrElse(
+      if (only.nonEmpty) Seq.empty else SparkEntry.benchIsolate.toSeq.sorted)
     val isolated: Seq[(String, Double)] =
-      if (runs == 0 || only.nonEmpty) Seq.empty
-      else SparkEntry.benchIsolate.toSeq.sorted
+      if (runs == 0) Seq.empty
+      else isoNames
         .flatMap(n => benchQueries.get(n).map(n -> _))
         .map { case (name, fn) =>
           System.gc()

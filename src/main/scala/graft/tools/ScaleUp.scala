@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     event/user ids, doc_id, vec_id) is offset by k·1e8; nation/region
   *     (fixed 25/5-row dims, int32 keys) are copied verbatim so
   *     c_nationkey/s_nationkey FKs stay valid
-  *   - documents.text is re-enciphered per copy with a Caesar letter
-  *     substitution (shift k over [a-z]/[A-Z]; digits/punct/spaces
-  *     unchanged): the copy is ISOMORPHIC to the base corpus — identical
+  *   - documents.text is re-enciphered per copy with a KEYED full-alphabet
+  *     permutation (Fisher-Yates seeded by the copy index — 26! keys, so
+  *     the ladder has no copy cap; digits/punct/spaces unchanged): the
+  *     copy is ISOMORPHIC to the base corpus — identical
   *     word lengths, frequencies, within-copy shingle/edit/near-dup
   *     structure — while sharing (almost) no character n-grams across
   *     copies. The first rehearsal used a per-WORD copy prefix instead
@@ -28,10 +29,12 @@ import org.apache.spark.sql.functions._
   *     between cross-copy words large (a prefix kept them at 2, inside
   *     fuzzy-join thresholds). n_chars is preserved exactly (source
   *     invariant: n_chars = length(text), translate is length-preserving)
-  *   - embeddings.embedding is cyclically shifted by k positions —
-  *     preserves norms and within-copy distance structure, decorrelates
-  *     across copies (verbatim copies would make every vector's top-k
-  *     neighbor list degenerate at distance 0)
+  *   - embeddings.embedding is cyclically shifted by k positions AND
+  *     sign-flipped by a per-copy deterministic pattern (both orthogonal:
+  *     norms and within-copy distance structure preserved exactly) —
+  *     decorrelates across copies at any ladder height (verbatim copies
+  *     would make every vector's top-k neighbor list degenerate at
+  *     distance 0; shift alone wraps at 64 copies)
   *   - events.props carries no ids (shape {"k": N}) and rides verbatim
   *
   * Usage: ScaleUp [srcDir] [dstDir] [copies]   (defaults: /root/testdata/
@@ -45,9 +48,12 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("dev/sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
-    // shift k%26 == 0 would make copy k byte-identical to the base text —
-    // exactly the degenerate duplicate corpus the cipher exists to avoid
-    require(copies <= 26, s"copies=$copies: only 25 distinct Caesar shifts")
+    // r14 (VERDICT r13 #1): the per-copy text transform is a KEYED
+    // full-alphabet permutation (26! keys), not a Caesar shift (25 keys) —
+    // the 26-copy ladder cap is gone. Keys beyond ~1e9 copies would
+    // collide Fisher-Yates seeds long before permutations run out; cap
+    // generously below that.
+    require(copies <= 1000000, s"copies=$copies: unreasonable fan-out")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -84,19 +90,36 @@ object ScaleUp {
 
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
-    def rotAlpha(k: Int): (String, String) = {
-      val s = k % 26
-      (lower, lower.drop(s) + lower.take(s)) match {
-        case (from, to) => (from + upper, to + (upper.drop(s) + upper.take(s)))
+    // Keyed permutation per copy: deterministic Fisher-Yates seeded by the
+    // copy index (java.util.Random is a fixed LCG — same seed, same
+    // permutation, forever). A permutation is ISOMORPHIC within copy like
+    // the Caesar shift was (bijective on letters: word lengths,
+    // frequencies, shingle/edit structure preserved exactly) while two
+    // different keys share only their chance fixed points across copies —
+    // the decorrelation guard below MEASURES the result rather than
+    // trusting the argument. Copy 0 stays verbatim (the base corpus).
+    def permuted(k: Int): String = {
+      val a = lower.toCharArray
+      val rnd = new java.util.Random(k * 0x9E3779B97F4A7C15L + 0x243F6A8885A308DL)
+      var i = a.length - 1
+      while (i > 0) {
+        val j = rnd.nextInt(i + 1)
+        val t = a(i); a(i) = a(j); a(j) = t
+        i -= 1
       }
+      new String(a) + new String(a).toUpperCase
     }
-    val enciphered = (1 until copies).foldLeft(
-        when(col("_k") === 0, col("text"))) { (acc, k) =>
-      val (from, to) = rotAlpha(k)
-      acc.when(col("_k") === k, translate(col("text"), from, to))
-    }.otherwise(col("text"))
+    val permDf = spark.createDataFrame(
+        (0 until copies).map(k =>
+          (k, if (k == 0) lower + upper else permuted(k))))
+      .toDF("_k", "__to")
     val docs = offset("doc_id")(fan(read("documents")))
-      .withColumn("text", enciphered)
+      .join(broadcast(permDf), Seq("_k"))
+      // StringTranslate accepts non-foldable matching/replace (it rebuilds
+      // its dict when the inputs change row-to-row) — one join + one
+      // translate instead of a `copies`-branch when-chain
+      .withColumn("text", expr(s"translate(text, '$lower$upper', __to)"))
+      .drop("__to")
     write("documents", docs, 8)
     // Decorrelation guard (r13 review): translate shifts LETTERS only, so
     // a doc dominated by digits/punct/non-Latin script would ride through
@@ -112,7 +135,7 @@ object ScaleUp {
     require(nDistinct >= expected - copies, // slack: hash-collision noise
       s"cipher decorrelation failed: $nDistinct distinct texts of $nTotal " +
         s"(expected ~$expected) — the corpus carries low-alphabetic docs " +
-        "the Caesar transform cannot decorrelate; extend the transform")
+        "a letter permutation cannot decorrelate; extend the transform")
     println(s"[scaleup] decorrelation check: $nDistinct distinct texts " +
       s"(base $baseDistinct x $copies copies)")
 
@@ -121,9 +144,37 @@ object ScaleUp {
       val s = (K % dim).cast("int")
       concat(slice(e, s + lit(1), lit(dim) - s), slice(e, lit(1), s))
     }
+    // Beyond 64 copies the cyclic shift alone collides (k % dim wraps, and
+    // copy 64 would carry copy 0's vectors VERBATIM — every cross-copy
+    // neighbor at distance 0, the degenerate-ANN corpus this transform
+    // exists to prevent). Compose with a per-copy deterministic SIGN-FLIP
+    // pattern: both maps are orthogonal, so norms and every within-copy
+    // distance are preserved exactly, while distinct (shift, signs) pairs
+    // decorrelate all copies at any ladder height. Copy 0 stays verbatim.
+    def signPattern(k: Int): Array[Float] = {
+      val rnd = new java.util.Random(k * 0x5851F42D4C957F2DL + 0x14057B7EF767814FL)
+      Array.fill(dim)(if (k == 0 || rnd.nextBoolean()) 1.0f else -1.0f)
+    }
+    val signDf = spark.createDataFrame(
+        (0 until copies).map(k => (k, signPattern(k))))
+      .toDF("_k", "__signs")
     val emb = offset("vec_id")(fan(read("embeddings")))
-      .withColumn("embedding", shifted(col("embedding")))
+      .join(broadcast(signDf), Seq("_k"))
+      .withColumn("embedding",
+        zip_with(shifted(col("embedding")), col("__signs"), (x, s) => x * s))
+      .drop("__signs")
     write("embeddings", emb, 4)
+    // Embedding decorrelation guard (same discipline as the text guard):
+    // distinct vectors must multiply with the copy count, or two copies
+    // collapsed onto each other and every ANN reading is degenerate.
+    val embOut = spark.read.parquet(s"$dst/embeddings.parquet")
+    val eDistinct = embOut.select("embedding").distinct().count()
+    val eBase = read("embeddings").select("embedding").distinct().count()
+    require(eDistinct >= eBase * copies - copies,
+      s"embedding decorrelation failed: $eDistinct distinct vectors " +
+        s"(expected ~${eBase * copies})")
+    println(s"[scaleup] embedding decorrelation: $eDistinct distinct " +
+      s"(base $eBase x $copies copies)")
 
     spark.stop()
   }
