@@ -50,6 +50,64 @@ object Bpe {
           lit(S)).as("tokstr"),
         col("cnt"))
 
+  /** Top-`horizon` adjacent pairs of the current dictionary by
+    * (count desc, l, r) — the one candidate collect every training round
+    * pays.
+    *
+    * Two physical paths, SAME exact result (BpeSpec pins their equality):
+    *   - **single-partition dictionary** (the metadata-scale case every
+    *     local round hits after the charDict groupBy's AQE coalesce): one
+    *     single-task job computes the exact pair counts in a per-task hash
+    *     map and emits only the sorted top `horizon`. The DataFrame plan
+    *     this replaces paid an explode + exchange + AQE stage barrier +
+    *     TakeOrdered — 3 stage submissions per round of pure scheduling
+    *     floor over a dictionary of a few dozen rows (r14 BpeFloorProbe:
+    *     0.112 s/round of which the actual work is microseconds; 83 rounds
+    *     at 256 merges). Exact because the one partition holds ALL rows.
+    *   - **multi-partition dictionary** (the 100 TB shape — a corpus-scale
+    *     vocabulary does not fit one task): the partial-agg shuffle +
+    *     TakeOrdered plan, unchanged.
+    * The tie-break compares [a-z]+ concatenations, identical under Java
+    * UTF-16 and Spark UTF-8 binary order (ASCII-only by charDict's
+    * filter). */
+  private def topPairs(toks: DataFrame, horizon: Int): Array[(String, String, Long)] = {
+    val rdd = toks.select(col("tokstr"), col("cnt")).rdd
+    if (rdd.getNumPartitions == 1) {
+      val ssPat = java.util.regex.Pattern.compile(SSre)
+      rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        it.foreach { row =>
+          val s = row.getString(0)
+          val cnt = row.getLong(1)
+          // strip the single wrapping sentinels, split on the doubled ones
+          val body = s.substring(1, s.length - 1)
+          val ts = ssPat.split(body, -1)
+          var i = 0
+          while (i < ts.length - 1) {
+            val k = (ts(i), ts(i + 1))
+            m.update(k, m.getOrElse(k, 0L) + cnt)
+            i += 1
+          }
+        }
+        m.iterator.map { case ((l, r), c) => (l, r, c) }.toSeq
+          .sortBy { case (l, r, c) => (-c, l, r) }
+          .take(horizon).iterator
+      }.collect()
+    } else {
+      val tok = split(trim(col("tokstr"), S), SSre)
+      toks
+        .select(col("cnt"),
+          explode(zip_with(slice(tok, lit(1), size(tok) - 1),
+            slice(tok, lit(2), size(tok) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(horizon).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+  }
+
   /** The merge table after `nMerges` training rounds: (step, l_tok, r_tok,
     * cnt) — the learned vocabulary artifact, in merge order (cnt is the
     * weighted pair frequency that won the round). Stops early if no pair
@@ -62,20 +120,10 @@ object Bpe {
     var step = 0
     var exhausted = false
     while (step < nMerges && !exhausted) {
-      val tok = split(trim(col("tokstr"), S), SSre)
-      val best = toks
-        .select(col("cnt"),
-          explode(zip_with(slice(tok, lit(1), size(tok) - 1),
-            slice(tok, lit(2), size(tok) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+      val best = topPairs(toks, 1)
       if (best.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (l, r, c) = best(0)
         merges += ((step, l, r, c))
         toks = Iterate.checkpoint(toks.withColumn("tokstr",
           replace(col("tokstr"), lit(S + l + SS + r + S), lit(S + l + r + S))))
@@ -135,20 +183,11 @@ object Bpe {
     var exhausted = false
     while (step < nMerges && !exhausted) {
       rounds += 1
-      val tok = split(trim(col("tokstr"), S), SSre)
       val horizon = math.max(maxBatch * 4, 16)
-      val cands = toks
-        .select(col("cnt"),
-          explode(zip_with(slice(tok, lit(1), size(tok) - 1),
-            slice(tok, lit(2), size(tok) - 1),
-            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(horizon).collect()
+      val cands = topPairs(toks, horizon)
       if (cands.isEmpty) exhausted = true
       else {
-        val rows = cands.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val rows = cands
         // maximal consecutive disjoint prefix, capped by batch/vocab room
         val usedSyms = scala.collection.mutable.Set.empty[String]
         var m = 0

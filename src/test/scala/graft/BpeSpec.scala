@@ -121,6 +121,33 @@ class BpeSpec extends AnyFunSuite {
       s"$rounds rounds for 32 merges")
   }
 
+  test("single-task and shuffled candidate paths yield identical merges") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // r14 optimization: topPairs takes a single-task exact path when the
+    // dictionary sits in one partition (the AQE-coalesced local shape) and
+    // the partial-agg shuffle plan otherwise (the 100 TB shape). Pin both
+    // paths to the same merge table: AQE off + shuffle.partitions=4 keeps
+    // the charDict output at 4 partitions (shuffled path); the default
+    // session coalesces it to 1 (single-task path).
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    val texts = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest", "aaaa aaa aaaa bb ab ab ba")
+    val dMulti = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val multi = Bpe.trainBatched(dMulti, "text", nMerges = 12, maxBatch = 4)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    val single = Bpe.trainBatched(docs(texts: _*), "text", nMerges = 12,
+        maxBatch = 4)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    assert(multi == single, s"path divergence: $multi vs $single")
+    assert(single.nonEmpty)
+  }
+
   private def testdataDocs =
     Tables.documents(spark, "/root/testdata/sf0.001").select("doc_id", "text")
 }
