@@ -62,25 +62,37 @@ object Percentiles {
       .rowsBetween(Window.unboundedPreceding, 0)
     val bcum = bcnt.withColumn("cumb", sum("bc").over(wb))
       .crossJoin(broadcast(stats.select("n")))
-    val wIn = Window.partitionBy("bucket").orderBy("value")
+    // r14 optimization (guide §2.4): the per-percentile UNION arms each
+    // re-derived the full histogram pipeline from the raw scan — 3
+    // requested percentiles = 3 corpus passes + 3 bucket-count shuffles.
+    // All percentiles now ride ONE pass: the requested pct list is a
+    // literal column exploded over the (<= nBuckets)-row cumulative table,
+    // the per-pct target buckets come out of one metadata-scale
+    // aggregation, and the single in-bucket selection window partitions by
+    // (pct, bucket) — within a partition the joined (k, cum_before) are
+    // constants, so each pct's selection is exactly the old single-arm
+    // window. Same rows, same schema, bit-identical values.
+    val wIn = Window.partitionBy("pct", "bucket").orderBy("value")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val arms = pcts.map { p =>
-      val target = bcum
-        .withColumn("k", expr(s"($p * n + 99) div 100"))
-        .filter(col("cumb") >= col("k"))
-        .agg(min_by(
-          struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
-            col("k")),
-          col("bucket")).as("t"))
-        .select(col("t.bucket").as("bucket"), col("t.cum_before"),
-          col("t.k"))
-      histB.select("value", "cnt", "bucket")
-        .join(broadcast(target), Seq("bucket"))
-        .withColumn("cum_in", sum("cnt").over(wIn))
-        .filter(col("cum_in") >= col("k") - col("cum_before"))
-        .agg(lit(p.toLong).as("pct"), min("value").as("value"))
-    }
-    arms.reduce(_.unionByName(_))
+    val targets = bcum
+      .select(col("bucket"), col("bc"), col("cumb"), col("n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("k", expr("(pct * n + 99) div 100"))
+      .filter(col("cumb") >= col("k"))
+      .groupBy("pct")
+      .agg(min_by(
+        struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
+          col("k")),
+        col("bucket")).as("t"))
+      .select(col("pct"), col("t.bucket").as("bucket"), col("t.cum_before"),
+        col("t.k"))
+    histB.select("value", "cnt", "bucket")
+      .join(broadcast(targets), Seq("bucket"))
+      .withColumn("cum_in", sum("cnt").over(wIn))
+      .filter(col("cum_in") >= col("k") - col("cum_before"))
+      .groupBy("pct")
+      .agg(min("value").as("value"))
+      .select(col("pct"), col("value"))
   }
 
   /** Per-group exact percentiles — the grouped form of [[exactKth]]
@@ -116,26 +128,31 @@ object Percentiles {
       .rowsBetween(Window.unboundedPreceding, 0)
     val bcum = bcnt.withColumn("cumb", sum("bc").over(wb))
       .join(broadcast(stats.select(g, col("n"))), Seq(groupCol))
-    val wIn = Window.partitionBy(g, col("bucket")).orderBy("value")
+    // One pass for ALL requested percentiles — the exactKth r14 rewrite
+    // with the group key threaded through (same rows/schema/values as the
+    // per-pct UNION arms this replaces; the selection window partitions by
+    // (group, pct, bucket) so no task ever sorts more than one group's
+    // share of one bucket, exactly as before).
+    val wIn = Window.partitionBy(g, col("pct"), col("bucket")).orderBy("value")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val arms = pcts.map { p =>
-      val target = bcum
-        .withColumn("k", expr(s"($p * n + 99) div 100"))
-        .filter(col("cumb") >= col("k"))
-        .groupBy(g)
-        .agg(min_by(
-          struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
-            col("k")),
-          col("bucket")).as("t"))
-        .select(g, col("t.bucket").as("bucket"), col("t.cum_before"),
-          col("t.k"))
-      histB.select(g, col("value"), col("cnt"), col("bucket"))
-        .join(broadcast(target), Seq(groupCol, "bucket"))
-        .withColumn("cum_in", sum("cnt").over(wIn))
-        .filter(col("cum_in") >= col("k") - col("cum_before"))
-        .groupBy(g)
-        .agg(lit(p.toLong).as("pct"), min("value").as("value"))
-    }
-    arms.reduce(_.unionByName(_))
+    val targets = bcum
+      .select(g, col("bucket"), col("bc"), col("cumb"), col("n"),
+        explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pct"))
+      .withColumn("k", expr("(pct * n + 99) div 100"))
+      .filter(col("cumb") >= col("k"))
+      .groupBy(g, col("pct"))
+      .agg(min_by(
+        struct(col("bucket"), (col("cumb") - col("bc")).as("cum_before"),
+          col("k")),
+        col("bucket")).as("t"))
+      .select(g, col("pct"), col("t.bucket").as("bucket"),
+        col("t.cum_before"), col("t.k"))
+    histB.select(g, col("value"), col("cnt"), col("bucket"))
+      .join(broadcast(targets), Seq(groupCol, "bucket"))
+      .withColumn("cum_in", sum("cnt").over(wIn))
+      .filter(col("cum_in") >= col("k") - col("cum_before"))
+      .groupBy(g, col("pct"))
+      .agg(min("value").as("value"))
+      .select(g, col("pct"), col("value"))
   }
 }
