@@ -106,29 +106,55 @@ object Fuzzy {
         col(rightStr).substr(segStart(lr, j) + 1, segLen(lr, j)).as("seg"),
         (lr >= m).as("valid"))
     }
+    // r14: explode plain + relational filter instead of the filter(array)
+    // higher-order form — HOFs are CodegenFallback (interpreted), and the
+    // per-row array work dominated the whole query (FuzzyStageProbe: the
+    // left probe build alone was ~4.5-8.6 s of q_fuzzy_resolve2's ~7 s at
+    // sf0.1; the relational form runs in whole-stage codegen).
     val rb = right.select(col(rightId).as("r_id"), col(rightStr).as("r_s"),
-        explode(filter(array(rKeys: _*), x => x.getField("valid"))).as("k"))
+        explode(array(rKeys: _*)).as("k"))
+      .filter(col("k.valid"))
       .select(col("r_id"), col("r_s"), col("k.lr").as("lr"),
         col("k.j").as("j"), col("k.seg").as("seg"))
 
-    // left: probe keys for every plausible (right length, segment, shift)
-    val ls = length(col(leftStr))
-    val lKeys = for {
+    // left: probe keys for every plausible (right length, segment, shift).
+    // r14 formulation (FuzzyStageProbe A/B, ~20x on this stage): explode a
+    // LITERAL (dl, j, d) combo array — constant-folded, so Generate emits
+    // combo rows without building a per-input-row array — and compute the
+    // ONE probed substring per OUTPUT row in whole-stage codegen. The old
+    // form built a (2k+1)²·(k+1)-element struct array per input row (every
+    // probe substring materialized into the array before explode), which
+    // alone carried ~80% of q_fuzzy_resolve2's wall time at sf0.1
+    // (4.3-8.5 s vs 0.2-0.7 s measured for the same 275k probe rows). Its
+    // array_distinct rode the array form and is dropped with it: duplicate
+    // probe keys only duplicate candidate rows, which the final candidate
+    // `.distinct()` already collapses — same pairs out.
+    // Guide §3.2 on top: a probe key whose assumed right length `lr`
+    // occurs on NO right row can never match — semi-join the probes
+    // against the right side's distinct lengths (broadcast, bounded by the
+    // string-length domain) BEFORE the segment equi-join's exchange; on
+    // fixed-width corpora this drops ~4/5 of the probe rows map-side.
+    val combos = for {
       dl <- -maxDist to maxDist
       j <- 0 until m
       d <- -maxDist to maxDist
-    } yield {
-      val lr = ls + dl
-      val p = segStart(lr, j) + d // 0-based probe position
-      struct(lr.as("lr"), lit(j).as("j"),
-        col(leftStr).substr(p + 1, segLen(lr, j)).as("seg"),
-        (lr >= m && p >= 0 && (p + segLen(lr, j)) <= ls).as("valid"))
+    } yield struct(lit(dl).as("dl"), lit(j).as("j"), lit(d).as("d"))
+    val rLens = broadcast(
+      right.select(length(col(rightStr)).as("lr")).distinct())
+    val lb = {
+      val lsL = length(col("l_s"))
+      val jC = col("c.j")
+      val lr = lsL + col("c.dl")
+      val sl = (lr / m).cast("int") + when(jC < lr % m, 1).otherwise(0)
+      val p = (jC * (lr / m).cast("int") + least(jC, lr % m)).cast("int") +
+        col("c.d")
+      left.select(col(leftId).as("l_id"), col(leftStr).as("l_s"),
+          explode(array(combos: _*)).as("c"))
+        .filter(lr >= m && p >= 0 && (p + sl) <= lsL)
+        .select(col("l_id"), col("l_s"), lr.as("lr"), jC.as("j"),
+          col("l_s").substr(p + 1, sl).as("seg"))
+        .join(rLens, Seq("lr"), "left_semi")
     }
-    val lb = left.select(col(leftId).as("l_id"), col(leftStr).as("l_s"),
-        explode(array_distinct(
-          filter(array(lKeys: _*), x => x.getField("valid")))).as("k"))
-      .select(col("l_id"), col("l_s"), col("k.lr").as("lr"),
-        col("k.j").as("j"), col("k.seg").as("seg"))
 
     // short strings (length < m on either side): length-band fallback
     val shortL = left.filter(length(col(leftStr)) < m + maxDist)
