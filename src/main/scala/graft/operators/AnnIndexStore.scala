@@ -352,8 +352,12 @@ object AnnIndexStore {
     require(k >= 1 && refine >= k,
       s"need refine >= k >= 1, got k=$k refine=$refine")
     val (adc, qpts, vecs) = adcPool(src, idCol, vecCol, dir, refine, nProbe)
+    // r14: codegen integer dot (the Similarity/Clustering discipline)
+    // instead of the interpreted aggregate(zip_with) fold — same exact
+    // 64-bit sum over equal-length non-null quantized vectors.
+    graft.functions.VectorFunctions.register(src.sparkSession)
     def idot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      graft.functions.VectorFunctions.vecDotLong(a, b)
     val q = qpts.select(col("id").as("qid"), col("q").as("qq"))
       .withColumn("qn", sqrt(idot(col("qq"), col("qq")).cast("double")))
     val v = vecs.select(col("id"), col("q").as("nq"))
@@ -452,11 +456,13 @@ object AnnIndexStore {
       .select(col("id").as("qid"), col("q").as("qq"))
     val c = Clustering.quantized(corpus, idCol, vecCol, scale)
       .select(col("id").as("nid"), col("q").as("nq"))
+    graft.functions.VectorFunctions.register(batch.sparkSession)
     val best = c.crossJoin(broadcast(b))
       .filter(col("nid") =!= col("qid"))
+      // r14: codegen integer squared-L2 instead of the interpreted
+      // aggregate(zip_with) fold — exact 64-bit sum, same values
       .withColumn("dist",
-        aggregate(zip_with(col("qq"), col("nq"), (a, x) => (a - x) * (a - x)),
-          lit(0L), (acc, x) => acc + x))
+        graft.functions.VectorFunctions.vecL2SqLong(col("qq"), col("nq")))
       .groupBy("qid")
       .agg(min_by(struct(col("nid").as("match_id"), col("dist")),
         struct(col("dist"), col("nid"))).as("m"))
