@@ -39,6 +39,11 @@ object Bpe {
   private val SS = S + S
   private val SSre = java.util.regex.Pattern.quote(SS)
 
+  /** Rounds between dictionary materializations in the training loops
+    * (r14): the per-round eager checkpoint job cost more than recomputing
+    * a few stacked replace projections from the previous checkpoint. */
+  private val CkptEvery = 4
+
   /** (tokstr, cnt) dictionary: one row per distinct `[a-z]+` word of the
     * lowercased corpus, sentinel-encoded at the character level. */
   private def charDict(docs: DataFrame, textCol: String): DataFrame =
@@ -212,7 +217,18 @@ object Bpe {
         val next = sel.foldLeft(col("tokstr")) { case (acc, (l, r, _)) =>
           replace(acc, lit(S + l + SS + r + S), lit(S + l + r + S))
         }
-        toks = Iterate.checkpoint(toks.withColumn("tokstr", next))
+        // r14: materialize every CKPT_EVERY rounds instead of every round —
+        // between checkpoints the next candidate pass recomputes at most
+        // CKPT_EVERY stacked codegen replace projections over the
+        // dictionary (narrow, no shuffle re-run), which costs microseconds
+        // against the ~26 ms/round the eager materialization job paid
+        // (BpeFloorProbe). Lineage stays flat: bounded at CKPT_EVERY
+        // projections over the last checkpoint, so the Iterate contract's
+        // no-unbounded-plan-growth guarantee holds.
+        toks = {
+          val grown = toks.withColumn("tokstr", next)
+          if (rounds % CkptEvery == 0) Iterate.checkpoint(grown) else grown
+        }
       }
     }
     lastBatchedRounds.set(rounds)
