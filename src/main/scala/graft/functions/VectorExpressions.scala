@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native (whole-stage-codegen) dot product over two `array<double>` columns.
   *
@@ -202,6 +202,70 @@ case class VecDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic-hyperplane LSH projection of one `array<double>` vector:
+  * sum over d of v[d] * plane(p, d), where
+  * plane(p, d) = ((1103515245*p + 12345*d + 42) mod 1001) - 500 — the
+  * EXACT integer coefficient family [[graft.operators.Similarity]]'s
+  * lshSignBits (and its SQL mirrors) define, generated INSIDE the codegen
+  * loop instead of materialized anywhere (r14: the interpreted
+  * aggregate(zip_with(sequence...)) fold this replaces evaluated
+  * per-element lambdas; an intermediate attempt that shipped the plane as
+  * a 512-wide literal array measured +39% from planning/literal overhead —
+  * the negative result is recorded in OPTIMIZATION_r14.md).
+  * Summation is the same left-to-right double fold, so projections — and
+  * therefore sign bits and bucket ids — are bit-identical to both the old
+  * fold and DuckDB's list_reduce mirror. Null stance as [[DotProduct]]. */
+case class VecPlaneProj(child: Expression, plane: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"vec_plane_proj requires an array<double> input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_plane_proj"
+
+  private def coeff(d: Long): Double =
+    (((1103515245L * plane + 12345L * d + 42L) % 1001L) - 500L).toDouble
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) s += x.getDouble(i) * coeff(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = $a.numElements();
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $c = (double) (((1103515245L * ${plane}L + 12345L * (long) $i + 42L) % 1001L) - 500L);
+         |    $sum += $a.getDouble($i) * $c;
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VecPlaneProj = copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Idempotent per-session registration (temp function registry). */
@@ -212,6 +276,13 @@ object VectorFunctions {
       "vec_l2sq_l", exprs => VecL2SqLong(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_l", exprs => VecDotLong(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_plane_proj", {
+        case Seq(v, Literal(p: Int, IntegerType)) => VecPlaneProj(v, p)
+        case exprs => throw new IllegalArgumentException(
+          "vec_plane_proj(vec, planeIndex) needs a literal int plane index, " +
+            s"got ${exprs.map(_.sql).mkString(", ")}")
+      }, "scala_udf")
   }
 
   /** Dot product Column (requires [[register]] on the session first). */
@@ -224,4 +295,9 @@ object VectorFunctions {
   /** Integer dot Column (requires [[register]]). */
   def vecDotLong(a: Column, b: Column): Column =
     call_function("vec_dot_l", a, b)
+
+  /** Deterministic-hyperplane projection Column (requires [[register]]). */
+  def vecPlaneProj(v: Column, plane: Int): Column =
+    call_function("vec_plane_proj", v,
+      org.apache.spark.sql.functions.lit(plane))
 }

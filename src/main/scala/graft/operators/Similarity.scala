@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -137,12 +137,17 @@ object Similarity {
     * LSH) draw disjoint hyperplanes: table t uses planes [t*nBits, (t+1)*nBits).
     */
   def lshSignBits(vec: Column, nBits: Int, offset: Int = 0): Column = {
+    // r14: the per-bit projection runs through the codegen VecPlaneProj
+    // expression (plane coefficients generated inside the Java loop)
+    // instead of the interpreted aggregate(zip_with(sequence...)) fold it
+    // restates — same integer coefficient family, same left-to-right
+    // double summation, so projections/signs/buckets are bit-identical
+    // (the earlier literal-plane-array attempt measured +39% and is
+    // recorded as a negative result in OPTIMIZATION_r14.md).
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .foreach(VectorFunctions.register)
     val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x * (((lit(1103515245L) * (offset + j) + lit(12345L) * d + 42) % 1001) - 500)
-            .cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = VectorFunctions.vecPlaneProj(vec, offset + j)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

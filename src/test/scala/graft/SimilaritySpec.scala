@@ -48,6 +48,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("vec_plane_proj: bit-identical to the HOF fold it replaces, in CODEGEN_ONLY") {
+    spark.sparkContext.setLogLevel("ERROR")
+    VectorFunctions.register(spark)
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      // real embeddings (cast double, the lshSignBits input shape) plus a
+      // hand vector; every plane index the 2-table x 4-bit default uses
+      val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("embedding").cast("array<double>").as("v"))
+        .limit(50)
+        .unionByName(Seq(Tuple1(Array(0.25, -3.5, 0.0, 7.125)))
+          .toDF("v"))
+      for (p <- 0 until 8) {
+        val hof = aggregate(
+          zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
+            (x, d) => x * (((lit(1103515245L) * p + lit(12345L) * d + 42)
+              % 1001) - 500).cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        val diff = vecs.select(
+            VectorFunctions.vecPlaneProj(col("v"), p).as("a"), hof.as("b"))
+          .filter(col("a") =!= col("b")).count()
+        assert(diff == 0, s"plane $p diverged from the HOF fold")
+      }
+    } finally {
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+    }
+  }
+
   test("cosinePairsLsh: no nested-loop join in the plan, exact re-score subset of all-pairs") {
     spark.sparkContext.setLogLevel("ERROR")
     val lsh = Similarity.cosinePairsLsh(embeddings, "vec_id", "embedding", 0.4)
