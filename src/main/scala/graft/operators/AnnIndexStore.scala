@@ -143,17 +143,23 @@ object AnnIndexStore {
         Clustering.nearest(coarse, col("q")).getField("j").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$g/cells")
 
-    val subParts = (0 until m).map { s =>
-      val spts = pts.select(col("id"),
-        slice(col("q"), s * subDim + 1, subDim).as("q"))
-      val cents = Clustering.train(spts, k, iters)
-      val codes = spts.select(lit(s).as("sub"), col("id"),
-        Clustering.nearest(cents, col("q")).getField("j").as("code"))
-      (cents.map { case (j, c) => (s, j, c.toSeq) }, codes)
-    }
-    subParts.flatMap(_._1).toDF("sub", "j", "q")
+    // r15: fused subspace training (one scan per round for all m
+    // subspaces, one shared quantized table instead of m sliced copies)
+    // and one exploded projection for all subspaces' codes instead of an
+    // m-way union. Centroids/codes are bit-identical to the sequential
+    // form (ClusteringSpec), so stored indexes are unchanged.
+    val offsets = (0 until m).map(_ * subDim)
+    val subCents = Clustering.trainSubspaces(pts, offsets, subDim, k, iters)
+    (0 until m).flatMap(s => subCents(s).map { case (j, c) => (s, j, c.toSeq) })
+      .toDF("sub", "j", "q")
       .coalesce(1).write.mode("overwrite").parquet(s"$g/pqcents")
-    subParts.map(_._2).reduce(_ unionByName _)
+    pts.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), col("id").as("id"),
+          Clustering.nearest(subCents(s),
+            slice(col("q"), offsets(s) + 1, subDim)).getField("j").as("code"))
+      }: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.id").as("id"),
+        col("e.code").as("code"))
       .withColumn("pfx", idPfx(nPfx))
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$g/codes")
 

@@ -53,7 +53,7 @@ object Clustering {
   /** Quantized point table (id, q: array<long>) — floor(v * scale), the
     * exact-integer space every operator here works in. Checkpointed: it is
     * scanned once per training iteration. */
-  private[operators] def quantized(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def quantized(df: DataFrame, idCol: String, vecCol: String,
                         scale: Int): DataFrame =
     Iterate.checkpoint(
       df.select(col(idCol).cast("long").as("id"),
@@ -64,7 +64,7 @@ object Clustering {
     * `iters - 1` floor-div centroid updates. Returns the final centroids
     * as (cluster id, quantized vector) — k*dim longs of driver-side
     * bookkeeping per round, never a data collect. */
-  private[operators] def train(pts: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
+  private[graft] def train(pts: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
     var cents: Seq[(Int, Array[Long])] = pts.orderBy("id").limit(k).collect()
       .zipWithIndex
       .map { case (r, j) => (j, r.getSeq[Long](1).toArray) }.toSeq
@@ -84,6 +84,66 @@ object Clustering {
         }
         (j, c)
       }.sortBy(_._1)
+      it += 1
+    }
+    cents
+  }
+
+  /** Lloyd's training of MANY subspace quantizers in lockstep — the PQ
+    * training loop fused to ONE scan per round (r15; guide §1.2 "how many
+    * full passes are unavoidable"): the m subspaces of a product quantizer
+    * are independent, but training them sequentially pays m full scans of
+    * the quantized corpus per round plus m init collects and m checkpoint
+    * materializations of sliced copies. One pass computes every subspace's
+    * assignment on the shared full-vector table and one partial-agg
+    * shuffle carries all m * k * subDim (sub, cluster, pos) partial sums.
+    *
+    * Bit-identical to per-subspace [[train]] over sliced inputs
+    * (ClusteringSpec asserts equality): quantization commutes with
+    * slicing (floor(v*scale) is element-wise), init is the same k
+    * lowest-id rows, assignment/update arithmetic is unchanged exact
+    * integer math.
+    *
+    * `offsets(s)` is the 0-based element offset of subspace s (length
+    * `subDim` each) into the quantized vector column `q`. Returns the
+    * final centroids per subspace, in `offsets` order. */
+  private[graft] def trainSubspaces(pts: DataFrame, offsets: Seq[Int],
+                                        subDim: Int, k: Int,
+                                        iters: Int): IndexedSeq[Seq[(Int, Array[Long])]] = {
+    val initRows = pts.orderBy("id").limit(k).collect()
+    var cents: IndexedSeq[Seq[(Int, Array[Long])]] = offsets.indices.map { s =>
+      initRows.zipWithIndex.map { case (r, j) =>
+        (j, r.getSeq[Long](1).slice(offsets(s), offsets(s) + subDim).toArray)
+      }.toSeq
+    }
+    var it = 1
+    while (it < iters) {
+      // assignment per subspace ONCE per row (a projection column), then
+      // one explode to (sub, cluster, pos, v) — the same total row volume
+      // the m separate scans shuffled, now behind a single corpus pass
+      val withCl = pts.select(
+        col("q") +: offsets.indices.map(s =>
+          nearest(cents(s), slice(col("q"), offsets(s) + 1, subDim))
+            .getField("j").as(s"_cl$s")): _*)
+      val sums = withCl.select(explode(flatten(array(offsets.indices.map { s =>
+          transform(slice(col("q"), offsets(s) + 1, subDim),
+            (v, i) => struct(lit(s).as("sub"), col(s"_cl$s").as("cluster"),
+              i.as("pos"), v.as("v")))
+        }: _*))).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cluster").as("cluster"),
+          col("e.pos").as("pos"), col("e.v").as("v"))
+        .groupBy("sub", "cluster", "pos")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .collect()
+      cents = offsets.indices.map { s =>
+        sums.filter(_.getInt(0) == s).groupBy(_.getInt(1)).toSeq.map {
+          case (j, rows) =>
+            val c = new Array[Long](subDim)
+            rows.foreach(r =>
+              c(r.getInt(2)) = Math.floorDiv(r.getLong(3), r.getLong(4)))
+            (j, c)
+        }.sortBy(_._1)
+      }
       it += 1
     }
     cents
@@ -113,30 +173,35 @@ object Clustering {
     * — pd the exact integer squared L2 from the query's subvector to that
     * centroid. The LUTs are |queries|*m*k rows: broadcast-sized by
     * construction. */
-  private def pqParts(corpus: DataFrame, queries: DataFrame, idCol: String,
-                      vecCol: String, dim: Int, m: Int, k: Int, iters: Int,
-                      scale: Int): (DataFrame, DataFrame) = {
+  /** PQ training artifacts over ALREADY-quantized (id, q) tables (r15:
+    * one shared full-vector checkpoint instead of per-subspace sliced
+    * copies; [[trainSubspaces]] fuses the m training loops to one scan
+    * per round; codes/LUTs for every subspace ride one projection each
+    * instead of an m-way union). Same rows, same exact integer values —
+    * slicing commutes with the element-wise quantization. */
+  private def pqParts(cq: DataFrame, qq: DataFrame, dim: Int, m: Int,
+                      k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val parts = (0 until m).map { s =>
-      val sliceCol = slice(col(vecCol), s * subDim + 1, subDim)
-      val cpts = quantized(corpus.select(col(idCol), sliceCol.as("v")),
-        idCol, "v", scale)
-      val cents = train(cpts, k, iters)
-      val codes = cpts.select(lit(s).as("sub"), col("id"),
-        nearest(cents, col("q")).getField("j").as("code"))
-      val qpts = quantized(queries.select(col(idCol), sliceCol.as("v")),
-        idCol, "v", scale)
-      val lut = qpts.select(col("id").as("qid"),
-          explode(array(cents.map { case (j, c) =>
-            struct(lit(j).as("code"), qdist(col("q"), c).as("pd"))
-          }: _*)).as("e"))
-        .select(col("qid"), lit(s).as("sub"),
-          col("e.code").as("code"), col("e.pd").as("pd"))
-      (codes, lut)
-    }
-    (parts.map(_._1).reduce(_ unionByName _),
-      parts.map(_._2).reduce(_ unionByName _))
+    val offsets = (0 until m).map(_ * subDim)
+    val cents = trainSubspaces(cq, offsets, subDim, k, iters)
+    val codes = cq.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), col("id").as("id"),
+          nearest(cents(s), slice(col("q"), offsets(s) + 1, subDim))
+            .getField("j").as("code"))
+      }: _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("e.id").as("id"),
+        col("e.code").as("code"))
+    val luts = qq.select(col("id").as("qid"),
+        explode(array((for {
+          s <- 0 until m
+          (j, c) <- cents(s)
+        } yield struct(lit(s).as("sub"), lit(j).as("code"),
+          qdist(slice(col("q"), offsets(s) + 1, subDim), c).as("pd"))): _*))
+          .as("e"))
+      .select(col("qid"), col("e.sub").as("sub"),
+        col("e.code").as("code"), col("e.pd").as("pd"))
+    (codes, luts)
   }
 
   /** Exact re-rank ("refine") stage over a PQ candidate pool — the FAISS
@@ -147,18 +212,13 @@ object Clustering {
     * top-`refine` pool is re-scored with the exact integer squared L2
     * before the final top-kNN. Cost: only refine * |queries| raw-vector
     * fetches (hash equi-join on id) — the full corpus is still never
-    * decompressed. Returns (qid, rank, nid, dist) with `dist` EXACT. */
-  private def refineTopK(pool: DataFrame, corpus: DataFrame,
-                         queries: DataFrame, idCol: String, vecCol: String,
-                         kNN: Int, scale: Int): DataFrame =
-    refineTopKQuantized(pool,
-      quantized(corpus, idCol, vecCol, scale),
-      quantized(queries, idCol, vecCol, scale), kNN)
-
-  /** [[refineTopK]] over ALREADY-quantized (id, q) tables — the form the
-    * stored-index serving path ([[AnnIndexStore.query]]) uses, where the
-    * corpus side comes back from the index's flat-vector parquet instead
-    * of being re-quantized from raw floats.
+    * decompressed. Returns (qid, rank, nid, dist) with `dist` EXACT.
+    *
+    * Operates over ALREADY-quantized (id, q) tables — the form both the
+    * stored-index serving path ([[AnnIndexStore.query]], where the corpus
+    * side comes back from the index's flat-vector parquet) and the inline
+    * ANN paths (which share one quantized checkpoint per side across
+    * training, coding and refine since r15) use.
     *
     * `minDist >= 0` turns the re-rank into a hard-negative band select
     * ([[AnnIndexStore.hardNegatives]]): candidates at exact distance
@@ -222,12 +282,16 @@ object Clustering {
                 vecCol: String, dim: Int, kNN: Int = 3, m: Int = 4,
                 k: Int = 16, iters: Int = 2, scale: Int = 1000,
                 refine: Int = 0): DataFrame = {
-    val (codes, luts) = pqParts(corpus, queries, idCol, vecCol, dim, m, k,
-      iters, scale)
+    // one quantized checkpoint per side feeds training, codes, LUTs AND
+    // the exact refine stage (r15 — the old form materialized m sliced
+    // corpus copies for training plus a fresh full-vector copy for refine)
+    val cq = quantized(corpus, idCol, vecCol, scale)
+    val qq = quantized(queries, idCol, vecCol, scale)
+    val (codes, luts) = pqParts(cq, qq, dim, m, k, iters)
     val adc = pqTopK(codes.join(broadcast(luts), Seq("sub", "code"))
       .filter(col("id") =!= col("qid")), if (refine > 0) refine else kNN)
     if (refine <= 0) adc
-    else refineTopK(adc, corpus, queries, idCol, vecCol, kNN, scale)
+    else refineTopKQuantized(adc, cq, qq, kNN)
   }
 
   /** Combined IVF-PQ ANN — the full FAISS-style index architecture, both
@@ -281,13 +345,16 @@ object Clustering {
     val cand = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"))
-    val (codes, luts) = pqParts(corpus, queries, idCol, vecCol, dim, m, k,
-      iters, scale)
+    // cpts/qpts (already checkpointed above for the coarse quantizer)
+    // feed PQ training, codes, LUTs and the refine stage too (r15): the
+    // old form re-quantized the corpus into m sliced copies plus one more
+    // full copy for refine — 6 materializations of the same bytes
+    val (codes, luts) = pqParts(cpts, qpts, dim, m, k, iters)
     val adc = pqTopK(cand.join(codes, Seq("id"))
       .join(broadcast(luts), Seq("qid", "sub", "code")),
       if (refine > 0) refine else kNN)
     if (refine <= 0) adc
-    else refineTopK(adc, corpus, queries, idCol, vecCol, kNN, scale)
+    else refineTopKQuantized(adc, cpts, qpts, kNN)
   }
 
   /** Product quantization: split each vector into `m` equal subspaces, run
@@ -307,16 +374,19 @@ object Clustering {
               scale: Int = 1000): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val subs = (0 until m).map { s =>
-      val sub = df.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("sub"))
-      kmeansAssign(sub, idCol, "sub", k, iters, scale)
-        .select(col("id"), col("cluster").as(s"c$s"), col("dist").as(s"d$s"))
-    }
-    subs.reduce((a, b) => a.join(b, Seq("id")))
-      .select(col("id") +:
-        (0 until m).map(s => col(s"c$s")) :+
-        (0 until m).map(s => col(s"d$s")).reduce(_ + _).as("qerr"): _*)
+    val offsets = (0 until m).map(_ * subDim)
+    // r15: one shared quantized checkpoint + the fused subspace trainer
+    // (one scan per round for all m subspaces), then every subspace's
+    // (code, dist) in ONE join-free projection — the old form ran m
+    // separate kmeansAssign pipelines and joined their outputs m-ways.
+    // Same ids, same exact integer assignments/distances.
+    val cq = quantized(df, idCol, vecCol, scale)
+    val cents = trainSubspaces(cq, offsets, subDim, k, iters)
+    val fins = (0 until m).map(s =>
+      nearest(cents(s), slice(col("q"), offsets(s) + 1, subDim)))
+    cq.select(col("id") +:
+      (0 until m).map(s => fins(s).getField("j").as(s"c$s")) :+
+      (0 until m).map(s => fins(s).getField("d")).reduce(_ + _).as("qerr"): _*)
   }
 
   /** Per-cluster summary over the final assignment: size and mean quantized

@@ -94,6 +94,31 @@ class ClusteringSpec extends AnyFunSuite {
     assert(sum.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
   }
 
+  test("trainSubspaces: fused one-scan-per-round training is bit-identical " +
+      "to sequential per-slice train (r15 optimization invariant)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    // 6-dim vectors, 3 subspaces of 2; skewed values so clusters move over
+    // rounds, k=3 over few distinct points so some clusters can drop out
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 5).toFloat, (i % 3).toFloat * 2f, (i % 7).toFloat,
+        (i % 2).toFloat * 3f, (i % 11).toFloat, (i % 4).toFloat)))
+    val base = df(rows)
+    val qfull = Clustering.quantized(base, "vec_id", "embedding", 1000)
+    val fused = Clustering.trainSubspaces(qfull, Seq(0, 2, 4), subDim = 2,
+      k = 3, iters = 3)
+    for (s <- 0 until 3) {
+      val sliced = Clustering.quantized(
+        base.select(col("vec_id"), slice(col("embedding"), s * 2 + 1, 2).as("v")),
+        "vec_id", "v", 1000)
+      val seq = Clustering.train(sliced, k = 3, iters = 3)
+      assert(fused(s).map { case (j, c) => (j, c.toSeq) } ==
+        seq.map { case (j, c) => (j, c.toSeq) },
+        s"subspace $s centroids diverge: fused=${fused(s).map(_._2.toSeq)} " +
+          s"sequential=${seq.map(_._2.toSeq)}")
+    }
+  }
+
   test("pqCodes: per-subspace codes match independent kmeans runs; qerr adds up") {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._
