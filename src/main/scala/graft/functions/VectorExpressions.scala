@@ -212,9 +212,15 @@ case class VecDotLong(left: Expression, right: Expression)
   * per-element lambdas; an intermediate attempt that shipped the plane as
   * a 512-wide literal array measured +39% from planning/literal overhead —
   * the negative result is recorded in OPTIMIZATION_r14.md).
-  * Summation is the same left-to-right double fold, so projections — and
+  * Summation is the same left-to-right double fold, so for NULL-FREE
+  * element arrays (embeddings always are here) projections — and
   * therefore sign bits and bucket ids — are bit-identical to both the old
-  * fold and DuckDB's list_reduce mirror. Null stance as [[DotProduct]]. */
+  * fold and DuckDB's list_reduce mirror. Null stance as [[DotProduct]]
+  * (ADVICE r14: on an array CONTAINING null elements the old
+  * aggregate(zip_with(...)) fold returns null — sign bit 0 — while this
+  * expression, like DotProduct, skips null elements and returns the
+  * partial sum; the divergence is deliberate and scoped exactly as
+  * DotProduct documents). */
 case class VecPlaneProj(child: Expression, plane: Int)
     extends UnaryExpression {
 

@@ -41,7 +41,15 @@ import org.apache.spark.sql.functions._
 object Percentiles {
 
   /** Exact percentiles of `valueCol`; returns one row per requested
-    * percentile with columns (pct, value). `pcts` are integer percents. */
+    * percentile with columns (pct, value). `pcts` are integer percents.
+    *
+    * Arity contract (ADVICE r14): one row per DISTINCT requested
+    * percentile that selects a value — duplicate pcts collapse to one
+    * row, and empty input or an out-of-range pct (k lands outside the
+    * data, e.g. pct > 100) yields NO row for it, never a (pct, null)
+    * row. (The pre-r14 per-pct UNION form emitted (pct, null) in those
+    * degenerate cases; the declared queries pass in-range distinct pcts
+    * over non-empty inputs, where the two forms agree row-for-row.) */
   def exactKth(values: DataFrame, valueCol: String, pcts: Seq[Int],
                nBuckets: Int = 1024): DataFrame = {
     val hist = values.groupBy(col(valueCol).as("value"))

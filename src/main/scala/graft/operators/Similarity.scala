@@ -144,8 +144,19 @@ object Similarity {
     // double summation, so projections/signs/buckets are bit-identical
     // (the earlier literal-plane-array attempt measured +39% and is
     // recorded as a negative result in OPTIMIZATION_r14.md).
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .foreach(VectorFunctions.register)
+    // ADVICE r14: a missing session must FAIL HERE with an actionable
+    // message, not silently skip registration and die later in analysis
+    // with "undefined function vec_plane_proj". Column builders have no
+    // DataFrame handle, so the session comes from the thread/process
+    // default — every DataFrame-level caller in this library satisfies
+    // that; the error is for bare-Column use on a non-Spark thread.
+    val session = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .getOrElse(throw new IllegalStateException(
+        "lshSignBits needs an active or default SparkSession to register " +
+          "vec_plane_proj; build the Column on the thread that owns the " +
+          "session (or call VectorFunctions.register(session) first)"))
+    VectorFunctions.register(session)
     val bits = (0 until nBits).map { j =>
       val proj = VectorFunctions.vecPlaneProj(vec, offset + j)
       when(proj > 0, lit(1L << j)).otherwise(lit(0L))
