@@ -1713,9 +1713,11 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val clusters = nearDupClusters(s, dir)
-      val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
-      docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
-        .join(qual, Seq("doc_id"))
+      // r15: language-ID + quality features in ONE projection (was a
+      // self-join of two projections of `docs` on doc_id — same rows and
+      // values by construction, one scan and one shuffle fewer)
+      TextAnalysis.qualityFeatures(docs, "doc_id", "text",
+          extra = Seq(TextAnalysis.langId(col("text")).as("lang_pred")))
         .join(clusters, Seq("doc_id"))
         .filter(col("lang_pred") =!= "und")
         .filter(col("n_tok") >= 5 && col("stop_ratio") >= 0.01 &&
@@ -2604,21 +2606,29 @@ object SparkEntry {
     // sort, no pairwise stage.
     "q_training_manifest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val qual = TextAnalysis.qualityFeatures(docs, "doc_id", "text")
-      val kept = docs
-        .select(col("doc_id"), col("source"), col("text"),
-          TextAnalysis.langId(col("text")).as("lang_pred"))
-        .join(qual.select("doc_id", "n_tok", "stop_ratio", "punct_ratio"),
-          Seq("doc_id"))
+      // r15: language-ID + quality features + payload in ONE projection
+      // of one scan (the old form self-joined two projections of `docs`
+      // on doc_id — and that join subtree was re-derived by each of the
+      // four downstream consumers); the sampled survivor slice is then
+      // materialized slim (3 columns) so the epoch-shuffle window and the
+      // payload join-back read it instead of re-deriving the gate twice
+      // more. Same rows/values: the fused projection computes the exact
+      // expressions the join produced, 1:1 on the unique doc_id.
+      val kept = TextAnalysis.qualityFeatures(docs, "doc_id", "text",
+          extra = Seq(col("source"), col("text"),
+            TextAnalysis.langId(col("text")).as("lang_pred")))
         .filter(col("lang_pred") =!= "und" && col("n_tok") >= 5 &&
           col("stop_ratio") >= 0.01 && col("punct_ratio") <= 0.2)
       val plan = operators.Sampling.mixPlan(kept, "source", "text",
         Map("src0" -> 40L, "src1" -> 25L, "src2" -> 20L, "src3" -> 10L,
           "src4" -> 5L),
         budgetTokens = 20000L)
-      val sampled = operators.Sampling.applyMixPlan(kept, "doc_id", "source", plan)
+      val sampled = operators.Sampling
+        .applyMixPlan(kept, "doc_id", "source", plan)
+        .select("doc_id", "source", "n_tok")
+        .localCheckpoint()
       operators.Sampling.shuffleOrder(sampled, "doc_id", nShards = 8, seed = 1L)
-        .join(sampled.select("doc_id", "source", "n_tok"), Seq("doc_id"))
+        .join(sampled, Seq("doc_id"))
         .select(col("shard"), col("pos"), col("doc_id"), col("source"),
           col("n_tok"))
         .orderBy("shard", "pos")

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sorted-distinct character-n-gram hash array of a string column.
@@ -182,6 +182,51 @@ case class MinHashSigText(child: Expression, n: Int, parity: Boolean,
       newChild: Expression): MinHashSigText = copy(child = newChild)
 }
 
+/** Native content-defined chunking of a string column — the whole CDC
+  * segmentation of [[graft.operators.TextDedup.cdcRepeatedChunks]] (split
+  * on single spaces keeping empties, per-token boundary test
+  * pmod(hash(token), div) == 0, running-boundary-count segment ids, one
+  * (token count, hash of the space-joined segment) pair per segment) as
+  * ONE per-document loop returning array<struct<seg_tok int, seg_hash
+  * bigint>> in segment order (r15). The declarative formulation paid a
+  * token posexplode, a per-doc prefix-sum WINDOW (token-stream exchange +
+  * per-doc sort), and a groupBy(doc, seg) with collect_list + array_sort
+  * + an interpreted transform, all corpus-scale. Bit-identical by
+  * construction: tokens are the single-space split (so a segment's
+  * space-joined string IS the original byte span from its first token's
+  * start to its last token's end), and both hash modes are the exact
+  * [[ShingleHashes]] families. A boundary token starts the segment that
+  * contains it (inclusive running sum); null text yields null (the old
+  * split-then-explode emitted no rows). */
+case class CdcChunks(child: Expression, div: Long, parity: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires a string input, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("seg_tok", IntegerType, nullable = false),
+      StructField("seg_hash", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.cdcChunks(input.asInstanceOf[UTF8String], div, parity)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashes.cdcChunks(" +
+        s"$c, ${div}L, $parity);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunks = copy(child = newChild)
+}
+
 object ShingleHashes {
 
   private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
@@ -315,6 +360,61 @@ object ShingleHashes {
                     p: Long): ArrayData =
     new GenericArrayData(kMins(hashAll(text, n, parity, p), k, p))
 
+  /** One tight CDC loop per document (see [[graft.functions.CdcChunks]]).
+    * Byte-level single-space walking is exact: UTF-8 continuation bytes
+    * are 0x80-0xBF, so 0x20 never occurs inside a multi-byte char, and
+    * Spark's split(text, " ") (limit -1, empties kept) is invertible with
+    * a single-space join — a segment's joined string IS the byte span
+    * from its first token's start to its last token's end. Public because
+    * generated code calls it statically. */
+  def cdcChunks(text: UTF8String, div: Long, parity: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val md = if (parity) md5.get() else null
+    val buf = if (parity) new Array[Byte](16) else null
+    def hashSpan(s: Int, e: Int): Long =
+      if (parity) {
+        md.reset()
+        md.update(bytes, s, e - s)
+        md.digest(buf, 0, 16)
+        (((buf(0) & 0xffL) << 56) | ((buf(1) & 0xffL) << 48) |
+          ((buf(2) & 0xffL) << 40) | ((buf(3) & 0xffL) << 32) |
+          ((buf(4) & 0xffL) << 24) | ((buf(5) & 0xffL) << 16) |
+          ((buf(6) & 0xffL) << 8) | (buf(7) & 0xffL)) >>> 4
+      } else {
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+          e - s, 42L)
+      }
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    var segStart = 0
+    var segEnd = 0
+    var segTok = 0
+    var tokStart = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        val isB = java.lang.Math.floorMod(hashSpan(tokStart, i), div) == 0L
+        // a boundary token closes the running segment (if any) and starts
+        // the one that contains it — the inclusive running-sum semantics
+        if (isB && segTok > 0) {
+          rows += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](segTok, hashSpan(segStart, segEnd)))
+          segTok = 0
+        }
+        if (segTok == 0) segStart = tokStart
+        segTok += 1
+        segEnd = i
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    rows += new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](segTok, hashSpan(segStart, segEnd)))
+    new GenericArrayData(rows.toArray)
+  }
+
   private def longOf(e: Expression): Long = e.eval() match {
     case l: Long => l
     case i: Int => i.toLong
@@ -341,6 +441,10 @@ object ShingleHashes {
         MinHashSigText(exprs(0), scalar[Int](exprs(1)),
           scalar[Boolean](exprs(2)), scalar[Int](exprs(3)),
           longOf(exprs(4))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks", exprs =>
+        CdcChunks(exprs(0), longOf(exprs(1)), scalar[Boolean](exprs(2))),
+      "scala_udf")
   }
 
   /** Sorted-distinct shingle-hash array Column (requires [[register]]). */
@@ -358,6 +462,11 @@ object ShingleHashes {
     * (requires [[register]]); null for empty arrays. */
   def minHashSig(sh: Column, k: Int, p: Long): Column =
     call_function("minhash_sig", sh, lit(k), lit(p))
+
+  /** CDC chunk array Column — array<struct<seg_tok, seg_hash>> per doc
+    * (requires [[register]]). */
+  def cdcChunks(text: Column, div: Long, parity: Boolean): Column =
+    call_function("cdc_chunks", text, lit(div), lit(parity))
 
   /** Text-fused k-wide MinHash signature Column (requires [[register]]). */
   def minHashSigText(text: Column, n: Int, parity: Boolean, k: Int,

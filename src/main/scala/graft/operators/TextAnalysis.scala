@@ -56,11 +56,16 @@ object TextAnalysis {
     def trunc4(c: Column): Column = floor(c * 10000) / 10000.0
     val toks = split(col(textCol), " ")
     val base = df.select(col(idCol), toks.as("w"))
-    val bigrams = when(size(col("w")) >= 2,
-      transform(sequence(lit(0), size(col("w")) - 2),
-        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
-      .otherwise(array())
-    val counts = base.select(col(idCol), explode(bigrams).as("b"))
+    // adjacent bigrams via posexplode + get() — pure codegen (r15; was an
+    // interpreted transform(sequence(...)) materializing a bigram array
+    // per row; identical strings — concat_ws over two non-null tokens ==
+    // concat_ws after the null filter, and single-token docs emit no rows
+    // exactly as the old otherwise(array()) arm did)
+    val counts = base
+      .select(col(idCol), col("w"), posexplode(col("w")).as(Seq("p0", "t")))
+      .withColumn("t1", get(col("w"), col("p0") + 1))
+      .filter(col("t1").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("t"), col("t1")).as("b"))
       .groupBy(col(idCol), col("b")).count()
     val agg = counts.groupBy(col(idCol))
       .agg(max(col("count")).as("mx"), sum(col("count")).as("tot"))
@@ -75,20 +80,29 @@ object TextAnalysis {
 
   /** Quality features as a struct: token count, stopword ratio, mean word
     * length, punctuation ratio (all floor-truncated to 4 decimals so SQL
-    * mirrors match bit-for-bit). */
+    * mirrors match bit-for-bit).
+    *
+    * `extra` (r15): passthrough columns appended AFTER the feature columns
+    * — lets a pipeline compute language-ID + quality features + payload in
+    * ONE projection of one scan instead of self-joining two projections of
+    * the same table on the id (the pre-r15 q_training_manifest /
+    * q_curation_pipeline shape). Defaults to none, so every existing
+    * caller's schema is byte-identical. */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
-                      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in")): DataFrame = {
+                      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
+                      extra: Seq[Column] = Nil): DataFrame = {
     val toks = split(col(textCol), " ")
     def trunc4(c: Column): Column = floor(c * 10000) / 10000.0
     df.withColumn("n_tok", size(toks))
       .withColumn("n_stop", size(filter(toks, t => t.isin(stopwords.map(lit): _*))))
       .withColumn("n_punct", length(col(textCol)) -
         length(regexp_replace(col(textCol), "[\\.,;:!\\?]", "")))
-      .select(col(idCol), col("n_tok"), col("n_stop"), col("n_punct"),
+      .select(Seq(col(idCol), col("n_tok"), col("n_stop"), col("n_punct"),
         trunc4(col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
         trunc4((length(col(textCol)) - (col("n_tok") - 1)).cast("double") / col("n_tok"))
           .as("avg_wlen"),
         trunc4(col("n_punct").cast("double") / length(col(textCol))).as("punct_ratio"))
+        ++ extra: _*)
   }
 
   /** Bigram conditional surprisal (the bigram upgrade of
@@ -107,12 +121,14 @@ object TextAnalysis {
     * positional self-join); both count tables are distinct-gram-sized with
     * map-side partial aggregation; the rollup is one hash agg by doc. */
   def bigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val big = df.select(col(idCol),
-        explode(zip_with(
-          slice(toks, lit(1), size(toks) - 1),
-          slice(toks, lit(2), size(toks) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    // adjacent bigrams via posexplode + get() — pure codegen (r15; was an
+    // interpreted zip_with over slices; identical strings, see
+    // [[collocations]])
+    val big = df.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), col("_w"), posexplode(col("_w")).as(Seq("p0", "t")))
+      .withColumn("t1", get(col("_w"), col("p0") + 1))
+      .filter(col("t1").isNotNull)
+      .select(col(idCol), concat(col("t"), lit(" "), col("t1")).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val cb = big.groupBy("bg").agg(count(lit(1)).as("cb"))
     val cl = big.groupBy("w1").agg(count(lit(1)).as("cl"))
@@ -467,11 +483,15 @@ object TextAnalysis {
   def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
                    topK: Int = 100): DataFrame = {
     val toks = split(col(textCol), " ")
-    val big = df.select(explode(zip_with(
-        slice(toks, lit(1), size(toks) - 1),
-        slice(toks, lit(2), size(toks) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    // adjacent pairs via posexplode + get() against the row's own token
+    // array — pure codegen (r15; the zip_with-over-slices form evaluated
+    // an interpreted lambda per element). Identical pairs: the second
+    // token is _w[p0+1], null past the end, filtered exactly where the
+    // shorter zipped slice ended the old list.
+    val big = df.select(split(col(textCol), " ").as("_w"))
+      .select(col("_w"), posexplode(col("_w")).as(Seq("p0", "w1")))
+      .select(col("w1"), get(col("_w"), col("p0") + 1).as("w2"))
+      .filter(col("w2").isNotNull)
     val uni = df.select(explode(toks).as("t"))
     val cu = uni.groupBy("t").agg(count(lit(1)).as("c"))
     val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
@@ -616,16 +636,19 @@ object TextAnalysis {
 
   def backoffSurprisal(df: DataFrame, ref: DataFrame, idCol: String,
                        textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val h: Column => Column = TextDedup.stableHash
-    val w = Window.partitionBy(idCol).orderBy("pos")
-    // (doc, pos, t, t1, t2): one doc-keyed token exchange with per-doc
-    // sorts; every downstream gram concat/hash runs inside codegen
+    // (doc, pos, t, t1, t2): following tokens via get() against the token
+    // array the row already holds — pure codegen, ZERO exchange (r15; the
+    // old lead-over-(doc,pos)-window form paid a doc-keyed token exchange
+    // + per-doc sort on BOTH the reference and the corpus scan for values
+    // the array lookup produces identically: lead(t, i) == _w[pos + i],
+    // null past the end)
     def positions(d: DataFrame): DataFrame = d
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .withColumn("t1", lead("t", 1).over(w))
-      .withColumn("t2", lead("t", 2).over(w))
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), col("_w"), posexplode(col("_w")).as(Seq("pos", "t")))
+      .select(col(idCol), col("pos"), col("t"),
+        get(col("_w"), col("pos") + 1).as("t1"),
+        get(col("_w"), col("pos") + 2).as("t2"))
 
     // --- model: gram-count tables from ONE reference scan ---
     val rp = positions(ref)

@@ -785,22 +785,26 @@ object TextDedup {
     * corpus-level collision odds are negligible. Returns
     * (id, n_tok, n_covered, cover_ratio) — ratio floor-truncated to 4
     * decimals. */
-  /** (id, pos, g): 1-based position and hash of every token n-gram, via
-    * posexplode + n-1 `lead`s over a (doc, pos) window — one doc-keyed
-    * token exchange (per-doc sorts, bounded by document length) after
-    * which every gram concat and hash runs inside codegen. The
-    * `transform(sequence(...))` formulation this replaces evaluated
-    * interpreted (higher-order functions are CodegenFallback; see
-    * [[graft.functions.ShingleHashes]]) and dominated the repeated-span
-    * queries' cost. Docs shorter than n tokens emit no rows. */
+  /** (id, pos, g): 1-based position and hash of every token n-gram. The
+    * following tokens of each gram come from `get(_w, p0 + i)` against the
+    * token array the row already holds — pure codegen, ZERO exchange (r15;
+    * guide §2.4 "an orderBy/window used only to make adjacent elements
+    * available is a removable shuffle"). Two earlier formulations both
+    * measured worse: `transform(sequence(...))` is CodegenFallback
+    * (interpreted per element, evicted in an earlier round), and the
+    * posexplode + n-1 `lead`s window it was replaced with paid a doc-keyed
+    * token exchange + per-doc sort per scan — the gram values themselves
+    * are identical in all three (lead(t, i) over (doc, pos) ==
+    * _w[p0 + i], null past the end). Docs shorter than n tokens emit no
+    * rows. */
   private[operators] def wordGramOcc(docs: DataFrame, idCol: String,
                                      textCol: String, n: Int,
                                      base: Column => Column): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("p0"))
-    val leads = (1 until n).map(i => lead(col("t"), i).over(w).as(s"t$i"))
+    val follows = (1 until n).map(i => get(col("_w"), col("p0") + i).as(s"t$i"))
     docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("p0", "t")))
-      .select(Seq(col(idCol), col("p0"), col("t")) ++ leads: _*)
+      .select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), col("_w"), posexplode(col("_w")).as(Seq("p0", "t")))
+      .select(Seq(col(idCol), col("p0"), col("t")) ++ follows: _*)
       .filter(col(s"t${n - 1}").isNotNull)
       .select(col(idCol), (col("p0") + 1).as("pos"),
         base(concat_ws(" ",
@@ -1017,21 +1021,21 @@ object TextDedup {
   def cdcRepeatedChunks(docs: DataFrame, idCol: String, textCol: String,
                         boundaryDiv: Int = 8,
                         oracleParity: Boolean = true): DataFrame = {
-    val base: Column => Column =
-      if (oracleParity) stableHash else c => xxhash64(c)
-    val tok = docs.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val seg = tok
-      .withColumn("is_b", (pmod(base(col("t")), lit(boundaryDiv.toLong)) === 0)
-        .cast("int"))
-      .withColumn("seg", sum("is_b").over(w))
-    val chunks = seg.groupBy(col(idCol), col("seg"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("t")))).as("ts"))
-      .select(col(idCol), col("seg"),
-        size(col("ts")).as("seg_tok"),
-        base(concat_ws(" ", transform(col("ts"), x => x.getField("t"))))
-          .as("seg_hash"))
+    // r15: the whole segmentation (token split, boundary test, running
+    // segment ids, per-segment joined-string hash) is ONE codegen'd
+    // per-document loop ([[graft.functions.CdcChunks]], bit-identical by
+    // ShingleSpec's equality test against the old windowed formulation).
+    // The old pipeline paid a token posexplode + a per-doc prefix-sum
+    // WINDOW (token-stream exchange + per-doc sorts) + a corpus-scale
+    // groupBy(doc, seg) with collect_list/array_sort/interpreted
+    // transform — all deleted; the remaining exchanges are analytical
+    // (chunk doc-frequency, per-doc rollups).
+    graft.functions.ShingleHashes.register(docs.sparkSession)
+    val chunks = docs.select(col(idCol),
+        explode(graft.functions.ShingleHashes.cdcChunks(
+          col(textCol), boundaryDiv.toLong, oracleParity)).as("c"))
+      .select(col(idCol), col("c.seg_tok").as("seg_tok"),
+        col("c.seg_hash").as("seg_hash"))
     val rep = chunks.groupBy("seg_hash")
       .agg(countDistinct(col(idCol)).as("ndocs"))
       .filter(col("ndocs") > 1)

@@ -110,6 +110,43 @@ class ShingleSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunks == split + boundary prefix-sum window + grouped join-hash " +
+      "(both modes; r15 optimization invariant)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    ShingleHashes.register(spark)
+    // fixtures plus CDC-specific edges: consecutive spaces (empty tokens),
+    // leading/trailing spaces, single token
+    val texts = fixtures ++ Seq("a  b   c", " leading", "trailing ", "one")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((parity, div) <- Seq((true, 8L), (false, 8L), (true, 2L))) {
+      val base: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (parity) c => TextDedup.stableHash(c) else c => xxhash64(c)
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val declarative = df.select(col("id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "t")))
+        .withColumn("is_b", (pmod(base(col("t")), lit(div)) === 0).cast("int"))
+        .withColumn("seg", sum("is_b").over(w))
+        .groupBy(col("id"), col("seg"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("t")))).as("ts"))
+        .select(col("id"), col("seg"), size(col("ts")).as("seg_tok"),
+          base(concat_ws(" ", transform(col("ts"), x => x.getField("t"))))
+            .as("seg_hash"))
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.toSeq)
+        .toMap
+      val native = df.select(col("id"),
+          explode(ShingleHashes.cdcChunks(col("text"), div, parity)).as("c"))
+        .select(col("id"), col("c.seg_tok"), col("c.seg_hash"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).sorted.toSeq)
+        .toMap
+      assert(native == declarative, s"parity=$parity div=$div")
+    }
+  }
+
   test("minHashSig(Text) == both prior signature formulations, bit-for-bit") {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
